@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Core relational operators from SURVEY.md §2.1-2.8, instantiated over the
+  * driver testdata star. Each method is one `SparkEntry.queries` entry with a
+  * DuckDB oracle twin in [[graft.SparkEntry.oracleSql]].
+  *
+  * Numeric discipline (oracle hash-match): money columns are cast to
+  * DECIMAL(18,2) *before* SUM so both engines aggregate exactly, then the
+  * final aggregate is cast to DOUBLE — identical IEEE value on both sides
+  * regardless of partial-aggregation order. Every query ends in a total
+  * ORDER BY with a unique tie-break key (reference is explicit about
+  * deterministic tie-breaks: internal/vector/hybrid/rrf.go:64-75).
+  *
+  * Scale notes: aggregates are groupBy (map-side partial agg automatic);
+  * small dimensions are broadcast; rollups are aggregated *below* the join
+  * to prevent fan-out (reference duckdb.go:396-402); top-k compiles to
+  * TakeOrderedAndProject (no full sort).
+  */
+object CoreQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact-money sum: cast to decimal first, final result as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // --- §2.4 core aggregate view (flagship; reference duckdb.go:773-807) ---
+  // Shape: groupBy key → COUNT(*), SUM(size), rollup LEFT JOIN, COUNT(*)
+  // OVER () total_unique, ORDER BY count DESC LIMIT 100.
+  // Mapping: customer≈sender, orders≈messages, lineitem≈attachments.
+  def aggCore(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    // pre-aggregate below the join: prevents fan-out double count
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice")).as("att_size"),
+        count(lit(1)).as("att_count"))
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("c_name").as("key"))
+      .agg(
+        count(lit(1)).as("msg_count"),
+        dsum(col("o_totalprice")).as("total_size"),
+        dsum(col("att_size")).as("attachment_size"),
+        sum(col("att_count")).as("attachment_count"))
+      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
+      .orderBy(col("msg_count").desc, col("key").asc)
+      .limit(100)
+  }
+
+  val aggCoreSql: String =
+    """WITH att AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS att_size,
+      |         COUNT(*) AS att_count
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT c_name AS key,
+      |       COUNT(*) AS msg_count,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size,
+      |       CAST(SUM(CAST(att_size AS DECIMAL(18,2))) AS DOUBLE) AS attachment_size,
+      |       CAST(SUM(att_count) AS BIGINT) AS attachment_count,
+      |       COUNT(*) OVER () AS total_unique
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN att ON o_orderkey = att.l_orderkey
+      |GROUP BY c_name
+      |ORDER BY msg_count DESC, key ASC
+      |LIMIT 100""".stripMargin
+
+  // --- §2.2 time-period buckets (reference duckdb.go:681-691) ---
+  def aggTime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"))
+      .agg(count(lit(1)).as("msg_count"),
+        dsum(col("o_totalprice")).as("total_size"))
+      .orderBy(col("period").asc)
+
+  val aggTimeSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS period,
+      |       COUNT(*) AS msg_count,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size
+      |FROM orders GROUP BY 1 ORDER BY period ASC""".stripMargin
+
+  // --- §2.4 GetTotalStats (reference duckdb.go:1101-1179) ---
+  def totalStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("message_count"),
+      dsum(col("o_totalprice")).as("total_size"),
+      countDistinct(col("o_custkey")).as("distinct_sources"),
+      min(col("o_orderdate")).cast("date").as("first_date"),
+      max(col("o_orderdate")).cast("date").as("last_date"))
+
+  val totalStatsSql: String =
+    """SELECT COUNT(*) AS message_count,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size,
+      |       COUNT(DISTINCT o_custkey) AS distinct_sources,
+      |       CAST(MIN(o_orderdate) AS DATE) AS first_date,
+      |       CAST(MAX(o_orderdate) AS DATE) AS last_date
+      |FROM orders""".stripMargin
+
+  // --- §2.2 filters: time range + type isin + projection pushdown ---
+  def filterTimeRange(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
+        col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_day"))
+      .orderBy(col("o_orderkey").asc)
+      .limit(500)
+
+  val filterTimeRangeSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |       CAST(o_orderdate AS DATE) AS o_day
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND o_orderstatus IN ('O','F')
+      |ORDER BY o_orderkey ASC LIMIT 500""".stripMargin
+
+  // --- §2.2 ILIKE substring, case-insensitive, literal (duckdb.go:447-467) ---
+  def filterIlike(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(lower(col("p_name")).contains("re"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey").asc)
+
+  val filterIlikeSql: String =
+    """SELECT p_partkey, p_name, p_brand FROM part
+      |WHERE contains(lower(p_name), 're')
+      |ORDER BY p_partkey ASC""".stripMargin
+
+  // --- §2.3 semi-join (EXISTS; reference duckdb.go:844-846) ---
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey ASC""".stripMargin
+
+  // --- §2.3 anti-join (NOT EXISTS; empty-bucket drilldowns duckdb.go:888) ---
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey ASC""".stripMargin
+
+  // --- §2.3 dual-path resolution via COALESCE of two left joins
+  // (reference sender resolution duckdb.go:1254-1296) ---
+  def joinCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+      .join(n, col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(nullif(trim(col("n_name")), lit("")), lit("unknown")).as("resolved_nation"),
+        coalesce(nullif(trim(col("c_mktsegment")), lit("")), lit("unknown")).as("segment"))
+    cust.groupBy(col("resolved_nation"), col("segment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("resolved_nation").asc, col("segment").asc)
+  }
+
+  val joinCoalesceSql: String =
+    """SELECT COALESCE(NULLIF(TRIM(n_name), ''), 'unknown') AS resolved_nation,
+      |       COALESCE(NULLIF(TRIM(c_mktsegment), ''), 'unknown') AS segment,
+      |       COUNT(*) AS cnt
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY resolved_nation ASC, segment ASC""".stripMargin
+
+  // --- §2.5 ROW_NUMBER ranking (reference sqlitevec/fused.go:152) ---
+  def windowRowNumber(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  val windowRowNumberSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey ASC, rn ASC""".stripMargin
+
+  // --- §2.5 COUNT(*) OVER () total (reference duckdb.go:794) ---
+  def windowTotalCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
+      .orderBy(col("key").asc)
+
+  val windowTotalCountSql: String =
+    """SELECT l_returnflag AS key, COUNT(*) AS cnt, COUNT(*) OVER () AS total_unique
+      |FROM lineitem GROUP BY l_returnflag ORDER BY key ASC""".stripMargin
+
+  // --- §2.6 top-k (TakeOrderedAndProject; reference duckdb.go:810-827) ---
+  def topK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // --- §2.6 pagination LIMIT/OFFSET (reference duckdb.go:1252) ---
+  def pagination(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc)
+      .offset(100)
+      .limit(50)
+
+  val paginationSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey ASC LIMIT 50 OFFSET 100""".stripMargin
+
+  // --- §2.6 paginate-before-join (reference duckdb.go:1241-1299): page the
+  // fact table FIRST, then enrich the page with joins. ---
+  def paginateThenJoin(s: SparkSession, dir: String): DataFrame = {
+    val page = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("item_count"))
+    page
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"), "left")
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+        coalesce(col("item_count"), lit(0L)).as("item_count"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  val paginateThenJoinSql: String =
+    """WITH page AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20),
+      |li AS (SELECT l_orderkey, COUNT(*) AS item_count FROM lineitem GROUP BY 1)
+      |SELECT o_orderkey, o_totalprice, c_name,
+      |       COALESCE(item_count, 0) AS item_count
+      |FROM page
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN li ON o_orderkey = li.l_orderkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin
+
+  // --- §2.7 UNION ALL (reference benchmark_test.go:128-162) ---
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val buyers = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), lit("customer").as("role"))
+    val supps = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"), lit("supplier").as("role"))
+    buyers.unionByName(supps)
+      .groupBy(col("nationkey"), col("role"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("nationkey").asc, col("role").asc)
+  }
+
+  val setUnionSql: String =
+    """SELECT nationkey, role, COUNT(*) AS cnt FROM (
+      |  SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier)
+      |GROUP BY nationkey, role
+      |ORDER BY nationkey ASC, role ASC""".stripMargin
+
+  // --- §2.7 set difference (reference dedup.go:502-513 "not matched") ---
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey"))
+      .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
+      .orderBy(col("p_partkey").asc)
+
+  val setExceptSql: String =
+    """SELECT p_partkey FROM part
+      |EXCEPT
+      |SELECT l_partkey AS p_partkey FROM lineitem
+      |ORDER BY p_partkey ASC""".stripMargin
+
+  // --- §2.8 date/string scalar functions (buckets duckdb.go:687-689) ---
+  def scalarDateString(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        concat(year(col("o_orderdate")).cast("string"), lit("-"),
+          lpad(month(col("o_orderdate")).cast("string"), 2, "0")).as("month_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_key"))
+      .orderBy(col("o_orderkey").asc)
+      .limit(1000)
+
+  val scalarDateStringSql: String =
+    """SELECT o_orderkey,
+      |       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+      |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+      |       CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) || '-' ||
+      |         LPAD(CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR), 2, '0') AS month_key,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS day_key
+      |FROM orders ORDER BY o_orderkey ASC LIMIT 1000""".stripMargin
+
+  // --- §2.8 JSON extraction (reference metadata JSON schema.sql:159) ---
+  def scalarJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("k").asc)
+
+  val scalarJsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS cnt
+      |FROM events GROUP BY k ORDER BY k ASC""".stripMargin
+
+  // --- §2.8 sha256 content hashing (reference dedup.go:755-758) ---
+  def scalarSha256(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), sha2(col("c_name"), 256).as("name_hash"))
+      .orderBy(col("c_custkey").asc)
+      .limit(500)
+
+  val scalarSha256Sql: String =
+    """SELECT c_custkey, sha256(c_name) AS name_hash FROM customer
+      |ORDER BY c_custkey ASC LIMIT 500""".stripMargin
+
+  // --- §2.4 collect_list sorted (labels per message, duckdb.go:1856-1861) ---
+  def aggCollectList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(array_sort(collect_list(col("n_name"))).as("nations"),
+        count(lit(1)).as("nation_count"))
+      .orderBy(col("region").asc)
+
+  val aggCollectListSql: String =
+    """SELECT r_name AS region,
+      |       list(n_name ORDER BY n_name) AS nations,
+      |       COUNT(*) AS nation_count
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY region ASC""".stripMargin
+
+  // --- §2.4 grouped stats w/ deterministic last-row pick
+  // (conversation stats; reference duckdb_text.go:129-158) ---
+  def aggGroupStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc) // exact-ns order = oracle's ts order
+    val lastType = ev
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("event_type")).as("distinct_types"),
+        dsum(col("value")).as("total_value"),
+        max(col("ts")).cast("date").as("last_day"))
+      .join(lastType, Seq("user_id"))
+      .orderBy(col("user_id").asc)
+  }
+
+  val aggGroupStatsSql: String =
+    """WITH last AS (
+      |  SELECT user_id, event_type AS last_type FROM (
+      |    SELECT user_id, event_type,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT e.user_id, COUNT(*) AS event_count,
+      |       COUNT(DISTINCT event_type) AS distinct_types,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       CAST(MAX(ts) AS DATE) AS last_day,
+      |       ANY_VALUE(last_type) AS last_type
+      |FROM events e JOIN last ON e.user_id = last.user_id
+      |GROUP BY e.user_id
+      |ORDER BY e.user_id ASC""".stripMargin
+
+  // --- §2.1 partitioned parquet sink roundtrip (ETL; build_cache.go:284-315)
+  // Writes orders hive-partitioned by year with zstd, reads back, verifies
+  // per-partition counts — the driver oracle recomputes them from the source.
+  def etlSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_etl_orders"
+    t(s, dir, "orders")
+      .withColumn("year", year(col("o_orderdate")))
+      .write.mode("overwrite")
+      .partitionBy("year")
+      .option("compression", "zstd")
+      .parquet(out)
+    val back = s.read.parquet(out) // hive partition discovery is native
+    back.groupBy(col("year").cast("int").as("year"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("o_totalprice")).as("total_size"))
+      .orderBy(col("year").asc)
+  }
+
+  val etlSinkRoundtripSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size
+      |FROM orders GROUP BY 1 ORDER BY year ASC""".stripMargin
+
+  /** Registry consumed by [[graft.SparkEntry]]. */
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "agg_core" -> (aggCore _, Some(aggCoreSql)),
+    "agg_time_buckets" -> (aggTime _, Some(aggTimeSql)),
+    "agg_total_stats" -> (totalStats _, Some(totalStatsSql)),
+    "agg_collect_list" -> (aggCollectList _, Some(aggCollectListSql)),
+    "agg_group_stats" -> (aggGroupStats _, Some(aggGroupStatsSql)),
+    "filter_time_range" -> (filterTimeRange _, Some(filterTimeRangeSql)),
+    "filter_ilike" -> (filterIlike _, Some(filterIlikeSql)),
+    "join_semi" -> (joinSemi _, Some(joinSemiSql)),
+    "join_anti" -> (joinAnti _, Some(joinAntiSql)),
+    "join_coalesce_dualpath" -> (joinCoalesce _, Some(joinCoalesceSql)),
+    "window_row_number" -> (windowRowNumber _, Some(windowRowNumberSql)),
+    "window_total_count" -> (windowTotalCount _, Some(windowTotalCountSql)),
+    "topk" -> (topK _, Some(topKSql)),
+    "pagination_offset" -> (pagination _, Some(paginationSql)),
+    "paginate_then_join" -> (paginateThenJoin _, Some(paginateThenJoinSql)),
+    "set_union_all" -> (setUnion _, Some(setUnionSql)),
+    "set_except" -> (setExcept _, Some(setExceptSql)),
+    "scalar_date_string" -> (scalarDateString _, Some(scalarDateStringSql)),
+    "scalar_json" -> (scalarJson _, Some(scalarJsonSql)),
+    "scalar_sha256" -> (scalarSha256 _, Some(scalarSha256Sql)),
+    "etl_sink_roundtrip" -> (etlSinkRoundtrip _, Some(etlSinkRoundtripSql)))
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loaders for the driver-generated TPC-H-ish star at
+  * /root/testdata/sf*. Mirrors the reference's per-table Parquet scan +
+  * canonical-schema normalization (reference: internal/query/duckdb.go:262-417,
+  * internal/query/views.go:80-319) — each table is read once, projected to a
+  * canonical column set, and registered as a temp view so both the DataFrame
+  * API and `spark.sql` raw queries see the same relations.
+  *
+  * Scale notes: scans are plain `spark.read.parquet` so Catalyst's
+  * predicate pushdown / column pruning reach the Parquet reader; nothing is
+  * cached here — callers decide what to persist (the reference's
+  * materialize-once search cache is the only persist site, duckdb.go:2190).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in the driver parquet, which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf), expose:
+    *   - `ts`    TimestampType at microsecond precision (for buckets/dates —
+    *     all uses truncate further, so the ns→µs truncation is lossless
+    *     w.r.t. query results), and
+    *   - `ts_ns` LongType exact nanos (for total ordering, so tie-breaks
+    *     match an oracle that orders by the full-precision value).
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts", timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+  }
+
+  /** Register every table as a temp view named after the table — the
+    * analogue of the reference's RegisterViews (views.go:129-145). Idempotent.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Schema probe — reference probes cache Parquet with
+    * `DESCRIBE SELECT * FROM read_parquet(...)` (views.go:26-56) to discover
+    * which optional columns exist. Spark equivalent: the footer-only schema
+    * read; no data scan.
+    */
+  def probeSchema(spark: SparkSession, sfDir: String, name: String) =
+    load(spark, sfDir, name).schema
+}
