@@ -1,0 +1,284 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.search.SearchQuery
+
+/** Compiles [[MessageFilter]] + parsed [[SearchQuery]] into a filtered
+  * messages DataFrame — the Spark analogue of the reference's WHERE-clause
+  * builders (reference: internal/query/duckdb.go:649-679 buildWhereClause,
+  * 847-1010 buildFilterConditions, 435-476 search conditions).
+  *
+  * Plan shape, Spark-first:
+  *   - scalar predicates become `Column`s (pushed into the Parquet scan by
+  *     Catalyst);
+  *   - each `EXISTS (...)` becomes a distinct message-id set semi-joined
+  *     (`left_semi`) — the same "semi-join avoids duplicates without
+  *     DISTINCT" rewrite the reference documents (duckdb.go:844-846);
+  *   - each `NOT EXISTS (...)` becomes `left_anti` (empty-bucket drilldowns,
+  *     duckdb.go:888-996);
+  *   - `OR`-of-EXISTS (dual-path sender) joins the id sets as boolean flags
+  *     and filters once — one pass over the fact table.
+  */
+final class FilterCompiler(v: MsgVault) {
+  import FilterCompiler._
+
+  private val mr = v.recipients
+  private val p = v.participants
+  private val ml = v.messageLabels
+  private val lbl = v.labels
+
+  /** Soft-delete visibility rule applied on every read path (reference
+    * internal/store/live_messages.go:35-53): dedup losers always hidden;
+    * source-deleted rows hidden only on opt-in.
+    */
+  def liveMessages(hideDeletedFromSource: Boolean): Column = {
+    val base = col("deleted_at").isNull
+    if (hideDeletedFromSource) base && col("deleted_from_source_at").isNull
+    else base
+  }
+
+  /** Email-surface type filter (reference shared.go:18-22). */
+  def emailOnly: Column =
+    col("message_type") === "email" || col("message_type").isNull ||
+      col("message_type") === ""
+
+  /** Texts-mode type filter (reference duckdb_text.go:16-18). */
+  def textsOnly: Column =
+    col("message_type").isin("whatsapp", "imessage", "sms", "google_voice_text")
+
+  // ---- message-id sets for semi/anti joins ------------------------------
+
+  /** ids of messages whose from-participant matches `pred`. */
+  private def fromIds(pred: Column): DataFrame =
+    mr.filter(col("recipient_type") === "from")
+      .join(p, p("id") === mr("participant_id"))
+      .filter(pred)
+      .select(mr("message_id")).distinct()
+
+  /** ids of messages with any to/cc/bcc participant matching `pred`. */
+  private def rcptIds(pred: Column): DataFrame =
+    mr.filter(col("recipient_type").isin("to", "cc", "bcc"))
+      .join(p, p("id") === mr("participant_id"))
+      .filter(pred)
+      .select(mr("message_id")).distinct()
+
+  /** ids of messages having a label matching `pred`. */
+  private def labelIds(pred: Column): DataFrame =
+    ml.join(lbl, lbl("id") === ml("label_id"))
+      .filter(pred)
+      .select(ml("message_id")).distinct()
+
+  /** participant ids matching `pred` (for the sender_id direct path). */
+  private def participantIds(pred: Column): DataFrame =
+    p.filter(pred).select(p("id").as("__pid")).distinct()
+
+  /** Address match semantics: a value starting with "@" is a domain
+    * pattern (suffix match on email / equality on domain); otherwise exact
+    * email or phone equality (reference sqlite.go:1202-1283, parser
+    * normalizeAddr).
+    */
+  private def addrPred(value: String): Column =
+    if (value.startsWith("@"))
+      lower(p("email_address")).endsWith(value) ||
+        lower(p("domain")) === value.stripPrefix("@")
+    else
+      lower(p("email_address")) === value || p("phone_number") === value
+
+  // ---- main compile ------------------------------------------------------
+
+  /** Returns `messages` with every condition of `filter` applied. */
+  def compile(filter: MessageFilter): DataFrame = {
+    var msg = v.messages.filter(liveMessages(filter.hideDeletedFromSource))
+
+    // scalar predicates first — these push down to the scan
+    filter.conversationId.foreach(id => msg = msg.filter(col("conversation_id") === id))
+    filter.after.foreach(t => msg = msg.filter(col("sent_at") >= lit(t)))
+    filter.before.foreach(t => msg = msg.filter(col("sent_at") < lit(t)))
+    if (filter.withAttachmentsOnly) msg = msg.filter(col("has_attachments") === true)
+    sourceScope(filter.sourceId, filter.sourceIds).foreach(c => msg = msg.filter(c))
+    if (filter.timeRange.period.nonEmpty) {
+      val g = TimeGranularity.infer(filter.timeRange.granularity, filter.timeRange.period)
+      msg = msg.filter(timeKey(g) === filter.timeRange.period)
+    }
+
+    // sender: dual path — from-recipient OR direct sender_id (duckdb.go:875-888)
+    if (filter.sender.nonEmpty) {
+      val viaMr = fromIds(p("email_address") === filter.sender ||
+        p("phone_number") === filter.sender)
+      val viaSender = participantIds(p("email_address") === filter.sender ||
+        p("phone_number") === filter.sender)
+      msg = orOfPaths(msg, viaMr, viaSender)
+    } else if (filter.matchesEmpty(ViewType.Senders)) {
+      val nonEmptyFrom = fromIds(
+        (p("email_address").isNotNull && p("email_address") =!= "") ||
+          (p("phone_number").isNotNull && p("phone_number") =!= ""))
+      msg = msg.join(nonEmptyFrom, msg("id") === nonEmptyFrom("message_id"), "left_anti")
+        .filter(col("sender_id").isNull)
+    }
+
+    if (filter.senderName.nonEmpty) {
+      val viaMr = fromIds(participantNameOf(p) === filter.senderName)
+      val viaSender = participantIds(participantNameOf(p) === filter.senderName)
+      msg = orOfPaths(msg, viaMr, viaSender)
+    } else if (filter.matchesEmpty(ViewType.SenderNames)) {
+      val named = fromIds(participantNameOf(p).isNotNull)
+      val namedSenders = participantIds(participantNameOf(p).isNotNull)
+      msg = msg.join(named, msg("id") === named("message_id"), "left_anti")
+      msg = msg.join(namedSenders, msg("sender_id") === namedSenders("__pid"), "left_anti")
+    }
+
+    if (filter.recipient.nonEmpty) {
+      val ids = rcptIds(p("email_address") === filter.recipient)
+      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+    } else if (filter.matchesEmpty(ViewType.Recipients)) {
+      val any = mr.filter(col("recipient_type").isin("to", "cc", "bcc"))
+        .select(col("message_id")).distinct()
+      msg = msg.join(any, msg("id") === any("message_id"), "left_anti")
+    }
+
+    if (filter.recipientName.nonEmpty) {
+      val ids = rcptIds(participantNameOf(p) === filter.recipientName)
+      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+    } else if (filter.matchesEmpty(ViewType.RecipientNames)) {
+      val named = rcptIds(participantNameOf(p).isNotNull)
+      msg = msg.join(named, msg("id") === named("message_id"), "left_anti")
+    }
+
+    if (filter.domain.nonEmpty) {
+      val ids = fromIds(p("domain") === filter.domain)
+      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+    } else if (filter.matchesEmpty(ViewType.Domains)) {
+      val ids = fromIds(p("domain").isNotNull && p("domain") =!= "")
+      msg = msg.join(ids, msg("id") === ids("message_id"), "left_anti")
+    }
+
+    if (filter.label.nonEmpty) {
+      // label match is case-insensitive exact (ILIKE with escaped value,
+      // duckdb.go:989-997)
+      val ids = labelIds(lower(lbl("name")) === filter.label.toLowerCase)
+      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+    } else if (filter.matchesEmpty(ViewType.Labels)) {
+      val any = ml.select(col("message_id")).distinct()
+      msg = msg.join(any, msg("id") === any("message_id"), "left_anti")
+    }
+
+    msg
+  }
+
+  /** `(EXISTS mr-path OR EXISTS sender-path)` — two flag joins + one filter;
+    * `idSet` is keyed by message_id, `pidSet` by participant id matched
+    * against msg.sender_id.
+    */
+  private def orOfPaths(msg: DataFrame, idSet: DataFrame, pidSet: DataFrame): DataFrame =
+    msg
+      .join(idSet.withColumn("__via_mr", lit(true)),
+        msg("id") === idSet("message_id"), "left")
+      .join(pidSet.withColumn("__via_sender", lit(true)),
+        msg("sender_id") === pidSet("__pid"), "left")
+      .filter(col("__via_mr") || col("__via_sender"))
+      .drop("__via_mr", "__via_sender", "message_id", "__pid")
+
+  /** Source/account scoping: SourceIDs (collections) overrides SourceID
+    * (reference source_filter.go:1-37).
+    */
+  private def sourceScope(sourceId: Option[Long], sourceIds: Seq[Long]): Option[Column] =
+    if (sourceIds.nonEmpty) Some(col("source_id").isin(sourceIds: _*))
+    else sourceId.map(col("source_id") === _)
+
+  // ---- search query compilation (SearchFast path) ------------------------
+
+  /** Applies a parsed Gmail-style query on top of `msg` (reference
+    * duckdb.go:2302-2475 buildSearchConditions). `keyCols` are extra
+    * grouping-dimension columns text terms should also match in aggregate
+    * views (duckdb.go:649-655).
+    */
+  def compileSearch(msgIn: DataFrame, q: SearchQuery,
+      keyCols: Seq[Column] = Nil): DataFrame = {
+    var msg = msgIn
+
+    // text terms: each term must match subject OR snippet OR from-party OR
+    // a key column (AND across terms)
+    for (term <- q.textTerms) {
+      val t = term.toLowerCase
+      val fromMatch = fromIds(
+        lower(p("email_address")).contains(t) ||
+          lower(coalesce(p("display_name"), lit(""))).contains(t))
+        .withColumnRenamed("message_id", "__tm_id")
+      val direct = lower(col("subject")).contains(t) ||
+        lower(coalesce(col("snippet"), lit(""))).contains(t) ||
+        keyCols.map(k => lower(k).contains(t)).foldLeft(lit(false))(_ || _)
+      msg = msg
+        .join(fromMatch.withColumn("__from_hit", lit(true)),
+          msg("id") === fromMatch("__tm_id"), "left")
+        .filter(direct || col("__from_hit"))
+        .drop("__from_hit", "__tm_id")
+    }
+
+    for (s <- q.subjectTerms)
+      msg = msg.filter(lower(col("subject")).contains(s.toLowerCase))
+
+    // address dimensions: OR within a dimension, AND across dimensions
+    def addrDim(values: Seq[String], from: Boolean): Unit = if (values.nonEmpty) {
+      val pred = values.map(addrPred).reduce(_ || _)
+      val ids = if (from) fromIds(pred) else rcptIds(pred)
+      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+    }
+    addrDim(q.fromAddrs, from = true)
+    addrDim(q.toAddrs, from = false)
+    addrDim(q.ccAddrs, from = false)
+    addrDim(q.bccAddrs, from = false)
+
+    if (q.labels.nonEmpty) {
+      val pred = q.labels.map(l => lower(lbl("name")) === l.toLowerCase).reduce(_ || _)
+      val ids = labelIds(pred)
+      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+    }
+
+    q.hasAttachment.foreach(b => msg = msg.filter(col("has_attachments") === b))
+    q.afterDate.foreach(d =>
+      msg = msg.filter(col("sent_at") >= lit(java.sql.Timestamp.valueOf(d))))
+    q.beforeDate.foreach(d =>
+      msg = msg.filter(col("sent_at") < lit(java.sql.Timestamp.valueOf(d))))
+    q.largerThan.foreach(n => msg = msg.filter(col("size_estimate") > n))
+    q.smallerThan.foreach(n => msg = msg.filter(col("size_estimate") < n))
+
+    msg
+  }
+}
+
+object FilterCompiler {
+
+  /** display_name → phone → email fallback chain (reference
+    * shared.go:32-43 participantNameExpr) — columns must be qualified
+    * against the participants frame to avoid ambiguity with
+    * message_recipients.display_name after joins.
+    */
+  def participantNameOf(p: DataFrame): Column =
+    coalesce(
+      nullif(trim(p("display_name")), lit("")),
+      nullif(p("phone_number"), lit("")),
+      p("email_address"))
+
+  /** Per-message from/to label tied to a message_recipients row (reference
+    * shared.go:45-57 recipientNameExpr).
+    */
+  def recipientName(mrDisplay: Column, pDisplay: Column, pPhone: Column,
+      pEmail: Column): Column =
+    coalesce(
+      nullif(trim(mrDisplay), lit("")),
+      nullif(trim(pDisplay), lit("")),
+      nullif(pPhone, lit("")),
+      pEmail,
+      lit(""))
+
+  /** Time-bucket key (reference timeExpr duckdb.go:681-691). */
+  def timeKey(g: TimeGranularity): Column = g match {
+    case TimeGranularity.Year => col("year").cast("string")
+    case TimeGranularity.Day => date_format(col("sent_at"), "yyyy-MM-dd")
+    case TimeGranularity.Month =>
+      concat(col("year").cast("string"), lit("-"),
+        lpad(col("month").cast("string"), 2, "0"))
+  }
+}

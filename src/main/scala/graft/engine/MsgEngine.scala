@@ -1,0 +1,289 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model._
+import graft.search.{SearchParser, SearchQuery}
+
+/** The analytics engine — Spark rebuild of the reference's `query.Engine`
+  * interface (reference: internal/query/engine.go:14-84), all three
+  * backends (DuckDB aggregate path, SQLite list/detail path, metadata
+  * search) expressed as one set of DataFrame pipelines.
+  *
+  * Scale design notes per method are inline; the shared shape is:
+  * filter → (page before join) → enrich → deterministic order.
+  */
+final class MsgEngine(val vault: MsgVault) {
+  import FilterCompiler._
+
+  val filters = new FilterCompiler(vault)
+  private val spark = vault.spark
+
+  // ---------------------------------------------------------------- views
+
+  /** Per-view grouping definition (reference getViewDef duckdb.go:705-770):
+    * key expression + required junction joins + null guard.
+    */
+  private def viewDef(view: ViewType, granularity: TimeGranularity)
+      : (DataFrame => DataFrame, Column, Column) = {
+    val mr = vault.recipients
+    val p = vault.participants
+    def joinFrom(msg: DataFrame): DataFrame =
+      msg.join(mr, mr("message_id") === msg("id") && mr("recipient_type") === "from")
+        .join(p, p("id") === mr("participant_id"))
+    def joinRcpt(msg: DataFrame): DataFrame =
+      msg.join(mr, mr("message_id") === msg("id") &&
+          mr("recipient_type").isin("to", "cc", "bcc"))
+        .join(p, p("id") === mr("participant_id"))
+    def joinLabels(msg: DataFrame): DataFrame =
+      msg.join(vault.messageLabels, col("message_id") === msg("id"))
+        .join(vault.labels.withColumnRenamed("name", "__lbl_name"),
+          vault.labels("id") === vault.messageLabels("label_id"))
+
+    view match {
+      case ViewType.Senders =>
+        (joinFrom, p("email_address"), p("email_address").isNotNull)
+      case ViewType.SenderNames =>
+        (joinFrom, participantNameOf(p), participantNameOf(p).isNotNull)
+      case ViewType.Recipients =>
+        (joinRcpt, p("email_address"), p("email_address").isNotNull)
+      case ViewType.RecipientNames =>
+        (joinRcpt, participantNameOf(p), participantNameOf(p).isNotNull)
+      case ViewType.Domains =>
+        (joinFrom, p("domain"), p("domain").isNotNull && p("domain") =!= "")
+      case ViewType.Labels =>
+        (joinLabels, col("__lbl_name"), col("__lbl_name").isNotNull)
+      case ViewType.Time =>
+        (identity[DataFrame], timeKey(granularity), col("sent_at").isNotNull)
+    }
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** The hot path: aggregate by view (reference runAggregation
+    * duckdb.go:773-807). Plan: filtered fact table → junction joins (small
+    * dims broadcast by AQE) → left-join pre-aggregated attachment rollup →
+    * hash aggregate (partial+final automatic) → COUNT OVER () total →
+    * TakeOrderedAndProject.
+    */
+  def aggregate(view: ViewType, opts: AggregateOptions = AggregateOptions(),
+      granularity: TimeGranularity = TimeGranularity.Month): DataFrame =
+    aggregateFiltered(view, filters.compile(optsFilter(opts)), opts, granularity)
+
+  /** Drill-down: same aggregation over a filtered subset (reference
+    * SubAggregate duckdb.go:1025-1065).
+    */
+  def subAggregate(view: ViewType, filter: MessageFilter,
+      opts: AggregateOptions = AggregateOptions(),
+      granularity: TimeGranularity = TimeGranularity.Month): DataFrame =
+    aggregateFiltered(view, filters.compile(filter), opts, granularity)
+
+  private def aggregateFiltered(view: ViewType, msgIn: DataFrame,
+      opts: AggregateOptions, granularity: TimeGranularity): DataFrame = {
+    val (doJoin, key, nullGuard) = viewDef(view, granularity)
+    var msg = msgIn
+    if (opts.searchQuery.nonEmpty)
+      msg = filters.compileSearch(msg, SearchParser.parse(opts.searchQuery))
+    val att = vault.attachmentRollup
+    val joined = doJoin(msg)
+      .join(att, col("__att_mid") === msg("id"), "left")
+      .filter(nullGuard)
+    val grouped = joined
+      .groupBy(key.as("key"))
+      .agg(
+        count(lit(1)).as("count"),
+        coalesce(sum(msg("size_estimate")), lit(0L)).as("total_size"),
+        coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
+        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"))
+      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
+    val sortCol = opts.sortField match {
+      case SortField.Count => col("count")
+      case SortField.Size => col("total_size")
+      case SortField.AttachmentSize => col("attachment_size")
+      case SortField.Name => col("key")
+    }
+    val ordered = opts.sortDirection match {
+      case SortDirection.Desc => grouped.orderBy(sortCol.desc, col("key").asc)
+      case SortDirection.Asc => grouped.orderBy(sortCol.asc, col("key").asc)
+    }
+    ordered.limit(if (opts.limit > 0) opts.limit else 100)
+  }
+
+  /** Archive totals (reference GetTotalStats duckdb.go:1101-1179): one
+    * hash-agg pass over the filtered fact table + attachment rollup.
+    */
+  def totalStats(filter: MessageFilter = MessageFilter()): DataFrame = {
+    val msg = filters.compile(filter)
+    val att = vault.attachmentRollup
+    msg.join(att, col("__att_mid") === msg("id"), "left")
+      .agg(
+        count(lit(1)).as("message_count"),
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
+        coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
+        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"),
+        countDistinct(col("source_id")).as("distinct_sources"))
+  }
+
+  // ------------------------------------------------------------- listing
+
+  /** Message list view (reference ListMessages duckdb.go:1197-1320).
+    * Paginate-BEFORE-join (duckdb.go:1241-1299): filter/sort/limit the fact
+    * table alone, then enrich only the page with sender resolution, labels
+    * and conversation title — the joins touch `limit+offset` rows, not the
+    * archive.
+    */
+  def listMessages(filter: MessageFilter): DataFrame = {
+    val sortCol = filter.sorting.field match {
+      case MessageSortField.Date => col("sent_at")
+      case MessageSortField.Size => col("size_estimate")
+      case MessageSortField.Subject => col("subject")
+    }
+    val ordered = filter.sorting.direction match {
+      case SortDirection.Desc => Seq(sortCol.desc, col("id").desc)
+      case SortDirection.Asc => Seq(sortCol.asc, col("id").asc)
+    }
+    var page = filters.compile(filter).orderBy(ordered: _*)
+    if (filter.pagination.offset > 0) page = page.offset(filter.pagination.offset)
+    page = page.limit(if (filter.pagination.limit > 0) filter.pagination.limit else 500)
+    enrich(page).orderBy(ordered: _*)
+  }
+
+  /** Sender resolution (dual path) + labels + conversation title for a page
+    * of messages (reference duckdb.go:1254-1299; FIRST→min_by for
+    * determinism).
+    */
+  private def enrich(page: DataFrame): DataFrame = {
+    val mr = vault.recipients
+    val p = vault.participants
+    val fromParty = mr.filter(col("recipient_type") === "from")
+      .join(p, p("id") === mr("participant_id"))
+      .groupBy(mr("message_id").as("__e_mid"))
+      .agg(
+        min_by(p("email_address"), mr("participant_id")).as("__mr_email"),
+        min_by(recipientName(mr("display_name"), p("display_name"),
+          p("phone_number"), p("email_address")), mr("participant_id")).as("__mr_name"),
+        min_by(coalesce(p("phone_number"), lit("")), mr("participant_id")).as("__mr_phone"))
+    val senderP = p.select(p("id").as("__sp_id"),
+      p("email_address").as("__sp_email"),
+      coalesce(p("display_name"), lit("")).as("__sp_name"),
+      coalesce(p("phone_number"), lit("")).as("__sp_phone"))
+    val lblAgg = vault.messageLabels
+      .join(vault.labels, vault.labels("id") === vault.messageLabels("label_id"))
+      .groupBy(col("message_id").as("__l_mid"))
+      .agg(array_sort(collect_list(col("name"))).as("labels"))
+    val conv = vault.conversations.select(col("id").as("__c_id"),
+      col("title").as("conversation_title"))
+
+    page
+      .join(fromParty, page("id") === col("__e_mid"), "left")
+      .join(senderP, page("sender_id") === col("__sp_id"), "left")
+      .join(lblAgg, page("id") === col("__l_mid"), "left")
+      .join(conv, page("conversation_id") === col("__c_id"), "left")
+      .select(
+        page("id"), page("source_message_id"), page("conversation_id"),
+        page("subject"), page("snippet"),
+        coalesce(col("__mr_email"), col("__sp_email"), lit("")).as("from_email"),
+        coalesce(col("__mr_name"), nullif(col("__sp_name"), lit("")),
+          nullif(col("__sp_phone"), lit("")), col("__sp_email"), lit("")).as("from_name"),
+        coalesce(col("__mr_phone"), col("__sp_phone"), lit("")).as("from_phone"),
+        page("sent_at"), page("size_estimate"), page("has_attachments"),
+        page("attachment_count"),
+        coalesce(col("labels"), array().cast("array<string>")).as("labels"),
+        coalesce(page("message_type"), lit("")).as("message_type"),
+        coalesce(col("conversation_title"), lit("")).as("conversation_title"))
+  }
+
+  // -------------------------------------------------------------- search
+
+  /** Metadata search (reference SearchFast duckdb.go:1844-1963): parse →
+    * compile → ILIKE-over-metadata + semi-join filters → ORDER BY sent_at
+    * DESC → page → enrich.
+    */
+  def searchFast(query: String, filter: MessageFilter = MessageFilter()): DataFrame = {
+    val q = SearchParser.parse(query)
+    val msg = filters.compileSearch(filters.compile(filter), q)
+    val page0 = msg.orderBy(col("sent_at").desc, col("id").desc)
+    val page1 = if (filter.pagination.offset > 0) page0.offset(filter.pagination.offset) else page0
+    val page = page1.limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
+    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+  }
+
+  /** Materialize-once search (reference SearchFastWithStats
+    * duckdb.go:2190-2300): ONE scan materializes matching ids, then
+    * count/page/stats reuse it. Spark: persist(MEMORY_AND_DISK) keyed by the
+    * normalized (query, filter) pair — the reference keys its temp-table
+    * cache by (conditions, args) JSON (duckdb.go:50-57).
+    */
+  private val searchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def searchFastWithStats(query: String,
+      filter: MessageFilter = MessageFilter()): SearchWithStats = {
+    val key = query + "||" + filter.copy(pagination = Pagination()).toString
+    val matches = searchCache.computeIfAbsent(key, _ => {
+      val q = SearchParser.parse(query)
+      filters.compileSearch(filters.compile(filter), q)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+    SearchWithStats(matches, this)
+  }
+
+  def invalidateSearchCache(): Unit = {
+    searchCache.values.forEach(df => { df.unpersist(); () })
+    searchCache.clear()
+  }
+
+  // ---------------------------------------------------------- texts mode
+
+  /** Per-conversation stats for texts mode (reference duckdb_text.go:129-158):
+    * count, distinct senders, last activity, and last-message preview picked
+    * deterministically (max_by on (sent_at, id)).
+    */
+  def conversationStats(filter: MessageFilter = MessageFilter()): DataFrame = {
+    val msg = filters.compile(filter).filter(filters.textsOnly)
+    val conv = vault.conversations.select(col("id").as("__c_id"),
+      col("title"), col("conversation_type"))
+    msg.groupBy(col("conversation_id"))
+      .agg(
+        count(lit(1)).as("message_count"),
+        countDistinct(col("sender_id")).as("distinct_senders"),
+        max(col("sent_at")).as("last_message_at"),
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
+        max_by(col("snippet"), struct(col("sent_at"), col("id"))).as("last_snippet"))
+      .join(conv, col("conversation_id") === col("__c_id"), "left")
+      .drop("__c_id")
+      .orderBy(col("last_message_at").desc, col("conversation_id").asc)
+  }
+
+  private def optsFilter(opts: AggregateOptions): MessageFilter =
+    MessageFilter(
+      sourceId = opts.sourceId, sourceIds = opts.sourceIds,
+      after = opts.after, before = opts.before,
+      withAttachmentsOnly = opts.withAttachmentsOnly,
+      hideDeletedFromSource = opts.hideDeletedFromSource)
+}
+
+/** Result handle for the materialized search: count/page/stats all reuse the
+  * single persisted match set (reference engine.go:57-66).
+  */
+final case class SearchWithStats(matches: DataFrame, engine: MsgEngine) {
+  def totalCount: Long = matches.count()
+
+  def page(limit: Int, offset: Int): DataFrame = {
+    val sorted = matches.orderBy(col("sent_at").desc, col("id").desc)
+    val off = if (offset > 0) sorted.offset(offset) else sorted
+    off.limit(if (limit > 0) limit else 100)
+  }
+
+  def stats: DataFrame = {
+    val att = engine.vault.attachmentRollup
+    matches.join(att, col("__att_mid") === matches("id"), "left")
+      .agg(
+        count(lit(1)).as("message_count"),
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
+        coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
+        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"))
+  }
+}

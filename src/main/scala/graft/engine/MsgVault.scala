@@ -1,0 +1,224 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The message-archive analytics star held as canonical DataFrames —
+  * the Spark analogue of the reference's registered DuckDB views over the
+  * Parquet cache (reference: internal/query/views.go:129-145, required set
+  * duckdb.go:1804-1813).
+  *
+  * Scale design: `messages` is the (large) fact table, hive-partitioned by
+  * `year` on disk so time filters prune partitions; `message_recipients` /
+  * `message_labels` / `attachments` are junction tables shuffled on
+  * message_id when joined; `participants` / `labels` / `sources` /
+  * `conversations` are small dimensions that AQE auto-broadcasts.
+  */
+final case class MsgVault(
+    spark: SparkSession,
+    messages: DataFrame,
+    recipients: DataFrame,
+    participants: DataFrame,
+    labels: DataFrame,
+    messageLabels: DataFrame,
+    attachments: DataFrame,
+    conversations: DataFrame,
+    sources: DataFrame) {
+
+  /** Attachment rollup pre-aggregated to message grain — joined *below*
+    * aggregate joins to prevent fan-out double-count (reference
+    * duckdb.go:396-402).
+    */
+  def attachmentRollup: DataFrame =
+    attachments.groupBy(col("message_id").as("__att_mid"))
+      .agg(sum(col("size")).as("__att_size"),
+        count(lit(1)).as("__att_cnt"))
+
+  /** Register base views so `spark.sql` raw queries see the same names the
+    * reference registers in DuckDB (views.go:129-145) plus the convenience
+    * views (views.go:324-489).
+    */
+  def registerViews(): Unit = {
+    messages.createOrReplaceTempView("messages")
+    recipients.createOrReplaceTempView("message_recipients")
+    participants.createOrReplaceTempView("participants")
+    labels.createOrReplaceTempView("labels")
+    messageLabels.createOrReplaceTempView("message_labels")
+    attachments.createOrReplaceTempView("attachments")
+    conversations.createOrReplaceTempView("conversations")
+    sources.createOrReplaceTempView("sources")
+    MsgVault.convenienceViews.foreach(spark.sql(_))
+  }
+}
+
+object MsgVault {
+
+  /** Optional columns synthesized with defaults when missing from older
+    * cache files (reference duckdb.go:141-165, views.go:183-305) — the
+    * schema-evolution tolerance layer.
+    */
+  private val optionalColumns: Map[String, Seq[(String, Column)]] = Map(
+    "messages" -> Seq(
+      "sender_id" -> lit(null).cast(LongType),
+      "message_type" -> lit(null).cast(StringType),
+      "attachment_count" -> lit(0).cast(IntegerType),
+      "deleted_at" -> lit(null).cast(TimestampType),
+      "deleted_from_source_at" -> lit(null).cast(TimestampType),
+      "rfc822_message_id" -> lit(null).cast(StringType)),
+    "participants" -> Seq(
+      "phone_number" -> lit(null).cast(StringType)),
+    "conversations" -> Seq(
+      "title" -> lit(null).cast(StringType),
+      "conversation_type" -> lit(null).cast(StringType)),
+    "sources" -> Seq(
+      "source_type" -> lit(null).cast(StringType)))
+
+  private def backfill(name: String, df: DataFrame): DataFrame =
+    optionalColumns.getOrElse(name, Nil).foldLeft(df) {
+      case (d, (c, default)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, default)
+    }
+
+  /** Open a Parquet star directory: `<dir>/messages` is hive-partitioned by
+    * year (partition discovery + pruning are native); junction tables may
+    * contain incremental shards — `mergeSchema` mirrors the reference's
+    * `union_by_name=true` (duckdb.go:310).
+    */
+  def open(spark: SparkSession, dir: String): MsgVault = {
+    def read(name: String): DataFrame =
+      backfill(name, spark.read.option("mergeSchema", "true").parquet(s"$dir/$name"))
+    MsgVault(spark,
+      messages = withYearMonth(read("messages")),
+      recipients = read("message_recipients"),
+      participants = read("participants"),
+      labels = read("labels"),
+      messageLabels = read("message_labels"),
+      attachments = read("attachments"),
+      conversations = read("conversations"),
+      sources = read("sources"))
+  }
+
+  /** Build directly from in-memory frames (typed fixtures in tests). */
+  def fromFrames(spark: SparkSession, messages: DataFrame, recipients: DataFrame,
+      participants: DataFrame, labels: DataFrame, messageLabels: DataFrame,
+      attachments: DataFrame, conversations: DataFrame,
+      sources: DataFrame): MsgVault =
+    MsgVault(spark,
+      withYearMonth(backfill("messages", messages)),
+      recipients,
+      backfill("participants", participants),
+      labels, messageLabels, attachments,
+      backfill("conversations", conversations),
+      backfill("sources", sources))
+
+  /** Derived year/month columns the ETL adds (build_cache.go:305-306). */
+  private def withYearMonth(df: DataFrame): DataFrame = {
+    val withY = if (df.columns.contains("year")) df
+      else df.withColumn("year", year(col("sent_at")))
+    if (withY.columns.contains("month")) withY
+    else withY.withColumn("month", month(col("sent_at")))
+  }
+
+  /** Spark-SQL re-expressions of the reference convenience views
+    * (views.go:324-489). DuckDB's order-sensitive FIRST is replaced with
+    * min_by on participant_id — deterministic under shuffle (SURVEY §7
+    * "what's hard" #3); LIST(x ORDER BY x) becomes
+    * to_json(array_sort(collect_list)).
+    */
+  val convenienceViews: Seq[String] = Seq(
+    """CREATE OR REPLACE TEMP VIEW v_messages AS
+      |SELECT m.id, m.source_id, m.source_message_id, m.conversation_id,
+      |       m.subject, m.snippet, m.sent_at, m.size_estimate,
+      |       m.has_attachments, m.attachment_count, m.message_type,
+      |       m.year, m.month,
+      |       COALESCE(ms.from_email, ds.from_email, '') AS from_email,
+      |       COALESCE(ms.from_name, ds.from_name, '') AS from_name,
+      |       COALESCE(ms.from_domain, ds.from_domain, '') AS from_domain,
+      |       COALESCE(ms.from_phone, ds.from_phone, '') AS from_phone,
+      |       COALESCE(ml_agg.labels, '[]') AS labels,
+      |       m.deleted_from_source_at
+      |FROM messages m
+      |LEFT JOIN (
+      |  SELECT mr.message_id,
+      |         min_by(p.email_address, mr.participant_id) AS from_email,
+      |         min_by(COALESCE(NULLIF(TRIM(mr.display_name), ''),
+      |                         NULLIF(TRIM(p.display_name), ''),
+      |                         NULLIF(p.phone_number, ''),
+      |                         p.email_address, ''), mr.participant_id) AS from_name,
+      |         min_by(p.domain, mr.participant_id) AS from_domain,
+      |         min_by(COALESCE(p.phone_number, ''), mr.participant_id) AS from_phone
+      |  FROM message_recipients mr
+      |  JOIN participants p ON p.id = mr.participant_id
+      |  WHERE mr.recipient_type = 'from'
+      |  GROUP BY mr.message_id) ms ON ms.message_id = m.id
+      |LEFT JOIN (
+      |  SELECT msg.id AS message_id,
+      |         COALESCE(p.email_address, '') AS from_email,
+      |         COALESCE(p.display_name, '') AS from_name,
+      |         COALESCE(p.domain, '') AS from_domain,
+      |         COALESCE(p.phone_number, '') AS from_phone
+      |  FROM messages msg JOIN participants p ON p.id = msg.sender_id
+      |  WHERE msg.sender_id IS NOT NULL) ds
+      |  ON ds.message_id = m.id AND ms.message_id IS NULL
+      |LEFT JOIN (
+      |  SELECT ml.message_id,
+      |         to_json(array_sort(collect_list(l.name))) AS labels
+      |  FROM message_labels ml JOIN labels l ON l.id = ml.label_id
+      |  GROUP BY ml.message_id) ml_agg ON ml_agg.message_id = m.id
+      |""".stripMargin,
+    """CREATE OR REPLACE TEMP VIEW v_senders AS
+      |SELECT p.email_address AS from_email,
+      |       COALESCE(NULLIF(TRIM(min_by(mr.display_name, mr.message_id)), ''),
+      |                NULLIF(TRIM(min_by(p.display_name, mr.message_id)), ''),
+      |                p.email_address) AS from_name,
+      |       p.domain AS from_domain,
+      |       COUNT(*) AS message_count,
+      |       SUM(m.size_estimate) AS total_size,
+      |       COALESCE(SUM(att.attachment_size), 0) AS attachment_size,
+      |       COALESCE(SUM(att.attachment_count), 0) AS attachment_count,
+      |       MIN(m.sent_at) AS first_message_at,
+      |       MAX(m.sent_at) AS last_message_at
+      |FROM message_recipients mr
+      |JOIN participants p ON p.id = mr.participant_id
+      |JOIN messages m ON m.id = mr.message_id
+      |LEFT JOIN (
+      |  SELECT message_id, SUM(size) AS attachment_size,
+      |         COUNT(*) AS attachment_count
+      |  FROM attachments GROUP BY message_id) att ON att.message_id = m.id
+      |WHERE mr.recipient_type = 'from'
+      |GROUP BY p.email_address, p.domain
+      |""".stripMargin,
+    """CREATE OR REPLACE TEMP VIEW v_domains AS
+      |SELECT p.domain, COUNT(*) AS message_count,
+      |       SUM(m.size_estimate) AS total_size,
+      |       COUNT(DISTINCT p.email_address) AS sender_count
+      |FROM message_recipients mr
+      |JOIN participants p ON p.id = mr.participant_id
+      |JOIN messages m ON m.id = mr.message_id
+      |WHERE mr.recipient_type = 'from'
+      |GROUP BY p.domain
+      |""".stripMargin,
+    """CREATE OR REPLACE TEMP VIEW v_labels AS
+      |SELECT l.name, COUNT(*) AS message_count,
+      |       SUM(m.size_estimate) AS total_size
+      |FROM message_labels ml
+      |JOIN labels l ON l.id = ml.label_id
+      |JOIN messages m ON m.id = ml.message_id
+      |GROUP BY l.name
+      |""".stripMargin,
+    """CREATE OR REPLACE TEMP VIEW v_threads AS
+      |SELECT c.id AS conversation_id, c.source_conversation_id,
+      |       c.title AS conversation_title, c.conversation_type,
+      |       COUNT(DISTINCT m.id) AS message_count,
+      |       MIN(m.sent_at) AS first_message_at,
+      |       MAX(m.sent_at) AS last_message_at,
+      |       COALESCE(to_json(collect_set(p.email_address)), '[]')
+      |         AS participant_emails
+      |FROM conversations c
+      |JOIN messages m ON m.conversation_id = c.id
+      |LEFT JOIN message_recipients mr ON mr.message_id = m.id
+      |LEFT JOIN participants p ON p.id = mr.participant_id
+      |GROUP BY c.id, c.source_conversation_id, c.title, c.conversation_type
+      |""".stripMargin)
+}

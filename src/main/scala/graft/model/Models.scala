@@ -1,0 +1,140 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Typed model layer mirroring the reference's query models
+  * (reference: internal/query/models.go). Case classes double as Spark
+  * `Encoder` targets for `Dataset[T]` results.
+  */
+
+/** One row of an aggregate view (reference models.go:11-18). */
+final case class AggregateRow(
+    key: String,
+    count: Long,
+    total_size: Long,
+    attachment_size: Long,
+    attachment_count: Long,
+    total_unique: Long)
+
+/** Message list-view row (reference models.go:22-41). */
+final case class MessageSummary(
+    id: Long,
+    source_message_id: String,
+    conversation_id: Long,
+    subject: String,
+    snippet: String,
+    from_email: String,
+    from_name: String,
+    from_phone: String,
+    sent_at: Timestamp,
+    size_estimate: Long,
+    has_attachments: Boolean,
+    attachment_count: Int,
+    labels: Seq[String],
+    message_type: String,
+    conversation_title: String)
+
+/** Archive-wide stats (reference engine.go:96-103). */
+final case class TotalStats(
+    message_count: Long,
+    total_size: Long,
+    attachment_size: Long,
+    attachment_count: Long,
+    distinct_sources: Long)
+
+/** Aggregate view dimension (reference models.go:90-121). */
+sealed abstract class ViewType(val name: String)
+object ViewType {
+  case object Senders extends ViewType("Senders")
+  case object SenderNames extends ViewType("Sender Names")
+  case object Recipients extends ViewType("Recipients")
+  case object RecipientNames extends ViewType("Recipient Names")
+  case object Domains extends ViewType("Domains")
+  case object Labels extends ViewType("Labels")
+  case object Time extends ViewType("Time")
+  val all: Seq[ViewType] = Seq(Senders, SenderNames, Recipients,
+    RecipientNames, Domains, Labels, Time)
+}
+
+sealed trait TimeGranularity
+object TimeGranularity {
+  case object Year extends TimeGranularity
+  case object Month extends TimeGranularity
+  case object Day extends TimeGranularity
+
+  /** Period length 4/7/10 → year/month/day (reference duckdb.go:1013-1023). */
+  def infer(explicit: Option[TimeGranularity], period: String): TimeGranularity =
+    explicit.getOrElse(period.length match {
+      case 4  => Year
+      case 10 => Day
+      case _  => Month
+    })
+}
+
+sealed trait SortField
+object SortField {
+  case object Count extends SortField
+  case object Size extends SortField
+  case object AttachmentSize extends SortField
+  case object Name extends SortField
+}
+
+sealed trait SortDirection
+object SortDirection {
+  case object Desc extends SortDirection
+  case object Asc extends SortDirection
+}
+
+sealed trait MessageSortField
+object MessageSortField {
+  case object Date extends MessageSortField
+  case object Size extends MessageSortField
+  case object Subject extends MessageSortField
+}
+
+final case class Pagination(limit: Int = 0, offset: Int = 0)
+final case class MessageSorting(
+    field: MessageSortField = MessageSortField.Date,
+    direction: SortDirection = SortDirection.Desc)
+final case class TimeRange(
+    period: String = "",
+    granularity: Option[TimeGranularity] = None)
+
+/** Which messages to retrieve (reference models.go:192-248). Empty string =
+  * no filter on that dimension, unless the dimension appears in
+  * `emptyValueTargets` — then it drills into the NULL/empty bucket
+  * (reference models.go:204-209).
+  */
+final case class MessageFilter(
+    sender: String = "",
+    senderName: String = "",
+    recipient: String = "",
+    recipientName: String = "",
+    domain: String = "",
+    label: String = "",
+    conversationId: Option[Long] = None,
+    emptyValueTargets: Set[ViewType] = Set.empty,
+    timeRange: TimeRange = TimeRange(),
+    sourceId: Option[Long] = None,
+    sourceIds: Seq[Long] = Nil,
+    after: Option[Timestamp] = None,
+    before: Option[Timestamp] = None,
+    withAttachmentsOnly: Boolean = false,
+    hideDeletedFromSource: Boolean = false,
+    pagination: Pagination = Pagination(),
+    sorting: MessageSorting = MessageSorting()) {
+  def matchesEmpty(v: ViewType): Boolean = emptyValueTargets.contains(v)
+}
+
+/** Options for aggregate views (reference models.go:124-147). */
+final case class AggregateOptions(
+    sortField: SortField = SortField.Count,
+    sortDirection: SortDirection = SortDirection.Desc,
+    limit: Int = 100,
+    sourceId: Option[Long] = None,
+    sourceIds: Seq[Long] = Nil,
+    after: Option[Timestamp] = None,
+    before: Option[Timestamp] = None,
+    withAttachmentsOnly: Boolean = false,
+    hideDeletedFromSource: Boolean = false,
+    searchQuery: String = "")

@@ -1,0 +1,195 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.model._
+import org.apache.spark.sql.Row
+
+/** Behavior tests against the fixture star — the analogue of the
+  * reference's DuckDBEngine tests (internal/query/duckdb_test.go).
+  */
+class MsgEngineSpec extends SparkTestBase {
+  import Fixtures._
+
+  // participants: 1 alice@a.com (Alice), 2 bob@b.org (no name),
+  // 3 phone-only (+447700900123, name Carol), 4 dave@a.com
+  private lazy val v = Fixtures.vault(spark,
+    messages = Seq(
+      msg(1, "Quarterly report", "2024-01-10 10:00:00", size = 1000, hasAtt = true, attCount = 1),
+      msg(2, "Re: Quarterly report", "2024-02-11 10:00:00", size = 2000),
+      msg(3, "lunch?", "2024-02-12 10:00:00", size = 300),
+      msg(4, "old spam", "2023-05-01 10:00:00", size = 50,
+        deletedAt = Some("2024-01-01 00:00:00")), // dedup loser: always hidden
+      msg(5, "deleted on server", "2024-03-01 10:00:00", size = 70,
+        deletedFromSourceAt = Some("2024-04-01 00:00:00")),
+      msg(6, "chat msg", "2024-03-02 10:00:00", size = 10,
+        senderId = Some(3), msgType = Some("imessage"), convId = 2)),
+    recipients = Seq(
+      MrRow(1, 1, "from", None), MrRow(1, 2, "to", None),
+      MrRow(2, 2, "from", Some("Bob Display")), MrRow(2, 1, "to", None),
+      MrRow(3, 1, "from", None), MrRow(3, 4, "to", None), MrRow(3, 2, "cc", None),
+      MrRow(4, 1, "from", None),
+      MrRow(5, 4, "from", None)),
+    participants = Seq(
+      PRow(1, Some("alice@a.com"), Some("Alice"), None, Some("a.com")),
+      PRow(2, Some("bob@b.org"), None, None, Some("b.org")),
+      PRow(3, None, Some("Carol"), Some("+447700900123"), None),
+      PRow(4, Some("dave@a.com"), Some("Dave"), None, Some("a.com"))),
+    labels = Seq(LblRow(1, "INBOX"), LblRow(2, "Work")),
+    messageLabels = Seq(MlRow(1, 1), MlRow(1, 2), MlRow(2, 1), MlRow(3, 1)),
+    attachments = Seq(AttRow(1, 1, "report.pdf", "application/pdf", 5000, "h1")),
+    conversations = Seq(
+      ConvRow(1, "conv-1", None, None),
+      ConvRow(2, "conv-2", Some("Family chat"), Some("group"))))
+
+  private lazy val engine = new MsgEngine(v)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+
+  test("aggregate senders: counts, sizes, attachment rollup, total_unique") {
+    val out = rows(engine.aggregate(ViewType.Senders))
+    // live messages: 1,2,3,5,6; msg6 has no from-recipient row
+    // alice: msgs 1,3 → count 2, size 1300, att 5000/1
+    val byKey = out.map(r => r.getString(0) -> r).toMap
+    assert(byKey.keySet == Set("alice@a.com", "bob@b.org", "dave@a.com"))
+    val alice = byKey("alice@a.com")
+    assert(alice.getLong(1) == 2 && alice.getLong(2) == 1300)
+    assert(alice.getLong(3) == 5000 && alice.getLong(4) == 1)
+    assert(out.forall(_.getLong(5) == 3)) // total_unique
+    // deleted_at loser (msg 4) never appears
+    assert(byKey("alice@a.com").getLong(1) == 2)
+  }
+
+  test("hideDeletedFromSource removes server-deleted messages") {
+    val out = rows(engine.aggregate(ViewType.Senders,
+      AggregateOptions(hideDeletedFromSource = true)))
+    assert(!out.map(_.getString(0)).contains("dave@a.com"))
+  }
+
+  test("aggregate sender names falls back display_name → phone → email") {
+    // participantNameExpr uses the participant's OWN name chain (reference
+    // getViewDef ViewSenderNames): bob has no display_name → email fallback.
+    // The per-message mr.display_name override applies only to message
+    // enrichment (recipientNameExpr), not aggregates.
+    val keys = rows(engine.aggregate(ViewType.SenderNames)).map(_.getString(0)).toSet
+    assert(keys == Set("Alice", "bob@b.org", "Dave"))
+  }
+
+  test("aggregate domains groups by from-participant domain") {
+    val byKey = rows(engine.aggregate(ViewType.Domains))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("a.com" -> 3, "b.org" -> 1))
+  }
+
+  test("aggregate labels") {
+    val byKey = rows(engine.aggregate(ViewType.Labels))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("INBOX" -> 3, "Work" -> 1))
+  }
+
+  test("aggregate time buckets by month") {
+    val byKey = rows(engine.aggregate(ViewType.Time))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("2024-01" -> 1, "2024-02" -> 2, "2024-03" -> 2))
+  }
+
+  test("subAggregate: drill into one sender across time") {
+    val byKey = rows(engine.subAggregate(ViewType.Time,
+      MessageFilter(sender = "alice@a.com")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("2024-01" -> 1, "2024-02" -> 1))
+  }
+
+  test("sender filter matches chat sender via sender_id (dual path)") {
+    val out = rows(engine.filters.compile(MessageFilter(sender = "+447700900123")))
+    assert(out.map(_.getAs[Long]("id")) == Seq(6))
+  }
+
+  test("empty-bucket drilldown: messages with no sender") {
+    val out = rows(engine.filters.compile(
+      MessageFilter(emptyValueTargets = Set(ViewType.Senders))))
+    assert(out.map(_.getAs[Long]("id")).isEmpty) // msg6 has sender_id → not empty
+  }
+
+  test("label filter is case-insensitive exact") {
+    val out = rows(engine.filters.compile(MessageFilter(label = "inbox")))
+    assert(out.map(_.getAs[Long]("id")).sorted == Seq(1L, 2, 3))
+  }
+
+  test("time period filter infers granularity from period shape") {
+    assert(rows(engine.filters.compile(MessageFilter(
+      timeRange = TimeRange("2024")))).length == 5)
+    assert(rows(engine.filters.compile(MessageFilter(
+      timeRange = TimeRange("2024-02")))).length == 2)
+    assert(rows(engine.filters.compile(MessageFilter(
+      timeRange = TimeRange("2024-02-12")))).length == 1)
+  }
+
+  test("listMessages: page + sender resolution + labels, deterministic order") {
+    val out = rows(engine.listMessages(MessageFilter(
+      pagination = Pagination(limit = 3))))
+    assert(out.map(_.getAs[Long]("id")) == Seq(6, 5, 3)) // sent_at DESC, id DESC
+    val m6 = out.head
+    assert(m6.getAs[String]("from_email") == "") // phone-only sender
+    assert(m6.getAs[String]("from_name") == "Carol")
+    assert(m6.getAs[String]("from_phone") == "+447700900123")
+    assert(m6.getAs[String]("conversation_title") == "Family chat")
+    val m3 = out(2)
+    assert(m3.getAs[scala.collection.Seq[String]]("labels").toSeq == Seq("INBOX"))
+  }
+
+  test("searchFast: text term matches subject case-insensitively AND across terms") {
+    val out = rows(engine.searchFast("quarterly report"))
+    assert(out.map(_.getAs[Long]("id")).sorted == Seq(1L, 2))
+  }
+
+  test("searchFast: from: + subject: operators combine") {
+    val out = rows(engine.searchFast("from:alice@a.com subject:lunch"))
+    assert(out.map(_.getAs[Long]("id")) == Seq(3))
+  }
+
+  test("searchFast: domain pattern from:@a.com") {
+    val out = rows(engine.searchFast("from:@a.com"))
+    assert(out.map(_.getAs[Long]("id")).sorted == Seq(1L, 3, 5))
+  }
+
+  test("searchFast: has:attachment and larger:") {
+    assert(rows(engine.searchFast("has:attachment")).map(_.getAs[Long]("id")) == Seq(1))
+    assert(rows(engine.searchFast("larger:1K")).map(_.getAs[Long]("id")).sorted == Seq(2L))
+  }
+
+  test("searchFastWithStats: count/page/stats reuse one materialization") {
+    val s = engine.searchFastWithStats("quarterly")
+    assert(s.totalCount == 2)
+    assert(s.page(1, 0).collect().map(_.getAs[Long]("id")).toSeq == Seq(2))
+    val st = s.stats.collect()(0)
+    assert(st.getAs[Long]("message_count") == 2)
+    assert(st.getAs[Long]("total_size") == 3000)
+    engine.invalidateSearchCache()
+  }
+
+  test("totalStats") {
+    val st = engine.totalStats().collect()(0)
+    assert(st.getAs[Long]("message_count") == 5)
+    assert(st.getAs[Long]("attachment_count") == 1)
+    assert(st.getAs[Long]("distinct_sources") == 1)
+  }
+
+  test("conversationStats: texts mode only, deterministic last snippet") {
+    val out = rows(engine.conversationStats())
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("conversation_id") == 2)
+    assert(out.head.getAs[String]("title") == "Family chat")
+  }
+
+  test("raw SQL surface: v_messages + v_senders registered") {
+    v.registerViews()
+    val vm = spark.sql(
+      "SELECT from_email, labels FROM v_messages WHERE id = 1").collect()(0)
+    assert(vm.getString(0) == "alice@a.com")
+    assert(vm.getString(1) == """["INBOX","Work"]""")
+    val vs = spark.sql(
+      "SELECT message_count FROM v_senders WHERE from_email = 'alice@a.com'")
+      .collect()(0)
+    assert(vs.getLong(0) >= 2)
+  }
+}
