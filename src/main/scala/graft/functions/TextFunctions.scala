@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: tokenization,
+  * quality scoring, language ID, fingerprinting, shingling. All are
+  * composed from codegen'd builtins (`split`/`transform`/`aggregate`/
+  * `xxhash64`) so they stay inside WholeStageCodegen — no UDFs on the hot
+  * path. FTS-tokenizer fidelity notes: the reference's FTS5 `unicode61
+  * remove_diacritics 1` (reference: internal/store/schema_sqlite.sql:13) is
+  * approximated by lowercase + non-alphanumeric splits; diacritic folding
+  * is an ETL-time UDF ([[foldDiacritics]]), never query-time.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (driver `documents.text` is space-separated). */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** unicode61-ish tokens: lowercase, split on runs of non-alphanumerics,
+    * drop empties. Query-time safe (pure builtins).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** ETL-time diacritic folding (NFD strip) — the one place a UDF is
+    * justified: runs once per document at ingest, not per query.
+    */
+  val foldDiacritics: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", "")
+    }
+
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish sub-word count: words + digit runs + punctuation marks,
+    * approximating tokenizer inflation on code/numbers.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\p{P})|(?=\\p{P})|\\s+"), t => length(t) > 0))
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+
+  def distinctRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\p{P}", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite quality score ∈ [0,1]: favors mid-length docs with lexical
+    * diversity, some stopwords (natural prose), low punctuation density —
+    * the usual pretraining heuristics (C4/Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks).cast("double")
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val divScore = distinctRatio(toks)
+    val stopScore = least(stopwordCount(toks).cast("double") / n * 5.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    round((lenScore + divScore + stopScore + punctPenalty) / 4.0, 6)
+  }
+
+  /** n-gram character/word-profile language ID. Scores each candidate
+    * language by stopword hits; deterministic, pure builtins. Returns the
+    * best-scoring language code or "und".
+    */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"))
+    val toks = tokens(text)
+    val scored = profiles.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Content fingerprint: md5 of the lowercased text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** 64-bit rolling document fingerprint: polynomial hash over tokens in
+    * long arithmetic — a seeded, shuffle-stable alternative to md5 when a
+    * numeric key is wanted. fold is sequential → deterministic.
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(1125899906842597L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Word-level shingles of size n: ["a b c", "b c d", ...]. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search: brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH as the 100 TB path, and RRF rank fusion
+  * (reference: internal/vector/sqlitevec/backend.go:629-680 KNN,
+  * internal/vector/hybrid/rrf.go:24-76 fusion).
+  *
+  * All arithmetic is double-precision left-fold over the float arrays via
+  * `aggregate`/`zip_with` builtins — codegen'd, deterministic, and
+  * bit-reproducible against a DuckDB oracle using the same fold order.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision (sequential fold ⇒ deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity ∈ [-1, 1]. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine to a literal query vector. One scan
+    * + TakeOrderedAndProject — no shuffle of the corpus; correct baseline
+    * at any scale, O(corpus) per query.
+    */
+  def bruteForceKnn(emb: DataFrame, id: Column, vec: Column,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    emb.select(id.as("vec_id"), cosine(vec, q).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)((rng.nextGaussian()).toFloat))
+  }
+
+  /** Sign-LSH signature: bit r = (dot(v, h_r) > 0). Vectors close in
+    * cosine agree on most bits (Charikar 2002).
+    */
+  def lshSignature(vec: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      when(dot(vec, typedLit(h)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN via sign-LSH: probe the query's bucket (plus optional multi-probe
+    * Hamming-1 neighbors), exact-re-rank candidates. The scale path: the
+    * corpus is bucketed once (writable as a bucketed table); each query
+    * touches only its probe buckets.
+    */
+  def lshKnn(emb: DataFrame, id: Column, vec: Column, query: Seq[Float],
+      k: Int, nBits: Int = 12, multiProbe: Boolean = true,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(dim, nBits, seed)
+    // driver-side signature of the literal query (same arithmetic)
+    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val qSig = planes.zipWithIndex.foldLeft(0L) { case (acc, (h, i)) =>
+      if (dotLocal(query, h) > 0) acc | (1L << i) else acc
+    }
+    val probes: Seq[Long] =
+      if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
+      else Seq(qSig)
+    val bucketed = emb.select(id.as("vec_id"), vec.as("__v"),
+      lshSignature(vec, planes).as("__sig"))
+    bucketed
+      .filter(col("__sig").isin(probes: _*))
+      .select(col("vec_id"), cosine(col("__v"), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (reference rrf.go:24-76;
+    * SQL form sqlitevec/fused.go:176-190): full outer join on id,
+    * score = Σ 1/(K + rank), deterministic (score DESC, id ASC) order.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      k: Int = 60, limit: Int = 100): DataFrame = {
+    val left = a.select(col(idCol), col(rankCol).as("__rank_a"))
+    val right = b.select(col(idCol), col(rankCol).as("__rank_b"))
+    left.join(right, Seq(idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(k) + col("__rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("__rank_b")), lit(0.0)))
+      .select(col(idCol), col("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(limit)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming surface over the `events` table. The reference has
+  * no true streams — its incremental pattern is a watermark-batched ETL
+  * (reference: cmd/msgvault/cmd/build_cache.go:118-263 `_last_sync.json`);
+  * `Trigger.AvailableNow` + checkpoint is the Spark-native equivalent, and
+  * the windowed aggregations cover the added `events` stream table.
+  */
+object EventsStreaming {
+
+  /** Batch-equivalent tumbling window counts (same plan the streaming
+    * variant runs per micro-batch).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("cnt"),
+        col("total_value"))
+
+  /** Session windows via the builtin session_window (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("cnt"))
+
+  /** True streaming run: parquet source → watermarked tumbling agg →
+    * in-memory sink, drained with Trigger.AvailableNow (processes all
+    * available input then stops — the incremental-ETL analogue). Returns
+    * the result table.
+    */
+  def runTumblingAvailableNow(spark: SparkSession, eventsDir: String,
+      checkpoint: String, queryName: String = "graft_events_tumbling"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("cnt"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  final case class UserRunning(user_id: Long, events: Long, total_value: Double)
+
+  /** Custom state machine: per-user running totals via
+    * flatMapGroupsWithState — the KeyValueGroupedDataset path for state
+    * Spark's windows can't express.
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.events
+          var total = prev.total_value
+          rows.foreach { r => n += 1; total += r._2 }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+      .toDF()
+  }
+}

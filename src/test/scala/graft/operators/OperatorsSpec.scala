@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Specs for the non-oracled operators: MinHash-LSH, SimHash, LSH-ANN,
+  * language ID, multimodal plumbing — the algorithms DuckDB can't twin.
+  */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar storage"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "el gato y el perro estan en la casa que se ve desde el parque"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups find the identical pair") {
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text")).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("dup_count") == 2)
+    assert(g(0).getAs[Long]("winner_id") == 1)
+  }
+
+  test("survivor pairs: loser points at min-id winner") {
+    val pairs = Dedup.survivorPairs(docs, col("doc_id"), md5(col("text")), Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((4L, 1L)))
+  }
+
+  test("minhash LSH surfaces the near-dup pair, not unrelated docs") {
+    val cand = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)) || cand.contains((1L, 4L))) // near+exact dups bucket together
+    assert(!cand.contains((3L, 5L))) // unrelated docs don't collide
+  }
+
+  test("nearDuplicates thresholds by true jaccard") {
+    val nd = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSet.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(nd.forall { case (a, b) => Set(1L, 2L, 4L).contains(a) && Set(1L, 2L, 4L).contains(b) })
+  }
+
+  test("simhash: exact dups identical, near-dups close, unrelated far") {
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(4L))
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("brute-force KNN: self is nearest with score 1.0") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceKnn(emb, col("vec_id"), col("embedding"),
+      Seq(1.0f, 0.0f, 0.0f), k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN recall: top-1 matches brute force on the real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding"))
+      .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    val brute = Similarity.bruteForceKnn(emb, col("vec_id"), col("embedding"), q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val lsh = Similarity.lshKnn(emb, col("vec_id"), col("embedding"), q, 5, nBits = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(brute.head == 7L)
+    assert(lsh.contains(7L)) // the query's own bucket always probes itself
+  }
+
+  test("rrf fusion ranks an item present in both lists first") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(a, b, "id", "rank").collect()
+    assert(out.head.getLong(0) == 20L) // 1/62 + 1/61 beats any single-list score
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val out = Seq(
+      (1L, "the cat and the dog went to the market and it is fine"),
+      (2L, "el perro y la casa de los gatos que se ven"),
+      (3L, "xyzzy qwerty asdf"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("multimodal: features are partition-independent and deterministic") {
+    val media = Multimodal.withFakeMedia(
+      Seq((1L, "abc def"), (2L, "zzzz")).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("mime"), col("media"))
+      .as[Multimodal.MediaRow]
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(media.repartition(3)).collect().sortBy(_.doc_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1(0).n_bytes == 7)
+    assert(math.abs(f1(0).features.sum - 1.0f) <= 1e-6f)
+  }
+
+  test("multimodal: frame sampling fans out only video rows") {
+    val media = Multimodal.withFakeMedia(
+      Seq((2L, "a video document with enough bytes to slice into frames ok"),
+        (1L, "audio doc")).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(media, framesPerDoc = 3).collect()
+    assert(frames.forall(_.getAs[Long]("doc_id") == 2L))
+    assert(frames.length == 3)
+  }
+
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** True Structured-Streaming runs over the events table (AvailableNow =
+  * the incremental-ETL analogue) checked against the batch twin.
+  */
+class EventsStreamingSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("AvailableNow tumbling agg matches the batch twin") {
+    // file streaming sources require a directory of files
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_events_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val streamed = EventsStreaming.runTumblingAvailableNow(
+      spark, srcDir.toString, checkpoint)
+      .select("bucket", "event_type", "cnt")
+    val batch = EventsStreaming.tumblingCounts(Tables.load(spark, dir, "events"))
+      .select("bucket", "event_type", "cnt")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows produce plausible per-user sessions") {
+    val sessions = EventsStreaming.sessionCounts(
+      Tables.load(spark, dir, "events")).collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(_.getAs[Long]("cnt") >= 1))
+  }
+
+  test("flatMapGroupsWithState running totals accumulate per user") {
+    import spark.implicits._
+    val events = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0))
+      .toDF("user_id", "value")
+    val out = EventsStreaming.runningTotals(spark, events)
+      .groupBy(col("user_id"))
+      .agg(max(col("events")).as("n"), max(col("total_value")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((2L, 15.0)))
+    assert(out(2L) == ((1L, 7.0)))
+  }
+}
