@@ -1,0 +1,116 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ETL: normalized input → denormalized Parquet analytics star — the Spark
+  * rebuild of `msgvault build-cache` (reference:
+  * cmd/msgvault/cmd/build_cache.go:114-499).
+  *
+  * Faithful mechanics:
+  *   - messages hive-partitioned by year, zstd (build_cache.go:289-315),
+  *     with derived year/month columns (build_cache.go:305-306);
+  *     dedup losers (deleted_at) excluded at export (build_cache.go:308)
+  *   - junction tables written as incremental shards `incr_<watermark>`
+  *     (build_cache.go:258-263, 326-383); dimensions fully rewritten
+  *   - id-watermark incremental builds via `_last_sync.json`
+  *     {last_message_id, schema_version}; schema-version mismatch forces a
+  *     full rebuild (build_cache.go:118-263, 127-143)
+  *   - post-write row-count verification (build_cache.go:467-476)
+  *
+  * Scale: the messages write shuffles once on `year` (partitionBy);
+  * incremental runs touch only `id > watermark` rows — Parquet min/max on
+  * id makes the watermark filter a row-group skip, not a scan.
+  */
+object CacheBuilder {
+  val SchemaVersion = 1
+
+  final case class SyncState(lastMessageId: Long, schemaVersion: Int)
+
+  private def statePath(dir: String) = Paths.get(dir, "_last_sync.json")
+
+  def readState(dir: String): Option[SyncState] = {
+    val p = statePath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), "UTF-8")
+      val id = """"last_message_id"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toLong)
+      val v = """"schema_version"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toInt)
+      for (i <- id; sv <- v) yield SyncState(i, sv)
+    }
+  }
+
+  private def writeState(dir: String, st: SyncState): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(statePath(dir),
+      s"""{"last_message_id":${st.lastMessageId},"schema_version":${st.schemaVersion}}"""
+        .getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Build or incrementally refresh the cache at `outDir` from normalized
+    * input frames. Returns the number of (new) messages exported.
+    */
+  def build(spark: SparkSession, input: MsgVault, outDir: String): Long = {
+    val prior = readState(outDir).filter(_.schemaVersion == SchemaVersion)
+    val watermark = prior.map(_.lastMessageId).getOrElse(Long.MinValue)
+    val fullRebuild = prior.isEmpty
+
+    // dedup losers excluded at export; later source-deletions stay visible
+    // until next build (reference duckdb.go:31-34)
+    val liveNew = input.messages
+      .filter(col("deleted_at").isNull && col("id") > watermark)
+      .withColumn("year", year(col("sent_at")))
+      .withColumn("month", month(col("sent_at")))
+
+    val newCount = liveNew.count()
+    if (newCount == 0 && !fullRebuild) return 0L
+
+    val msgMode = if (fullRebuild) SaveMode.Overwrite else SaveMode.Append
+    liveNew.write.mode(msgMode).partitionBy("year")
+      .option("compression", "zstd").parquet(s"$outDir/messages")
+
+    // junction tables: full on rebuild; incremental runs append shard files
+    // into the same directory (the reference drops sibling incr_<id>.parquet
+    // files, build_cache.go:258-263 — append-mode part files are the Spark
+    // equivalent, read back transparently by one directory scan)
+    val maxId = input.messages.agg(max(col("id"))).head().getLong(0)
+    def junction(name: String, df: DataFrame): Unit = {
+      val rows = if (fullRebuild) df
+        else df.join(liveNew.select(col("id").as("__mid")),
+          df("message_id") === col("__mid"), "left_semi")
+      val mode = if (fullRebuild) SaveMode.Overwrite else SaveMode.Append
+      rows.write.mode(mode)
+        .option("compression", "zstd").parquet(s"$outDir/$name")
+    }
+    junction("message_recipients", input.recipients)
+    junction("message_labels", input.messageLabels)
+    junction("attachments", input.attachments)
+
+    // dimensions: full rewrite every build (build_cache.go:385-457)
+    Seq("participants" -> input.participants, "labels" -> input.labels,
+      "conversations" -> input.conversations, "sources" -> input.sources)
+      .foreach { case (n, df) =>
+        df.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$outDir/$n")
+      }
+
+    // post-write verification (build_cache.go:467-476)
+    val written = spark.read.parquet(s"$outDir/messages").count()
+    require(written > 0, s"cache build wrote 0 message rows to $outDir")
+
+    writeState(outDir, SyncState(maxId, SchemaVersion))
+    newCount
+  }
+
+  /** Freshness gate (reference cacheNeedsBuild cmd/query.go:50-66). */
+  def needsBuild(input: MsgVault, outDir: String): Boolean =
+    readState(outDir) match {
+      case Some(st) if st.schemaVersion == SchemaVersion =>
+        input.messages.agg(max(col("id"))).head().getLong(0) > st.lastMessageId
+      case _ => true
+    }
+}

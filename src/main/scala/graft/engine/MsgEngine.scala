@@ -257,6 +257,95 @@ final class MsgEngine(val vault: MsgVault) {
       .orderBy(col("last_message_at").desc, col("conversation_id").asc)
   }
 
+  /** Full message detail: participant lists per recipient_type, labels,
+    * attachments (reference GetMessage duckdb.go:1790-1963 / sqlite path).
+    * Point lookup: the id predicate prunes partitions + row groups.
+    */
+  def messageDetail(id: Long): DataFrame = {
+    val mr = vault.recipients
+    val p = vault.participants
+    val one = vault.messages.filter(col("id") === id)
+    val parties = mr.filter(mr("message_id") === id)
+      .join(p, p("id") === mr("participant_id"))
+      .groupBy(mr("message_id").as("__d_mid"))
+      .pivot("recipient_type", Seq("from", "to", "cc", "bcc"))
+      .agg(array_sort(collect_list(struct(
+        coalesce(p("email_address"), lit("")).as("email"),
+        recipientName(mr("display_name"), p("display_name"),
+          p("phone_number"), p("email_address")).as("name")))))
+    val atts = vault.attachments.filter(col("message_id") === id)
+      .groupBy(col("message_id").as("__a_mid"))
+      .agg(array_sort(collect_list(struct(col("id"), col("filename"),
+        col("mime_type"), col("size"), col("content_hash")))).as("attachments"))
+    val lbls = vault.messageLabels.filter(col("message_id") === id)
+      .join(vault.labels, vault.labels("id") === vault.messageLabels("label_id"))
+      .groupBy(vault.messageLabels("message_id").as("__l_mid"))
+      .agg(array_sort(collect_list(col("name"))).as("labels"))
+    one
+      .join(parties, one("id") === col("__d_mid"), "left")
+      .join(atts, one("id") === col("__a_mid"), "left")
+      .join(lbls, one("id") === col("__l_mid"), "left")
+      .drop("__d_mid", "__a_mid", "__l_mid")
+  }
+
+  /** Any-participant domain search, date-bounded (reference
+    * SearchByDomains engine.go:72-74, sqlite.go:1149-1194).
+    */
+  def searchByDomains(domains: Seq[String],
+      after: Option[java.sql.Timestamp] = None,
+      before: Option[java.sql.Timestamp] = None): DataFrame = {
+    val mr = vault.recipients
+    val p = vault.participants
+    val ids = mr.join(p, p("id") === mr("participant_id"))
+      .filter(p("domain").isin(domains: _*))
+      .select(mr("message_id")).distinct()
+    var msg = vault.messages.filter(filters.liveMessages(false))
+    after.foreach(t => msg = msg.filter(col("sent_at") >= lit(t)))
+    before.foreach(t => msg = msg.filter(col("sent_at") < lit(t)))
+    msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+      .orderBy(col("sent_at").desc, col("id").desc)
+  }
+
+  /** Gmail ids for deletion staging (reference GetGmailIDsByFilter
+    * duckdb.go:1654-1788): always hide-deleted, gmail sources only.
+    */
+  def gmailIdsByFilter(filter: MessageFilter): DataFrame = {
+    val gmailSources = vault.sources
+      .filter(col("source_type") === "gmail")
+      .select(col("id").as("__gsid"))
+    filters.compile(filter.copy(hideDeletedFromSource = true))
+      .join(gmailSources, col("source_id") === col("__gsid"), "left_semi")
+      .select(col("source_message_id"))
+      .orderBy(col("source_message_id").asc)
+  }
+
+  /** Texts-mode contact aggregate (reference duckdb_text.go:191-294):
+    * chat types only; contact = direct sender_id, falling back to the
+    * first from-recipient (deterministic min_by).
+    */
+  def aggregateTextContacts(opts: AggregateOptions = AggregateOptions()): DataFrame = {
+    val mr = vault.recipients
+    val p = vault.participants
+    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
+    val firstFrom = mr.filter(col("recipient_type") === "from")
+      .groupBy(mr("message_id").as("__f_mid"))
+      .agg(min(mr("participant_id")).as("__f_pid"))
+    val withContact = msg
+      .join(firstFrom, msg("id") === col("__f_mid"), "left")
+      .withColumn("__contact_pid", coalesce(col("sender_id"), col("__f_pid")))
+    val pd = p.select(p("id").as("__p_id"),
+      participantNameOf(p).as("contact"))
+    withContact
+      .join(pd, col("__contact_pid") === col("__p_id"))
+      .filter(col("contact").isNotNull)
+      .groupBy(col("contact").as("key"))
+      .agg(count(lit(1)).as("count"),
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"))
+      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
+      .orderBy(col("count").desc, col("key").asc)
+      .limit(if (opts.limit > 0) opts.limit else 100)
+  }
+
   private def optsFilter(opts: AggregateOptions): MessageFilter =
     MessageFilter(
       sourceId = opts.sourceId, sourceIds = opts.sourceIds,

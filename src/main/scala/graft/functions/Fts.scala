@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text-search emulation. The reference's deep search is SQLite FTS5
+  * (`messages_fts MATCH '"term"* ...'` — quoted, prefix-star, AND;
+  * reference: internal/query/sqlite.go:1319-1345) over a unicode61
+  * tokenizer. Spark has no inverted index; the documented approximation
+  * contract (SURVEY §2.9) is:
+  *
+  *   - a `tokens` array column precomputed at ETL time
+  *     ([[TextFunctions.tokens]], diacritics folded at ingest),
+  *   - match = AND over query terms of "some token has this prefix",
+  *   - ranking = BM25 (k1=1.2, b=0.75) computed from corpus stats.
+  *
+  * Scale: corpus stats (N, avgdl, per-term df) are one aggregate pass and a
+  * scalar broadcast — no shuffle of the corpus; the match predicate is a
+  * codegen'd higher-order `exists` over the token array (columnar scan),
+  * which at 100 TB is a full scan per query — the honest trade Spark makes
+  * vs an FTS index, mitigated by partition pruning on any date/source
+  * filters applied first.
+  */
+object Fts {
+
+  /** FTS5-style prefix AND-match: every term must prefix-match some token. */
+  def prefixMatch(tokens: Column, terms: Seq[String]): Column =
+    terms.map(term => exists(tokens, t => t.startsWith(term.toLowerCase)))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Exact-term AND-match (quoted FTS terms). */
+  def termMatch(tokens: Column, terms: Seq[String]): Column =
+    terms.map(term => array_contains(tokens, term.toLowerCase))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  final case class CorpusStats(n: Long, avgdl: Double, df: Map[String, Long])
+
+  /** One aggregate pass over the corpus for BM25 inputs: total docs, mean
+    * doc length, and document frequency per query term.
+    */
+  def corpusStats(docs: DataFrame, tokens: Column, terms: Seq[String]): CorpusStats = {
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      avg(size(tokens).cast("double")).as("avgdl")) ++
+      terms.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(tokens, term.toLowerCase), 1L).otherwise(0L))
+          .as(s"df_$i")
+      }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    CorpusStats(
+      row.getAs[Long]("n"),
+      row.getAs[Double]("avgdl"),
+      terms.zipWithIndex.map { case (t, i) => t -> row.getAs[Long](s"df_$i") }.toMap)
+  }
+
+  /** BM25 score column for the given terms (Robertson/Sparck-Jones idf,
+    * the FTS5/Lucene formulation). Stats are driver-side scalars baked in
+    * as literals — the plan stays a single scan.
+    */
+  def bm25(tokens: Column, terms: Seq[String], stats: CorpusStats,
+      k1: Double = 1.2, b: Double = 0.75): Column = {
+    val dl = size(tokens).cast("double")
+    terms.map { term =>
+      val t = term.toLowerCase
+      val df = stats.df.getOrElse(term, 0L)
+      val idf = math.log((stats.n - df + 0.5) / (df + 0.5) + 1.0)
+      val tf = size(filter(tokens, x => x === t)).cast("double")
+      lit(idf) * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(stats.avgdl)))
+    }.reduceOption(_ + _).getOrElse(lit(0.0))
+  }
+
+  /** Ranked BM25 search: filter by term match, score, deterministic order.
+    * Returns (id, bm25_score, rank).
+    */
+  def bm25Search(docs: DataFrame, id: Column, tokens: Column,
+      terms: Seq[String], limit: Int = 100): DataFrame = {
+    val stats = corpusStats(docs, tokens, terms)
+    docs.filter(terms.map(t => array_contains(tokens, t.toLowerCase)).reduce(_ || _))
+      .select(id.as("doc_id"), bm25(tokens, terms, stats).as("bm25_score"))
+      .orderBy(col("bm25_score").desc, col("doc_id").asc)
+      .limit(limit)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_score").desc, col("doc_id").asc)))
+  }
+}

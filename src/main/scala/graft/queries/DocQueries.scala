@@ -120,9 +120,8 @@ object DocQueries {
 
   /** SimHash signatures — xxhash64-based, spec-tested. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        Dedup.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
+    Dedup.simhashSignatures(t(s, dir, "documents"), col("doc_id"),
+      TextFunctions.tokens(col("text")))
       .orderBy(col("doc_id").asc)
 
   /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids) —

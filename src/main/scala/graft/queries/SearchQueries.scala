@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Fts, TextFunctions}
+import graft.operators.HybridSearch
+import graft.sources.Tables
+
+/** FTS-emulation + hybrid search over documents/embeddings (SURVEY §2.9-10
+  * deep-search path). BM25 constants k1=1.2, b=0.75; RRF K=60 (reference
+  * internal/vector/hybrid/rrf.go:15). Oracle SQL mirrors the exact double
+  * arithmetic (same literal parses, same operation order); the one
+  * non-portable op (ln: JVM vs libm, ±1 ulp) is neutralized by rounding the
+  * displayed score to 6 decimals on both sides — ordering is tie-broken by
+  * id so a sub-ulp difference cannot reorder rows.
+  */
+object SearchQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val terms = Seq("spark", "join")
+
+  // --- FTS5-style prefix AND-match -----------------------------------------
+
+  def ftsPrefixSearch(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.wsTokens(col("text"))
+    t(s, dir, "documents")
+      .filter(Fts.prefixMatch(toks, Seq("spar", "win")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val ftsPrefixSearchSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE len(list_filter(string_split(text, ' '), t -> t LIKE 'spar%')) > 0
+      |  AND len(list_filter(string_split(text, ' '), t -> t LIKE 'win%')) > 0
+      |ORDER BY doc_id ASC""".stripMargin
+
+  // --- BM25 ranking ---------------------------------------------------------
+
+  def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+    Fts.bm25Search(docs, col("doc_id"), col("toks"), terms, limit = 100)
+      .select(col("doc_id"), round(col("bm25_score"), 6).as("bm25_score"),
+        col("rank"))
+      .orderBy(col("rank").asc)
+  }
+
+  val bm25RankSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl,
+      |         SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
+      |         SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df2
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf1,
+      |         CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE) AS tf2,
+      |         CAST(len(toks) AS DOUBLE) AS dl
+      |  FROM d),
+      |scored AS (
+      |  SELECT doc_id,
+      |         ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0) /
+      |           (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) +
+      |         ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) /
+      |           (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS score
+      |  FROM tf, stats
+      |  WHERE tf1 > 0 OR tf2 > 0),
+      |ranked AS (
+      |  SELECT doc_id, score,
+      |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, round(score, 6) AS bm25_score, rank
+      |FROM ranked WHERE rank <= 100 ORDER BY rank ASC""".stripMargin
+
+  // --- Hybrid BM25 + ANN with RRF fusion -------------------------------------
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    HybridSearch.fusedSearch(
+      docs, col("doc_id"), col("toks"),
+      emb, col("vec_id"), col("embedding"),
+      terms, qv, k = 20).df
+      .select(col("id").as("doc_id"), round(col("rrf_score"), 9).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+  }
+
+  val hybridRrfSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl,
+      |         SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
+      |         SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df2
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf1,
+      |         CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE) AS tf2,
+      |         CAST(len(toks) AS DOUBLE) AS dl
+      |  FROM d),
+      |bm25 AS (
+      |  SELECT doc_id,
+      |         ROW_NUMBER() OVER (ORDER BY
+      |           ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0) /
+      |             (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) +
+      |           ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) /
+      |             (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) DESC,
+      |           doc_id ASC) AS rank
+      |  FROM tf, stats WHERE tf1 > 0 OR tf2 > 0
+      |  QUALIFY rank <= 20),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |ann AS (
+      |  SELECT vec_id AS doc_id,
+      |         ROW_NUMBER() OVER (ORDER BY
+      |           list_reduce(list_transform(list_zip(embedding, qv),
+      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b) /
+      |           (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)) *
+      |            sqrt(list_reduce(list_transform(list_zip(qv, qv),
+      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)))
+      |           DESC, vec_id ASC) AS rank
+      |  FROM embeddings, q
+      |  QUALIFY rank <= 20)
+      |SELECT COALESCE(bm25.doc_id, ann.doc_id) AS doc_id,
+      |       round(COALESCE(1.0 / (60 + bm25.rank), 0.0) +
+      |             COALESCE(1.0 / (60 + ann.rank), 0.0), 9) AS rrf_score
+      |FROM bm25 FULL OUTER JOIN ann USING (doc_id)
+      |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "fts_prefix_search" -> (ftsPrefixSearch _, Some(ftsPrefixSearchSql)),
+    "bm25_rank" -> (bm25Rank _, Some(bm25RankSql)),
+    "hybrid_rrf" -> (hybridRrf _, Some(hybridRrfSql)))
+}

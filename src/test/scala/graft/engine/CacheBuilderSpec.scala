@@ -1,0 +1,96 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.model._
+import org.apache.spark.sql.functions._
+
+/** ETL + incremental build + engine extensions (detail/domains/gmail-ids/
+  * texts-contacts) behavior tests.
+  */
+class CacheBuilderSpec extends SparkTestBase {
+  import Fixtures._
+
+  private def sourceVault(upTo: Int) = Fixtures.vault(spark,
+    messages = (1 to upTo).map(i =>
+      msg(i.toLong, s"subject $i", f"2024-${i % 12 + 1}%02d-10 10:00:00",
+        size = 100L * i,
+        msgType = if (i % 3 == 0) Some("imessage") else Some("email"),
+        senderId = if (i % 3 == 0) Some(1L) else None)),
+    recipients = (1 to upTo).flatMap(i => Seq(
+      MrRow(i.toLong, (i % 2 + 1).toLong, "from", None),
+      MrRow(i.toLong, 3L, "to", None))),
+    participants = Seq(
+      PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com")),
+      PRow(2, Some("b@y.org"), Some("B"), None, Some("y.org")),
+      PRow(3, Some("c@z.net"), Some("C"), None, Some("z.net"))),
+    labels = Seq(LblRow(1, "INBOX")),
+    messageLabels = (1 to upTo).map(i => MlRow(i.toLong, 1L)),
+    attachments = Seq(AttRow(1, 1, "f.bin", "application/octet-stream", 10, "h")),
+    sources = Seq(SrcRow(1, "acct@x.com", Some("gmail"))))
+
+  test("full build then incremental append via watermark") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cache").toString
+
+    val n1 = CacheBuilder.build(spark, sourceVault(6), out)
+    assert(n1 == 6)
+    assert(!CacheBuilder.needsBuild(sourceVault(6), out))
+
+    // grow the source → freshness gate trips → incremental exports only new ids
+    assert(CacheBuilder.needsBuild(sourceVault(9), out))
+    val n2 = CacheBuilder.build(spark, sourceVault(9), out)
+    assert(n2 == 3)
+
+    val rebuilt = MsgVault.open(spark, out)
+    assert(rebuilt.messages.count() == 9)
+    // hive partition column present and prunable
+    assert(rebuilt.messages.select(col("year")).distinct().count() >= 1)
+    // junction shards merged transparently
+    assert(rebuilt.recipients.count() == 18)
+    // watermark recorded
+    assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(9L))
+
+    // schema-version bump forces rebuild
+    assert(!CacheBuilder.needsBuild(sourceVault(9), out))
+  }
+
+  test("engine over a built cache answers the flagship aggregate") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cache2").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+    val engine = new MsgEngine(MsgVault.open(spark, out))
+    val rows = engine.aggregate(ViewType.Senders).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("a@x.com", "b@y.org"))
+  }
+
+  test("messageDetail returns participant lists, labels, attachments") {
+    val engine = new MsgEngine(sourceVault(6))
+    val d = engine.messageDetail(1L).collect()
+    assert(d.length == 1)
+    val row = d(0)
+    val from = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("from")
+    assert(from.map(_.getAs[String]("email")) == Seq("b@y.org"))
+    assert(row.getAs[scala.collection.Seq[String]]("labels").toSeq == Seq("INBOX"))
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("attachments").length == 1)
+  }
+
+  test("searchByDomains matches any participant role") {
+    val engine = new MsgEngine(sourceVault(6))
+    // z.net is only ever a 'to' recipient
+    assert(engine.searchByDomains(Seq("z.net")).count() == 6)
+    assert(engine.searchByDomains(Seq("nowhere.invalid")).count() == 0)
+  }
+
+  test("gmailIdsByFilter: gmail sources only, source_message_id out") {
+    val engine = new MsgEngine(sourceVault(3))
+    val ids = engine.gmailIdsByFilter(MessageFilter()).collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("src-1", "src-2", "src-3"))
+  }
+
+  test("aggregateTextContacts: chat messages grouped by resolved contact") {
+    val engine = new MsgEngine(sourceVault(9))
+    val out = engine.aggregateTextContacts().collect()
+    // chat msgs are i%3==0 (3,6,9) all with sender_id=1 → contact "A"
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "A")
+    assert(out(0).getLong(1) == 3)
+  }
+}

@@ -46,8 +46,8 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("simhash: exact dups identical, near-dups close, unrelated far") {
-    val sh = docs.select(col("doc_id"),
-      Dedup.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+    val sh = Dedup.simhashSignatures(docs, col("doc_id"),
+      TextFunctions.tokens(col("text")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(sh(1L) == sh(4L))
