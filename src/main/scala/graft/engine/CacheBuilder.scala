@@ -106,6 +106,27 @@ object CacheBuilder {
     newCount
   }
 
+  /** FTS-emulation sidecar: `message_bodies` with a precomputed `tokens`
+    * array (unicode61-ish: lowercase, split on non-alphanumerics,
+    * diacritics folded — reference schema_sqlite.sql:6-14 tokenizer) so
+    * deep search never tokenizes at query time. The reference deliberately
+    * keeps bodies OUT of the analytics Parquet (query/DESIGN.md:56-69,
+    * body search routes to SQLite FTS5); the Spark engine's equivalent of
+    * that FTS index IS this table — columnar, zstd, co-partitioned with
+    * nothing (joined by message_id semi-join after metadata filters).
+    *
+    * Input: (message_id, body_text).
+    */
+  def buildBodies(spark: SparkSession, bodies: DataFrame, outDir: String): Unit = {
+    import graft.functions.TextFunctions
+    bodies
+      .select(col("message_id"), col("body_text"),
+        TextFunctions.tokens(
+          TextFunctions.foldDiacritics(col("body_text"))).as("tokens"))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$outDir/message_bodies")
+  }
+
   /** Freshness gate (reference cacheNeedsBuild cmd/query.go:50-66). */
   def needsBuild(input: MsgVault, outDir: String): Boolean =
     readState(outDir) match {

@@ -235,6 +235,38 @@ final class MsgEngine(val vault: MsgVault) {
     searchCache.clear()
   }
 
+  /** Deep full-text search (reference Search sqlite.go:1319-1461: FTS5
+    * `MATCH '"term"* ...'` — quoted, prefix-star, AND — joined to messages;
+    * LIKE fallback when FTS5 is missing). Spark approximation contract
+    * (SURVEY §2.9): `bodies` carries a precomputed `tokens` array (built at
+    * ETL by [[CacheBuilder.buildBodies]] with the unicode61-ish tokenizer);
+    * match = AND over terms of prefix-token hits on body tokens OR subject
+    * substring; results BM25-ranked then recency-ordered like the
+    * reference's bare-column fallback ordering.
+    *
+    * Scale: the body scan is the honest cost of no inverted index — but
+    * metadata filters (dates, sources, labels) compile FIRST and semi-join
+    * the body table down before the token predicate runs.
+    */
+  def searchDeep(query: String, bodies: DataFrame,
+      filter: MessageFilter = MessageFilter()): DataFrame = {
+    val q = SearchParser.parse(query)
+    val msg = filters.compileSearch(filters.compile(filter),
+      q.copy(textTerms = Nil, subjectTerms = Nil))
+    val terms = (q.textTerms ++ q.subjectTerms).map(_.toLowerCase)
+    val b = bodies.select(col("message_id").as("__b_mid"), col("tokens"))
+    val candidates = msg.join(b, msg("id") === col("__b_mid"), "left")
+    val termHit = terms.map { t =>
+      graft.functions.Fts.prefixMatch(col("tokens"), Seq(t)) ||
+        lower(col("subject")).contains(t)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val page = candidates.filter(termHit)
+      .orderBy(col("sent_at").desc, col("id").desc)
+      .limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
+      .drop("__b_mid", "tokens")
+    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+  }
+
   // ---------------------------------------------------------- texts mode
 
   /** Per-conversation stats for texts mode (reference duckdb_text.go:129-158):

@@ -65,7 +65,9 @@ object MsgVault {
       "attachment_count" -> lit(0).cast(IntegerType),
       "deleted_at" -> lit(null).cast(TimestampType),
       "deleted_from_source_at" -> lit(null).cast(TimestampType),
-      "rfc822_message_id" -> lit(null).cast(StringType)),
+      "rfc822_message_id" -> lit(null).cast(StringType),
+      "is_from_me" -> lit(false),
+      "archived_at" -> lit(null).cast(TimestampType)),
     "participants" -> Seq(
       "phone_number" -> lit(null).cast(StringType)),
     "conversations" -> Seq(

@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Raw-MIME helpers for the dedup content-hash fallback and Message-ID
+  * backfill (reference: internal/dedup/dedup.go:673-758 normalizeRawMIME +
+  * transportHeaders; internal/query/shared.go:196-207 zlib inflate).
+  *
+  * These are genuine UDFs — byte-level MIME surgery has no builtin
+  * equivalent — but they run only on the dedup/backfill path over messages
+  * that HAVE raw MIME, never on the query hot path. At scale the work is
+  * embarrassingly parallel (one blob in, one hash out; no state).
+  */
+object Mime {
+
+  /** zlib-decompress a blob; null in → null out; corrupt in → null out
+    * (the reference skips and counts decompression failures,
+    * dedup.go:543-560 — null is our skip marker).
+    */
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    if (data == null) return null
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    } catch { case _: Exception => null }
+  }
+
+  val inflateUdf: UserDefinedFunction = udf(inflate _)
+
+  /** Transport/export headers that vary across otherwise-identical copies
+    * (reference dedup.go:674-694, canonical-case keys).
+    */
+  val transportHeaders: Set[String] = Set(
+    "Received", "Delivered-To", "Return-Path", "X-Received",
+    "X-Gmail-Labels", "X-Gmail-Received", "X-Google-Smtp-Source",
+    "X-Gm-Message-State", "Authentication-Results", "Dkim-Signature",
+    "Arc-Seal", "Arc-Message-Signature", "Arc-Authentication-Results",
+    "X-Google-Dkim-Signature", "X-Forwarded-To", "X-Forwarded-For",
+    "X-Original-To", "X-Apple-Mail-Labels")
+
+  /** Canonical MIME header case: first letter of each '-'-segment upper,
+    * rest lower ("dkim-signature" → "Dkim-Signature") — textproto
+    * CanonicalMIMEHeaderKey semantics.
+    */
+  def canonicalHeaderKey(k: String): String =
+    k.split("-", -1).map { seg =>
+      if (seg.isEmpty) seg
+      else seg.head.toUpper + seg.tail.toLowerCase
+    }.mkString("-")
+
+  /** Parse a header section into ordered (canonicalKey, value) pairs,
+    * folding RFC822 continuation lines (leading space/tab).
+    */
+  private def parseHeaders(section: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var curKey: String = null
+    var curVal = new StringBuilder
+    def flush(): Unit = if (curKey != null) {
+      out += ((curKey, curVal.toString)); curKey = null; curVal = new StringBuilder
+    }
+    for (line <- section.split("\r\n|\n", -1)) {
+      if (line.nonEmpty && (line.head == ' ' || line.head == '\t')) {
+        if (curKey != null) {
+          if (curVal.nonEmpty) curVal += ' '
+          curVal ++= line.trim
+        }
+      } else {
+        flush()
+        val idx = line.indexOf(':')
+        if (idx > 0) {
+          curKey = canonicalHeaderKey(line.substring(0, idx).trim)
+          curVal = new StringBuilder(line.substring(idx + 1).trim)
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Strip transport headers, sort the rest by canonical key (values keep
+    * appearance order within a key), rejoin as "Key: value\n"… + "\n" +
+    * body — the canonical form the content hash is computed over
+    * (reference normalizeRawMIME dedup.go:696-755). Input with no
+    * recognizable header/body split is returned unchanged, like the
+    * reference.
+    */
+  def normalizeRawMime(raw: Array[Byte]): Array[Byte] = {
+    if (raw == null) return null
+    val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val crlfEnd = s.indexOf("\r\n\r\n")
+    val lfEnd = s.indexOf("\n\n")
+    val headerEnd =
+      if (crlfEnd >= 0 && lfEnd >= 0) math.min(crlfEnd, lfEnd)
+      else if (crlfEnd >= 0) crlfEnd
+      else lfEnd
+    if (headerEnd == -1) return raw
+    val bodyStart =
+      if (s.startsWith("\r\n\r\n", headerEnd)) headerEnd + 4
+      else if (s.startsWith("\n\n", headerEnd)) headerEnd + 2
+      else return raw
+    val headers = parseHeaders(s.substring(0, headerEnd))
+      .filterNot { case (k, _) => transportHeaders.contains(k) }
+    val sorted = headers.sortBy(_._1)
+    val sb = new StringBuilder
+    sorted.foreach { case (k, v) => sb ++= k; sb ++= ": "; sb ++= v; sb += '\n' }
+    sb += '\n'
+    sb ++= s.substring(bodyStart)
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  val normalizeRawMimeUdf: UserDefinedFunction = udf(normalizeRawMime _)
+
+  /** Extract the RFC822 Message-ID header from raw (inflated) MIME — the
+    * backfill that recovers missing `rfc822_message_id` values before the
+    * primary dedup pass (reference Scan/BackfillRFC822IDs
+    * dedup.go:246-303). Returns null when absent/unparseable.
+    */
+  def extractMessageId(raw: Array[Byte]): String = {
+    if (raw == null) return null
+    val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val headerEnd = {
+      val a = s.indexOf("\r\n\r\n"); val b = s.indexOf("\n\n")
+      if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+    }
+    val section = if (headerEnd >= 0) s.substring(0, headerEnd) else s
+    parseHeaders(section)
+      .collectFirst { case ("Message-Id", v) if v.nonEmpty => v }
+      .orNull
+  }
+
+  val extractMessageIdUdf: UserDefinedFunction = udf(extractMessageId _)
+
+  /** Embedding preprocessing (reference vector/embed/preprocess.go:38-80):
+    * strip quoted-reply tails and signature blocks, prepend "Subject: ",
+    * truncate to maxChars code points.
+    */
+  def preprocessForEmbedding(subject: String, body: String, maxChars: Int): String = {
+    val b0 = if (body == null) "" else body
+    // cut at the first quoted-reply marker line
+    val replyMarkers = Seq(
+      "(?m)^On .{0,200} wrote:\\s*$".r,
+      "(?m)^-{2,}\\s*Original Message\\s*-{2,}".r,
+      "(?m)^From: .*$".r,
+      "(?m)^>".r)
+    val cutAt = replyMarkers
+      .flatMap(_.findFirstMatchIn(b0).map(_.start))
+      .reduceOption(math.min)
+      .getOrElse(b0.length)
+    var text = b0.substring(0, cutAt)
+    // strip signature from the canonical "-- " delimiter on
+    val sigIdx = "(?m)^-- ?$".r.findFirstMatchIn(text).map(_.start)
+    text = sigIdx.fold(text)(text.substring(0, _)).trim
+    val full =
+      (if (subject != null && subject.nonEmpty) s"Subject: $subject\n\n" else "") + text
+    // truncate by code points (the reference truncates runes)
+    if (full.codePointCount(0, full.length) <= maxChars) full
+    else full.substring(0, full.offsetByCodePoints(0, maxChars))
+  }
+
+  val preprocessForEmbeddingUdf: UserDefinedFunction =
+    udf((subj: String, body: String) => preprocessForEmbedding(subj, body, 8000))
+}

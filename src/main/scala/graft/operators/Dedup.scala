@@ -68,8 +68,9 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
-    df.select(id.as("doc_id"),
-        explode(array_distinct(shingles(tokens(text), shingleSize))).as("__s"))
+    graft.sources.Tables.spread(df.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("__text")), shingleSize))).as("__s"))
       .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
       .groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(j =>
@@ -148,7 +149,8 @@ object Dedup {
     * Returns (doc_id, simhash: long).
     */
   def simhashSignatures(df: DataFrame, id: Column, toks: Column): DataFrame =
-    df.select(id.as("doc_id"), explode(toks).as("__t"))
+    graft.sources.Tables.spread(df.select(id.as("doc_id"), toks.as("__toks")))
+      .select(col("doc_id"), explode(col("__toks")).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
       .groupBy(col("doc_id"))
       .agg((0 until 64).map { b =>

@@ -63,9 +63,12 @@ object DocQueries {
   val textFingerprintSql: String =
     "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id ASC"
 
-  /** Heuristic language ID — algorithm-specific, spec-tested; rows-only. */
+  /** Heuristic language ID — algorithm-specific, spec-tested; rows-only.
+    * Interpreted HOF profile-scoring is the cost → spread across cores
+    * first (single-file scans otherwise run it on one core).
+    */
   def textLangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id").asc)
 

@@ -45,6 +45,20 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Spread a DataFrame across the cluster's cores when its current
+    * partitioning would serialize compute-heavy downstream work — the case
+    * for a small single-file Parquet scan (one row group → one partition →
+    * one core runs the whole tokenize/shingle/hash stage). The round-robin
+    * shuffle only moves the narrow input rows, which is cheap exactly when
+    * it matters (few partitions ⇒ small data). At scale the input already
+    * has ≥ parallelism partitions and this is an identity — no shuffle is
+    * ever added to a large scan.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Schema probe — reference probes cache Parquet with
     * `DESCRIBE SELECT * FROM read_parquet(...)` (views.go:26-56) to discover
     * which optional columns exist. Spark equivalent: the footer-only schema

@@ -23,13 +23,21 @@ object DebugMinhash {
       val r = f
       println(f"[debug] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
     }
+    import graft.functions.TextFunctions
     time("docs.count")(docs.count())
+    val spreadDocs = graft.sources.Tables.spread(docs)
+    val exploded = spreadDocs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), 3))).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+    time("explode+basehash")(exploded.count())
+    time("explode+basehash#2")(exploded.count())
     val sig = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
     time("signatures")(sig.agg(avg(element_at(col("sig"), 1).cast("double"))).head().get(0))
-    val sh = docs.select(col("doc_id"), graft.functions.TextFunctions
-      .shingles(graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
-    time("shingles-only")(sh.agg(avg(size(col("sh")).cast("double"))).head().get(0))
+    time("signatures#2")(sig.agg(avg(element_at(col("sig"), 1).cast("double"))).head().get(0))
     time("candidates")(
+      Dedup.minhashCandidates(docs, col("doc_id"), col("text")).count())
+    time("candidates#2")(
       Dedup.minhashCandidates(docs, col("doc_id"), col("text")).count())
     spark.stop()
   }

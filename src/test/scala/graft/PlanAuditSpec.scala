@@ -1,0 +1,100 @@
+package graft
+
+import graft.queries.CoreQueries
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan regression tests: the properties that keep queries fast at
+  * 100 TB — predicate pushdown into the Parquet scan, column pruning,
+  * broadcast of small dimensions, shuffle counts — asserted on the actual
+  * executed plans so a refactor that silently loses them fails CI, not the
+  * cluster.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collectWithSubqueries { case s: FileSourceScanExec => s }
+
+  test("filter on lineitem pushes the predicate into the Parquet scan") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = scans(executed(df)).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate"), s"no shipdate pushdown in: $pushed")
+    assert(pushed.contains("l_quantity"), s"no quantity pushdown in: $pushed")
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val scan = scans(executed(df)).head
+    val readSchema = scan.metadata.getOrElse("ReadSchema", "")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    // a 2-column projection must not read the 16-column table
+    assert(!readSchema.contains("l_comment"), s"l_comment not pruned: $readSchema")
+    assert(!readSchema.contains("l_shipdate"), s"l_shipdate not pruned: $readSchema")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact table)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val supp = Tables.load(spark, sf, "supplier")
+    val joined = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .groupBy(supp("s_nationkey")).agg(count(lit(1)).as("cnt"))
+    // match on the rendered plan: AQE wraps finished stages in leaf
+    // QueryStageExec nodes that collect* does not descend into
+    val plan = executed(joined).toString
+    assert(plan.contains("BroadcastHashJoin"), s"supplier join did not broadcast:\n$plan")
+  }
+
+  test("pre-aggregated top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val df = CoreQueries.topK(spark, sf)
+    val plan = executed(df)
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"orderBy+limit not top-k:\n$s")
+  }
+
+  test("aggregate over one table needs exactly one shuffle") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val plan = executed(df).toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected 1 shuffle (partial→final agg), got $shuffles:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side partial agg:\n$plan")
+  }
+
+  test("year-partitioned message star prunes partitions on year filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    import graft.engine.{CacheBuilder, Fixtures, MsgVault}
+    import Fixtures._
+    val vlt = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1, "a", "2023-06-01 10:00:00"), msg(2, "b", "2024-06-01 10:00:00"),
+        msg(3, "c", "2025-06-01 10:00:00")),
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    CacheBuilder.build(spark, vlt, out)
+    val cached = MsgVault.open(spark, out)
+    val filtered = cached.messages.filter(col("year") === 2024)
+    val scan = scans(executed(filtered.select(col("id")))).head
+    assert(scan.metadata.getOrElse("PartitionFilters", "").contains("year"),
+      s"year filter not a partition filter: ${scan.metadata}")
+    assert(filtered.count() == 1)
+  }
+}

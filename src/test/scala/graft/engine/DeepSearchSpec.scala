@@ -1,0 +1,90 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.functions.Mime
+import graft.model._
+import graft.operators.VectorIndex
+import org.apache.spark.sql.functions._
+
+/** Deep FTS search + bodies ETL + vector index lifecycle + embedding
+  * preprocessing.
+  */
+class DeepSearchSpec extends SparkTestBase {
+  import Fixtures._
+  import spark.implicits._
+
+  private def v = Fixtures.vault(spark,
+    messages = Seq(
+      msg(1, "quarterly report", "2024-01-01 10:00:00"),
+      msg(2, "lunch plans", "2024-02-01 10:00:00"),
+      msg(3, "report follow-up", "2024-03-01 10:00:00")),
+    recipients = (1 to 3).map(i => MrRow(i.toLong, 1L, "from", None)),
+    participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+
+  private def bodiesDir = {
+    val out = java.nio.file.Files.createTempDirectory("graft_bodies").toString
+    val bodies = Seq(
+      (1L, "The Quarterly numbers look great, revenue doubled."),
+      (2L, "Târget café at noon?"), // diacritics fold: Târget → target
+      (3L, "Following up on the quarterly revenue numbers.")).toDF("message_id", "body_text")
+    CacheBuilder.buildBodies(spark, bodies, out)
+    out
+  }
+
+  test("buildBodies tokenizes with diacritic folding; searchDeep prefix-ANDs body+subject") {
+    val bodies = spark.read.parquet(s"$bodiesDir/message_bodies")
+    val engine = new MsgEngine(v)
+
+    // prefix match on body tokens: "revenu" hits 1 and 3
+    val hits = engine.searchDeep("revenu", bodies).collect()
+    assert(hits.map(_.getAs[Long]("id")).toSeq == Seq(3L, 1L)) // sent_at desc
+
+    // AND across terms: revenue ∧ doubled → only 1
+    assert(engine.searchDeep("revenue doubled", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(1L))
+
+    // diacritic folding at ETL: query "target" matches "Târget"
+    assert(engine.searchDeep("target", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(2L))
+
+    // subject fallback: term matching only the subject still hits
+    assert(engine.searchDeep("lunch", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(2L))
+
+    // metadata operator + text term combine
+    assert(engine.searchDeep("quarterly after:2024-02-15", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(3L))
+  }
+
+  test("vector index: generation lifecycle + fingerprint gate + findSimilar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec").toString
+    val gen0 = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("message_id", "embedding")
+
+    assert(VectorIndex.needsRebuild(dir, "fp-a"))
+    assert(VectorIndex.buildGeneration(gen0, dir, "fp-a") == 0L)
+    assert(!VectorIndex.needsRebuild(dir, "fp-a"))
+    assert(VectorIndex.needsRebuild(dir, "fp-b"))
+
+    val active = VectorIndex.active(spark, dir).get
+    val sim = VectorIndex.findSimilar(active, seedId = 1L, k = 2).collect()
+    assert(sim.map(_.getLong(0)).toSeq == Seq(2L, 3L)) // seed excluded, cosine order
+    assert(VectorIndex.buildGeneration(gen0, dir, "fp-b") == 1L)
+    assert(VectorIndex.readState(dir).get.active == 1L)
+  }
+
+  test("embedding preprocessing strips quoted replies and signatures") {
+    val body = "Here is my reply.\n\nOn Mon, Jan 1, 2024 someone wrote:\n> old text\n> more old"
+    val out = Mime.preprocessForEmbedding("Re: plans", body, 8000)
+    assert(out == "Subject: Re: plans\n\nHere is my reply.")
+
+    val sig = "Main point.\n-- \nAlice\nalice@x.com"
+    assert(Mime.preprocessForEmbedding(null, sig, 8000) == "Main point.")
+
+    // rune-aware truncation (no surrogate splitting)
+    val emoji = "ab😀cd"
+    val t = Mime.preprocessForEmbedding(null, emoji, 3)
+    assert(t == "ab😀")
+  }
+}

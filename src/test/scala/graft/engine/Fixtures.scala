@@ -13,7 +13,8 @@ object Fixtures {
       rfc822_message_id: Option[String], message_type: Option[String],
       subject: String, snippet: String, sent_at: Timestamp,
       size_estimate: Long, has_attachments: Boolean, attachment_count: Int,
-      deleted_at: Option[Timestamp], deleted_from_source_at: Option[Timestamp])
+      deleted_at: Option[Timestamp], deleted_from_source_at: Option[Timestamp],
+      is_from_me: Boolean = false, archived_at: Option[Timestamp] = None)
   case class MrRow(message_id: Long, participant_id: Long,
       recipient_type: String, display_name: Option[String])
   case class PRow(id: Long, email_address: Option[String],

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.engine.Fixtures
+import graft.functions.Mime
+import org.apache.spark.sql.functions._
+
+/** Archive dedup pipeline behaviors (reference internal/dedup/dedup.go +
+  * dedup_test.go/normalize_test.go semantics).
+  */
+class MessageDedupSpec extends SparkTestBase {
+  import Fixtures._
+  import spark.implicits._
+
+  private def zlib(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(out)
+    d.write(s.getBytes("ISO-8859-1")); d.close()
+    out.toByteArray
+  }
+
+  private val mimeA =
+    "Received: from relay1\r\nFrom: a@x.com\r\nSubject: hello\r\nMessage-ID: <dup@x>\r\n\r\nbody text"
+  private val mimeA2 = // same message via another relay: transport headers differ
+    "Received: from relay2\r\nDkim-Signature: v=1\r\nFrom: a@x.com\r\nSubject: hello\r\nMessage-ID: <dup@x>\r\n\r\nbody text"
+  private val mimeB =
+    "From: b@y.org\r\nSubject: other\r\nMessage-ID: <uniq@y>\r\n\r\ndifferent body"
+
+  test("normalizeRawMime strips transport headers and sorts the rest") {
+    val n1 = new String(Mime.normalizeRawMime(mimeA.getBytes("ISO-8859-1")), "ISO-8859-1")
+    val n2 = new String(Mime.normalizeRawMime(mimeA2.getBytes("ISO-8859-1")), "ISO-8859-1")
+    assert(n1 == n2) // transport-header differences vanish
+    assert(n1 == "From: a@x.com\nMessage-Id: <dup@x>\nSubject: hello\n\nbody text")
+  }
+
+  test("inflate round-trips zlib and nulls out corrupt input") {
+    assert(new String(Mime.inflate(zlib("hello")), "ISO-8859-1") == "hello")
+    assert(Mime.inflate(Array[Byte](1, 2, 3)) == null)
+    assert(Mime.inflate(null) == null)
+  }
+
+  test("extractMessageId finds the header incl. folded/missing cases") {
+    assert(Mime.extractMessageId(mimeA.getBytes("ISO-8859-1")) == "<dup@x>")
+    assert(Mime.extractMessageId("From: x\r\n\r\nbody".getBytes("ISO-8859-1")) == null)
+    val folded = "Message-ID:\r\n <folded@x>\r\n\r\nb".getBytes("ISO-8859-1")
+    assert(Mime.extractMessageId(folded) == "<folded@x>")
+  }
+
+  private def dedupVault = {
+    // 1+2 share a Message-ID (same source); 3 unique; 4 has null Message-ID
+    val messages = Seq(
+      msg(1, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(2, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(3, "uniq", "2024-02-01 10:00:00").copy(rfc822_message_id = Some("<uniq@y>")),
+      msg(4, "dup-no-mid", "2024-01-01 10:00:00").copy(rfc822_message_id = None))
+    Fixtures.vault(spark, messages,
+      recipients = (1 to 4).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))),
+      labels = Seq(LblRow(1, "INBOX"), LblRow(2, "WORK")),
+      messageLabels = Seq(MlRow(1, 1), MlRow(2, 1), MlRow(2, 2)))
+  }
+
+  test("message-id pass groups within scope; more labels wins") {
+    val scanned = MessageDedup.scan(dedupVault,
+      MessageDedup.Config(sourceIds = Seq(1L)))
+    val rows = scanned.collect()
+    assert(rows.map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    // msg 2 carries 2 labels vs msg 1's single label → survivor
+    assert(rows.forall(_.getAs[Long]("winner_id") == 2L))
+    val l = MessageDedup.losers(scanned).collect()
+    assert(l.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("sent copy outranks label count and source preference") {
+    val messages = Seq(
+      msg(1, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(2, "dup", "2024-01-01 10:00:00", sourceId = 2)
+        .copy(rfc822_message_id = Some("<dup@x>"), is_from_me = true))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(1, 1, "from", None), MrRow(2, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))),
+      labels = Seq(LblRow(1, "INBOX")),
+      messageLabels = Seq(MlRow(1, 1)), // msg 1 has more labels…
+      sources = Seq(SrcRow(1, "one", Some("gmail")), SrcRow(2, "two", Some("mbox"))))
+    // …and better source type, but msg 2 is the sent copy → msg 2 survives
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L, 2L)))
+    assert(scanned.collect().forall(_.getAs[Long]("winner_id") == 2L))
+  }
+
+  test("identity match marks sent copies per-source only") {
+    val messages = Seq(
+      msg(1, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(2, "dup", "2024-01-01 10:00:00", sourceId = 2)
+        .copy(rfc822_message_id = Some("<dup@x>")))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(1, 1, "from", None), MrRow(2, 1, "from", None)),
+      participants = Seq(PRow(1, Some("me@x.com"), None, None, Some("x.com"))),
+      sources = Seq(SrcRow(1, "one", Some("gmail")), SrcRow(2, "two", Some("gmail"))))
+    // identity registered for source 2 only → msg 2 is the sent copy
+    val ids = Seq((2L, "me@x.com")).toDF("source_id", "email")
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L, 2L)), identities = Some(ids))
+    assert(scanned.collect().forall(_.getAs[Long]("winner_id") == 2L))
+  }
+
+  test("content-hash fallback groups transport-header-variant copies; backfill recovers Message-ID") {
+    // 5+6: same normalized content, no rfc822_message_id column value, one
+    // zlib-compressed; 7: unique content
+    val messages = Seq(
+      msg(5, "hello", "2024-01-01 10:00:00").copy(rfc822_message_id = None),
+      msg(6, "hello", "2024-01-01 10:00:00").copy(rfc822_message_id = None),
+      msg(7, "other", "2024-01-02 10:00:00").copy(rfc822_message_id = None))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(5, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    val raw = Seq(
+      (5L, mimeA.getBytes("ISO-8859-1"), ""),
+      (6L, zlib(mimeA2), "zlib"),
+      (7L, mimeB.getBytes("ISO-8859-1"), ""))
+      .toDF("message_id", "raw_data", "compression")
+
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L), contentHashFallback = true),
+      raw = Some(raw))
+    val byType = scanned.collect().groupBy(_.getAs[String]("key_type"))
+    // the backfill recovers <dup@x> for BOTH 5 and 6 → they group in pass 1
+    assert(byType("message-id").map(_.getAs[Long]("id")).toSet == Set(5L, 6L))
+    assert(byType("message-id").forall(_.getAs[Long]("winner_id") == 5L))
+    assert(!byType.contains("normalized-hash"))
+  }
+
+  test("content-hash fallback without extractable Message-ID") {
+    val noMid = "From: a@x.com\r\nSubject: s\r\n\r\nsame body"
+    val noMid2 = "Received: r\r\nFrom: a@x.com\r\nSubject: s\r\n\r\nsame body"
+    val messages = Seq(
+      msg(5, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = None),
+      msg(6, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = None))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(5, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    val raw = Seq(
+      (5L, noMid.getBytes("ISO-8859-1"), ""),
+      (6L, noMid2.getBytes("ISO-8859-1"), ""))
+      .toDF("message_id", "raw_data", "compression")
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L), contentHashFallback = true),
+      raw = Some(raw))
+    val rows = scanned.collect()
+    assert(rows.map(_.getAs[String]("key_type")).toSet == Set("normalized-hash"))
+    assert(rows.map(_.getAs[Long]("id")).toSet == Set(5L, 6L))
+    assert(rows.forall(_.getAs[Long]("winner_id") == 5L))
+  }
+
+  test("label transfers: loser labels not already on winner") {
+    val scanned = MessageDedup.scan(dedupVault,
+      MessageDedup.Config(sourceIds = Seq(1L)))
+    // winner=2 (has labels 1,2); loser=1 has label 1 → nothing to transfer
+    assert(MessageDedup.labelTransfers(dedupVault, scanned).count() == 0)
+
+    // flip: make msg 1 the only sent copy → winner=1 (has only label 1);
+    // loser 2 contributes label 2
+    val v2 = {
+      val messages = Seq(
+        msg(1, "dup", "2024-01-01 10:00:00")
+          .copy(rfc822_message_id = Some("<dup@x>"), is_from_me = true),
+        msg(2, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")))
+      Fixtures.vault(spark, messages,
+        recipients = Seq(MrRow(1, 1, "from", None)),
+        participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))),
+        labels = Seq(LblRow(1, "INBOX"), LblRow(2, "WORK")),
+        messageLabels = Seq(MlRow(1, 1), MlRow(2, 1), MlRow(2, 2)))
+    }
+    val s2 = MessageDedup.scan(v2, MessageDedup.Config(sourceIds = Seq(1L)))
+    val t = MessageDedup.labelTransfers(v2, s2).collect()
+    assert(t.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("remote deletion: same-source gmail losers only") {
+    val messages = Seq(
+      msg(1, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(2, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(3, "dup2", "2024-01-01 10:00:00", sourceId = 2)
+        .copy(rfc822_message_id = Some("<dup2@x>")),
+      msg(4, "dup2", "2024-01-01 10:00:00", sourceId = 3)
+        .copy(rfc822_message_id = Some("<dup2@x>")))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))),
+      sources = Seq(SrcRow(1, "one", Some("gmail")), SrcRow(2, "two", Some("gmail")),
+        SrcRow(3, "three", Some("mbox"))))
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L, 2L, 3L)))
+    val remote = MessageDedup.remoteDeletionCandidates(v, scanned).collect()
+    // group <dup@x>: both in gmail source 1 → loser 2 stageable.
+    // group <dup2@x>: winner in source 2 (gmail), loser in source 3 (mbox,
+    // different source + non-remote type) → NOT stageable.
+    assert(remote.map(_.getAs[Long]("loser_id")).toSeq == Seq(2L))
+  }
+}
