@@ -78,6 +78,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs at corpus scale: bucket by
+    * sign-LSH signature (one shuffle), generate pairs only within buckets
+    * (bounded by `maxBucket`, like [[Dedup.minhashCandidates]]), exact
+    * cosine re-rank + threshold. Single-table LSH trades recall for a
+    * linear scan: near-dups split across buckets are missed — raise recall
+    * with fewer bits or multiple seeded passes unioned. The exact variant
+    * for modest corpora is a plain self-join; this is the 100 TB path.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, nBits: Int = 8, maxBucket: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(vec).as("d")).head().getInt(0)
+    val planes = hyperplanes(dim, nBits, seed)
+    val bucketed = emb.select(id.as("__id"), vec.as("__v"),
+      lshSignature(vec, planes).as("__sig"))
+    val buckets = bucketed.groupBy(col("__sig"))
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        cosine(col("a.__v"), col("b.__v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (reference rrf.go:24-76;
     * SQL form sqlitevec/fused.go:176-190): full outer join on id,
     * score = Σ 1/(K + rank), deterministic (score DESC, id ASC) order.

@@ -425,8 +425,25 @@ object CoreQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size
       |FROM orders GROUP BY 1 ORDER BY year ASC""".stripMargin
 
+  // --- §3.2 raw SQL surface (reference QuerySQL duckdb.go:188-224): the
+  // user's SQL string runs verbatim over the registered views — Catalyst
+  // does the whole parse→analyze→optimize→execute pipeline. The oracle runs
+  // the IDENTICAL string, proving the views present the same relations.
+  val sqlPassthroughSql: String =
+    """SELECT n_name, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY cnt DESC, n_name ASC LIMIT 10""".stripMargin
+
+  def sqlPassthrough(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(sqlPassthroughSql)
+  }
+
   /** Registry consumed by [[graft.SparkEntry]]. */
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "sql_passthrough" -> (sqlPassthrough _, Some(sqlPassthroughSql)),
     "agg_core" -> (aggCore _, Some(aggCoreSql)),
     "agg_time_buckets" -> (aggTime _, Some(aggTimeSql)),
     "agg_total_stats" -> (totalStats _, Some(totalStatsSql)),

@@ -188,6 +188,35 @@ object DocQueries {
     Similarity.lshKnn(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), queryVector(s, dir), k = 10, nBits = 8)
 
+  /** Embedding-cosine near-dup: exact twin on a deterministic pair set
+    * (adjacent vec_ids, double-fold arithmetic mirrored in the oracle);
+    * the LSH-bucketed scale variant is
+    * [[Similarity.embeddingNearDupPairs]], spec-tested.
+    */
+  def dedupEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("__ea"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("embedding").as("__eb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__ea"), col("__eb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a").asc)
+      .limit(100)
+  }
+
+  val dedupEmbeddingPairsSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q) /
+      |  (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)) *
+      |   sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)))
+      |  AS cosine
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |ORDER BY cosine DESC, id_a ASC LIMIT 100""".stripMargin
+
   // --- §2.10 RRF fusion (on orders: price-rank × recency-rank) ------------
 
   def rrfFusion(s: SparkSession, dir: String): DataFrame = {
@@ -256,6 +285,47 @@ object DocQueries {
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id ASC""".stripMargin
 
+  /** Sliding (overlapping) windows — each event lands in width/slide
+    * buckets; the oracle reconstructs the same assignment with an offset
+    * join (no native sliding windows in DuckDB).
+    */
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("bucket"), col("cnt"))
+      .orderBy(col("bucket").asc)
+
+  val streamSlidingSql: String =
+    """SELECT bucket, COUNT(*) AS cnt FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+      |           - INTERVAL (o.o * 30) MINUTE AS bucket,
+      |         CAST(ts AS TIMESTAMP) AS tts
+      |  FROM events, (SELECT unnest(range(2)) AS o) o)
+      |WHERE tts >= bucket AND tts < bucket + INTERVAL '1 hour'
+      |GROUP BY bucket ORDER BY bucket ASC""".stripMargin
+
+  /** Composite quality score (C4/Gopher-style heuristics) — the one
+    * text-analysis metric with full arithmetic mirrored in the oracle.
+    */
+  def textQualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id").asc)
+
+  val textQualityScoreSql: String =
+    """SELECT doc_id, round((
+      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) +
+      |  least(CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
+      |  (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
+      |) / 4.0, 6) AS quality
+      |FROM documents ORDER BY doc_id ASC""".stripMargin
+
   // --- multimodal plumbing -------------------------------------------------
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -296,11 +366,14 @@ object DocQueries {
     "dedup_minhash" -> (dedupMinhash _, None),
     "dedup_simhash" -> (dedupSimhash _, None),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
+    "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
     "vector_knn_lsh" -> (vectorKnnLsh _, None),
     "rrf_fusion" -> (rrfFusion _, Some(rrfFusionSql)),
     "stream_tumbling" -> (streamTumbling _, Some(streamTumblingSql)),
+    "stream_sliding" -> (streamSliding _, Some(streamSlidingSql)),
     "stream_sessionize" -> (streamSessionize _, Some(streamSessionizeSql)),
+    "text_quality_score" -> (textQualityScore _, Some(textQualityScoreSql)),
     "multimodal_meta" -> (multimodalMeta _, Some(multimodalMetaSql)),
     "multimodal_features" -> (multimodalFeatures _, None))
 }

@@ -78,6 +78,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh.contains(7L)) // the query's own bucket always probes itself
   }
 
+  test("embedding near-dup pairs: LSH buckets surface the near-identical pair") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)), // near-dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(emb, col("vec_id"),
+      col("embedding"), threshold = 0.99, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
   test("rrf fusion ranks an item present in both lists first") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
