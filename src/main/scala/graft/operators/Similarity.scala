@@ -21,8 +21,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity ∈ [-1, 1]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity ∈ [-1, 1] — the codegen'd custom Expression
+    * ([[org.apache.spark.sql.graft.CosineSimilarity]]); bit-identical to
+    * `dot(a,b)/(norm(a)*norm(b))` in HOF form (same index-order double
+    * folds) but a primitive loop inside WholeStageCodegen instead of
+    * interpreted per-element lambda dispatch.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSimilarity(a, b)
 
   /** Exact brute-force top-k by cosine to a literal query vector. One scan
     * + TakeOrderedAndProject — no shuffle of the corpus; correct baseline

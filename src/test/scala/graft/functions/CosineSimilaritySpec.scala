@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CosineSimilarity
+
+/** The custom codegen'd cosine Expression must be bit-identical to the
+  * higher-order-function formulation it replaces (same index-order double
+  * folds), including null/edge propagation.
+  */
+class CosineSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b))
+
+  test("bit-identical to the HOF fold on random float vectors") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(64)(rng.nextFloat() * 2 - 1), Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        CosineSimilarity(col("a"), col("b")).as("fast"),
+        hofCosine(col("a"), col("b")).as("hof"))
+    val bad = df.filter(col("fast") =!= col("hof")).count()
+    assert(bad == 0, s"$bad rows differ from the HOF fold")
+  }
+
+  test("null propagation: null array, null element, length mismatch") {
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (2L, None, Some(Seq(1.0f, 2.0f))),
+      (3L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f))))
+      .toDF("id", "a", "b")
+      .select(col("id"), CosineSimilarity(col("a"), col("b")).as("c"))
+      .orderBy(col("id")).collect()
+    assert(!df(0).isNullAt(1) && math.abs(df(0).getDouble(1) - 1.0) < 1e-15)
+    assert(df(1).isNullAt(1))
+    assert(df(2).isNullAt(1))
+
+    val df2 = Seq((1L, Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(CosineSimilarity(col("a"), col("b")).as("c")).collect()
+    assert(df2(0).isNullAt(0))
+  }
+
+  test("works with double arrays and inside whole-stage codegen pipelines") {
+    val df = Seq((1L, Seq(3.0, 4.0), Seq(4.0, 3.0)))
+      .toDF("id", "a", "b")
+      .filter(col("id") > 0) // force a codegen stage around it
+      .select((CosineSimilarity(col("a"), col("b")) * 25.0).as("c"))
+      .collect()
+    assert(math.abs(df(0).getDouble(0) - 24.0) < 1e-12)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.model
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** CLI/REST output formats (reference cmd/query.go:161-263). */
+class QueryResultSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val qr = QueryResult.fromDataFrame(
+    Seq((1L, "alice", 2.5), (2L, "bob,jr", 0.0))
+      .toDF("id", "name", "score").orderBy(col("id")))
+
+  test("json: columns/rows/row_count envelope") {
+    assert(qr.toJson ==
+      """{"columns":["id","name","score"],"rows":[[1,"alice",2.5],[2,"bob,jr",0.0]],"row_count":2}""")
+  }
+
+  test("csv: header + RFC4180 quoting of commas and quotes") {
+    assert(qr.toCsv == "id,name,score\n1,alice,2.5\n2,\"bob,jr\",0.0")
+    val tricky = QueryResult(Seq("a"), Seq(Seq("say \"hi\"")))
+    assert(tricky.toCsv == "a\n\"say \"\"hi\"\"\"")
+  }
+
+  test("table: aligned columns with separator") {
+    val lines = qr.toTable.split("\n")
+    assert(lines(0).startsWith("id") && lines(0).contains("name"))
+    assert(lines(1).matches("[- ]+"))
+    assert(lines.length == 4)
+    // all rows padded to equal prefix width per column
+    assert(lines(2).indexOf("alice") == lines(3).indexOf("bob,jr"))
+  }
+
+  test("json escapes control characters and nulls") {
+    val r = QueryResult(Seq("v"), Seq(Seq("a\n\"b\""), Seq(null)))
+    assert(r.toJson == """{"columns":["v"],"rows":[["a\n\"b\""],[null]],"row_count":2}""")
+  }
+
+  test("arrays and binary render stably") {
+    val r = QueryResult(Seq("xs", "bin"),
+      Seq(Seq(Seq(1L, 2L), Array[Byte](0x0a, 0x1f))))
+    assert(r.toCsv == "xs,bin\n\"[1,2]\",0a1f")
+  }
+}
