@@ -192,11 +192,15 @@ final class FilterCompiler(v: MsgVault) {
   /** Applies a parsed Gmail-style query on top of `msg` (reference
     * duckdb.go:2302-2475 buildSearchConditions). `keyCols` are extra
     * grouping-dimension columns text terms should also match in aggregate
-    * views (duckdb.go:649-655).
+    * views (duckdb.go:649-655, search-on-key-columns semantics
+    * duckdb_test.go:539-643). `idCol` disambiguates the message-id
+    * attribute when `msgIn` is a post-join frame carrying several `id`
+    * columns.
     */
   def compileSearch(msgIn: DataFrame, q: SearchQuery,
-      keyCols: Seq[Column] = Nil): DataFrame = {
+      keyCols: Seq[Column] = Nil, idCol: Option[Column] = None): DataFrame = {
     var msg = msgIn
+    def mid: Column = idCol.getOrElse(msg("id"))
 
     // text terms: each term must match subject OR snippet OR from-party OR
     // a key column (AND across terms)
@@ -211,7 +215,7 @@ final class FilterCompiler(v: MsgVault) {
         keyCols.map(k => lower(k).contains(t)).foldLeft(lit(false))(_ || _)
       msg = msg
         .join(fromMatch.withColumn("__from_hit", lit(true)),
-          msg("id") === fromMatch("__tm_id"), "left")
+          mid === fromMatch("__tm_id"), "left")
         .filter(direct || col("__from_hit"))
         .drop("__from_hit", "__tm_id")
     }
@@ -223,7 +227,7 @@ final class FilterCompiler(v: MsgVault) {
     def addrDim(values: Seq[String], from: Boolean): Unit = if (values.nonEmpty) {
       val pred = values.map(addrPred).reduce(_ || _)
       val ids = if (from) fromIds(pred) else rcptIds(pred)
-      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+      msg = msg.join(ids, mid === ids("message_id"), "left_semi")
     }
     addrDim(q.fromAddrs, from = true)
     addrDim(q.toAddrs, from = false)
@@ -233,7 +237,7 @@ final class FilterCompiler(v: MsgVault) {
     if (q.labels.nonEmpty) {
       val pred = q.labels.map(l => lower(lbl("name")) === l.toLowerCase).reduce(_ || _)
       val ids = labelIds(pred)
-      msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+      msg = msg.join(ids, mid === ids("message_id"), "left_semi")
     }
 
     q.hasAttachment.foreach(b => msg = msg.filter(col("has_attachments") === b))

@@ -83,18 +83,23 @@ final class MsgEngine(val vault: MsgVault) {
   private def aggregateFiltered(view: ViewType, msgIn: DataFrame,
       opts: AggregateOptions, granularity: TimeGranularity): DataFrame = {
     val (doJoin, key, nullGuard) = viewDef(view, granularity)
-    var msg = msgIn
+    // search applies AFTER the view joins so text terms can also match the
+    // grouping key column (reference search-on-key-columns,
+    // duckdb.go:649-655; duckdb_test.go:539-643) — the key only exists
+    // post-join (label name, recipient email, time bucket).
+    var joined0 = doJoin(msgIn).filter(nullGuard)
     if (opts.searchQuery.nonEmpty)
-      msg = filters.compileSearch(msg, SearchParser.parse(opts.searchQuery))
+      joined0 = filters.compileSearch(joined0,
+        SearchParser.parse(opts.searchQuery),
+        keyCols = Seq(key), idCol = Some(msgIn("id")))
     val att = vault.attachmentRollup
-    val joined = doJoin(msg)
-      .join(att, col("__att_mid") === msg("id"), "left")
-      .filter(nullGuard)
+    val joined = joined0
+      .join(att, col("__att_mid") === msgIn("id"), "left")
     val grouped = joined
       .groupBy(key.as("key"))
       .agg(
         count(lit(1)).as("count"),
-        coalesce(sum(msg("size_estimate")), lit(0L)).as("total_size"),
+        coalesce(sum(msgIn("size_estimate")), lit(0L)).as("total_size"),
         coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
         coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"))
       .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))

@@ -92,6 +92,25 @@ class MsgEngineSpec extends SparkTestBase {
     assert(byKey == Map("2024-01" -> 1, "2024-02" -> 2, "2024-03" -> 2))
   }
 
+  test("aggregate search matches the grouping key column (search-on-key-columns)") {
+    // "work" appears in no subject/snippet/sender — only in the label name;
+    // reference semantics keep the Work bucket (duckdb_test.go:539-643)
+    val lbl = rows(engine.aggregate(ViewType.Labels,
+      AggregateOptions(searchQuery = "work")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lbl == Map("Work" -> 1))
+    // time key match: "2024-02" hits only that bucket
+    val tm = rows(engine.aggregate(ViewType.Time,
+      AggregateOptions(searchQuery = "2024-02")))
+      .map(_.getString(0)).toSet
+    assert(tm == Set("2024-02"))
+    // ordinary subject search still works post-join
+    val senders = rows(engine.aggregate(ViewType.Senders,
+      AggregateOptions(searchQuery = "quarterly")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(senders == Map("alice@a.com" -> 1, "bob@b.org" -> 1))
+  }
+
   test("subAggregate: drill into one sender across time") {
     val byKey = rows(engine.subAggregate(ViewType.Time,
       MessageFilter(sender = "alice@a.com")))
