@@ -383,6 +383,35 @@ final class MsgEngine(val vault: MsgVault) {
       .limit(if (opts.limit > 0) opts.limit else 100)
   }
 
+  /** Texts-mode source aggregate (reference duckdb_text.go:191-294
+    * ViewSources branch): chat messages grouped by the account identifier.
+    */
+  def aggregateTextSources(opts: AggregateOptions = AggregateOptions()): DataFrame = {
+    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
+    val src = vault.sources.select(col("id").as("__s_id"),
+      col("identifier").as("key"))
+    msg.join(src, col("source_id") === col("__s_id"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("count"),
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"))
+      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
+      .orderBy(col("count").desc, col("key").asc)
+      .limit(if (opts.limit > 0) opts.limit else 100)
+  }
+
+  /** Texts-mode time aggregate (duckdb_text.go ViewTime branch). */
+  def aggregateTextTime(opts: AggregateOptions = AggregateOptions(),
+      granularity: TimeGranularity = TimeGranularity.Month): DataFrame = {
+    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
+    msg.filter(col("sent_at").isNotNull)
+      .groupBy(timeKey(granularity).as("key"))
+      .agg(count(lit(1)).as("count"),
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"))
+      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
+      .orderBy(col("key").asc)
+      .limit(if (opts.limit > 0) opts.limit else 100)
+  }
+
   private def optsFilter(opts: AggregateOptions): MessageFilter =
     MessageFilter(
       sourceId = opts.sourceId, sourceIds = opts.sourceIds,

@@ -50,31 +50,51 @@ object Dedup {
       .select(col("__id").as("loser_id"), col("winner_id"))
   }
 
-  /** MinHash signatures as a relational plan: explode shingles, hash each
-    * ONCE (`xxhash64(shingle)`), then k codegen'd `min(xxhash64(j, h))`
-    * aggregates — signature j = min over shingles of a j-seeded rehash of
-    * the base hash (a universal family over the 64-bit base).
+  /** MinHash signatures as a fully-codegen relational plan:
     *
-    * Shape matters. The tempting pure-`Column` forms are pathological:
-    * `array(k × array_min(transform(sh, ...)))` duplicates the
-    * tokenize→shingle→distinct subtree k times, and the nested
-    * `transform(sequence(0,k-1), j => ...)` re-evaluates it per j — and
-    * higher-order functions are never codegen'd, so both run interpreted
-    * (measured ~55ms/doc; this plan is ~100× faster). Explode + groupBy is
-    * all WholeStageCodegen with map-side partial agg: the shuffle carries
-    * exactly one k-long signature per doc at any corpus size.
+    *   tokenize (one regex split) → posexplode tokens → xxhash64 per token
+    *   → shingle hash at position p = xxhash64(h_p, h_p+1, …) via window
+    *   `lead` → k codegen'd `min(xxhash64(j, h))` aggregates.
+    *
+    * Signature j = min over shingles of a j-seeded rehash of the shingle
+    * hash (a universal family over the 64-bit base). Two structural wins
+    * over the direct "build shingle strings" form:
+    *
+    *   - shingle STRINGS are never materialized — a shingle's hash is
+    *     derived from the k consecutive token hashes, so the only string
+    *     hashing is one xxhash64 per token, and nothing here is an
+    *     interpreted higher-order function (HOFs never enter
+    *     WholeStageCodegen; the earlier HOF forms were 10-100× slower);
+    *   - no distinct pass — `min` is idempotent over duplicate shingles,
+    *     so the multiset signature equals the set signature.
+    *
+    * One shuffle on doc_id (window); the groupBy reuses that partitioning.
+    * Docs shorter than `shingleSize` tokens hash their full token run
+    * (lead() null-pads, matching the whole-doc-shingle fallback of
+    * [[graft.functions.TextFunctions.shingles]]).
     *
     * Returns (doc_id, sig: array<long>[k]).
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
-    graft.sources.Tables.spread(df.select(id.as("doc_id"), text.as("__text")))
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val toked = graft.sources.Tables.spread(
+      df.select(id.as("doc_id"), text.as("__text")))
       .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("__text")), shingleSize))).as("__s"))
-      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+        posexplode(tokens(col("__text"))).as(Seq("__pos", "__t")))
+      .select(col("doc_id"), col("__pos"), xxhash64(col("__t")).as("__h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos").asc)
+    val leads = (1 until shingleSize).map(o => lead(col("__h"), o).over(w))
+    val shingleHash = xxhash64(col("__h") +: leads: _*)
+    // keep one hash per shingle start; the lead-null tail rows only stand
+    // in for short docs (every doc keeps its pos=0 row)
+    toked
+      .withColumn("__sh", shingleHash)
+      .withColumn("__last", lead(col("__h"), shingleSize - 1).over(w))
+      .filter(col("__last").isNotNull || col("__pos") === 0)
       .groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(j =>
-        min(xxhash64(lit(j), col("__h")))): _*).as("sig"))
+        min(xxhash64(lit(j), col("__sh")))): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs (Broder/Leskovec MMDS construction). Returns distinct
@@ -123,15 +143,25 @@ object Dedup {
       size(array_union(sa, sb)).cast("double")
   }
 
-  /** Near-dup via MinHash-LSH candidates + exact Jaccard threshold. */
+  /** Near-dup via MinHash-LSH candidates + exact Jaccard threshold. The
+    * shingle arrays are materialized once per side (separate projections —
+    * `array_intersect` and `array_union` would otherwise each re-evaluate
+    * the interpreted shingle construction).
+    */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
     val cand = minhashCandidates(docs, col("doc_id"), col("doc_text"), numHashes, bands)
+    def sh(c: Column) = array_distinct(shingles(tokens(c), shingleSize))
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("doc_text").as("__ta")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("doc_text").as("__tb")), "id_b")
-      .withColumn("jaccard", jaccard(col("__ta"), col("__tb")))
+      .withColumn("__sa", sh(col("__ta")))
+      .withColumn("__sb", sh(col("__tb")))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -93,4 +93,14 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(out(0).getString(0) == "A")
     assert(out(0).getLong(1) == 3)
   }
+
+  test("aggregateTextSources / aggregateTextTime: chat-only buckets") {
+    val engine = new MsgEngine(sourceVault(9))
+    val bySrc = engine.aggregateTextSources().collect()
+    assert(bySrc.length == 1)
+    assert(bySrc(0).getString(0) == "acct@x.com" && bySrc(0).getLong(1) == 3)
+    // chat msgs 3,6,9 → months 2024-04, 2024-07, 2024-10 (i%12+1)
+    val byTime = engine.aggregateTextTime().collect().map(_.getString(0)).toSeq
+    assert(byTime == Seq("2024-04", "2024-07", "2024-10"))
+  }
 }
