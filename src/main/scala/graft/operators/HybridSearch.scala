@@ -17,7 +17,15 @@ import graft.functions.Fts
   */
 object HybridSearch {
 
-  final case class Result(df: DataFrame, bm25Saturated: Boolean, annSaturated: Boolean)
+  /** Saturation flags are lazy: each is an extra count job over its
+    * branch, and callers that only read `df` (the common path) shouldn't
+    * pay for two more executions of the branch pipelines.
+    */
+  final class Result(val df: DataFrame,
+      bm25Sat: => Boolean, annSat: => Boolean) {
+    lazy val bm25Saturated: Boolean = bm25Sat
+    lazy val annSaturated: Boolean = annSat
+  }
 
   /** @param docs    (id, tokens) corpus for the lexical branch
     * @param vectors (id, embedding) corpus for the semantic branch
@@ -37,7 +45,6 @@ object HybridSearch {
     // BM25 branch: LIMIT k+1 — the extra row only signals saturation
     val bm25 = Fts.bm25Search(applyPre(docs, id), id, tokens, terms, k + 1)
       .select(col("doc_id").as("id"), col("rank").as("rank"))
-    val bm25Rows = bm25.count()
     val bm25Trimmed = bm25.filter(col("rank") <= k)
 
     // ANN branch
@@ -47,12 +54,11 @@ object HybridSearch {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("vec_id").asc)))
       .select(col("vec_id").as("id"), col("rank"))
-    val annRows = ann.count()
     val annTrimmed = ann.filter(col("rank") <= k)
 
     val fused = Similarity.rrfFuse(bm25Trimmed, annTrimmed, "id", "rank",
       rrfK, k)
-    Result(fused, bm25Saturated = bm25Rows > k, annSaturated = annRows > k)
+    new Result(fused, bm25.count() > k, ann.count() > k)
   }
 
   /** Subject/title-term boost re-rank (reference fused.go:464-507): results

@@ -39,11 +39,18 @@ object Tables {
       .withColumn("ts", timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
   }
 
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
   /** Register every table as a temp view named after the table — the
-    * analogue of the reference's RegisterViews (views.go:129-145). Idempotent.
+    * analogue of the reference's RegisterViews (views.go:129-145).
+    * Idempotent AND memoized per (session, dir): re-registration would
+    * re-read ten parquet footers per call for identical views.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    if (registered.add((System.identityHashCode(spark), sfDir)))
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  }
 
   /** Spread a DataFrame across the cluster's cores when its current
     * partitioning would serialize compute-heavy downstream work — the case

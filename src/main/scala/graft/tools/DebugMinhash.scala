@@ -39,6 +39,17 @@ object DebugMinhash {
       Dedup.minhashCandidates(docs, col("doc_id"), col("text")).count())
     time("candidates#2")(
       Dedup.minhashCandidates(docs, col("doc_id"), col("text")).count())
+    val nd = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.5)
+    time("nearDup-count")(nd.count())
+    time("nearDup-count#2")(nd.count())
+    time("nearDup-ordered-noop") {
+      nd.orderBy(col("id_a").asc, col("id_b").asc)
+        .write.format("noop").mode("overwrite").save(); "ok"
+    }
+    time("nearDup-ordered-noop#2") {
+      nd.orderBy(col("id_a").asc, col("id_b").asc)
+        .write.format("noop").mode("overwrite").save(); "ok"
+    }
     spark.stop()
   }
 }
