@@ -425,6 +425,24 @@ object CoreQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size
       |FROM orders GROUP BY 1 ORDER BY year ASC""".stripMargin
 
+  // --- skew-mitigation: two-phase salted aggregation over a 3-key
+  // (maximally skewed) grouping — identical result to the direct groupBy,
+  // but a hot key spreads over 16 reducers in stage 1.
+  def aggSalted(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    Skew.saltedAgg(t(s, dir, "lineitem"), col("l_returnflag"), salts = 16,
+      aggs = scala.collection.immutable.ListMap(
+        "cnt" -> (count(lit(1)), (c: Column) => sum(c)),
+        "sum_qty" -> (sum(col("l_quantity").cast("decimal(18,2)")),
+          (c: Column) => sum(c).cast("double"))))
+      .orderBy(col("key").asc)
+  }
+
+  val aggSaltedSql: String =
+    """SELECT l_returnflag AS key, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY key ASC""".stripMargin
+
   // --- §3.2 raw SQL surface (reference QuerySQL duckdb.go:188-224): the
   // user's SQL string runs verbatim over the registered views — Catalyst
   // does the whole parse→analyze→optimize→execute pipeline. The oracle runs
@@ -444,6 +462,7 @@ object CoreQueries {
   /** Registry consumed by [[graft.SparkEntry]]. */
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "sql_passthrough" -> (sqlPassthrough _, Some(sqlPassthroughSql)),
+    "agg_salted" -> (aggSalted _, Some(aggSaltedSql)),
     "agg_core" -> (aggCore _, Some(aggCoreSql)),
     "agg_time_buckets" -> (aggTime _, Some(aggTimeSql)),
     "agg_total_stats" -> (totalStats _, Some(totalStatsSql)),

@@ -59,6 +59,32 @@ object EventsStreaming {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on
+    * event_id — the streaming face of the dedup family (§2.11/2.12).
+    * State retains only ids inside the watermark horizon, so memory is
+    * bounded by arrival skew, not stream length — the property that makes
+    * this run forever on an unbounded 100 TB/day feed.
+    */
+  def runDedupAvailableNow(spark: SparkSession, eventsDir: String,
+      checkpoint: String, queryName: String = "graft_events_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class UserRunning(user_id: Long, events: Long, total_value: Double)
 
   /** Custom state machine: per-user running totals via

@@ -79,6 +79,51 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_sum"), s"no map-side partial agg:\n$plan")
   }
 
+  test("bucketed tables join shuffle-free (co-located SMJ)") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    ord.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = executed(joined.select(col("l_quantity"), col("o_totalprice"))).toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+  }
+
+  test("salted aggregation produces the exact unsalted result") {
+    import graft.operators.Skew
+    import org.apache.spark.sql.Column
+    val li = Tables.load(spark, sf, "lineitem")
+    val salted = Skew.saltedAgg(li, col("l_returnflag"), salts = 8,
+      aggs = scala.collection.immutable.ListMap(
+        "cnt" -> (count(lit(1)), (c: Column) => sum(c)),
+        "q" -> (sum(col("l_quantity").cast("decimal(18,2)")),
+          (c: Column) => sum(c).cast("double"))))
+      .orderBy(col("key")).collect()
+    val direct = li.groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"))
+      .orderBy(col("key")).collect()
+    assert(salted.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    import graft.operators.Skew
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plainCount = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = Skew.saltedJoin(li, ord, col("l_orderkey"), col("o_orderkey"), 8)
+    assert(salted.count() == plainCount)
+  }
+
   test("year-partitioned message star prunes partitions on year filter") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import graft.engine.{CacheBuilder, Fixtures, MsgVault}

@@ -26,6 +26,20 @@ class EventsStreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup removes cross-file duplicates, keeps uniques") {
+    // two copies of the same file → every event arrives twice
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    for (n <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), srcDir.resolve(n))
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_dedup_ckpt").toString
+    val deduped = EventsStreaming.runDedupAvailableNow(
+      spark, srcDir.toString, checkpoint)
+    val originals = Tables.load(spark, dir, "events").count()
+    assert(deduped.count() == originals)
+  }
+
   test("session windows produce plausible per-user sessions") {
     val sessions = EventsStreaming.sessionCounts(
       Tables.load(spark, dir, "events")).collect()
