@@ -155,6 +155,25 @@ final class MsgEngine(val vault: MsgVault) {
     enrich(page).orderBy(ordered: _*)
   }
 
+  /** Keyset ("cursor") pagination — the 100 TB replacement for
+    * LIMIT/OFFSET (SURVEY §7 hard-item 4: `offset` re-sorts every
+    * partition; a (sent_at, id) cursor is a range predicate that prunes
+    * partitions and row groups before any sort). Pass the last row of the
+    * previous page; None = first page. Ordering matches
+    * [[listMessages]]'s default (sent_at DESC, id DESC).
+    */
+  def listMessagesAfter(filter: MessageFilter,
+      cursor: Option[(java.sql.Timestamp, Long)], limit: Int = 500): DataFrame = {
+    var page = filters.compile(filter)
+    cursor.foreach { case (ts, id) =>
+      page = page.filter(col("sent_at") < lit(ts) ||
+        (col("sent_at") === lit(ts) && col("id") < id))
+    }
+    val sorted = page.orderBy(col("sent_at").desc, col("id").desc)
+      .limit(if (limit > 0) limit else 500)
+    enrich(sorted).orderBy(col("sent_at").desc, col("id").desc)
+  }
+
   /** Sender resolution (dual path) + labels + conversation title for a page
     * of messages (reference duckdb.go:1254-1299; FIRST→min_by for
     * determinism).

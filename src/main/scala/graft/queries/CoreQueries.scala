@@ -425,6 +425,35 @@ object CoreQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size
       |FROM orders GROUP BY 1 ORDER BY year ASC""".stripMargin
 
+  // --- keyset (cursor) pagination — the scale path for deep paging
+  // (SURVEY §7 hard-item 4): the cursor is a range predicate pushed to the
+  // scan, vs OFFSET's sort-everything. Cursor literal = last row of an
+  // imagined previous page.
+  def paginationKeyset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-06-01").cast("timestamp") ||
+        (col("o_orderdate") === lit("1995-06-01").cast("timestamp") &&
+          col("o_orderkey") < 100000L))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_day"),
+        col("o_totalprice"))
+      .orderBy(col("o_day").desc, col("o_orderkey").desc)
+      .limit(50)
+
+  val paginationKeysetSql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_day, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1995-06-01'
+      |   OR (o_orderdate = TIMESTAMP '1995-06-01' AND o_orderkey < 100000)
+      |ORDER BY o_day DESC, o_orderkey DESC LIMIT 50""".stripMargin
+
+  // --- approximate distinct (HLL) — the estimation pass a petabyte dedup
+  // job runs before choosing a strategy; rows-only (approx sketches are
+  // engine-specific), spec-asserted within tolerance of exact.
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+
   // --- skew-mitigation: two-phase salted aggregation over a 3-key
   // (maximally skewed) grouping — identical result to the direct groupBy,
   // but a hot key spreads over 16 reducers in stage 1.
@@ -463,6 +492,8 @@ object CoreQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "sql_passthrough" -> (sqlPassthrough _, Some(sqlPassthroughSql)),
     "agg_salted" -> (aggSalted _, Some(aggSaltedSql)),
+    "pagination_keyset" -> (paginationKeyset _, Some(paginationKeysetSql)),
+    "agg_approx_distinct" -> (aggApproxDistinct _, None),
     "agg_core" -> (aggCore _, Some(aggCoreSql)),
     "agg_time_buckets" -> (aggTime _, Some(aggTimeSql)),
     "agg_total_stats" -> (totalStats _, Some(totalStatsSql)),

@@ -331,6 +331,35 @@ object DocQueries {
       |) / 4.0, 6) AS quality
       |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  /** Composed curation pipeline, deterministic core: quality gate + exact
+    * dedup (min-id winner) + token accounting in one pass + one window
+    * shuffle ([[graft.operators.Curation]]).
+    */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.curate(t(s, dir, "documents"),
+      col("doc_id"), col("text"), minQuality = 0.5)
+      .orderBy(col("doc_id").asc)
+
+  val pipelineCurateSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, text, round((
+      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) +
+      |    least(CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
+      |    (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
+      |  ) / 4.0, 6) AS quality FROM documents),
+      |w AS (
+      |  SELECT doc_id, text, quality,
+      |         MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS winner
+      |  FROM q)
+      |SELECT doc_id, quality, len(string_split(text, ' ')) AS n_tokens
+      |FROM w WHERE quality >= 0.5 AND doc_id = winner
+      |ORDER BY doc_id ASC""".stripMargin
+
   // --- multimodal plumbing -------------------------------------------------
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -379,6 +408,7 @@ object DocQueries {
     "stream_sliding" -> (streamSliding _, Some(streamSlidingSql)),
     "stream_sessionize" -> (streamSessionize _, Some(streamSessionizeSql)),
     "text_quality_score" -> (textQualityScore _, Some(textQualityScoreSql)),
+    "pipeline_curate" -> (pipelineCurate _, Some(pipelineCurateSql)),
     "multimodal_meta" -> (multimodalMeta _, Some(multimodalMetaSql)),
     "multimodal_features" -> (multimodalFeatures _, None))
 }

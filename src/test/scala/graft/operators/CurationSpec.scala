@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.engine.{Fixtures, MsgEngine}
+import graft.model.MessageFilter
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftExtensions
+
+/** Curation pipeline, keyset pagination, SQL function registration,
+  * approx-distinct tolerance.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curateFull: language gate, quality gate, exact + near dedup compose") {
+    val docs = Seq(
+      (1L, "the cat and the dog went to the market and it is a fine day for everyone there"),
+      (2L, "the cat and the dog went to the market and it is a fine day for everyone there"), // exact dup of 1
+      (3L, "el perro y el gato de la casa se ven en el parque con los vecinos"), // not in langs
+      (4L, "zz")) // low quality (2 chars, no stopwords)
+      .toDF("doc_id", "text")
+    val out = Curation.curateFull(docs, col("doc_id"), col("text"),
+      minQuality = 0.5, langs = Set("en"))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("cosine_similarity is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)), " +
+        "array(CAST(4.0 AS DOUBLE), CAST(3.0 AS DOUBLE))) AS c").head()
+    assert(math.abs(r.getDouble(0) - 0.96) < 1e-12)
+  }
+
+  test("keyset pagination pages match offset pagination pages") {
+    import Fixtures._
+    val v = Fixtures.vault(spark,
+      messages = (1 to 20).map(i =>
+        msg(i.toLong, s"m$i", f"2024-01-${i % 10 + 1}%02d 10:00:00")),
+      recipients = (1 to 20).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    val engine = new MsgEngine(v)
+    val all = engine.listMessages(MessageFilter()).collect()
+    val page1 = engine.listMessagesAfter(MessageFilter(), None, limit = 7).collect()
+    assert(page1.map(_.getAs[Long]("id")).toSeq ==
+      all.take(7).map(_.getAs[Long]("id")).toSeq)
+    val last = page1.last
+    val page2 = engine.listMessagesAfter(MessageFilter(),
+      Some((last.getAs[java.sql.Timestamp]("sent_at"), last.getAs[Long]("id"))),
+      limit = 7).collect()
+    assert(page2.map(_.getAs[Long]("id")).toSeq ==
+      all.slice(7, 14).map(_.getAs[Long]("id")).toSeq)
+  }
+
+  test("approx_count_distinct within 5% of exact on real data") {
+    val r = graft.queries.CoreQueries
+      .aggApproxDistinct(spark, "/root/testdata/sf0.001").head()
+    val approx = r.getAs[Long]("approx_orders").toDouble
+    val exact = r.getAs[Long]("exact_orders").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
