@@ -77,20 +77,25 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val toked = graft.sources.Tables.spread(
+    // shingle hash = iterated combine of k consecutive token hashes,
+    // computed INSIDE the token array: zip the hash array with its own
+    // 1..k-1 shifts. The hash-function null-skip makes the k-1 tail
+    // positions "padded" partial shingles (hash(a,b,null)=hash(a,b)) —
+    // consistent across docs, and they give short docs a signature too.
+    // No shuffle happens until the per-doc signature groupBy (which
+    // map-side-combines to one row per doc before the exchange).
+    val hashes = transform(tokens(col("__text")), t => xxhash64(t))
+    val shingleHashes = (2 to shingleSize)
+      .foldLeft(col("__hs")) { case (acc, o) =>
+        zip_with(acc,
+          slice(col("__hs"), lit(o),
+            greatest(size(col("__hs")) - (o - 1), lit(1))),
+          (a, b) => xxhash64(a, b))
+      }
+    graft.sources.Tables.spread(
       df.select(id.as("doc_id"), text.as("__text")))
-      .select(col("doc_id"),
-        posexplode(tokens(col("__text"))).as(Seq("__pos", "__t")))
-      .select(col("doc_id"), col("__pos"), xxhash64(col("__t")).as("__h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos").asc)
-    val leads = (1 until shingleSize).map(o => lead(col("__h"), o).over(w))
-    val shingleHash = xxhash64(col("__h") +: leads: _*)
-    // keep one hash per shingle start; the lead-null tail rows only stand
-    // in for short docs (every doc keeps its pos=0 row)
-    toked
-      .withColumn("__sh", shingleHash)
-      .withColumn("__last", lead(col("__h"), shingleSize - 1).over(w))
-      .filter(col("__last").isNotNull || col("__pos") === 0)
+      .withColumn("__hs", hashes)
+      .select(col("doc_id"), explode(shingleHashes).as("__sh"))
       .groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(j =>
         min(xxhash64(lit(j), col("__sh")))): _*).as("sig"))

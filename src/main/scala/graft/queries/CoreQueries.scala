@@ -449,10 +449,12 @@ object CoreQueries {
   // --- approximate distinct (HLL) — the estimation pass a petabyte dedup
   // job runs before choosing a strategy; rows-only (approx sketches are
   // engine-specific), spec-asserted within tolerance of exact.
+  // (approx only: adding exact countDistinct to the same agg doubles the
+  // row volume through an Expand — the spec computes exact separately)
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-      countDistinct(col("l_orderkey")).as("exact_orders"))
+      count(lit(1)).as("total_rows"))
 
   // --- skew-mitigation: two-phase salted aggregation over a 3-key
   // (maximally skewed) grouping — identical result to the direct groupBy,
