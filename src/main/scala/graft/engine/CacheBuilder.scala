@@ -70,7 +70,10 @@ object CacheBuilder {
     if (newCount == 0 && !fullRebuild) return 0L
 
     val msgMode = if (fullRebuild) SaveMode.Overwrite else SaveMode.Append
-    liveNew.write.mode(msgMode).partitionBy("year")
+    // repartition on the partition column first: otherwise every task
+    // writes into every year= dir (tasks × years small files at scale)
+    liveNew.repartition(col("year"))
+      .write.mode(msgMode).partitionBy("year")
       .option("compression", "zstd").parquet(s"$outDir/messages")
 
     // junction tables: full on rebuild; incremental runs append shard files

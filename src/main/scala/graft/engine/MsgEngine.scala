@@ -116,6 +116,33 @@ final class MsgEngine(val vault: MsgVault) {
     ordered.limit(if (opts.limit > 0) opts.limit else 100)
   }
 
+  // ---- typed surface: Dataset[T] with the reference's model shapes
+  // (models.go) — case-class Encoders give callers compile-time fields;
+  // the untyped DataFrame methods stay the composition layer.
+
+  def aggregateTyped(view: ViewType,
+      opts: AggregateOptions = AggregateOptions(),
+      granularity: TimeGranularity = TimeGranularity.Month)
+      : org.apache.spark.sql.Dataset[AggregateRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[AggregateRow] =
+      org.apache.spark.sql.Encoders.product[AggregateRow]
+    aggregate(view, opts, granularity)
+      .withColumn("key", col("key").cast("string")).as[AggregateRow]
+  }
+
+  def listMessagesTyped(filter: MessageFilter)
+      : org.apache.spark.sql.Dataset[MessageSummary] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MessageSummary] =
+      org.apache.spark.sql.Encoders.product[MessageSummary]
+    listMessages(filter).as[MessageSummary]
+  }
+
+  def totalStatsTyped(filter: MessageFilter = MessageFilter()): TotalStats = {
+    implicit val enc: org.apache.spark.sql.Encoder[TotalStats] =
+      org.apache.spark.sql.Encoders.product[TotalStats]
+    totalStats(filter).as[TotalStats].head()
+  }
+
   /** Archive totals (reference GetTotalStats duckdb.go:1101-1179): one
     * hash-agg pass over the filtered fact table + attachment rollup.
     */

@@ -408,6 +408,10 @@ object CoreQueries {
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_etl_orders"
     t(s, dir, "orders")
       .withColumn("year", year(col("o_orderdate")))
+      // co-locate rows with their output partition before the write:
+      // without this every task writes a file into every year= dir —
+      // tasks × years small files, the classic large-scale sink mistake
+      .repartition(col("year"))
       .write.mode("overwrite")
       .partitionBy("year")
       .option("compression", "zstd")

@@ -200,6 +200,18 @@ class MsgEngineSpec extends SparkTestBase {
     assert(out.head.getAs[String]("title") == "Family chat")
   }
 
+  test("typed surface: Dataset[AggregateRow]/[MessageSummary]/TotalStats") {
+    val agg = engine.aggregateTyped(ViewType.Senders).collect()
+    assert(agg.map(_.key).toSet == Set("alice@a.com", "bob@b.org", "dave@a.com"))
+    assert(agg.find(_.key == "alice@a.com").get.count == 2)
+    val page = engine.listMessagesTyped(
+      MessageFilter(pagination = Pagination(limit = 2))).collect()
+    assert(page.map(_.id).toSeq == Seq(6L, 5L))
+    assert(page.head.from_name == "Carol")
+    val st = engine.totalStatsTyped()
+    assert(st.message_count == 5 && st.attachment_count == 1)
+  }
+
   test("raw SQL surface: v_messages + v_senders registered") {
     v.registerViews()
     val vm = spark.sql(
