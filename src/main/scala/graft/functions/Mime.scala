@@ -140,6 +140,64 @@ object Mime {
 
   val extractMessageIdUdf: UserDefinedFunction = udf(extractMessageId _)
 
+  /** Body text from raw (inflated) MIME — the reference's
+    * `mime.Parse(raw).GetBodyText()` path (shared.go:209-215), covering
+    * the dominant archive shapes: single-part plain text, with
+    * quoted-printable and base64 transfer decodings. Multipart messages
+    * return the first text/plain part; unparseable input returns null.
+    * (A full MIME tree walk is out of scope — bodies are materialized at
+    * ingest in this engine; see CacheBuilder.buildBodies.)
+    */
+  def extractBodyText(raw: Array[Byte]): String = {
+    if (raw == null) return null
+    val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val headerEnd = {
+      val a = s.indexOf("\r\n\r\n"); val b = s.indexOf("\n\n")
+      if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+    }
+    if (headerEnd < 0) return null
+    val headers = parseHeaders(s.substring(0, headerEnd)).toMap
+    val bodyStart = if (s.startsWith("\r\n\r\n", headerEnd)) headerEnd + 4
+      else headerEnd + 2
+    var body = s.substring(bodyStart)
+    val ctypeRaw = headers.getOrElse("Content-Type", "text/plain")
+    val ctype = ctypeRaw.toLowerCase
+    if (ctype.startsWith("multipart/")) {
+      // boundary is case-sensitive — extract from the original header
+      val boundary = """(?i)boundary="?([^";\s]+)"?""".r
+        .findFirstMatchIn(ctypeRaw).map(_.group(1)).getOrElse(return null)
+      val parts = body.split(java.util.regex.Pattern.quote("--" + boundary))
+      val textPart = parts.find(_.toLowerCase.contains("text/plain"))
+        .getOrElse(return null)
+      return extractBodyText(
+        textPart.dropWhile(c => c == '\r' || c == '\n')
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    headers.getOrElse("Content-Transfer-Encoding", "").toLowerCase.trim match {
+      case "base64" =>
+        try new String(java.util.Base64.getMimeDecoder.decode(body.trim),
+          java.nio.charset.StandardCharsets.UTF_8)
+        catch { case _: Exception => null }
+      case "quoted-printable" =>
+        val unfolded = body.replace("=\r\n", "").replace("=\n", "")
+        val out = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < unfolded.length) {
+          val c = unfolded.charAt(i)
+          if (c == '=' && i + 3 <= unfolded.length) {
+            try {
+              out.write(Integer.parseInt(unfolded.substring(i + 1, i + 3), 16))
+              i += 3
+            } catch { case _: Exception => out.write(c.toInt); i += 1 }
+          } else { out.write(c.toInt); i += 1 }
+        }
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => body
+    }
+  }
+
+  val extractBodyTextUdf: UserDefinedFunction = udf(extractBodyText _)
+
   /** Embedding preprocessing (reference vector/embed/preprocess.go:38-80):
     * strip quoted-reply tails and signature blocks, prepend "Subject: ",
     * truncate to maxChars code points.

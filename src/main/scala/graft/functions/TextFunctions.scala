@@ -90,13 +90,14 @@ object TextFunctions {
   /** Content fingerprint: md5 of the lowercased text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(lower(text))
 
-  /** 64-bit rolling document fingerprint: polynomial hash over tokens in
-    * long arithmetic — a seeded, shuffle-stable alternative to md5 when a
-    * numeric key is wanted. fold is sequential → deterministic.
+  /** 64-bit rolling document fingerprint: hash-chained fold over tokens
+    * (`acc ← xxhash64(acc, token)`) — order-sensitive, deterministic, and
+    * a numeric alternative to md5. Chaining via the hash function instead
+    * of polynomial multiply keeps it overflow-free under ANSI mode
+    * (multiplication wraparound throws there).
     */
   def rollingFingerprint(toks: Column): Column =
-    aggregate(toks, lit(1125899906842597L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(toks, lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
 
   /** Word-level shingles of size n: ["a b c", "b c d", ...]. */
   def shingles(toks: Column, n: Int): Column =

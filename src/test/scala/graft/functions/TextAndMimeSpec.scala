@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.operators.Embed
+import org.apache.spark.sql.functions._
+
+/** Body-text extraction, batch embed plumbing, and the text functions not
+  * already covered by oracle entries.
+  */
+class TextAndMimeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def b(s: String) = s.getBytes("ISO-8859-1")
+
+  test("extractBodyText: plain, quoted-printable, base64, multipart") {
+    assert(Mime.extractBodyText(b("Subject: s\r\n\r\nplain body")) == "plain body")
+
+    val qp = "Subject: s\r\nContent-Transfer-Encoding: quoted-printable\r\n\r\n" +
+      "caf=C3=A9 line=\r\ncontinued"
+    assert(Mime.extractBodyText(b(qp)) == "café linecontinued")
+
+    val b64 = java.util.Base64.getEncoder.encodeToString("hello ü".getBytes("UTF-8"))
+    val m = s"Content-Transfer-Encoding: base64\r\n\r\n$b64"
+    assert(Mime.extractBodyText(b(m)) == "hello ü")
+
+    val multi = "Content-Type: multipart/alternative; boundary=\"XX\"\r\n\r\n" +
+      "--XX\r\nContent-Type: text/html\r\n\r\n<b>no</b>\r\n" +
+      "--XX\r\nContent-Type: text/plain\r\n\r\nthe text part\r\n--XX--"
+    assert(Mime.extractBodyText(b(multi)).trim.startsWith("the text part"))
+
+    assert(Mime.extractBodyText(null) == null)
+    assert(Mime.extractBodyText(b("no header split")) == null)
+  }
+
+  test("embedAll: per-partition batching preserves ids and is partition-independent") {
+    val rows = (1L to 100L).map(i => (i, s"document number $i")).toDF("id", "text")
+    val client = Embed.deterministicClient(dim = 8)
+    val a = Embed.embedAll(spark, rows, client, batchSize = 7)
+      .collect().sortBy(_.id)
+    val bOut = Embed.embedAll(spark, rows.repartition(13), client, batchSize = 3)
+      .collect().sortBy(_.id)
+    assert(a.length == 100 && bOut.length == 100)
+    assert(a.map(_.id).toSeq == (1L to 100L))
+    // identical vectors regardless of partitioning/batch size
+    assert(a.zip(bOut).forall { case (x, y) =>
+      x.embedding.toSeq == y.embedding.toSeq })
+    assert(a.head.embedding.length == 8)
+  }
+
+  test("bpeish token count exceeds whitespace count on punctuated text") {
+    val df = Seq(("a.b.c, d!", "plain words here")).toDF("t1", "t2")
+      .select(
+        TextFunctions.bpeishTokenCount(col("t1")).as("p1"),
+        TextFunctions.wsTokens(col("t1")).as("w1"),
+        TextFunctions.bpeishTokenCount(col("t2")).as("p2"))
+      .head()
+    assert(df.getAs[Int]("p1") > 2) // punctuation splits inflate
+    assert(df.getAs[Int]("p2") == 3)
+  }
+
+  test("rollingFingerprint is order-sensitive and deterministic") {
+    val out = Seq(("a b c", 1), ("c b a", 2), ("a b c", 3)).toDF("t", "i")
+      .select(col("i"),
+        TextFunctions.rollingFingerprint(TextFunctions.wsTokens(col("t"))).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(1) == out(3))
+    assert(out(1) != out(2))
+  }
+
+  test("punctRatio and qualityScore bounds") {
+    val r = Seq(("!!!!", "the quick brown fox and the lazy dog in a field"))
+      .toDF("junk", "prose")
+      .select(TextFunctions.punctRatio(col("junk")).as("pj"),
+        TextFunctions.qualityScore(col("junk")).as("qj"),
+        TextFunctions.qualityScore(col("prose")).as("qp"))
+      .head()
+    assert(r.getAs[Double]("pj") == 1.0)
+    assert(r.getAs[Double]("qj") < r.getAs[Double]("qp"))
+    assert(r.getAs[Double]("qp") <= 1.0 && r.getAs[Double]("qj") >= 0.0)
+  }
+}
