@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Dev tool: scaling probe for the dedup/similarity family. Replicates
+  * the documents/embeddings tables N× (with shifted ids + a cheap textual
+  * perturbation so dup structure stays sparse) and times the operators at
+  * 1× and N× to check the growth curve is ~linear — the local stand-in
+  * for "would this hold at 1000×?".
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n1 = docs1.count()
+    // N copies: ids shifted, texts prefixed with a copy marker token so
+    // copies are near-dups of the original (realistic dedup pressure)
+    val docsN = spark.range(factor).crossJoin(docs1)
+      .select((col("id") * n1 * 10 + col("doc_id")).as("doc_id"),
+        concat(lit("copy"), col("id").cast("string"), lit(" "), col("text")).as("text"))
+      .persist()
+    val nN = docsN.count()
+
+    val emb1 = Tables.load(spark, sfDir, "embeddings")
+    val embN = spark.range(factor).crossJoin(emb1)
+      .select((col("id") * 1000000 + col("vec_id")).as("vec_id"),
+        col("embedding"))
+      .persist()
+    embN.count()
+
+    def time(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    }
+
+    println(s"[scale] docs 1x=$n1  ${factor}x=$nN")
+    // warm
+    Dedup.minhashCandidates(docs1, col("doc_id"), col("text")).count()
+    time(s"minhash candidates 1x")(
+      Dedup.minhashCandidates(docs1, col("doc_id"), col("text")).count())
+    time(s"minhash candidates ${factor}x")(
+      Dedup.minhashCandidates(docsN, col("doc_id"), col("text")).count())
+    time(s"simhash signatures 1x")(
+      Dedup.simhashSignatures(docs1, col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text"))).count())
+    time(s"simhash signatures ${factor}x")(
+      Dedup.simhashSignatures(docsN, col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text"))).count())
+    val q = emb1.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    time("knn brute 1x")(
+      Similarity.bruteForceKnn(emb1, col("vec_id"), col("embedding"), q, 10).count())
+    time(s"knn brute ${factor}x")(
+      Similarity.bruteForceKnn(embN, col("vec_id"), col("embedding"), q, 10).count())
+    time(s"exact dedup ${factor}x")(
+      Dedup.exactGroups(docsN, col("doc_id"), col("text")).count())
+    spark.stop()
+  }
+}
