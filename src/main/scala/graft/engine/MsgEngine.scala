@@ -246,6 +246,24 @@ final class MsgEngine(val vault: MsgVault) {
         coalesce(col("conversation_title"), lit("")).as("conversation_title"))
   }
 
+  /** Bulk order-preserving summary hydration (reference
+    * GetMessageSummariesByIDs engine.go:34-42) — the hybrid-search result
+    * path: ids arrive ranked, summaries must come back in that order. The
+    * rank is carried through the enrichment joins as a column and
+    * re-sorted at the end (joins don't preserve order).
+    */
+  def messageSummariesByIds(ids: Seq[Long]): DataFrame = {
+    if (ids.isEmpty) return enrich(vault.messages.limit(0))
+    val rank = ids.zipWithIndex.map { case (id, i) => (id, i) }
+    val rankDf = spark.createDataFrame(rank).toDF("__rid", "__rank")
+    val page = vault.messages
+      .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
+    enrich(page.drop("__rid"))
+      .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
+      .orderBy(col("__rank").asc)
+      .drop("__rid", "__rank")
+  }
+
   // -------------------------------------------------------------- search
 
   /** Metadata search (reference SearchFast duckdb.go:1844-1963): parse →

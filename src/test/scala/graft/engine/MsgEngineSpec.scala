@@ -200,6 +200,13 @@ class MsgEngineSpec extends SparkTestBase {
     assert(out.head.getAs[String]("title") == "Family chat")
   }
 
+  test("messageSummariesByIds preserves the requested ranking") {
+    val out = engine.messageSummariesByIds(Seq(3L, 1L, 6L)).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 1L, 6L))
+    assert(out(1).getAs[String]("from_email") == "alice@a.com")
+    assert(engine.messageSummariesByIds(Nil).collect().isEmpty)
+  }
+
   test("typed surface: Dataset[AggregateRow]/[MessageSummary]/TotalStats") {
     val agg = engine.aggregateTyped(ViewType.Senders).collect()
     assert(agg.map(_.key).toSet == Set("alice@a.com", "bob@b.org", "dave@a.com"))
