@@ -36,6 +36,21 @@ object SearchQueries {
       |  AND len(list_filter(string_split(text, ' '), t -> t LIKE 'win%')) > 0
       |ORDER BY doc_id ASC""".stripMargin
 
+  /** Same semantics (and SAME oracle) as [[ftsPrefixSearch]], answered
+    * through the inverted index instead of a corpus scan — at archive
+    * scale the index rows for two prefixes replace a full-text pass.
+    */
+  def ftsIndexedSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val index = graft.operators.InvertedIndex.build(
+      docs, col("doc_id"), TextFunctions.wsTokens(col("text")))
+    val ids = graft.operators.InvertedIndex.matchingIds(
+      index, Seq("spar", "win"), prefix = true)
+    docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
   // --- BM25 ranking ---------------------------------------------------------
 
   def bm25Rank(s: SparkSession, dir: String): DataFrame = {
@@ -135,6 +150,7 @@ object SearchQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "fts_prefix_search" -> (ftsPrefixSearch _, Some(ftsPrefixSearchSql)),
+    "fts_indexed_search" -> (ftsIndexedSearch _, Some(ftsPrefixSearchSql)),
     "bm25_rank" -> (bm25Rank _, Some(bm25RankSql)),
     "hybrid_rrf" -> (hybridRrf _, Some(hybridRrfSql)))
 }

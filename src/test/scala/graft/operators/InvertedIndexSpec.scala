@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.{Fts, TextFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Inverted-index search: parity with the scan path, persistence with
+  * token-sorted layout, prefix + exact AND semantics.
+  */
+class InvertedIndexSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables.load(spark, dir, "documents")
+    .select(col("doc_id"), col("text"))
+  private lazy val index = InvertedIndex.build(
+    docs, col("doc_id"), TextFunctions.wsTokens(col("text")))
+
+  test("index lookup returns exactly the scan-path matches (prefix AND)") {
+    val terms = Seq("spar", "win")
+    val viaIndex = InvertedIndex.matchingIds(index, terms, prefix = true)
+      .collect().map(_.getLong(0)).toSet
+    val viaScan = docs
+      .filter(Fts.prefixMatch(TextFunctions.wsTokens(col("text")), terms))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+  }
+
+  test("exact-term AND differs from prefix when the prefix is not a word") {
+    val exact = InvertedIndex.matchingIds(index, Seq("spark"), prefix = false)
+      .collect().map(_.getLong(0)).toSet
+    val viaScan = docs
+      .filter(Fts.termMatch(TextFunctions.wsTokens(col("text")), Seq("spark")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exact == viaScan)
+    assert(InvertedIndex.matchingIds(index, Seq("spar"), prefix = false)
+      .collect().isEmpty) // "spar" is not a token
+  }
+
+  test("persisted index round-trips and serves lookups") {
+    val out = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    InvertedIndex.write(index, out, buckets = 4)
+    val reread = InvertedIndex.read(spark, out)
+    val ids = InvertedIndex.matchingIds(reread, Seq("spark"), prefix = false)
+      .count()
+    assert(ids > 0)
+    // postings are sorted (binary-search/merge friendly)
+    val p = reread.filter(col("token") === "spark")
+      .select(col("postings")).head().getAs[scala.collection.Seq[Long]](0)
+    assert(p == p.sorted)
+  }
+}
