@@ -59,6 +59,36 @@ object EventsStreaming {
     spark.table(queryName)
   }
 
+  /** True-streaming session windows: watermarked gap-based
+    * `session_window` aggregation drained with AvailableNow. State per
+    * (user, open session) closes `gap` past the watermark — bounded by
+    * concurrent sessions, not stream length.
+    */
+  def runSessionsAvailableNow(spark: SparkSession, eventsDir: String,
+      checkpoint: String, gap: String = "30 minutes",
+      queryName: String = "graft_events_sessions"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+    val agg = stream
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("cnt"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup: watermark-bounded `dropDuplicates` on
     * event_id — the streaming face of the dedup family (§2.11/2.12).
     * State retains only ids inside the watermark horizon, so memory is

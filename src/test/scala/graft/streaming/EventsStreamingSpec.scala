@@ -47,6 +47,19 @@ class EventsStreamingSpec extends SparkTestBase {
     assert(sessions.forall(_.getAs[Long]("cnt") >= 1))
   }
 
+  test("true-streaming session windows match the batch session twin") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_sess_ckpt").toString
+    val streamed = EventsStreaming.runSessionsAvailableNow(
+      spark, srcDir.toString, checkpoint)
+    val batch = EventsStreaming.sessionCounts(Tables.load(spark, dir, "events"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import spark.implicits._
     val events = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0))
