@@ -39,6 +39,63 @@ object InvertedIndex {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Ranked variant of the index: postings carry term frequency —
+    * `(token, df, postings: array<struct<doc_id, tf>>)` — plus a separate
+    * compact doc-length table `(doc_id, dl)`, which together are
+    * everything BM25 needs without touching the corpus.
+    */
+  def buildRanked(docs: DataFrame, id: Column, toks: Column)
+      : (DataFrame, DataFrame) = {
+    val exploded = docs.select(id.as("doc_id"), explode(toks).as("token"))
+    val index = exploded
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+    val doclens = docs.select(id.as("doc_id"),
+      size(toks).cast("double").as("dl"))
+    (index, doclens)
+  }
+
+  /** BM25 top-k through the index: matched index rows → exploded
+    * (doc, tf) → per-doc score sum → TakeOrdered. Corpus stats (N,
+    * avgdl) come from the doc-length table; df from the index row.
+    * Same formula as [[graft.functions.Fts.bm25]] (k1/b defaults).
+    */
+  def bm25Search(index: DataFrame, doclens: DataFrame, terms: Seq[String],
+      limit: Int = 100, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lower = terms.map(_.toLowerCase).distinct
+    val statsRow = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val n = statsRow.getAs[Long]("n")
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    val dfs = index.filter(col("token").isin(lower: _*))
+      .select(col("token"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = lower.map { t =>
+      val df = dfs.getOrElse(t, 0L)
+      t -> math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    val idfCol = lower.foldLeft(when(lit(false), 0.0)) { (acc, t) =>
+      acc.when(col("token") === t, idf(t))
+    }.otherwise(0.0)
+    index.filter(col("token").isin(lower: _*))
+      .select(idfCol.as("__idf"), explode(col("postings")).as("p"))
+      .select(col("p.doc_id").as("doc_id"),
+        col("p.tf").cast("double").as("__tf"), col("__idf"))
+      .join(doclens, "doc_id")
+      .withColumn("__score",
+        col("__idf") * col("__tf") * (k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__score")).as("bm25_score"))
+      .orderBy(col("bm25_score").desc, col("doc_id").asc)
+      .limit(limit)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_score").desc, col("doc_id").asc)))
+  }
+
   /** Doc ids matching ALL terms (prefix or exact): one index scan tags
     * each matched token row with the query-term indexes it satisfies;
     * exploding postings and counting distinct satisfied terms per doc

@@ -38,6 +38,23 @@ class InvertedIndexSpec extends SparkTestBase {
       .collect().isEmpty) // "spar" is not a token
   }
 
+  test("BM25 through the index matches the scan-path scorer") {
+    val terms = Seq("spark", "join")
+    val (ranked, doclens) = InvertedIndex.buildRanked(
+      docs, col("doc_id"), TextFunctions.wsTokens(col("text")))
+    val viaIndex = InvertedIndex.bm25Search(ranked, doclens, terms, limit = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaScan = Fts.bm25Search(
+      docs.select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks")),
+      col("doc_id"), col("toks"), terms, limit = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaIndex.keySet == viaScan.keySet && viaIndex.nonEmpty)
+    // identical formula, different summation order → tolerance, not bits
+    viaIndex.foreach { case (id, s) =>
+      assert(math.abs(s - viaScan(id)) < 1e-9, s"doc $id: $s vs ${viaScan(id)}")
+    }
+  }
+
   test("persisted index round-trips and serves lookups") {
     val out = java.nio.file.Files.createTempDirectory("graft_idx").toString
     InvertedIndex.write(index, out, buckets = 4)
