@@ -50,56 +50,28 @@ object Dedup {
       .select(col("__id").as("loser_id"), col("winner_id"))
   }
 
-  /** MinHash signatures as a fully-codegen relational plan:
+  /** MinHash signatures. Signature j = min over word-shingles of a
+    * j-seeded rehash of the shingle hash (shingle hash chained from token
+    * hashes — shingle strings are never materialized; no distinct pass —
+    * `min` is idempotent over duplicates, so the multiset signature
+    * equals the set signature).
     *
-    *   tokenize (one regex split) → posexplode tokens → xxhash64 per token
-    *   → shingle hash at position p = xxhash64(h_p, h_p+1, …) via window
-    *   `lead` → k codegen'd `min(xxhash64(j, h))` aggregates.
-    *
-    * Signature j = min over shingles of a j-seeded rehash of the shingle
-    * hash (a universal family over the 64-bit base). Two structural wins
-    * over the direct "build shingle strings" form:
-    *
-    *   - shingle STRINGS are never materialized — a shingle's hash is
-    *     derived from the k consecutive token hashes, so the only string
-    *     hashing is one xxhash64 per token, and nothing here is an
-    *     interpreted higher-order function (HOFs never enter
-    *     WholeStageCodegen; the earlier HOF forms were 10-100× slower);
-    *   - no distinct pass — `min` is idempotent over duplicate shingles,
-    *     so the multiset signature equals the set signature.
-    *
-    * One shuffle on doc_id (window); the groupBy reuses that partitioning.
-    * Docs shorter than `shingleSize` tokens hash their full token run
-    * (lead() null-pads, matching the whole-doc-shingle fallback of
-    * [[graft.functions.TextFunctions.shingles]]).
-    *
-    * Returns (doc_id, sig: array<long>[k]).
+    * Returns (doc_id, sig: array<long>[k]); docs with zero tokens are
+    * absent.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    // shingle hash = iterated combine of k consecutive token hashes,
-    // computed INSIDE the token array: zip the hash array with its own
-    // 1..k-1 shifts. The hash-function null-skip makes the k-1 tail
-    // positions "padded" partial shingles (hash(a,b,null)=hash(a,b)) —
-    // consistent across docs, and they give short docs a signature too.
-    // No shuffle happens until the per-doc signature groupBy (which
-    // map-side-combines to one row per doc before the exchange).
-    val hashes = transform(tokens(col("__text")), t => xxhash64(t))
-    val shingleHashes = (2 to shingleSize)
-      .foldLeft(col("__hs")) { case (acc, o) =>
-        zip_with(acc,
-          slice(col("__hs"), lit(o),
-            greatest(size(col("__hs")) - (o - 1), lit(1))),
-          (a, b) => xxhash64(a, b))
-      }
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    // a signature is a per-row scalar (depends only on the doc's own
+    // tokens) → ONE custom expression with a tight per-row loop
+    // (org.apache.spark.sql.graft.MinHashSignature); no shuffle at all.
+    // Spread first: single-file scans would otherwise run the whole
+    // corpus on one core.
     graft.sources.Tables.spread(
       df.select(id.as("doc_id"), text.as("__text")))
-      .withColumn("__hs", hashes)
-      .select(col("doc_id"), explode(shingleHashes).as("__sh"))
-      .groupBy(col("doc_id"))
-      .agg(array((0 until numHashes).map(j =>
-        min(xxhash64(lit(j), col("__sh")))): _*).as("sig"))
-  }
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashingExpressions.minhashSignature(
+          tokens(col("__text")), numHashes, shingleSize).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs (Broder/Leskovec MMDS construction). Returns distinct
@@ -171,27 +143,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash as a relational plan: explode tokens, hash each once,
-    * then 64 codegen'd per-bit majority votes (sum of ±1 on bit b of the
-    * token hash; set bit b if positive). Token multiplicity is kept —
-    * SimHash is frequency-weighted. Near-dups differ in ≤ k bits (Hamming).
+  /** 64-bit SimHash: per-bit majority vote of token hashes, frequency-
+    * weighted (duplicates count). Near-dups differ in ≤ k bits (Hamming).
     *
-    * Same shape rationale as [[minhashSignatures]]: explode + groupBy keeps
-    * everything in WholeStageCodegen where any per-bit higher-order-function
-    * construction would run interpreted. Docs with zero tokens are absent
-    * from the output (no shingle → no signature).
-    *
-    * Returns (doc_id, simhash: long).
+    * Returns (doc_id, simhash: long); docs with zero tokens are absent.
     */
   def simhashSignatures(df: DataFrame, id: Column, toks: Column): DataFrame =
+    // per-row scalar, same reasoning as [[minhashSignatures]] — the
+    // explode → 64-aggregate encoding existed only to dodge interpreted
+    // HOFs and cost a full shuffle of the exploded tokens
     graft.sources.Tables.spread(df.select(id.as("doc_id"), toks.as("__toks")))
-      .select(col("doc_id"), explode(col("__toks")).as("__t"))
-      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
-      .groupBy(col("doc_id"))
-      .agg((0 until 64).map { b =>
-        when(sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)) > 0, lit(1L << b)).otherwise(0L)
-      }.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashingExpressions
+          .simhash64(col("__toks")).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

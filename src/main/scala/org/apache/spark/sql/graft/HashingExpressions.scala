@@ -1,0 +1,126 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document signature expressions. SimHash and MinHash are scalar
+  * per-row computations (each document's signature depends only on its own
+  * tokens), so the natural Spark shape is ONE expression evaluating a
+  * tight loop per row — not the explode → shuffle → 64-aggregates
+  * relational encoding, whose only purpose was escaping interpreted
+  * higher-order functions. These are `CodegenFallback` deliberately: the
+  * per-row loop (≈ tokens × 64 hash/bit ops) dwarfs the per-row boxing a
+  * fallback costs, and the loop body is plain compiled JVM code.
+  *
+  * Hash family: token hash = XXH64(bytes, seed 42) — identical to the
+  * builtin `xxhash64(col)`; derived hashes chain through XXH64.hashLong.
+  */
+private[graft] trait TokenArrayExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+  protected def tokenHash(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+}
+
+/** 64-bit SimHash over a token array: per-bit majority vote of token
+  * hashes, frequency-weighted (duplicates count). Null tokens are
+  * skipped; an empty/all-null array yields 0L.
+  */
+case class SimHash64(child: Expression)
+    extends TokenArrayExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = tokenHash(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a token array: word-shingles of `shingleSize`
+  * (whole-token-run fallback for shorter docs), shingle hash chained from
+  * token hashes, signature j = min over shingles of
+  * XXH64.hashLong(shingleHash, seed j). Returns array<long>[numHashes];
+  * null for docs with zero tokens (no shingle → no signature, matching
+  * the relational form's explode semantics).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends TokenArrayExpression with CodegenFallback {
+  require(numHashes > 0 && shingleSize > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // token hashes (null tokens skipped)
+    val th = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { th(m) = tokenHash(arr.getUTF8String(i)); m += 1 }
+      i += 1
+    }
+    if (m == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = if (m < shingleSize) 1 else m - shingleSize + 1
+    val width = math.min(shingleSize, m)
+    var p = 0
+    while (p < nShingles) {
+      var sh = th(p)
+      var o = 1
+      while (o < width) { sh = XXH64.hashLong(th(p + o), sh); o += 1 }
+      var j = 0
+      while (j < numHashes) {
+        val d = XXH64.hashLong(sh, j.toLong)
+        if (d < sig(j)) sig(j) = d
+        j += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object HashingExpressions {
+  def simhash64(toks: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
+
+  def minhashSignature(toks: Column, numHashes: Int, shingleSize: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(toks), numHashes, shingleSize))
+}
