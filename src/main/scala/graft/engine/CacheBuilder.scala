@@ -130,6 +130,34 @@ object CacheBuilder {
       .option("compression", "zstd").parquet(s"$outDir/message_bodies")
   }
 
+  /** Structured-Streaming face of the incremental build (SURVEY §2.12
+    * mapping (b)): a file stream over the normalized messages directory,
+    * drained with Trigger.AvailableNow into the partitioned star via
+    * foreachBatch — the stream CHECKPOINT replaces `_last_sync.json`
+    * (files already processed are never re-read, so re-running after new
+    * files arrive appends exactly the new rows). Returns when drained.
+    */
+  def streamBuild(spark: SparkSession, srcDir: String, outDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col("deleted_at").isNull)
+      .withColumn("year", year(col("sent_at")))
+      .withColumn("month", month(col("sent_at")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.repartition(col("year"))
+          .write.mode(SaveMode.Append).partitionBy("year")
+          .option("compression", "zstd").parquet(s"$outDir/messages")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Freshness gate (reference cacheNeedsBuild cmd/query.go:50-66). */
   def needsBuild(input: MsgVault, outDir: String): Boolean =
     readState(outDir) match {

@@ -94,6 +94,36 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(out(0).getLong(1) == 3)
   }
 
+  test("streamBuild: checkpoint-driven incremental append (exactly-once per file)") {
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("graft_sb_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sb_ckpt").toString
+
+    sourceVault(4).messages.write.parquet(s"$src/batch1")
+    // file source needs a flat dir of files: point at the part files
+    val flat = java.nio.file.Files.createTempDirectory("graft_sb_flat").toString
+    def copyParts(from: String, tag: String): Unit = {
+      val dir = new java.io.File(from)
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(flat, s"$tag-$i.parquet"))
+        }
+    }
+    copyParts(s"$src/batch1", "a")
+    CacheBuilder.streamBuild(spark, flat, out, ckpt)
+    assert(spark.read.parquet(s"$out/messages").count() == 4)
+
+    // new file arrives → re-run with the SAME checkpoint → only new rows
+    sourceVault(6).messages.filter(col("id") > 4).write.parquet(s"$src/batch2")
+    copyParts(s"$src/batch2", "b")
+    CacheBuilder.streamBuild(spark, flat, out, ckpt)
+    val after = spark.read.parquet(s"$out/messages")
+    assert(after.count() == 6)
+    assert(after.select(col("id")).distinct().count() == 6) // no re-ingest dups
+  }
+
   test("aggregateTextSources / aggregateTextTime: chat-only buckets") {
     val engine = new MsgEngine(sourceVault(9))
     val bySrc = engine.aggregateTextSources().collect()
