@@ -389,7 +389,15 @@ object DocQueries {
     Multimodal.extractFeatures(media).toDF().orderBy(col("doc_id").asc)
   }
 
+  /** Video frame-sampling fan-out — generator plumbing, spec-tested. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.withFakeMedia(t(s, dir, "documents")), framesPerDoc = 4)
+      .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("n"))
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "multimodal_frames" -> (multimodalFrames _, None),
     "text_token_count" -> (textTokenCount _, Some(textTokenCountSql)),
     "text_quality" -> (textQuality _, Some(textQualitySql)),
     "text_fingerprint" -> (textFingerprint _, Some(textFingerprintSql)),

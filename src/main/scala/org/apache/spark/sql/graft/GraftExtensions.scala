@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
@@ -35,6 +41,20 @@ object GraftExtensions {
         require(exprs.length == 2,
           s"cosine_similarity expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs(0), exprs(1))
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash64 expects 1 argument")
+        SimHash64(exprs.head)
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "minhash_signature(tokens, numHashes, shingleSize)")
+        MinHashSignature(exprs.head,
+          litInt(exprs(1), "numHashes"), litInt(exprs(2), "shingleSize"))
       }))
 
   /** Register the functions into an existing session's catalog. */

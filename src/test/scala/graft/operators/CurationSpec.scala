@@ -25,12 +25,17 @@ class CurationSpec extends SparkTestBase {
     assert(out == Seq(1L))
   }
 
-  test("cosine_similarity is callable from SQL after registration") {
+  test("cosine_similarity/simhash64/minhash_signature callable from SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT cosine_similarity(array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)), " +
         "array(CAST(4.0 AS DOUBLE), CAST(3.0 AS DOUBLE))) AS c").head()
     assert(math.abs(r.getDouble(0) - 0.96) < 1e-12)
+    val sh = spark.sql(
+      "SELECT simhash64(array('a','b','a')) AS s, " +
+        "minhash_signature(array('a','b','c','d'), 8, 3) AS m").head()
+    assert(sh.getLong(0) != 0L)
+    assert(sh.getAs[scala.collection.Seq[Long]](1).length == 8)
   }
 
   test("keyset pagination pages match offset pagination pages") {
