@@ -32,7 +32,8 @@ object Bench {
 
     // warm: in-memory table cache (the reference benches warm in-memory
     // DuckDB — BASELINE.md) + one execution per query (codegen/catalog)
-    graft.sources.Tables.cacheAll(spark, sfDir)
+    try graft.sources.Tables.cacheAll(spark, sfDir)
+    catch { case _: Throwable => () } // uncached tables still bench correctly
     SparkEntry.queries.foreach { case (_, fn) =>
       try runOnce(fn) catch { case _: Throwable => () }
     }

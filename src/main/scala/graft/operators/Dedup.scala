@@ -129,7 +129,8 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
-    val cand = minhashCandidates(docs, col("doc_id"), col("doc_text"), numHashes, bands)
+    val cand = minhashCandidates(docs, col("doc_id"), col("doc_text"),
+      numHashes, bands, shingleSize)
     def sh(c: Column) = array_distinct(shingles(tokens(c), shingleSize))
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("doc_text").as("__ta")), "id_a")
