@@ -51,6 +51,12 @@ object CacheBuilder {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Max id over the input, None when empty (Row.getLong would NPE). */
+  private def maxId(input: MsgVault): Option[Long] = {
+    val row = input.messages.agg(max(col("id"))).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
   /** Build or incrementally refresh the cache at `outDir` from normalized
     * input frames. Returns the number of (new) messages exported.
     */
@@ -60,14 +66,17 @@ object CacheBuilder {
     val fullRebuild = prior.isEmpty
 
     // dedup losers excluded at export; later source-deletions stay visible
-    // until next build (reference duckdb.go:31-34)
+    // until next build (reference duckdb.go:31-34). Persisted: the frame
+    // is read five times (count, messages write, three junction
+    // semi-joins) — without the persist each is a full input re-scan.
     val liveNew = input.messages
       .filter(col("deleted_at").isNull && col("id") > watermark)
       .withColumn("year", year(col("sent_at")))
       .withColumn("month", month(col("sent_at")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val newCount = liveNew.count()
-    if (newCount == 0 && !fullRebuild) return 0L
+    if (newCount == 0 && !fullRebuild) { liveNew.unpersist(); return 0L }
 
     val msgMode = if (fullRebuild) SaveMode.Overwrite else SaveMode.Append
     // repartition on the partition column first: otherwise every task
@@ -80,7 +89,7 @@ object CacheBuilder {
     // into the same directory (the reference drops sibling incr_<id>.parquet
     // files, build_cache.go:258-263 — append-mode part files are the Spark
     // equivalent, read back transparently by one directory scan)
-    val maxId = input.messages.agg(max(col("id"))).head().getLong(0)
+    val newWatermark = maxId(input).getOrElse(watermark)
     def junction(name: String, df: DataFrame): Unit = {
       val rows = if (fullRebuild) df
         else df.join(liveNew.select(col("id").as("__mid")),
@@ -105,7 +114,8 @@ object CacheBuilder {
     val written = spark.read.parquet(s"$outDir/messages").count()
     require(written > 0, s"cache build wrote 0 message rows to $outDir")
 
-    writeState(outDir, SyncState(maxId, SchemaVersion))
+    writeState(outDir, SyncState(newWatermark, SchemaVersion))
+    liveNew.unpersist()
     newCount
   }
 
@@ -162,7 +172,7 @@ object CacheBuilder {
   def needsBuild(input: MsgVault, outDir: String): Boolean =
     readState(outDir) match {
       case Some(st) if st.schemaVersion == SchemaVersion =>
-        input.messages.agg(max(col("id"))).head().getLong(0) > st.lastMessageId
+        maxId(input).exists(_ > st.lastMessageId)
       case _ => true
     }
 }

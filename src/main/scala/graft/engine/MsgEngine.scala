@@ -203,9 +203,10 @@ final class MsgEngine(val vault: MsgVault) {
 
   /** Sender resolution (dual path) + labels + conversation title for a page
     * of messages (reference duckdb.go:1254-1299; FIRST→min_by for
-    * determinism).
+    * determinism). Package-visible so [[SearchWithStats]] pages return the
+    * same MessageSummary shape as every other list path.
     */
-  private def enrich(page: DataFrame): DataFrame = {
+  private[engine] def enrich(page: DataFrame): DataFrame = {
     val mr = vault.recipients
     val p = vault.participants
     val fromParty = mr.filter(col("recipient_type") === "from")
@@ -329,8 +330,11 @@ final class MsgEngine(val vault: MsgVault) {
       graft.functions.Fts.prefixMatch(col("tokens"), Seq(t)) ||
         lower(col("subject")).contains(t)
     }.reduceOption(_ && _).getOrElse(lit(true))
-    val page = candidates.filter(termHit)
+    val matched = candidates.filter(termHit)
       .orderBy(col("sent_at").desc, col("id").desc)
+    val offset = if (filter.pagination.offset > 0) matched.offset(filter.pagination.offset)
+      else matched
+    val page = offset
       .limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
       .drop("__b_mid", "tokens")
     enrich(page).orderBy(col("sent_at").desc, col("id").desc)
@@ -493,7 +497,8 @@ final case class SearchWithStats(matches: DataFrame, engine: MsgEngine) {
   def page(limit: Int, offset: Int): DataFrame = {
     val sorted = matches.orderBy(col("sent_at").desc, col("id").desc)
     val off = if (offset > 0) sorted.offset(offset) else sorted
-    off.limit(if (limit > 0) limit else 100)
+    engine.enrich(off.limit(if (limit > 0) limit else 100))
+      .orderBy(col("sent_at").desc, col("id").desc)
   }
 
   def stats: DataFrame = {

@@ -51,8 +51,13 @@ object Fts {
     val row = docs.agg(aggs.head, aggs.tail: _*).head()
     CorpusStats(
       row.getAs[Long]("n"),
-      row.getAs[Double]("avgdl"),
-      terms.zipWithIndex.map { case (t, i) => t -> row.getAs[Long](s"df_$i") }.toMap)
+      // avg over zero rows is null — unboxing would NPE on an empty corpus
+      if (row.isNullAt(row.fieldIndex("avgdl"))) 0.0
+      else row.getAs[Double]("avgdl"),
+      terms.zipWithIndex.map { case (t, i) =>
+        t -> (if (row.isNullAt(row.fieldIndex(s"df_$i"))) 0L
+          else row.getAs[Long](s"df_$i"))
+      }.toMap)
   }
 
   /** BM25 score column for the given terms (Robertson/Sparck-Jones idf,
@@ -76,7 +81,10 @@ object Fts {
     * Returns (id, bm25_score, rank).
     */
   def bm25Search(docs: DataFrame, id: Column, tokens: Column,
-      terms: Seq[String], limit: Int = 100): DataFrame = {
+      termsIn: Seq[String], limit: Int = 100): DataFrame = {
+    // dedupe terms: a repeated query word must not double its score
+    // (keeps parity with InvertedIndex.bm25Search, which also dedupes)
+    val terms = termsIn.map(_.toLowerCase).distinct
     val stats = corpusStats(docs, tokens, terms)
     docs.filter(terms.map(t => array_contains(tokens, t.toLowerCase)).reduce(_ || _))
       .select(id.as("doc_id"), bm25(tokens, terms, stats).as("bm25_score"))

@@ -68,7 +68,8 @@ object InvertedIndex {
     val lower = terms.map(_.toLowerCase).distinct
     val statsRow = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val n = statsRow.getAs[Long]("n")
-    val avgdl = statsRow.getAs[Double]("avgdl")
+    // avg over zero rows is null — empty corpus must not NPE
+    val avgdl = if (statsRow.isNullAt(1)) 0.0 else statsRow.getAs[Double]("avgdl")
     val dfs = index.filter(col("token").isin(lower: _*))
       .select(col("token"), col("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

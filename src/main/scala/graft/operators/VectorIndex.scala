@@ -66,14 +66,20 @@ object VectorIndex {
 
   /** find_similar_messages (reference mcp/server.go:342-358 +
     * backend.go:606-626): the seed message's stored vector becomes the
-    * query; the seed itself is excluded from results.
+    * query; the seed itself is excluded from results. A seed with no
+    * stored vector (embedded in a later generation, or a bad id) returns
+    * an empty result, not a crash — this is an API-facing path.
     */
-  def findSimilar(vectors: DataFrame, seedId: Long, k: Int): DataFrame = {
-    val seed = vectors.filter(col("message_id") === seedId)
-      .select(col("embedding")).head()
-      .getAs[scala.collection.Seq[Float]](0).toSeq
-    Similarity.bruteForceKnn(
-      vectors.filter(col("message_id") =!= seedId),
-      col("message_id"), col("embedding"), seed, k)
-  }
+  def findSimilar(vectors: DataFrame, seedId: Long, k: Int): DataFrame =
+    vectors.filter(col("message_id") === seedId)
+      .select(col("embedding")).head(1).headOption match {
+      case Some(row) =>
+        val seed = row.getAs[scala.collection.Seq[Float]](0).toSeq
+        Similarity.bruteForceKnn(
+          vectors.filter(col("message_id") =!= seedId),
+          col("message_id"), col("embedding"), seed, k)
+      case None =>
+        vectors.select(col("message_id").as("vec_id"),
+          org.apache.spark.sql.functions.lit(0.0).as("score")).limit(0)
+    }
 }

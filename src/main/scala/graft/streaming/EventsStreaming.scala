@@ -89,11 +89,14 @@ object EventsStreaming {
     spark.table(queryName)
   }
 
-  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on
-    * event_id — the streaming face of the dedup family (§2.11/2.12).
-    * State retains only ids inside the watermark horizon, so memory is
-    * bounded by arrival skew, not stream length — the property that makes
-    * this run forever on an unbounded 100 TB/day feed.
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on event_id —
+    * the streaming face of the dedup family (§2.11/2.12). The
+    * WithinWatermark variant is load-bearing: plain
+    * `dropDuplicates("event_id")` never evicts state unless the event-time
+    * column is part of the key, so its state grows with every id ever
+    * seen; WithinWatermark expires each id once the watermark passes it,
+    * bounding memory by arrival skew, not stream length — the property
+    * that makes this run forever on an unbounded 100 TB/day feed.
     */
   def runDedupAvailableNow(spark: SparkSession, eventsDir: String,
       checkpoint: String, queryName: String = "graft_events_dedup"): DataFrame = {
@@ -103,7 +106,7 @@ object EventsStreaming {
       .withColumn("ts",
         timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     val q = stream.writeStream
       .format("memory")
       .queryName(queryName)

@@ -13,10 +13,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * this arithmetic runs interpreted with per-element boxing).
   *
   * Semantics are bit-identical to the HOF formulation
-  * ([[graft.operators.Similarity.cosine]]): three double accumulators
+  * (`dot(a,b)/(norm(a)*norm(b))`): three double accumulators
   * (dot, ‖a‖², ‖b‖²) each folded in index order, result
   * dot / (√‖a‖²·√‖b‖²); null on null/absent input, length mismatch, or any
-  * null element — matching `zip_with`+`aggregate` null propagation.
+  * null element — matching `zip_with`+`aggregate` null propagation. One
+  * deliberate divergence: a zero-norm side yields null rather than the
+  * IEEE NaN — NaN sorts as the largest double and would rank an all-zero
+  * embedding first in every descending-score KNN.
   *
   * The generated code is a single primitive loop: no ArrayData boxing, no
   * lambda dispatch, stays inside WholeStageCodegen. ~10× over the HOF form
@@ -72,7 +75,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm → null, not NaN: NaN sorts as the LARGEST double, so an
+    // all-zero embedding would rank first in every descending-score KNN
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -99,7 +105,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin

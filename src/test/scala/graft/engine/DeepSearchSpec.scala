@@ -54,6 +54,16 @@ class DeepSearchSpec extends SparkTestBase {
     // metadata operator + text term combine
     assert(engine.searchDeep("quarterly after:2024-02-15", bodies).collect()
       .map(_.getAs[Long]("id")).toSeq == Seq(3L))
+
+    // pagination: offset skips the newest hit
+    assert(engine.searchDeep("quarterly", bodies,
+      MessageFilter(pagination = Pagination(limit = 1, offset = 1))).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(1L))
+  }
+
+  test("findSimilar with an unknown seed returns empty, not a crash") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("message_id", "embedding")
+    assert(VectorIndex.findSimilar(vecs, seedId = 999L, k = 3).collect().isEmpty)
   }
 
   test("vector index: generation lifecycle + fingerprint gate + findSimilar") {

@@ -176,10 +176,19 @@ class MsgEngineSpec extends SparkTestBase {
     assert(rows(engine.searchFast("larger:1K")).map(_.getAs[Long]("id")).sorted == Seq(2L))
   }
 
+  test("single-quoted operator values unquote like double-quoted ones") {
+    // alice is the from of 1, 3, 4 — but 4 is a deleted dedup loser
+    assert(rows(engine.searchFast("from:'alice@a.com'"))
+      .map(_.getAs[Long]("id")).sorted == Seq(1L, 3))
+  }
+
   test("searchFastWithStats: count/page/stats reuse one materialization") {
     val s = engine.searchFastWithStats("quarterly")
     assert(s.totalCount == 2)
-    assert(s.page(1, 0).collect().map(_.getAs[Long]("id")).toSeq == Seq(2))
+    val p = s.page(1, 0).collect()
+    assert(p.map(_.getAs[Long]("id")).toSeq == Seq(2))
+    // pages come back enriched — same MessageSummary shape as searchFast
+    assert(p.head.getAs[String]("from_email") == "bob@b.org")
     val st = s.stats.collect()(0)
     assert(st.getAs[Long]("message_count") == 2)
     assert(st.getAs[Long]("total_size") == 3000)

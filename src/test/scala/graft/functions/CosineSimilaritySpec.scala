@@ -45,6 +45,17 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(df2(0).isNullAt(0))
   }
 
+  test("zero-norm vectors yield null, never NaN (would rank first in KNN)") {
+    val out = Seq(
+      (1L, Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (2L, Seq(1.0f, 1.0f), Seq(0.0f, 0.0f)),
+      (3L, Seq[Float](), Seq[Float]()))
+      .toDF("id", "a", "b")
+      .select(col("id"), CosineSimilarity(col("a"), col("b")).as("c"))
+      .orderBy(col("id")).collect()
+    assert(out.forall(_.isNullAt(1)))
+  }
+
   test("works with double arrays and inside whole-stage codegen pipelines") {
     val df = Seq((1L, Seq(3.0, 4.0), Seq(4.0, 3.0)))
       .toDF("id", "a", "b")
