@@ -192,39 +192,62 @@ final class MsgEngine(val vault: MsgVault) {
   def listMessagesAfter(filter: MessageFilter,
       cursor: Option[(java.sql.Timestamp, Long)], limit: Int = 500): DataFrame = {
     var page = filters.compile(filter)
-    cursor.foreach { case (ts, id) =>
-      page = page.filter(col("sent_at") < lit(ts) ||
-        (col("sent_at") === lit(ts) && col("id") < id))
+    cursor.foreach {
+      // null-timestamp rows sort AFTER all dated rows (desc, nulls last)
+      // — the cursor predicate must keep them reachable: a dated cursor
+      // admits every null row; a null cursor pages within the null tail.
+      case (null, id) =>
+        page = page.filter(col("sent_at").isNull && col("id") < id)
+      case (ts, id) =>
+        page = page.filter(col("sent_at") < lit(ts) ||
+          (col("sent_at") === lit(ts) && col("id") < id) ||
+          col("sent_at").isNull)
     }
-    val sorted = page.orderBy(col("sent_at").desc, col("id").desc)
+    val sorted = page
+      .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
       .limit(if (limit > 0) limit else 500)
-    enrich(sorted).orderBy(col("sent_at").desc, col("id").desc)
+    enrich(sorted).orderBy(col("sent_at").desc_nulls_last, col("id").desc)
   }
 
   /** Sender resolution (dual path) + labels + conversation title for a page
     * of messages (reference duckdb.go:1254-1299; FIRST→min_by for
     * determinism). Package-visible so [[SearchWithStats]] pages return the
     * same MessageSummary shape as every other list path.
+    *
+    * The junction tables are semi-joined down to the page's ids BEFORE
+    * their aggregations — this is what makes paginate-before-join real:
+    * without the semi-join, every page query would shuffle the whole
+    * archive's recipient/label rows to aggregate them, and page latency
+    * would scale with archive size instead of page size.
     */
   private[engine] def enrich(page: DataFrame): DataFrame = {
-    val mr = vault.recipients
-    val p = vault.participants
-    val fromParty = mr.filter(col("recipient_type") === "from")
-      .join(p, p("id") === mr("participant_id"))
-      .groupBy(mr("message_id").as("__e_mid"))
+    // fresh aliases everywhere: the page's lineage already contains the
+    // recipients/participants frames (filter semi-joins), so reusing the
+    // vault frames directly trips DetectAmbiguousSelfJoin
+    val pageIds = page.select(page("id").as("__pg_id"))
+    val mr = vault.recipients.alias("emr")
+      .join(pageIds, col("emr.message_id") === col("__pg_id"), "left_semi")
+    val p = vault.participants.alias("ep")
+    val fromParty = mr.filter(col("emr.recipient_type") === "from")
+      .join(p, col("ep.id") === col("emr.participant_id"))
+      .groupBy(col("emr.message_id").as("__e_mid"))
       .agg(
-        min_by(p("email_address"), mr("participant_id")).as("__mr_email"),
-        min_by(recipientName(mr("display_name"), p("display_name"),
-          p("phone_number"), p("email_address")), mr("participant_id")).as("__mr_name"),
-        min_by(coalesce(p("phone_number"), lit("")), mr("participant_id")).as("__mr_phone"))
-    val senderP = p.select(p("id").as("__sp_id"),
-      p("email_address").as("__sp_email"),
-      coalesce(p("display_name"), lit("")).as("__sp_name"),
-      coalesce(p("phone_number"), lit("")).as("__sp_phone"))
-    val lblAgg = vault.messageLabels
-      .join(vault.labels, vault.labels("id") === vault.messageLabels("label_id"))
-      .groupBy(col("message_id").as("__l_mid"))
-      .agg(array_sort(collect_list(col("name"))).as("labels"))
+        min_by(col("ep.email_address"), col("emr.participant_id")).as("__mr_email"),
+        min_by(recipientName(col("emr.display_name"), col("ep.display_name"),
+            col("ep.phone_number"), col("ep.email_address")),
+          col("emr.participant_id")).as("__mr_name"),
+        min_by(coalesce(col("ep.phone_number"), lit("")),
+          col("emr.participant_id")).as("__mr_phone"))
+    val senderP = vault.participants.alias("sp")
+      .select(col("sp.id").as("__sp_id"),
+        col("sp.email_address").as("__sp_email"),
+        coalesce(col("sp.display_name"), lit("")).as("__sp_name"),
+        coalesce(col("sp.phone_number"), lit("")).as("__sp_phone"))
+    val lblAgg = vault.messageLabels.alias("eml")
+      .join(pageIds, col("eml.message_id") === col("__pg_id"), "left_semi")
+      .join(vault.labels.alias("el"), col("el.id") === col("eml.label_id"))
+      .groupBy(col("eml.message_id").as("__l_mid"))
+      .agg(array_sort(collect_list(col("el.name"))).as("labels"))
     val conv = vault.conversations.select(col("id").as("__c_id"),
       col("title").as("conversation_title"))
 
@@ -286,21 +309,36 @@ final class MsgEngine(val vault: MsgVault) {
     * normalized (query, filter) pair — the reference keys its temp-table
     * cache by (conditions, args) JSON (duckdb.go:50-57).
     */
+  // LRU-bounded: every distinct (query, filter) persists a match set, and
+  // an interactive session generates one per keystroke refinement — an
+  // unbounded map would grow executor storage forever. Eviction
+  // unpersists; the reference's temp-table cache is similarly dropped on
+  // invalidation (duckdb.go:2029-2037).
+  private val searchCacheMax = 32
   private val searchCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > searchCacheMax
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
 
   def searchFastWithStats(query: String,
       filter: MessageFilter = MessageFilter()): SearchWithStats = {
     val key = query + "||" + filter.copy(pagination = Pagination()).toString
-    val matches = searchCache.computeIfAbsent(key, _ => {
-      val q = SearchParser.parse(query)
-      filters.compileSearch(filters.compile(filter), q)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    val matches = searchCache.synchronized {
+      searchCache.computeIfAbsent(key, _ => {
+        val q = SearchParser.parse(query)
+        filters.compileSearch(filters.compile(filter), q)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+    }
     SearchWithStats(matches, this)
   }
 
-  def invalidateSearchCache(): Unit = {
+  def invalidateSearchCache(): Unit = searchCache.synchronized {
     searchCache.values.forEach(df => { df.unpersist(); () })
     searchCache.clear()
   }
@@ -321,9 +359,12 @@ final class MsgEngine(val vault: MsgVault) {
   def searchDeep(query: String, bodies: DataFrame,
       filter: MessageFilter = MessageFilter()): DataFrame = {
     val q = SearchParser.parse(query)
+    // subject: terms stay subject-only (compileSearch applies them as
+    // subject filters, reference sqlite.go:1287-1292); only bare text
+    // terms get the body-token OR subject treatment below
     val msg = filters.compileSearch(filters.compile(filter),
-      q.copy(textTerms = Nil, subjectTerms = Nil))
-    val terms = (q.textTerms ++ q.subjectTerms).map(_.toLowerCase)
+      q.copy(textTerms = Nil))
+    val terms = q.textTerms.map(_.toLowerCase)
     val b = bodies.select(col("message_id").as("__b_mid"), col("tokens"))
     val candidates = msg.join(b, msg("id") === col("__b_mid"), "left")
     val termHit = terms.map { t =>

@@ -20,17 +20,21 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
-  /** Deterministic core (oracle-able): quality + exact dedup + token
-    * stats. Returns (doc_id, quality, n_tokens) of surviving docs.
+  /** Deterministic core (oracle-able): quality gate FIRST, then exact
+    * dedup among the quality survivors — gating after picking winners
+    * would drop a whole duplicate group whenever its min-id copy fails
+    * the quality check (case-variant dups share a fingerprint but not a
+    * quality score). Returns (doc_id, quality, n_tokens).
     */
   def curate(docs: DataFrame, id: Column, text: Column,
       minQuality: Double): DataFrame =
     docs
       .select(id.as("doc_id"), text.as("__text"),
         TextFunctions.qualityScore(text).as("quality"))
+      .filter(col("quality") >= minQuality)
       .withColumn("__winner", min(col("doc_id")).over(
         Window.partitionBy(TextFunctions.fingerprint(col("__text")))))
-      .filter(col("quality") >= minQuality && col("doc_id") === col("__winner"))
+      .filter(col("doc_id") === col("__winner"))
       .select(col("doc_id"), col("quality"),
         TextFunctions.tokenCount(col("__text")).cast("long").as("n_tokens"))
 

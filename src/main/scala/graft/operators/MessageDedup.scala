@@ -54,7 +54,12 @@ object MessageDedup {
     */
   private def enriched(v: MsgVault, cfg: Config,
       identities: Option[DataFrame], raw: Option[DataFrame]): DataFrame = {
-    var msg = v.messages.filter(col("deleted_at").isNull)
+    // both soft-delete columns: the reference scans with
+    // LiveMessagesWhere(_, hideDeletedFromSource = true) in BOTH dedup
+    // passes — a source-deleted ghost must never join a group (it could
+    // win survivor selection and get a live message pruned)
+    var msg = v.messages.filter(
+      col("deleted_at").isNull && col("deleted_from_source_at").isNull)
     if (cfg.sourceIds.nonEmpty)
       msg = msg.filter(col("source_id").isin(cfg.sourceIds: _*))
 
@@ -64,8 +69,16 @@ object MessageDedup {
     val lblCount = v.messageLabels.groupBy(col("message_id").as("__lc_mid"))
       .agg(count(lit(1)).as("label_count"))
 
+    // system SENT label: match the provider label id too when the schema
+    // carries it (reference checks source_label_id = 'SENT' in addition
+    // to the display name, which can be localized)
+    val sentLabelPred =
+      if (v.labels.columns.contains("source_label_id"))
+        upper(col("name")) === "SENT" ||
+          upper(coalesce(col("source_label_id"), lit(""))) === "SENT"
+      else upper(col("name")) === "SENT"
     val sentIds = v.messageLabels
-      .join(v.labels.filter(upper(col("name")) === "SENT"),
+      .join(v.labels.filter(sentLabelPred),
         v.labels("id") === v.messageLabels("label_id"), "left_semi")
       .select(col("message_id").as("__sent_mid")).distinct()
       .withColumn("__has_sent", lit(true))
@@ -122,7 +135,10 @@ object MessageDedup {
     *   2. source-type preference (unknown types last),
     *   3. has raw MIME,
     *   4. more labels,
-    *   5. earliest archived_at (nulls last),
+    *   5. earliest archived_at — considered only when EVERY group member
+    *      has one (the reference compares archived_at only when both
+    *      sides are non-zero, dedup.go isBetter; with any null in the
+    *      group the comparison falls through to id),
     *   6. lowest id.
     */
   private def survivorOrder(cfg: Config): Seq[Column] = {
@@ -135,7 +151,7 @@ object MessageDedup {
       prefExpr.asc,
       when(col("has_raw"), 0).otherwise(1).asc,
       col("label_count").desc,
-      col("archived_at").asc_nulls_last,
+      when(!col("__any_null_archived"), col("archived_at")).asc_nulls_last,
       col("id").asc)
   }
 
@@ -149,6 +165,8 @@ object MessageDedup {
       .withColumn("__gsize", count(lit(1)).over(gw))
       .filter(col("__gsize") > 1)
       .withColumn("__any_sent", max(isSentCopy).over(gw))
+      .withColumn("__any_null_archived",
+        max(col("archived_at").isNull).over(gw))
       .withColumn("__rn", row_number().over(gw.orderBy(survivorOrder(cfg): _*)))
       .withColumn("winner_id", min(when(col("__rn") === 1, col("id"))).over(gw))
   }
@@ -163,14 +181,21 @@ object MessageDedup {
     val base = enriched(v, cfg, identities, raw)
 
     // Message-ID backfill from raw MIME where the column is null
-    // (dedup.go:246-303) — only the rows that need it touch the UDF.
+    // (dedup.go:246-303) — only the rows that NEED it touch the UDFs: the
+    // raw frame is semi-joined to null-Message-ID messages first, so an
+    // archive that is 99% backfilled decompresses 1% of its blobs.
     val withMid = raw match {
       case Some(r) =>
-        val inflated = r.select(col("message_id").as("__r_mid"),
-          when(coalesce(col("compression"), lit("")) === "zlib",
-            Mime.inflateUdf(col("raw_data"))).otherwise(col("raw_data")).as("__r_raw"))
-        val backfill = inflated
-          .select(col("__r_mid"), Mime.extractMessageIdUdf(col("__r_raw")).as("__r_extracted"))
+        val needing = base.filter(col("rfc822_message_id").isNull ||
+            col("rfc822_message_id") === "")
+          .select(base("id").as("__need_id"))
+        val backfill = r
+          .join(needing, col("message_id") === col("__need_id"), "left_semi")
+          .select(col("message_id").as("__r_mid"),
+            when(coalesce(col("compression"), lit("")) === "zlib",
+              Mime.inflateUdf(col("raw_data"))).otherwise(col("raw_data")).as("__r_raw"))
+          .select(col("__r_mid"),
+            Mime.extractMessageIdUdf(col("__r_raw")).as("__r_extracted"))
         base.join(backfill, base("id") === col("__r_mid"), "left")
           .withColumn("mid", coalesce(col("rfc822_message_id"), col("__r_extracted")))
           .drop("__r_mid", "__r_extracted")
@@ -186,14 +211,21 @@ object MessageDedup {
 
     if (!cfg.contentHashFallback || raw.isEmpty) return pass1
 
-    // pass 2: content-hash fallback over messages NOT matched by pass 1
-    // (dedup.go:505-513 excludeIDs). inflate → strip transport headers →
-    // sha256; null hash (decompression failure) rows are skipped like the
-    // reference counts-and-skips.
+    // pass 2: content-hash fallback. The reference excludes only pass-1
+    // LOSERS (dedup.go:394-406): survivors stay eligible so orphan
+    // messages with identical content can still link to them. Guards on
+    // mixed groups (dedup.go:425-460):
+    //   - a group with ≥2 Message-ID survivors is skipped (merging them
+    //     would undo pass-1 decisions);
+    //   - a group with a survivor AND a sent-copy orphan is skipped;
+    //   - a group containing exactly one Message-ID survivor forces that
+    //     survivor to win (demoting it would destroy its absorbed labels).
     val r = raw.get
+    val p1Losers = pass1.filter(col("id") =!= col("winner_id"))
+      .select(col("id").as("__p1_loser"))
+    val p1Winners = pass1.select(col("winner_id").as("__p1_winner")).distinct()
     val remaining = withMid
-      .join(pass1.select(col("id").as("__p1_id")),
-        withMid("id") === col("__p1_id"), "left_anti")
+      .join(p1Losers, withMid("id") === col("__p1_loser"), "left_anti")
     val hashed = remaining
       .join(r.select(col("message_id").as("__r_mid"), col("raw_data"),
         col("compression")), remaining("id") === col("__r_mid"))
@@ -203,8 +235,23 @@ object MessageDedup {
       .withColumn("__norm", Mime.normalizeRawMimeUdf(col("__inflated")))
       .filter(col("__norm").isNotNull)
       .withColumn("chash", sha2(col("__norm"), 256))
+      .join(p1Winners.withColumn("__is_p1_survivor", lit(true)),
+        col("id") === col("__p1_winner"), "left")
+      .withColumn("__is_p1_survivor",
+        coalesce(col("__is_p1_survivor"), lit(false)))
 
+    val hw = Window.partitionBy(col("chash"))
     val pass2 = withWinner(hashed, col("chash"), cfg)
+      .withColumn("__n_survivors",
+        sum(when(col("__is_p1_survivor"), 1L).otherwise(0L)).over(hw))
+      .withColumn("__has_sent_orphan",
+        max(!col("__is_p1_survivor") && isSentCopy).over(hw))
+      .filter(col("__n_survivors") < 2)
+      .filter(!(col("__n_survivors") === 1 && col("__has_sent_orphan")))
+      .withColumn("winner_id",
+        when(col("__n_survivors") === 1,
+          min(when(col("__is_p1_survivor"), col("id"))).over(hw))
+          .otherwise(col("winner_id")))
       .select(col("id"), col("source_id"), col("source_type"),
         col("chash").as("group_key"), lit("normalized-hash").as("key_type"),
         col("winner_id"))

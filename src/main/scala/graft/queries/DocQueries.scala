@@ -355,9 +355,9 @@ object DocQueries {
       |w AS (
       |  SELECT doc_id, text, quality,
       |         MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS winner
-      |  FROM q)
+      |  FROM q WHERE quality >= 0.5)
       |SELECT doc_id, quality, len(string_split(text, ' ')) AS n_tokens
-      |FROM w WHERE quality >= 0.5 AND doc_id = winner
+      |FROM w WHERE doc_id = winner
       |ORDER BY doc_id ASC""".stripMargin
 
   // --- multimodal plumbing -------------------------------------------------

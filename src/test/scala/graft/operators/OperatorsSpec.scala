@@ -97,6 +97,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.head.getLong(0) == 20L) // 1/62 + 1/61 beats any single-list score
   }
 
+  test("boostRerank multiplies matching rows and re-sorts deterministically") {
+    val fused = Seq((1L, 0.02, "spark tuning notes"), (2L, 0.03, "lunch plans"))
+      .toDF("id", "rrf_score", "title")
+    val out = HybridSearch.boostRerank(fused, col("title"), Seq("spark"),
+      boostFactor = 2.0).collect()
+    // 0.02*2 = 0.04 > 0.03 → boosted row first
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(out.head.getAs[Double]("rrf_score") - 0.04) < 1e-12)
+  }
+
   test("langId picks the dominant stopword profile") {
     val out = Seq(
       (1L, "the cat and the dog went to the market and it is fine"),
