@@ -152,6 +152,79 @@ class MessageDedupSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("winner_id") == 5L))
   }
 
+  test("pass-2 orphan links to a pass-1 survivor, which is forced to win") {
+    // 1+2 share a Message-ID (1 survives); orphan 3 has no Message-ID in
+    // the column AND none extractable, but content identical to 1 modulo
+    // transport headers → reference semantics: pass 2 groups {1, 3} and
+    // the pass-1 survivor must win even if ordering would pick 3
+    val noMid1 = "From: a@x.com\r\nSubject: s\r\n\r\nsame body"
+    val noMid1b = "Received: relay\r\nFrom: a@x.com\r\nSubject: s\r\n\r\nsame body"
+    val messages = Seq(
+      msg(1, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(2, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(3, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = None))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))),
+      labels = Seq(LblRow(1, "INBOX")),
+      messageLabels = Seq(MlRow(3, 1))) // orphan has MORE labels than survivor
+    val raw = Seq(
+      (1L, noMid1.getBytes("ISO-8859-1"), ""),
+      (3L, noMid1b.getBytes("ISO-8859-1"), ""))
+      .toDF("message_id", "raw_data", "compression")
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L), contentHashFallback = true),
+      raw = Some(raw))
+    val byType = scanned.collect().groupBy(_.getAs[String]("key_type"))
+    assert(byType("message-id").forall(_.getAs[Long]("winner_id") == 1L))
+    val hashGroup = byType("normalized-hash")
+    assert(hashGroup.map(_.getAs[Long]("id")).toSet == Set(1L, 3L))
+    // label-count ordering would pick 3; the survivor-forcing rule keeps 1
+    assert(hashGroup.forall(_.getAs[Long]("winner_id") == 1L))
+    // net losers: 2 (pass 1) and 3 (pass 2)
+    assert(MessageDedup.losers(scanned).collect()
+      .map(_.getAs[Long]("loser_id")).toSet == Set(2L, 3L))
+  }
+
+  test("pass-2 group holding two pass-1 survivors is skipped") {
+    // two distinct Message-ID groups whose survivors share content —
+    // merging them would undo pass-1 decisions (reference skips)
+    val body = "From: a@x.com\r\nSubject: s\r\n\r\nshared content"
+    val body2 = "Received: r\r\nFrom: a@x.com\r\nSubject: s\r\n\r\nshared content"
+    val messages = Seq(
+      msg(1, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<a@x>")),
+      msg(2, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<a@x>")),
+      msg(3, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<b@x>")),
+      msg(4, "s", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<b@x>")))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    val raw = Seq(
+      (1L, body.getBytes("ISO-8859-1"), ""),
+      (3L, body2.getBytes("ISO-8859-1"), ""))
+      .toDF("message_id", "raw_data", "compression")
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L), contentHashFallback = true),
+      raw = Some(raw))
+    // pass 1 prunes 2 and 4; the {1, 3} content group must NOT merge
+    assert(!scanned.collect().exists(_.getAs[String]("key_type") == "normalized-hash"))
+    assert(MessageDedup.losers(scanned).collect()
+      .map(_.getAs[Long]("loser_id")).toSet == Set(2L, 4L))
+  }
+
+  test("source-deleted copies never join dedup groups") {
+    val messages = Seq(
+      msg(1, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
+      msg(2, "dup", "2024-01-01 10:00:00",
+        deletedFromSourceAt = Some("2024-02-01 00:00:00"))
+        .copy(rfc822_message_id = Some("<dup@x>")))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    assert(MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L))).collect().isEmpty)
+  }
+
   test("label transfers: loser labels not already on winner") {
     val scanned = MessageDedup.scan(dedupVault,
       MessageDedup.Config(sourceIds = Seq(1L)))
