@@ -249,7 +249,12 @@ object CoreQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(20)
+    // page-scoped rollup: semi-join lineitem to the page ids BEFORE
+    // aggregating — rolling up the whole table for a 20-row page would
+    // defeat the point of paginating first
     val li = t(s, dir, "lineitem")
+      .join(page.select(col("o_orderkey").as("__pg_ok")),
+        col("l_orderkey") === col("__pg_ok"), "left_semi")
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("item_count"))
     page
