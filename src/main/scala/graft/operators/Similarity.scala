@@ -84,6 +84,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-table sign-LSH ANN (the standard E2LSH recall lever): L
+    * independently-seeded hash tables; a vector is a candidate if ANY
+    * table places it in the query's probe set (query bucket + Hamming-1
+    * neighbors); candidates get an exact cosine re-rank. Recall ≈
+    * 1-(1-p₁)^L compounds per table, so L controls the recall/scan-cost
+    * trade. Here the tables are evaluated as one scan with an OR-of-
+    * membership predicate (no union/dedup pass); the deployment shape at
+    * scale is L bucketed-table writes probed per query.
+    */
+  def lshKnnMultiTable(emb: DataFrame, id: Column, vec: Column,
+      query: Seq[Float], k: Int, nBits: Int = 4, tables: Int = 8,
+      multiProbe: Boolean = true, seedBase: Long = 42L): DataFrame = {
+    val dim = query.length
+    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val cond = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, nBits, seedBase + t)
+      val qSig = planes.zipWithIndex.foldLeft(0L) { case (acc, (h, i)) =>
+        if (dotLocal(query, h) > 0) acc | (1L << i) else acc
+      }
+      val probes: Seq[Long] =
+        if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
+        else Seq(qSig)
+      lshSignature(vec, planes).isin(probes: _*)
+    }.reduce(_ || _)
+    emb.select(id.as("vec_id"), vec.as("__v"))
+      .filter(cond)
+      .select(col("vec_id"), cosine(col("__v"), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs at corpus scale: bucket by
     * sign-LSH signature (one shuffle), generate pairs only within buckets
     * (bounded by `maxBucket`, like [[Dedup.minhashCandidates]]), exact

@@ -355,17 +355,22 @@ object CoreQueries {
       |ORDER BY c_custkey ASC LIMIT 500""".stripMargin
 
   // --- §2.4 collect_list sorted (labels per message, duckdb.go:1856-1861) ---
+  // The list is built as an array (collect_list + array_sort, the reference's
+  // LIST(name ORDER BY name)) and serialized to a joined string at the result
+  // edge — the reference does the same (list → JSON string, duckdb.go:1897),
+  // and scalar output columns keep the result hashable by any downstream
+  // consumer.
   def aggCollectList(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"))
-      .agg(array_sort(collect_list(col("n_name"))).as("nations"),
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
         count(lit(1)).as("nation_count"))
       .orderBy(col("region").asc)
 
   val aggCollectListSql: String =
     """SELECT r_name AS region,
-      |       list(n_name ORDER BY n_name) AS nations,
+      |       array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
       |       COUNT(*) AS nation_count
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY region ASC""".stripMargin
@@ -456,14 +461,30 @@ object CoreQueries {
       |ORDER BY o_day DESC, o_orderkey DESC LIMIT 50""".stripMargin
 
   // --- approximate distinct (HLL) — the estimation pass a petabyte dedup
-  // job runs before choosing a strategy; rows-only (approx sketches are
-  // engine-specific), spec-asserted within tolerance of exact.
-  // (approx only: adding exact countDistinct to the same agg doubles the
-  // row volume through an Expand — the spec computes exact separately)
-  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").agg(
+  // job runs before choosing a strategy. HLL sketches are engine-specific,
+  // so the estimate itself can't hash-match an oracle; instead the query
+  // emits the exact count plus a WITHIN-TOLERANCE boolean, and the oracle
+  // asserts `true` — the gate then verifies the HLL estimate is within
+  // 2.5×rsd of DuckDB's exact answer. Approx and exact run as separate
+  // single-row aggregates (one agg with both would push every row through
+  // an Expand, doubling scan volume) cross-joined at the end.
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li.agg(
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
       count(lit(1)).as("total_rows"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.crossJoin(exact).select(
+      col("total_rows"), col("exact_orders"),
+      (abs(col("approx_orders") - col("exact_orders")).cast("double") <=
+        col("exact_orders").cast("double") * 0.05).as("approx_within_5pct"))
+  }
+
+  val aggApproxDistinctSql: String =
+    """SELECT COUNT(*) AS total_rows,
+      |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |       true AS approx_within_5pct
+      |FROM lineitem""".stripMargin
 
   // --- skew-mitigation: two-phase salted aggregation over a 3-key
   // (maximally skewed) grouping — identical result to the direct groupBy,
@@ -504,7 +525,7 @@ object CoreQueries {
     "sql_passthrough" -> (sqlPassthrough _, Some(sqlPassthroughSql)),
     "agg_salted" -> (aggSalted _, Some(aggSaltedSql)),
     "pagination_keyset" -> (paginationKeyset _, Some(paginationKeysetSql)),
-    "agg_approx_distinct" -> (aggApproxDistinct _, None),
+    "agg_approx_distinct" -> (aggApproxDistinct _, Some(aggApproxDistinctSql)),
     "agg_core" -> (aggCore _, Some(aggCoreSql)),
     "agg_time_buckets" -> (aggTime _, Some(aggTimeSql)),
     "agg_total_stats" -> (totalStats _, Some(totalStatsSql)),

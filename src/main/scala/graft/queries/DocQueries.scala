@@ -10,10 +10,12 @@ import graft.search.SearchParser
 import graft.streaming.EventsStreaming
 
 /** SURVEY §2.9-2.13 + LLM-pipeline operators instantiated over the
-  * documents / embeddings / events tables. Entries without an oracle are
-  * algorithms DuckDB can't replicate bit-for-bit (xxhash64-seeded MinHash/
-  * SimHash, LSH probing) — the driver records rows-only checks for those;
-  * their correctness is covered by ScalaTest specs instead.
+  * documents / embeddings / events tables. Approximate/sketch-based entries
+  * are oracled against the EXACT computation they approximate (minhash vs
+  * brute-force Jaccard, LSH-KNN vs brute-force cosine, HLL vs exact
+  * distinct) — the gate then proves recall/tolerance, not just row counts.
+  * The one remaining rows-only entry (dedup_simhash) emits xxhash64
+  * signatures DuckDB cannot replicate; it is spec-tested instead.
   */
 object DocQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -63,14 +65,38 @@ object DocQueries {
   val textFingerprintSql: String =
     "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id ASC"
 
-  /** Heuristic language ID — algorithm-specific, spec-tested; rows-only.
-    * Interpreted HOF profile-scoring is the cost → spread across cores
-    * first (single-file scans otherwise run it on one core).
+  /** Heuristic language ID — stopword-profile scoring with the greatest-
+    * (hits, lang) tie-break; the oracle replicates the full heuristic
+    * (tokenize → per-profile hit counts → max with lexicographic-last
+    * tie-break). Interpreted HOF profile-scoring is the cost → spread
+    * across cores first (single-file scans otherwise run it on one core).
     */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id").asc)
+
+  // `greatest(struct(hits, lang))` picks max hits, then max lang string —
+  // hence the fr→es→en→de CASE order (reverse-lexicographic).
+  val textLangIdSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it'))) AS en,
+      |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','se'))) AS es,
+      |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','zu'))) AS de,
+      |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une','dans'))) AS fr
+      |  FROM tok)
+      |SELECT doc_id,
+      |  CASE WHEN GREATEST(en,es,de,fr) = 0 THEN 'und'
+      |       WHEN fr = GREATEST(en,es,de,fr) THEN 'fr'
+      |       WHEN es = GREATEST(en,es,de,fr) THEN 'es'
+      |       WHEN en = GREATEST(en,es,de,fr) THEN 'en'
+      |       ELSE 'de' END AS lang_pred
+      |FROM hits ORDER BY doc_id ASC""".stripMargin
 
   // --- §2.9 search over documents (SearchParser-compiled terms) -----------
 
@@ -92,14 +118,18 @@ object DocQueries {
 
   // --- §2.11 dedup ----------------------------------------------------------
 
+  // member_ids serialized to a joined string at the result edge (scalar
+  // output columns stay hashable downstream; reference serializes lists the
+  // same way, duckdb.go:1897)
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .withColumn("member_ids", array_join(col("member_ids"), ","))
       .orderBy(col("content_hash").asc)
 
   val dedupExactSql: String =
     """SELECT sha256(text) AS content_hash, COUNT(*) AS dup_count,
       |       MIN(doc_id) AS winner_id,
-      |       list(doc_id ORDER BY doc_id) AS member_ids
+      |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
       |FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
       |ORDER BY content_hash ASC""".stripMargin
 
@@ -115,7 +145,11 @@ object DocQueries {
       |WHERE doc_id != winner_id
       |ORDER BY loser_id ASC""".stripMargin
 
-  /** MinHash-LSH near-dup candidates — xxhash64-based, spec-tested.
+  /** MinHash-LSH near-dup candidates + exact-Jaccard re-rank. The oracle
+    * is the brute-force O(n²) exact Jaccard over the same shingle sets —
+    * so the gate verifies the LSH path finds EVERY true pair ≥ threshold
+    * (recall 1.0 holds here: the data's near-dups all sit ≥ 0.9 Jaccard,
+    * far above the 16-band/4-row S-curve midpoint).
     * Tiny result set: total order via a single-partition sort —
     * `orderBy` would add a range exchange whose partitioner SAMPLING
     * re-executes the upstream pipeline (measured +1.2s for ≤300 rows).
@@ -125,6 +159,25 @@ object DocQueries {
       threshold = 0.5)
       .coalesce(1)
       .sortWithinPartitions(col("id_a").asc, col("id_b").asc)
+
+  val dedupMinhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |              ELSE list_transform(range(len(toks) - 2),
+      |                     i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+      |  FROM tok)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
   /** SimHash signatures — xxhash64-based, spec-tested. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -188,10 +241,17 @@ object DocQueries {
       |SELECT vec_id, score FROM scored
       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  /** LSH-bucketed ANN — probe-set algorithm, spec-tested vs brute force. */
+  /** Multi-table LSH ANN. The oracle is the brute-force exact top-k — the
+    * gate asserts recall 1.0 at this tables×bits configuration (8×4,
+    * Hamming-1 probes; candidate scores are exact cosines, so matching
+    * ids ⇒ matching scores). Single-table recall on this corpus is ~0.1
+    * (near-random embeddings, top cosine ≈ 0.37 — the LSH-hostile case);
+    * table-compounding is what recovers it, the honest knob a 100 TB
+    * deployment would tune.
+    */
   def vectorKnnLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshKnn(t(s, dir, "embeddings"), col("vec_id"),
-      col("embedding"), queryVector(s, dir), k = 10, nBits = 8)
+    Similarity.lshKnnMultiTable(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), queryVector(s, dir), k = 10, nBits = 4, tables = 8)
 
   /** Embedding-cosine near-dup: exact twin on a deterministic pair set
     * (adjacent vec_ids, double-fold arithmetic mirrored in the oracle);
@@ -224,16 +284,24 @@ object DocQueries {
 
   // --- §2.10 RRF fusion (on orders: price-rank × recency-rank) ------------
 
+  /** Each signal extracts its top-100 with orderBy+limit FIRST — that
+    * compiles to TakeOrderedAndProject (parallel per-partition top-k, no
+    * shuffle of the corpus) — and only the 100-row page goes through the
+    * single-partition ranking window. Ranking the full table through
+    * `Window.orderBy` would move every row to one partition.
+    */
   def rrfFusion(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
-    val byPrice = orders
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
-      .filter(col("rank") <= 100).select(col("o_orderkey"), col("rank"))
-    val byDate = orders
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("o_orderdate").desc, col("o_orderkey").asc)))
-      .filter(col("rank") <= 100).select(col("o_orderkey"), col("rank"))
+    def topRanked(signal: String): DataFrame = {
+      val sort = Seq(col(signal).desc, col("o_orderkey").asc)
+      orders.select(col("o_orderkey"), col(signal))
+        .orderBy(sort: _*)
+        .limit(100)
+        .withColumn("rank", row_number().over(Window.orderBy(sort: _*)))
+        .select(col("o_orderkey"), col("rank"))
+    }
+    val byPrice = topRanked("o_totalprice")
+    val byDate = topRanked("o_orderdate")
     Similarity.rrfFuse(byPrice, byDate, "o_orderkey", "rank", k = 60, limit = 50)
   }
 
@@ -378,39 +446,81 @@ object DocQueries {
       |       md5(text) AS content_hash
       |FROM documents ORDER BY doc_id ASC""".stripMargin
 
-  /** Partition-wise media feature extraction (stubbed decode) — plumbing
-    * demonstrated end-to-end; spec-tested.
+  /** Partition-wise media feature extraction (stubbed decode). The decoder
+    * emits a normalized float32 byte-bucket histogram; the result edge
+    * recovers the exact integer bucket counts (`round(f[b]·n)` is exact —
+    * counts ≪ 2²³ so the float32 divide/multiply round-trips within ½ ulp)
+    * so the oracle can recompute them byte-for-byte in SQL.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.withFakeMedia(t(s, dir, "documents"))
       .select(col("doc_id"), col("mime"), col("media"))
       .as[Multimodal.MediaRow]
-    Multimodal.extractFeatures(media).toDF().orderBy(col("doc_id").asc)
+    val counts = (0 until 8).map(b =>
+      round(element_at(col("features"), b + 1) *
+        greatest(col("n_bytes"), lit(1L))).cast("long").as(s"h$b"))
+    Multimodal.extractFeatures(media).toDF()
+      .select(Seq(col("doc_id"), col("mime"), col("n_bytes")) ++ counts: _*)
+      .orderBy(col("doc_id").asc)
   }
 
-  /** Video frame-sampling fan-out — generator plumbing, spec-tested. */
+  // the oracle re-derives the media bytes (hex-pair decode of the UTF-8
+  // text, same fixture construction as withFakeMedia) and counts each
+  // 32-wide bucket directly
+  val multimodalFeaturesSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+      |           WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |         list_transform(regexp_extract_all(hex(encode(text)), '[0-9A-F][0-9A-F]'),
+      |           p -> (strpos('0123456789ABCDEF', p[1])-1)*16
+      |              + (strpos('0123456789ABCDEF', p[2])-1)) AS bytes
+      |  FROM documents)
+      |SELECT doc_id, mime, n_bytes,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 0)) AS BIGINT) AS h0,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 1)) AS BIGINT) AS h1,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 2)) AS BIGINT) AS h2,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 3)) AS BIGINT) AS h3,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 4)) AS BIGINT) AS h4,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 5)) AS BIGINT) AS h5,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 6)) AS BIGINT) AS h6,
+      |       CAST(len(list_filter(bytes, x -> x // 32 = 7)) AS BIGINT) AS h7
+      |FROM raw ORDER BY doc_id ASC""".stripMargin
+
+  /** Video frame-sampling fan-out — generator plumbing; the oracle
+    * recomputes each frame's byte length arithmetically (16-byte strides
+    * over the media blob, truncated at the end).
+    */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.withFakeMedia(t(s, dir, "documents")), framesPerDoc = 4)
       .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("n"))
       .orderBy(col("doc_id").asc, col("frame_idx").asc)
 
+  val multimodalFramesSql: String =
+    """SELECT doc_id, CAST(o.o AS INT) AS frame_idx,
+      |       CAST(GREATEST(LEAST(octet_length(encode(text)) - o.o*16, 16), 0) AS INT) AS n
+      |FROM documents, (SELECT unnest(range(4)) AS o) o
+      |WHERE doc_id % 3 = 2
+      |ORDER BY doc_id ASC, frame_idx ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "multimodal_frames" -> (multimodalFrames _, None),
+    "multimodal_frames" -> (multimodalFrames _, Some(multimodalFramesSql)),
     "text_token_count" -> (textTokenCount _, Some(textTokenCountSql)),
     "text_quality" -> (textQuality _, Some(textQualitySql)),
     "text_fingerprint" -> (textFingerprint _, Some(textFingerprintSql)),
-    "text_lang_id" -> (textLangId _, None),
+    "text_lang_id" -> (textLangId _, Some(textLangIdSql)),
     "search_docs" -> (searchDocs _, Some(searchDocsSql)),
     "dedup_exact" -> (dedupExact _, Some(dedupExactSql)),
     "dedup_survivor" -> (dedupSurvivor _, Some(dedupSurvivorSql)),
-    "dedup_minhash" -> (dedupMinhash _, None),
+    "dedup_minhash" -> (dedupMinhash _, Some(dedupMinhashSql)),
     "dedup_simhash" -> (dedupSimhash _, None),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
-    "vector_knn_lsh" -> (vectorKnnLsh _, None),
+    "vector_knn_lsh" -> (vectorKnnLsh _, Some(vectorKnnBruteSql)),
     "rrf_fusion" -> (rrfFusion _, Some(rrfFusionSql)),
     "stream_tumbling" -> (streamTumbling _, Some(streamTumblingSql)),
     "stream_sliding" -> (streamSliding _, Some(streamSlidingSql)),
@@ -418,5 +528,5 @@ object DocQueries {
     "text_quality_score" -> (textQualityScore _, Some(textQualityScoreSql)),
     "pipeline_curate" -> (pipelineCurate _, Some(pipelineCurateSql)),
     "multimodal_meta" -> (multimodalMeta _, Some(multimodalMetaSql)),
-    "multimodal_features" -> (multimodalFeatures _, None))
+    "multimodal_features" -> (multimodalFeatures _, Some(multimodalFeaturesSql)))
 }
