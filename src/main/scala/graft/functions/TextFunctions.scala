@@ -23,6 +23,14 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
+  /** [[tokens]] without the empty-drop pass — `filter` is an interpreted
+    * higher-order function, so hot paths whose consumer skips empty
+    * tokens itself (the hashing expressions) use this to keep the whole
+    * tokenize stage codegen'd. Token sequence seen by such consumers is
+    * identical to [[tokens]].
+    */
+  def rawTokens(text: Column): Column = split(lower(text), "[^\\p{L}\\p{N}]+")
+
   /** ETL-time diacritic folding (NFD strip) — the one place a UDF is
     * justified: runs once per document at ingest, not per query.
     */

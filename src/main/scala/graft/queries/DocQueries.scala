@@ -179,10 +179,12 @@ object DocQueries {
       |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
       |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
-  /** SimHash signatures — xxhash64-based, spec-tested. */
+  /** SimHash signatures — xxhash64-based, spec-tested. rawTokens keeps
+    * the tokenize stage codegen'd (the expression skips empties itself).
+    */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(t(s, dir, "documents"), col("doc_id"),
-      TextFunctions.tokens(col("text")))
+      TextFunctions.rawTokens(col("text")))
       .orderBy(col("doc_id").asc)
 
   /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids) —

@@ -87,7 +87,12 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // metadata-only probe: `df.rdd.getNumPartitions` would be exact but
+    // forces a second full physical planning of the query on the driver
+    // (measurable per-query latency); the file count is free and the
+    // single-file case is precisely the one that needs spreading
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => target }
+    if (nFiles < math.min(4, target)) df.repartition(target) else df
   }
 
   /** Schema probe — reference probes cache Parquet with

@@ -47,7 +47,9 @@ case class SimHash64(child: Expression)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      if (!arr.isNullAt(i)) {
+      // null/empty tokens skipped here so callers can pass a raw
+      // codegen'd `split` without an interpreted filter() HOF pass
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
         val h = tokenHash(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
@@ -84,12 +86,14 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // token hashes (null tokens skipped)
+    // token hashes (null/empty tokens skipped — see SimHash64 note)
     val th = new Array[Long](n)
     var m = 0
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) { th(m) = tokenHash(arr.getUTF8String(i)); m += 1 }
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
+        th(m) = tokenHash(arr.getUTF8String(i)); m += 1
+      }
       i += 1
     }
     if (m == 0) return null
