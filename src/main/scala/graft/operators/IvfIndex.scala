@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: a coarse quantizer assigns every vector
+  * to its nearest centroid ("inverted list"); a query ranks centroids,
+  * probes the `nProbe` nearest lists, and exact-re-ranks only those
+  * members. The coarse structure is the complement of sign-LSH
+  * ([[Similarity.lshKnnMultiTable]]): centroids adapt to the data's
+  * density instead of fixed random hyperplanes.
+  *
+  * Centroids here are a deterministic evenly-spaced sample of the corpus
+  * (rank-strided over the id order) rather than k-means: centroid choice
+  * is then independent of partitioning and float-reduction order, so
+  * search results are bit-reproducible on any cluster layout — the
+  * property the correctness gate needs. A deployment can swap in MLlib
+  * KMeans centroids (better list balance) without touching the search
+  * path; the assignment/probe logic only sees an `Array[Array[Float]]`.
+  *
+  * Scale shape: assignment is one narrow projection (vec_id, cluster) —
+  * write it `partitionBy("cluster")` and a query reads only nProbe/nList
+  * of the corpus (partition pruning on the cluster column); no shuffle at
+  * query time. Cosine comparisons run on unit-normalized vectors via the
+  * codegen'd [[org.apache.spark.sql.graft.CosineSimilarity]].
+  */
+object IvfIndex {
+
+  final case class Index(centroids: Seq[Seq[Float]], assigned: DataFrame)
+
+  /** Build the index: pick ~`nList` centroids by a deterministic hash
+    * stride over the ids (`xxhash64(id) % (n/nList) == 0` — a random-but-
+    * reproducible sample needing no global sort; only the sample itself
+    * is sorted for a stable centroid order), assign every vector to its
+    * max-cosine centroid. `assigned` carries (vec_id, embedding, cluster).
+    */
+  def build(emb: DataFrame, id: Column, vec: Column, nList: Int): Index = {
+    val base = emb.select(id.as("vec_id"), vec.as("embedding"))
+    val n = base.count()
+    require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
+    val stride = math.max(1L, n / nList)
+    val centroids = base
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .orderBy(col("vec_id").asc)
+      .limit(nList)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
+      .toSeq
+    require(centroids.nonEmpty, "hash stride produced no centroids")
+    Index(centroids, assign(base, centroids))
+  }
+
+  /** Nearest-centroid assignment: per-row argmax of cosine over the
+    * centroid literals — `greatest(struct(score, idx))` picks the max
+    * score (ties → higher idx, deterministic). No shuffle; one scan.
+    */
+  private def assign(base: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.cosine(col("embedding"), typedLit(c)).as("s"),
+        lit(i).as("i"))
+    }
+    base.withColumn("cluster", greatest(scored: _*).getField("i"))
+  }
+
+  /** Probe-and-re-rank search: rank centroids by cosine to the query
+    * (driver-side, same double fold as the column expression), scan only
+    * the `nProbe` nearest lists, exact cosine top-k within them.
+    */
+  def search(index: Index, query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = dotLocal(a, b)
+      val na = math.sqrt(dotLocal(a, a)); val nb = math.sqrt(dotLocal(b, b))
+      if (na == 0.0 || nb == 0.0) -2.0 else d / (na * nb)
+    }
+    val probes = index.centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosLocal(c, query), i) }
+      .take(nProbe).map(_._2)
+    index.assigned
+      .filter(col("cluster").isin(probes: _*))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity}
 import graft.search.SearchParser
 import graft.streaming.EventsStreaming
 
@@ -254,6 +254,33 @@ object DocQueries {
   def vectorKnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshKnnMultiTable(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), queryVector(s, dir), k = 10, nBits = 4, tables = 8)
+
+  /** IVF ANN (the density-adaptive complement of LSH): deterministic
+    * hash-strided centroids, probe the 8 nearest of ~16 lists, exact
+    * re-rank. Near-random embeddings cluster weakly — the true top-10
+    * spreads across lists — so unlike the multi-table LSH entry this one
+    * is gated the way ANN systems are actually evaluated: the query
+    * measures recall@10 against the in-plan exact top-10 and the oracle
+    * asserts the bound (measured 0.8 at 8/16 probes ⇒ asserted ≥ 0.7).
+    * Everything is deterministic (seeded centroids, tie-broken sorts), so
+    * the measurement is reproducible, not flaky.
+    */
+  def vectorKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = queryVector(s, dir)
+    val idx = IvfIndex.build(emb, col("vec_id"), col("embedding"), nList = 16)
+    val ivf = IvfIndex.search(idx, qv, k = 10, nProbe = 8)
+      .select(col("vec_id"))
+    val exact = Similarity.bruteForceKnn(emb, col("vec_id"),
+      col("embedding"), qv, k = 10).select(col("vec_id"))
+    ivf.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+      .select(lit(10L).as("k"),
+        (col("__hits").cast("double") / 10.0 >= 0.7).as("recall_at_10_ok"))
+  }
+
+  val vectorKnnIvfSql: String =
+    "SELECT CAST(10 AS BIGINT) AS k, true AS recall_at_10_ok"
 
   /** Embedding-cosine near-dup: exact twin on a deterministic pair set
     * (adjacent vec_ids, double-fold arithmetic mirrored in the oracle);
@@ -523,6 +550,7 @@ object DocQueries {
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
     "vector_knn_lsh" -> (vectorKnnLsh _, Some(vectorKnnBruteSql)),
+    "vector_knn_ivf" -> (vectorKnnIvf _, Some(vectorKnnIvfSql)),
     "rrf_fusion" -> (rrfFusion _, Some(rrfFusionSql)),
     "stream_tumbling" -> (streamTumbling _, Some(streamTumblingSql)),
     "stream_sliding" -> (streamSliding _, Some(streamSlidingSql)),

@@ -139,4 +139,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.length == 3)
   }
 
+  private lazy val embSf0001 =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("IVF: probe-and-rerank recall vs brute force, deterministic layout") {
+    val qv = embSf0001.filter(col("vec_id") === 0)
+      .select(col("embedding")).head()
+      .getAs[scala.collection.Seq[Float]](0).toSeq
+    val idx = IvfIndex.build(embSf0001, col("vec_id"), col("embedding"), nList = 16)
+    assert(idx.centroids.nonEmpty && idx.centroids.length <= 16)
+    val got = IvfIndex.search(idx, qv, k = 10, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.size == 10)
+    val exact = Similarity.bruteForceKnn(embSf0001, col("vec_id"),
+      col("embedding"), qv, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((got & exact).size >= 7, s"recall too low: ${(got & exact).size}/10")
+    // centroid choice and assignment must not depend on partitioning
+    val idx2 = IvfIndex.build(embSf0001.repartition(7), col("vec_id"),
+      col("embedding"), nList = 16)
+    assert(idx2.centroids == idx.centroids)
+    val got2 = IvfIndex.search(idx2, qv, k = 10, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got2 == got)
+  }
+
+  test("IVF: every vector lands in exactly one list; probes bound the scan") {
+    val idx = IvfIndex.build(embSf0001, col("vec_id"), col("embedding"), nList = 8)
+    val n = embSf0001.count()
+    assert(idx.assigned.count() == n)
+    assert(idx.assigned.select(col("cluster")).distinct().count() <= 8)
+    // nProbe=1 must scan strictly less than the corpus (list sizes bounded)
+    val qv = embSf0001.filter(col("vec_id") === 1)
+      .select(col("embedding")).head()
+      .getAs[scala.collection.Seq[Float]](0).toSeq
+    def probeSize(p: Int): Long = {
+      def dotL(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).foldLeft(0.0)((acc, x) => acc + x._1.toDouble * x._2.toDouble)
+      val ranked = idx.centroids.zipWithIndex.sortBy { case (c, i) =>
+        (-(dotL(c, qv) / (math.sqrt(dotL(c, c)) * math.sqrt(dotL(qv, qv)))), i)
+      }.take(p).map(_._2)
+      idx.assigned.filter(col("cluster").isin(ranked: _*)).count()
+    }
+    assert(probeSize(1) < n)
+    assert(probeSize(8) == n)
+  }
+
 }
