@@ -67,7 +67,16 @@ object IvfIndex {
     * (driver-side, same double fold as the column expression), scan only
     * the `nProbe` nearest lists, exact cosine top-k within them.
     */
-  def search(index: Index, query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+  def search(index: Index, query: Seq[Float], k: Int, nProbe: Int): DataFrame =
+    searchAssigned(index.assigned, index.centroids, query, k, nProbe)
+
+  /** [[search]] over any (vec_id, embedding, cluster) relation — in
+    * particular one reopened from [[writeLists]] output, where the
+    * `cluster isin probes` predicate becomes a PARTITION filter and the
+    * scan physically reads only the probed lists.
+    */
+  def searchAssigned(assigned: DataFrame, centroids: Seq[Seq[Float]],
+      query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
     def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
     def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
@@ -75,14 +84,24 @@ object IvfIndex {
       val na = math.sqrt(dotLocal(a, a)); val nb = math.sqrt(dotLocal(b, b))
       if (na == 0.0 || nb == 0.0) -2.0 else d / (na * nb)
     }
-    val probes = index.centroids.zipWithIndex
+    val probes = centroids.zipWithIndex
       .sortBy { case (c, i) => (-cosLocal(c, query), i) }
       .take(nProbe).map(_._2)
-    index.assigned
+    assigned
       .filter(col("cluster").isin(probes: _*))
       .select(col("vec_id"),
         Similarity.cosine(col("embedding"), typedLit(query)).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Persist the inverted lists hive-partitioned by cluster (the
+    * deployment shape: one directory per list, co-located rows). A probe
+    * query over the reopened table reads nProbe/nList of the data —
+    * partition pruning, no shuffle, verified in PlanAuditSpec.
+    */
+  def writeLists(index: Index, path: String): Unit =
+    index.assigned
+      .repartition(col("cluster")) // one writer per list, no small files
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
 }

@@ -124,6 +124,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(salted.count() == plainCount)
   }
 
+  test("IVF lists written partitionBy(cluster) prune to the probed lists") {
+    import graft.operators.{IvfIndex, Similarity}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = IvfIndex.build(emb, col("vec_id"), col("embedding"), nList = 8)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.writeLists(idx, out)
+    val lists = spark.read.parquet(out)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    val probed = IvfIndex.searchAssigned(lists, idx.centroids, qv, k = 5, nProbe = 2)
+    val scan = scans(executed(probed)).head
+    assert(scan.metadata.getOrElse("PartitionFilters", "").contains("cluster"),
+      s"cluster probe not a partition filter: ${scan.metadata}")
+    // probe result must agree with the in-memory index search
+    val direct = IvfIndex.search(idx, qv, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaLists = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaLists == direct)
+  }
+
   test("year-partitioned message star prunes partitions on year filter") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import graft.engine.{CacheBuilder, Fixtures, MsgVault}
