@@ -67,6 +67,17 @@ object ScaleProbe {
       Similarity.bruteForceKnn(emb1, col("vec_id"), col("embedding"), q, 10).count())
     time(s"knn brute ${factor}x")(
       Similarity.bruteForceKnn(embN, col("vec_id"), col("embedding"), q, 10).count())
+    time(s"knn lsh multitable ${factor}x")(
+      Similarity.lshKnnMultiTable(embN, col("vec_id"), col("embedding"), q,
+        k = 10).count())
+    import graft.operators.IvfIndex
+    var idxN: IvfIndex.Index = null
+    time(s"ivf build nList=32 ${factor}x") {
+      idxN = IvfIndex.build(embN, col("vec_id"), col("embedding"), nList = 32)
+      idxN.assigned.persist().count()
+    }
+    time(s"ivf search nProbe=8/32 ${factor}x")(
+      IvfIndex.search(idxN, q, k = 10, nProbe = 8).count())
     time(s"exact dedup ${factor}x")(
       Dedup.exactGroups(docsN, col("doc_id"), col("text")).count())
     spark.stop()
