@@ -181,11 +181,58 @@ object DocQueries {
 
   /** SimHash signatures — xxhash64-based, spec-tested. rawTokens keeps
     * the tokenize stage codegen'd (the expression skips empties itself).
+    * Rows-only by necessity (DuckDB has no xxhash64); the construction
+    * itself is oracled through [[dedupSimhashMd5]], its bit-for-bit twin
+    * on an md5-derived hash both engines can compute.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(t(s, dir, "documents"), col("doc_id"),
       TextFunctions.rawTokens(col("text")))
       .orderBy(col("doc_id").asc)
+
+  /** Oracle-expressible SimHash twin: token hash = first 60 bits of
+    * md5(token) (15 hex chars — fits a signed long on both engines),
+    * per-bit frequency-weighted majority vote, identical formulation in
+    * the DuckDB oracle. Proves the simhash construction end-to-end; the
+    * xxhash64 entry above is the throughput path.
+    */
+  def dedupSimhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j"))
+    val sig = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val dedupSimhashMd5Sql: String = {
+    val votes = (0 until 60).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
+    val sig = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)").mkString(" |\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+       |           '[^\\p{L}\\p{N}]+'), t -> len(t) > 0)) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM tok),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id,
+       |    $sig AS simhash
+       |FROM v ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids) —
     * oracle-able twin of the LSH re-rank step.
@@ -546,6 +593,7 @@ object DocQueries {
     "dedup_survivor" -> (dedupSurvivor _, Some(dedupSurvivorSql)),
     "dedup_minhash" -> (dedupMinhash _, Some(dedupMinhashSql)),
     "dedup_simhash" -> (dedupSimhash _, None),
+    "dedup_simhash_md5" -> (dedupSimhashMd5 _, Some(dedupSimhashMd5Sql)),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
