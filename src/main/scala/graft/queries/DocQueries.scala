@@ -14,8 +14,9 @@ import graft.streaming.EventsStreaming
   * are oracled against the EXACT computation they approximate (minhash vs
   * brute-force Jaccard, LSH-KNN vs brute-force cosine, HLL vs exact
   * distinct) — the gate then proves recall/tolerance, not just row counts.
-  * The one remaining rows-only entry (dedup_simhash) emits xxhash64
-  * signatures DuckDB cannot replicate; it is spec-tested instead.
+  * The one rows-only entry (dedup_simhash) emits xxhash64 signatures no
+  * oracle engine can replicate; its construction is proven through the
+  * md5-twin entry and its throughput through the bench + specs.
   */
 object DocQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
