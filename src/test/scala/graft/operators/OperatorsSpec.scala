@@ -164,6 +164,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(got2 == got)
   }
 
+  test("multi-table LSH: compounded recall dominates single-table") {
+    val qv = embSf0001.filter(col("vec_id") === 0)
+      .select(col("embedding")).head()
+      .getAs[scala.collection.Seq[Float]](0).toSeq
+    val exact = Similarity.bruteForceKnn(embSf0001, col("vec_id"),
+      col("embedding"), qv, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      (df.collect().map(_.getAs[Long]("vec_id")).toSet & exact).size
+    val single = recall(Similarity.lshKnn(embSf0001, col("vec_id"),
+      col("embedding"), qv, k = 10, nBits = 4))
+    val multi = recall(Similarity.lshKnnMultiTable(embSf0001, col("vec_id"),
+      col("embedding"), qv, k = 10, nBits = 4, tables = 8))
+    assert(multi >= single, s"multi-table recall $multi < single-table $single")
+    assert(multi >= 7, s"multi-table recall too low: $multi/10")
+    // deterministic across partitioning
+    val multi2 = recall(Similarity.lshKnnMultiTable(embSf0001.repartition(5),
+      col("vec_id"), col("embedding"), qv, k = 10, nBits = 4, tables = 8))
+    assert(multi2 == multi)
+  }
+
   test("IVF: every vector lands in exactly one list; probes bound the scan") {
     val idx = IvfIndex.build(embSf0001, col("vec_id"), col("embedding"), nList = 8)
     val n = embSf0001.count()
