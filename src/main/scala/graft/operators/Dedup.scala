@@ -147,17 +147,19 @@ object Dedup {
   /** 64-bit SimHash: per-bit majority vote of token hashes, frequency-
     * weighted (duplicates count). Near-dups differ in ≤ k bits (Hamming).
     *
-    * Returns (doc_id, simhash: long); docs with zero tokens are absent.
+    * Returns (doc_id, simhash: long); docs with zero real tokens are
+    * absent — the expression returns NULL for them (even when handed a
+    * raw `split` whose output is never empty), filtered here.
     */
   def simhashSignatures(df: DataFrame, id: Column, toks: Column): DataFrame =
     // per-row scalar, same reasoning as [[minhashSignatures]] — the
     // explode → 64-aggregate encoding existed only to dodge interpreted
     // HOFs and cost a full shuffle of the exploded tokens
     graft.sources.Tables.spread(df.select(id.as("doc_id"), toks.as("__toks")))
-      .filter(size(col("__toks")) > 0)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.HashingExpressions
           .simhash64(col("__toks")).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -60,7 +60,10 @@ object IvfIndex {
       struct(Similarity.cosine(col("embedding"), typedLit(c)).as("s"),
         lit(i).as("i"))
     }
-    base.withColumn("cluster", greatest(scored: _*).getField("i"))
+    // greatest() requires ≥ 2 args; a single centroid means one list
+    val cluster =
+      if (scored.length == 1) lit(0) else greatest(scored: _*).getField("i")
+    base.withColumn("cluster", cluster)
   }
 
   /** Probe-and-re-rank search: rank centroids by cosine to the query
@@ -77,15 +80,8 @@ object IvfIndex {
     */
   def searchAssigned(assigned: DataFrame, centroids: Seq[Seq[Float]],
       query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
-    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = dotLocal(a, b)
-      val na = math.sqrt(dotLocal(a, a)); val nb = math.sqrt(dotLocal(b, b))
-      if (na == 0.0 || nb == 0.0) -2.0 else d / (na * nb)
-    }
     val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cosLocal(c, query), i) }
+      .sortBy { case (c, i) => (-Similarity.cosineLocal(c, query), i) }
       .take(nProbe).map(_._2)
     assigned
       .filter(col("cluster").isin(probes: _*))

@@ -19,6 +19,32 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Driver-side twin of [[dot]] — the SAME index-order double fold, so
+    * local signature/probe arithmetic agrees bitwise with the column
+    * expressions. Every local dot in this package must go through here:
+    * a divergent copy would silently break driver-vs-executor signature
+    * agreement.
+    */
+  private[operators] def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+
+  /** Driver-side cosine (−2.0 for a zero-norm side, sorting below any
+    * real similarity).
+    */
+  private[operators] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = dotLocal(a, b)
+    val na = math.sqrt(dotLocal(a, a)); val nb = math.sqrt(dotLocal(b, b))
+    if (na == 0.0 || nb == 0.0) -2.0 else d / (na * nb)
+  }
+
+  /** Sign-LSH signature of a literal query vector against `planes` —
+    * driver-side twin of [[lshSignature]].
+    */
+  private def querySignature(query: Seq[Float], planes: Seq[Seq[Float]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (h, i)) =>
+      if (dotLocal(query, h) > 0) acc | (1L << i) else acc
+    }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity ∈ [-1, 1] — the codegen'd custom Expression
@@ -66,12 +92,7 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val dim = query.length
     val planes = hyperplanes(dim, nBits, seed)
-    // driver-side signature of the literal query (same arithmetic)
-    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
-    val qSig = planes.zipWithIndex.foldLeft(0L) { case (acc, (h, i)) =>
-      if (dotLocal(query, h) > 0) acc | (1L << i) else acc
-    }
+    val qSig = querySignature(query, planes)
     val probes: Seq[Long] =
       if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
       else Seq(qSig)
@@ -97,13 +118,9 @@ object Similarity {
       query: Seq[Float], k: Int, nBits: Int = 4, tables: Int = 8,
       multiProbe: Boolean = true, seedBase: Long = 42L): DataFrame = {
     val dim = query.length
-    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
     val cond = (0 until tables).map { t =>
       val planes = hyperplanes(dim, nBits, seedBase + t)
-      val qSig = planes.zipWithIndex.foldLeft(0L) { case (acc, (h, i)) =>
-        if (dotLocal(query, h) > 0) acc | (1L << i) else acc
-      }
+      val qSig = querySignature(query, planes)
       val probes: Seq[Long] =
         if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
         else Seq(qSig)

@@ -79,9 +79,12 @@ object DocQueries {
 
   // `greatest(struct(hits, lang))` picks max hits, then max lang string —
   // hence the fr→es→en→de CASE order (reverse-lexicographic).
+  // coalesce(text,'') keeps NULL text on the Spark path ('und': null hits
+  // fail the > 0 gate) and the oracle path (empty toks → all-zero hits →
+  // 'und') in agreement
   val textLangIdSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')),
       |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
       |  FROM documents),
       |hits AS (
@@ -171,7 +174,8 @@ object DocQueries {
       |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |              ELSE list_transform(range(len(toks) - 2),
       |                     i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
-      |  FROM tok)
+      |  FROM tok
+      |  WHERE len(toks) > 0)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard

@@ -90,9 +90,15 @@ object Tables {
     // metadata-only probe: `df.rdd.getNumPartitions` would be exact but
     // forces a second full physical planning of the query on the driver
     // (measurable per-query latency); the file count is free and the
-    // single-file case is precisely the one that needs spreading
-    val nFiles = try df.inputFiles.length catch { case _: Throwable => target }
-    if (nFiles < math.min(4, target)) df.repartition(target) else df
+    // single-file case is precisely the one that needs spreading. A
+    // non-file DataFrame reports zero files — provenance unknown, so
+    // leave its partitioning alone (repartitioning an already-wide
+    // in-memory relation would add a gratuitous shuffle).
+    val nFiles =
+      try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (nFiles > 0 && nFiles < math.min(4, target)) df.repartition(target)
+    else df
   }
 
   /** Schema probe — reference probes cache Parquet with

@@ -33,23 +33,28 @@ private[graft] trait TokenArrayExpression extends UnaryExpression with ExpectsIn
 }
 
 /** 64-bit SimHash over a token array: per-bit majority vote of token
-  * hashes, frequency-weighted (duplicates count). Null tokens are
-  * skipped; an empty/all-null array yields 0L.
+  * hashes, frequency-weighted (duplicates count). Null/empty tokens are
+  * skipped; an array with no real tokens yields NULL (not 0L) so callers
+  * can preserve the "docs with zero tokens are absent" invariant — two
+  * empty docs must not look like hamming-distance-0 near-duplicates.
   */
 case class SimHash64(child: Expression)
     extends TokenArrayExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
+    var seen = false
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       // null/empty tokens skipped here so callers can pass a raw
       // codegen'd `split` without an interpreted filter() HOF pass
       if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
+        seen = true
         val h = tokenHash(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
@@ -59,6 +64,7 @@ case class SimHash64(child: Expression)
       }
       i += 1
     }
+    if (!seen) return null
     var out = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }

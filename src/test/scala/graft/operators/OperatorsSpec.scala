@@ -54,6 +54,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("simhash: docs with no real tokens are absent, even via rawTokens") {
+    // rawTokens of "" / punctuation yields [""], never an empty array —
+    // the absence invariant must come from the expression's NULL, not a
+    // size() filter (two empty docs must not be hamming-0 "near-dups")
+    val weird = Seq((1L, "real tokens here"), (2L, ""), (3L, "!!! ... ---"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashSignatures(weird, col("doc_id"),
+      TextFunctions.rawTokens(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+    // and the minhash path excludes them from candidates entirely
+    val sigs = Dedup.minhashSignatures(weird, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(1L))
+  }
+
   test("brute-force KNN: self is nearest with score 1.0") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
