@@ -124,6 +124,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(salted.count() == plainCount)
   }
 
+  test("disk-backed inverted index: prefix lookup pushes down to the scan") {
+    import graft.operators.InvertedIndex
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, sf, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_fts_idx").toString
+    InvertedIndex.write(InvertedIndex.build(docs, col("doc_id"),
+      TextFunctions.wsTokens(col("text"))), out)
+    val idx = InvertedIndex.read(spark, out)
+    val ids = InvertedIndex.matchingIds(idx, Seq("spar", "win"), prefix = true)
+    // the scan sits inside a finished AQE query stage (a leaf collect*
+    // does not descend into) — assert on the rendered plan instead
+    val plan = executed(ids).toString
+    assert(plan.contains("StringStartsWith(token,spar)"),
+      s"prefix predicate not pushed to parquet:\n$plan")
+    // disk-backed lookup answers the same ids as the scan-path predicate
+    val scanPath = docs.filter(graft.functions.Fts.prefixMatch(
+      TextFunctions.wsTokens(col("text")), Seq("spar", "win")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.collect().map(_.getLong(0)).toSet == scanPath)
+  }
+
   test("IVF lists written partitionBy(cluster) prune to the probed lists") {
     import graft.operators.{IvfIndex, Similarity}
     val emb = Tables.load(spark, sf, "embeddings")
