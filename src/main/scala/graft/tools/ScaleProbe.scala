@@ -80,6 +80,40 @@ object ScaleProbe {
       IvfIndex.search(idxN, q, k = 10, nProbe = 8).count())
     time(s"exact dedup ${factor}x")(
       Dedup.exactGroups(docsN, col("doc_id"), col("text")).count())
+
+    // --- core relational shapes (agg-below-join, window, semi join) ---
+    val li1 = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+    val ord1 = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val liN = spark.range(factor).crossJoin(li1)
+      .select((col("id") * 100000000L + col("l_orderkey")).as("l_orderkey"),
+        col("l_extendedprice"), col("l_quantity")).persist()
+    val ordN = spark.range(factor).crossJoin(ord1)
+      .select((col("id") * 100000000L + col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")).persist()
+    println(s"[scale] lineitem 1x=${li1.count()} ${factor}x=${liN.count()}  " +
+      s"orders ${factor}x=${ordN.count()}")
+    def aggBelowJoin(li: org.apache.spark.sql.DataFrame,
+        ord: org.apache.spark.sql.DataFrame): Long = {
+      val rollup = li.groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("items"))
+      ord.join(rollup, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)), sum(col("cents")), sum(col("items")))
+        .count()
+    }
+    aggBelowJoin(li1, ord1) // warm
+    time("agg-below-join 1x")(aggBelowJoin(li1, ord1))
+    time(s"agg-below-join ${factor}x")(aggBelowJoin(liN, ordN))
+    def topPerKey(ord: org.apache.spark.sql.DataFrame): Long =
+      ord.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3).count()
+    time("window top-3/key 1x")(topPerKey(ord1))
+    time(s"window top-3/key ${factor}x")(topPerKey(ordN))
     spark.stop()
   }
 }
