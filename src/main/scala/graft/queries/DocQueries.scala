@@ -334,6 +334,23 @@ object DocQueries {
   val vectorKnnIvfSql: String =
     "SELECT CAST(10 AS BIGINT) AS k, true AS recall_at_10_ok"
 
+  /** Raw-SQL vector search (§3.2 surface × §2.10 operator): the user's
+    * SQL string runs over the registered views with the codegen'd
+    * `cosine_similarity` injected as a first-class SQL function
+    * (GraftExtensions) — and still hash-matches the brute-force oracle
+    * bit-for-bit, proving the SQL path and the DataFrame path share one
+    * arithmetic.
+    */
+  def sqlVectorSearch(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    org.apache.spark.sql.graft.GraftExtensions.register(s)
+    s.sql(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, cosine_similarity(embedding, qv) AS score
+        |FROM embeddings, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin)
+  }
+
   /** Embedding-cosine near-dup: exact twin on a deterministic pair set
     * (adjacent vec_ids, double-fold arithmetic mirrored in the oracle);
     * the LSH-bucketed scale variant is
@@ -604,6 +621,7 @@ object DocQueries {
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
     "vector_knn_lsh" -> (vectorKnnLsh _, Some(vectorKnnBruteSql)),
     "vector_knn_ivf" -> (vectorKnnIvf _, Some(vectorKnnIvfSql)),
+    "sql_vector_search" -> (sqlVectorSearch _, Some(vectorKnnBruteSql)),
     "rrf_fusion" -> (rrfFusion _, Some(rrfFusionSql)),
     "stream_tumbling" -> (streamTumbling _, Some(streamTumblingSql)),
     "stream_sliding" -> (streamSliding _, Some(streamSlidingSql)),
