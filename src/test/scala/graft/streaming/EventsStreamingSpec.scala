@@ -60,6 +60,41 @@ class EventsStreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("watermark drops events later than the threshold (append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = src.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("cnt"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ckpt").toString
+    val q = agg.writeStream.format("memory").queryName("graft_late")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .start()
+    // batch 1: max event time 12:30 → watermark advances to 11:30
+    src.addData((ts("2024-01-01 10:10:00"), "a"), (ts("2024-01-01 12:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: 09:20 is below the watermark → MUST be dropped entirely
+    src.addData((ts("2024-01-01 09:20:00"), "a"))
+    q.processAllAvailable()
+    // batch 3: advance watermark so closed windows finalize and emit
+    src.addData((ts("2024-01-01 14:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_late").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("bucket") -> r.getAs[Long]("cnt")).toMap
+    // the 10:00 window finalized with exactly its one on-time event
+    assert(rows.get(ts("2024-01-01 10:00:00")).contains(1L), s"got $rows")
+    // the late event's window never appears in the append output
+    assert(!rows.contains(ts("2024-01-01 09:00:00")), s"late event leaked: $rows")
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import spark.implicits._
     val events = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0))
