@@ -38,18 +38,18 @@ object Bench {
       try runOnce(fn) catch { case _: Throwable => () }
     }
 
-    // best-of-2 steady-state timing (Go testing.B reports steady state,
-    // not first-run; JIT/exchange warmup noise otherwise dominates sub-
-    // second queries)
+    // best-of-3 steady-state timing (Go testing.B reports steady state,
+    // not first-run; JIT/exchange warmup and scheduler noise otherwise
+    // dominate sub-second queries — measured ±1 s total across runs at
+    // best-of-2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { runOnce(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      val a = timed()
-      val sec = if (a < 0) a else { val b = timed(); if (b < 0) a else math.min(a, b) }
-      name -> sec
+      val runs = Seq.fill(3)(timed()).filter(_ >= 0)
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -4,8 +4,13 @@ the apples-to-apples single-node comparison for BENCH/BASELINE. The
 oracles are the same computations the Spark queries run (same casts,
 same ordering), so per-query ratios are meaningful.
 
-Usage: duckbench.py <sfDir> <verifyOutDir> [threads]
+Usage: duckbench.py <sfDir> <verifyOutDir> [threads] [skip,names]
 Dev tool only — not part of the library.
+
+Note: the dedup_minhash oracle is brute-force O(n^2) exact Jaccard — at
+sf0.1 (5000 docs, 12.5M pairs) it exceeds 20 minutes in DuckDB, vs 1.7s
+for the Spark LSH path answering the same question. Pass it in the skip
+list when timing the rest.
 """
 import json, sys, time
 from pathlib import Path
@@ -15,7 +20,7 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir, out_dir, threads=32):
+def main(sf_dir, out_dir, threads=32, skip=()):
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
     con.execute(f"SET threads = {threads}")
@@ -26,6 +31,9 @@ def main(sf_dir, out_dir, threads=32):
             f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     results = {}
     for name in sorted(oracle):
+        if name in skip:
+            results[name] = None
+            continue
         sql = oracle[name]
         try:
             con.execute(sql).fetchall()  # warm (plan + any caches)
@@ -45,4 +53,6 @@ def main(sf_dir, out_dir, threads=32):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 32)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 32,
+         tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else ())
