@@ -64,10 +64,15 @@ object TextFunctions {
 
   /** Composite quality score ∈ [0,1]: favors mid-length docs with lexical
     * diversity, some stopwords (natural prose), low punctuation density —
-    * the usual pretraining heuristics (C4/Gopher-style rules).
+    * the usual pretraining heuristics (C4/Gopher-style rules). Hot paths
+    * should pre-project the tokens and use [[qualityScoreFromTokens]]
+    * (same reasoning as [[langId]]).
     */
-  def qualityScore(text: Column): Column = {
-    val toks = wsTokens(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, wsTokens(text))
+
+  /** [[qualityScore]] over an already-projected whitespace-token array. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val n = size(toks).cast("double")
     val lenScore = least(n / lit(50.0), lit(1.0))
     val divScore = distinctRatio(toks)
@@ -79,14 +84,24 @@ object TextFunctions {
   /** n-gram character/word-profile language ID. Scores each candidate
     * language by stopword hits; deterministic, pure builtins. Returns the
     * best-scoring language code or "und".
+    *
+    * Perf note: the profile filters are interpreted HOFs, and Catalyst
+    * does not common-subexpression-eliminate an expensive `tokens()`
+    * repeated across them — callers on a hot path should project the
+    * token array in a SEPARATE select and use [[langIdFromTokens]]
+    * (CollapseProject keeps non-cheap multi-referenced projections
+    * split, so the tokenize then runs once per row, not once per
+    * profile).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over an already-projected token array. */
+  def langIdFromTokens(toks: Column): Column = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
       "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
       "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
       "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"))
-    val toks = tokens(text)
     val scored = profiles.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
         lit(lang).as("lang"))

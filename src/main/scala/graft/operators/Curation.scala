@@ -29,8 +29,13 @@ object Curation {
   def curate(docs: DataFrame, id: Column, text: Column,
       minQuality: Double): DataFrame =
     docs
+      // tokens projected separately so the interpreted tokenize runs
+      // once per row, not once per quality sub-score (see TextFunctions)
       .select(id.as("doc_id"), text.as("__text"),
-        TextFunctions.qualityScore(text).as("quality"))
+        TextFunctions.wsTokens(text).as("__toks"))
+      .select(col("doc_id"), col("__text"),
+        TextFunctions.qualityScoreFromTokens(col("__text"), col("__toks"))
+          .as("quality"))
       .filter(col("quality") >= minQuality)
       .withColumn("__winner", min(col("doc_id")).over(
         Window.partitionBy(TextFunctions.fingerprint(col("__text")))))

@@ -36,17 +36,16 @@ object DocQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars_measured
       |FROM documents ORDER BY doc_id ASC""".stripMargin
 
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFunctions.wsTokens(col("text"))
+  def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        TextFunctions.stopwordCount(toks).cast("long").as("n_stopwords"),
-        (size(array_distinct(toks)).cast("double") /
-          size(toks).cast("double")).as("distinct_ratio"))
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
+        TextFunctions.stopwordCount(col("__toks")).cast("long").as("n_stopwords"),
+        (size(array_distinct(col("__toks"))).cast("double") /
+          size(col("__toks")).cast("double")).as("distinct_ratio"))
       .orderBy(col("doc_id").asc)
-  }
 
   val textQualitySql: String =
     """SELECT doc_id,
@@ -74,7 +73,9 @@ object DocQueries {
     */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     Tables.spread(t(s, dir, "documents"))
-      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"))
       .orderBy(col("doc_id").asc)
 
   // `greatest(struct(hits, lang))` picks max hits, then max lang string —
@@ -481,7 +482,11 @@ object DocQueries {
     */
   def textQualityScore(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("text"),
+        TextFunctions.wsTokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
+          .as("quality"))
       .orderBy(col("doc_id").asc)
 
   val textQualityScoreSql: String =
