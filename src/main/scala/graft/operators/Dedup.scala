@@ -120,10 +120,17 @@ object Dedup {
       size(array_union(sa, sb)).cast("double")
   }
 
-  /** Near-dup via MinHash-LSH candidates + exact Jaccard threshold. The
-    * shingle arrays are materialized once per side (separate projections —
-    * `array_intersect` and `array_union` would otherwise each re-evaluate
-    * the interpreted shingle construction).
+  /** Near-dup via MinHash-LSH candidates + exact Jaccard threshold.
+    *
+    * Re-rank plan shape (the part that must survive a 100 TB corpus):
+    * the corpus is semi-joined down to the docs that appear in ANY
+    * candidate pair (ONE scan — candidate ids are broadcast into it),
+    * each surviving doc is shingled exactly once, and the small
+    * shingled set is broadcast into both sides of the pair join. The
+    * naive `pairs JOIN corpus` twice would stream the full corpus
+    * through two joins and re-shingle a doc once per pair it appears
+    * in; here re-rank cost is bounded by the candidate set, not the
+    * corpus.
     */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
@@ -131,12 +138,18 @@ object Dedup {
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
     val cand = minhashCandidates(docs, col("doc_id"), col("doc_text"),
       numHashes, bands, shingleSize)
-    def sh(c: Column) = array_distinct(shingles(tokens(c), shingleSize))
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id")))
+      .distinct()
+    val shingled = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("doc_text")), shingleSize)).as("__sh"))
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("doc_text").as("__ta")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("doc_text").as("__tb")), "id_b")
-      .withColumn("__sa", sh(col("__ta")))
-      .withColumn("__sb", sh(col("__tb")))
+      .join(broadcast(shingled.select(col("doc_id").as("id_a"),
+        col("__sh").as("__sa"))), "id_a")
+      .join(broadcast(shingled.select(col("doc_id").as("id_b"),
+        col("__sh").as("__sb"))), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           size(array_union(col("__sa"), col("__sb"))).cast("double"))
