@@ -244,18 +244,18 @@ object DocQueries {
     * oracle-able twin of the LSH re-rank step.
     */
   def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // token sets projected per side BEFORE the join — inlining them into
+    // the jaccard expression would re-run the interpreted tokenize twice
+    // per side per row (intersect + union; no CSE for non-cheap HOFs)
     val docs = t(s, dir, "documents")
-    val a = docs.select(col("doc_id").as("id_a"), col("text").as("__ta"))
-    val b = docs.select((col("doc_id") - 1).as("id_a"), col("text").as("__tb"),
-      col("doc_id").as("id_b"))
+    val a = docs.select(col("doc_id").as("id_a"),
+      array_distinct(TextFunctions.wsTokens(col("text"))).as("__sa"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      array_distinct(TextFunctions.wsTokens(col("text"))).as("__sb"))
     a.join(b, "id_a")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(
-          array_distinct(TextFunctions.wsTokens(col("__ta"))),
-          array_distinct(TextFunctions.wsTokens(col("__tb"))))).cast("double") /
-          size(array_union(
-            array_distinct(TextFunctions.wsTokens(col("__ta"))),
-            array_distinct(TextFunctions.wsTokens(col("__tb"))))).cast("double"))
+        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))).cast("double"))
           .as("jaccard"))
       .orderBy(col("id_a").asc)
   }

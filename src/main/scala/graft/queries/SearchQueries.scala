@@ -22,13 +22,15 @@ object SearchQueries {
 
   // --- FTS5-style prefix AND-match -----------------------------------------
 
-  def ftsPrefixSearch(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFunctions.wsTokens(col("text"))
+  def ftsPrefixSearch(s: SparkSession, dir: String): DataFrame =
+    // tokens projected once, then the AND-of-prefix predicate over the
+    // column — an inline filter would tokenize once per query term
     t(s, dir, "documents")
-      .filter(Fts.prefixMatch(toks, Seq("spar", "win")))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokens(col("text")).as("__toks"))
+      .filter(Fts.prefixMatch(col("__toks"), Seq("spar", "win")))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc)
-  }
 
   val ftsPrefixSearchSql: String =
     """SELECT doc_id, lang FROM documents
