@@ -434,6 +434,56 @@ final class MsgEngine(val vault: MsgVault) {
       .drop("__d_mid", "__a_mid", "__l_mid")
   }
 
+  /** Point lookup by the source system's message id (reference
+    * GetMessageBySourceID engine.go:28 — routed to SQLite there
+    * (duckdb.go:1412-1422), served from the star here). Lowest live id
+    * wins if a source id is duplicated.
+    */
+  def messageDetailBySourceId(sourceMessageId: String): DataFrame = {
+    val hit = vault.messages
+      .filter(col("source_message_id") === sourceMessageId &&
+        col("deleted_at").isNull)
+      .select(col("id")).orderBy(col("id").asc).limit(1)
+      .collect().headOption.map(_.getLong(0))
+    messageDetail(hit.getOrElse(-1L))
+  }
+
+  /** Attachment metadata point lookup (reference GetAttachment,
+    * models.go:79-85 AttachmentInfo shape).
+    */
+  def attachmentInfo(id: Long): DataFrame =
+    vault.attachments.filter(col("id") === id)
+      .select(col("id"), col("filename"), col("mime_type"), col("size"),
+        col("content_hash"))
+
+  /** Decompressed raw MIME for one message, from the raw sidecar frame
+    * (message_id, raw_data zlib binary). Raw MIME stays OUT of the
+    * analytics star by design (reference query/DESIGN.md:56-69) — the
+    * caller supplies the sidecar. None when absent (the reference
+    * returns nil, nil — engine.go:33-34).
+    */
+  def messageRaw(raw: DataFrame, id: Long): Option[Array[Byte]] =
+    raw.filter(col("message_id") === id)
+      .select(graft.functions.Mime.inflateUdf(col("raw_data")))
+      .collect().headOption.map(_.getAs[Array[Byte]](0))
+
+  /** Source accounts (reference ListAccounts → AccountInfo{id,
+    * source_type, identifier, display_name}, models.go:330-336).
+    */
+  def listAccounts(): DataFrame =
+    vault.sources.select(col("id"), col("source_type"), col("identifier"),
+      coalesce(col("display_name"), col("identifier")).as("display_name"))
+      .orderBy(col("id").asc)
+
+  /** Unpaged match count for a fast search (reference SearchFastCount
+    * engine.go:55-57 — the "N of M results" pagination count).
+    */
+  def searchFastCount(query: String,
+      filter: MessageFilter = MessageFilter()): Long = {
+    val q = SearchParser.parse(query)
+    filters.compileSearch(filters.compile(filter), q).count()
+  }
+
   /** Any-participant domain search, date-bounded (reference
     * SearchByDomains engine.go:72-74, sqlite.go:1149-1194).
     */

@@ -74,7 +74,8 @@ object MsgVault {
       "title" -> lit(null).cast(StringType),
       "conversation_type" -> lit(null).cast(StringType)),
     "sources" -> Seq(
-      "source_type" -> lit(null).cast(StringType)))
+      "source_type" -> lit(null).cast(StringType),
+      "display_name" -> lit(null).cast(StringType)))
 
   private def backfill(name: String, df: DataFrame): DataFrame =
     optionalColumns.getOrElse(name, Nil).foldLeft(df) {

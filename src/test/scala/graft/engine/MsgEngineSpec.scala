@@ -239,4 +239,52 @@ class MsgEngineSpec extends SparkTestBase {
       .collect()(0)
     assert(vs.getLong(0) >= 2)
   }
+
+  test("messageDetailBySourceId resolves the live message; misses are empty") {
+    val hit = rows(engine.messageDetailBySourceId("src-2"))
+    assert(hit.length == 1 && hit.head.getAs[String]("subject") == "Re: Quarterly report")
+    // deleted_at loser (msg 4, src-4) is invisible to the lookup
+    assert(rows(engine.messageDetailBySourceId("src-4")).isEmpty)
+    assert(rows(engine.messageDetailBySourceId("no-such-id")).isEmpty)
+  }
+
+  test("attachmentInfo point lookup returns the metadata row") {
+    val a = rows(engine.attachmentInfo(1))
+    assert(a.length == 1)
+    assert(a.head.getAs[String]("filename") == "report.pdf")
+    assert(a.head.getAs[Long]("size") == 5000L)
+    assert(rows(engine.attachmentInfo(99)).isEmpty)
+  }
+
+  test("messageRaw inflates the sidecar blob; absent id is None") {
+    import spark.implicits._
+    val payload = "Message-ID: <m1@x>\r\n\r\nhello body".getBytes("UTF-8")
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val raw = Seq((1L, deflated)).toDF("message_id", "raw_data")
+    assert(engine.messageRaw(raw, 1L).map(new String(_, "UTF-8"))
+      .contains("Message-ID: <m1@x>\r\n\r\nhello body"))
+    assert(engine.messageRaw(raw, 2L).isEmpty)
+  }
+
+  test("listAccounts lists sources with identifier fallback display name") {
+    val accts = rows(engine.listAccounts())
+    assert(accts.length == 1)
+    assert(accts.head.getAs[String]("identifier") == "acct@example.com")
+    assert(accts.head.getAs[String]("display_name") == "acct@example.com")
+    assert(accts.head.getAs[String]("source_type") == "gmail")
+  }
+
+  test("searchFastCount is the unpaged total for a paged search") {
+    val total = engine.searchFastCount("quarterly")
+    assert(total == 2) // msgs 1 and 2; paging does not affect it
+    val paged = rows(engine.searchFast("quarterly",
+      MessageFilter(pagination = Pagination(limit = 1))))
+    assert(paged.length == 1 && total > paged.length)
+  }
 }
