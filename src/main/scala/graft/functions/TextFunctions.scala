@@ -64,12 +64,38 @@ object TextFunctions {
 
   /** Composite quality score ∈ [0,1]: favors mid-length docs with lexical
     * diversity, some stopwords (natural prose), low punctuation density —
-    * the usual pretraining heuristics (C4/Gopher-style rules). Hot paths
-    * should pre-project the tokens and use [[qualityScoreFromTokens]]
-    * (same reasoning as [[langId]]).
+    * the usual pretraining heuristics (C4/Gopher-style rules). Routed
+    * through the one-pass [[textStats]] expression; arithmetic is
+    * bit-identical to [[qualityScoreFromTokens]] (same double ops in the
+    * same order over the same integer counts).
     */
   def qualityScore(text: Column): Column =
-    qualityScoreFromTokens(text, wsTokens(text))
+    qualityScoreFromStats(text, textStats(text))
+
+  /** One-pass whitespace-token statistics
+    * struct(n_tokens, n_distinct, n_stopwords, n_punct) — the scalar
+    * expression replacing four interpreted array walks
+    * ([[org.apache.spark.sql.graft.TextStats]]).
+    */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions.textStats(text)
+
+  /** [[qualityScore]] over a pre-projected [[textStats]] struct. The four
+    * sub-scores reproduce [[qualityScoreFromTokens]]'s arithmetic exactly:
+    * counts are the same integers, and every division/multiply/round
+    * happens in the same order.
+    */
+  def qualityScoreFromStats(text: Column, st: Column): Column = {
+    val n = st.getField("n_tokens").cast("double")
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val divScore = st.getField("n_distinct").cast("double") / n
+    val stopScore =
+      least(st.getField("n_stopwords").cast("double") / n * 5.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(
+      st.getField("n_punct").cast("double") / length(text).cast("double") * 4.0,
+      lit(1.0))
+    round((lenScore + divScore + stopScore + punctPenalty) / 4.0, 6)
+  }
 
   /** [[qualityScore]] over an already-projected whitespace-token array. */
   def qualityScoreFromTokens(text: Column, toks: Column): Column = {
@@ -81,19 +107,17 @@ object TextFunctions {
     round((lenScore + divScore + stopScore + punctPenalty) / 4.0, 6)
   }
 
-  /** n-gram character/word-profile language ID. Scores each candidate
-    * language by stopword hits; deterministic, pure builtins. Returns the
-    * best-scoring language code or "und".
-    *
-    * Perf note: the profile filters are interpreted HOFs, and Catalyst
-    * does not common-subexpression-eliminate an expensive `tokens()`
-    * repeated across them — callers on a hot path should project the
-    * token array in a SEPARATE select and use [[langIdFromTokens]]
-    * (CollapseProject keeps non-cheap multi-referenced projections
-    * split, so the tokenize then runs once per row, not once per
-    * profile).
+  /** n-gram character/word-profile language ID: stopword-profile scoring,
+    * winner = max hits with lexicographically-last tie-break, zero hits →
+    * "und". One pass over the raw codegen'd `split` via the
+    * [[org.apache.spark.sql.graft.LangId]] scalar expression (the Column
+    * form, [[langIdFromTokens]], re-walks the token array once per
+    * profile in interpreted `filter()` lambdas — measured 4× slower).
+    * Null text → "und", matching the Column form.
     */
-  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+  def langId(text: Column): Column =
+    coalesce(org.apache.spark.sql.graft.TextExpressions.langId(rawTokens(text)),
+      lit("und"))
 
   /** [[langId]] over an already-projected token array. */
   def langIdFromTokens(toks: Column): Column = {

@@ -29,19 +29,20 @@ object Curation {
   def curate(docs: DataFrame, id: Column, text: Column,
       minQuality: Double): DataFrame =
     docs
-      // tokens projected separately so the interpreted tokenize runs
-      // once per row, not once per quality sub-score (see TextFunctions)
+      // stats projected once (one-pass TextStats scalar expression), so
+      // neither the quality sub-scores nor the final token count re-walk
+      // the text
       .select(id.as("doc_id"), text.as("__text"),
-        TextFunctions.wsTokens(text).as("__toks"))
+        TextFunctions.textStats(text).as("__st"))
       .select(col("doc_id"), col("__text"),
-        TextFunctions.qualityScoreFromTokens(col("__text"), col("__toks"))
+        col("__st.n_tokens").cast("long").as("n_tokens"),
+        TextFunctions.qualityScoreFromStats(col("__text"), col("__st"))
           .as("quality"))
       .filter(col("quality") >= minQuality)
       .withColumn("__winner", min(col("doc_id")).over(
         Window.partitionBy(TextFunctions.fingerprint(col("__text")))))
       .filter(col("doc_id") === col("__winner"))
-      .select(col("doc_id"), col("quality"),
-        TextFunctions.tokenCount(col("__text")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
 
   /** Full pipeline with the non-oracle-able gates composed in: language
     * restriction and LSH near-dup removal over the deterministic

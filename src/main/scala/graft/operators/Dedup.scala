@@ -87,7 +87,18 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    candidatesRaw(df, id, text, numHashes, bands, shingleSize, maxBucket)
+      .distinct()
+
+  /** [[minhashCandidates]] WITHOUT the final dedup shuffle: a pair
+    * sharing j band buckets appears j times. Consumers that post-process
+    * pairs anyway ([[nearDuplicates]]) dedup once at the very end instead
+    * of paying an extra shuffle here.
+    */
+  private def candidatesRaw(df: DataFrame, id: Column, text: Column,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, id, text, numHashes, shingleSize)
@@ -105,7 +116,6 @@ object Dedup {
       .select(col("id_a"), explode(col("members")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: re-rank LSH candidates with
@@ -136,25 +146,30 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
-    val cand = minhashCandidates(docs, col("doc_id"), col("doc_text"),
-      numHashes, bands, shingleSize)
-    val candIds = cand.select(col("id_a").as("doc_id"))
-      .union(cand.select(col("id_b").as("doc_id")))
-      .distinct()
+    // raw (possibly band-duplicated) candidates: dup pairs just redo a
+    // cheap array intersect below, while deduping HERE would cost a
+    // shuffle of the pair set — one distinct at the very end suffices
+    val cand = candidatesRaw(docs, col("doc_id"), col("doc_text"),
+      numHashes, bands, shingleSize, maxBucket = 1000)
+    // dup ids are fine too: left_semi doesn't multiply matches
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b")))
+      .as("doc_id"))
     val shingled = docs
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(shingles(tokens(col("doc_text")), shingleSize)).as("__sh"))
+    // the two broadcast sides are the SAME subplan (aliased, not
+    // re-projected) so the broadcast exchange is planned once and reused —
+    // candidates are shingled and shipped a single time
     cand
-      .join(broadcast(shingled.select(col("doc_id").as("id_a"),
-        col("__sh").as("__sa"))), "id_a")
-      .join(broadcast(shingled.select(col("doc_id").as("id_b"),
-        col("__sh").as("__sb"))), "id_b")
+      .join(broadcast(shingled).as("A"), col("id_a") === col("A.doc_id"))
+      .join(broadcast(shingled).as("B"), col("id_b") === col("B.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb"))).cast("double"))
+        size(array_intersect(col("A.__sh"), col("B.__sh"))).cast("double") /
+          size(array_union(col("A.__sh"), col("B.__sh"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
   }
 
   /** 64-bit SimHash: per-bit majority vote of token hashes, frequency-

@@ -85,11 +85,12 @@ object CoreQueries {
 
   // --- §2.2 time-period buckets (reference duckdb.go:681-691) ---
   def aggTime(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"))
-      .agg(count(lit(1)).as("msg_count"),
-        dsum(col("o_totalprice")).as("total_size"))
-      .orderBy(col("period").asc)
+    orderedAtTail(
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("period"))
+        .agg(count(lit(1)).as("msg_count"),
+          dsum(col("o_totalprice")).as("total_size")),
+      col("period").asc)
 
   val aggTimeSql: String =
     """SELECT strftime(o_orderdate, '%Y-%m') AS period,
@@ -136,10 +137,11 @@ object CoreQueries {
 
   // --- §2.2 ILIKE substring, case-insensitive, literal (duckdb.go:447-467) ---
   def filterIlike(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part")
-      .filter(lower(col("p_name")).contains("re"))
-      .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      .orderBy(col("p_partkey").asc)
+    orderedViaShuffle(
+      t(s, dir, "part")
+        .filter(lower(col("p_name")).contains("re"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand")),
+      col("p_partkey").asc)
 
   val filterIlikeSql: String =
     """SELECT p_partkey, p_name, p_brand FROM part
@@ -150,9 +152,10 @@ object CoreQueries {
   def joinSemi(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey").asc)
+    orderedViaShuffle(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      col("c_custkey").asc)
   }
 
   val joinSemiSql: String =
@@ -165,9 +168,10 @@ object CoreQueries {
   def joinAnti(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey").asc)
+    orderedViaShuffle(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      col("c_custkey").asc)
   }
 
   val joinAntiSql: String =
@@ -184,9 +188,10 @@ object CoreQueries {
       .select(col("c_custkey"),
         coalesce(nullif(trim(col("n_name")), lit("")), lit("unknown")).as("resolved_nation"),
         coalesce(nullif(trim(col("c_mktsegment")), lit("")), lit("unknown")).as("segment"))
-    cust.groupBy(col("resolved_nation"), col("segment"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("resolved_nation").asc, col("segment").asc)
+    orderedAtTail(
+      cust.groupBy(col("resolved_nation"), col("segment"))
+        .agg(count(lit(1)).as("cnt")),
+      col("resolved_nation").asc, col("segment").asc)
   }
 
   val joinCoalesceSql: String =
@@ -201,11 +206,13 @@ object CoreQueries {
   def windowRowNumber(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    t(s, dir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-      .orderBy(col("o_custkey").asc, col("rn").asc)
+    orderedAtTail(
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn")),
+      col("o_custkey").asc, col("rn").asc)
   }
 
   val windowRowNumberSql: String =
@@ -219,11 +226,12 @@ object CoreQueries {
 
   // --- §2.5 COUNT(*) OVER () total (reference duckdb.go:794) ---
   def windowTotalCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("key"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
-      .orderBy(col("key").asc)
+    orderedAtTail(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("total_unique", count(lit(1)).over(Window.partitionBy())),
+      col("key").asc)
 
   val windowTotalCountSql: String =
     """SELECT l_returnflag AS key, COUNT(*) AS cnt, COUNT(*) OVER () AS total_unique
@@ -272,7 +280,8 @@ object CoreQueries {
       .join(li, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
         coalesce(col("item_count"), lit(0L)).as("item_count"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .repartition(1)
+      .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey").asc)
   }
 
   val paginateThenJoinSql: String =
@@ -293,10 +302,11 @@ object CoreQueries {
       .select(col("c_nationkey").as("nationkey"), lit("customer").as("role"))
     val supps = t(s, dir, "supplier")
       .select(col("s_nationkey").as("nationkey"), lit("supplier").as("role"))
-    buyers.unionByName(supps)
-      .groupBy(col("nationkey"), col("role"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("nationkey").asc, col("role").asc)
+    orderedAtTail(
+      buyers.unionByName(supps)
+        .groupBy(col("nationkey"), col("role"))
+        .agg(count(lit(1)).as("cnt")),
+      col("nationkey").asc, col("role").asc)
   }
 
   val setUnionSql: String =
@@ -309,9 +319,10 @@ object CoreQueries {
 
   // --- §2.7 set difference (reference dedup.go:502-513 "not matched") ---
   def setExcept(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part").select(col("p_partkey"))
-      .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
-      .orderBy(col("p_partkey").asc)
+    orderedAtTail(
+      t(s, dir, "part").select(col("p_partkey"))
+        .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))),
+      col("p_partkey").asc)
 
   val setExceptSql: String =
     """SELECT p_partkey FROM part
@@ -343,11 +354,12 @@ object CoreQueries {
 
   // --- §2.8 JSON extraction (reference metadata JSON schema.sql:159) ---
   def scalarJson(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .groupBy(col("k"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("k").asc)
+    orderedAtTail(
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt")),
+      col("k").asc)
 
   val scalarJsonSql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS cnt
@@ -402,7 +414,8 @@ object CoreQueries {
         dsum(col("value")).as("total_value"),
         max(col("ts")).cast("date").as("last_day"))
       .join(lastType, Seq("user_id"))
-      .orderBy(col("user_id").asc)
+      .coalesce(1)
+      .sortWithinPartitions(col("user_id").asc)
   }
 
   val aggGroupStatsSql: String =
@@ -435,12 +448,16 @@ object CoreQueries {
       .write.mode("overwrite")
       .partitionBy("year")
       .option("compression", "zstd")
+      // level 1: an analytics-cache sink is write-often/scan-often, and
+      // zstd-1 keeps ~95% of level-3's parquet ratio at ~2/3 the CPU
+      .option("parquet.compression.codec.zstd.level", "1")
       .parquet(out)
     val back = s.read.parquet(out) // hive partition discovery is native
-    back.groupBy(col("year").cast("int").as("year"))
-      .agg(count(lit(1)).as("cnt"),
-        dsum(col("o_totalprice")).as("total_size"))
-      .orderBy(col("year").asc)
+    orderedAtTail(
+      back.groupBy(col("year").cast("int").as("year"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total_size")),
+      col("year").asc)
   }
 
   val etlSinkRoundtripSql: String =
@@ -501,13 +518,13 @@ object CoreQueries {
   // but a hot key spreads over 16 reducers in stage 1.
   def aggSalted(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Skew
-    Skew.saltedAgg(t(s, dir, "lineitem"), col("l_returnflag"), salts = 16,
+    orderedAtTail(Skew.saltedAgg(t(s, dir, "lineitem"), col("l_returnflag"), salts = 16,
       aggs = scala.collection.immutable.ListMap(
         "cnt" -> (count(lit(1)), (c: Column) => sum(c)),
         // cents-long partials (exact; see dsum) merged then scaled once
         "sum_qty" -> (sum(round(col("l_quantity").cast("double") * 100).cast("long")),
-          (c: Column) => sum(c).cast("double") / 100.0)))
-      .orderBy(col("key").asc)
+          (c: Column) => sum(c).cast("double") / 100.0))),
+      col("key").asc)
   }
 
   val aggSaltedSql: String =

@@ -25,27 +25,31 @@ object DocQueries {
   // --- §2.13 text analysis ------------------------------------------------
 
   def textTokenCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars_measured"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured")),
+      col("doc_id").asc)
 
   val textTokenCountSql: String =
     """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
       |       CAST(length(text) AS BIGINT) AS n_chars_measured
       |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  // one-pass TextStats scalar expression; counts are the same integers the
+  // size/array_distinct/filter-isin walks produced
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
-        TextFunctions.stopwordCount(col("__toks")).cast("long").as("n_stopwords"),
-        (size(array_distinct(col("__toks"))).cast("double") /
-          size(col("__toks")).cast("double")).as("distinct_ratio"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.textStats(col("text")).as("__st"))
+        .select(col("doc_id"),
+          col("__st.n_tokens").cast("long").as("n_tokens"),
+          col("__st.n_distinct").cast("long").as("n_distinct"),
+          col("__st.n_stopwords").cast("long").as("n_stopwords"),
+          (col("__st.n_distinct").cast("double") /
+            col("__st.n_tokens").cast("double")).as("distinct_ratio")),
+      col("doc_id").asc)
 
   val textQualitySql: String =
     """SELECT doc_id,
@@ -58,9 +62,10 @@ object DocQueries {
       |FROM documents ORDER BY doc_id ASC""".stripMargin
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
+      col("doc_id").asc)
 
   val textFingerprintSql: String =
     "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id ASC"
@@ -68,15 +73,16 @@ object DocQueries {
   /** Heuristic language ID — stopword-profile scoring with the greatest-
     * (hits, lang) tie-break; the oracle replicates the full heuristic
     * (tokenize → per-profile hit counts → max with lexicographic-last
-    * tie-break). Interpreted HOF profile-scoring is the cost → spread
-    * across cores first (single-file scans otherwise run it on one core).
+    * tie-break). One pass via the LangId scalar expression over the raw
+    * codegen'd split; spread across cores first (single-file scans
+    * otherwise run it on one core).
     */
   def textLangId(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(t(s, dir, "documents"))
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+      col("doc_id").asc)
 
   // `greatest(struct(hits, lang))` picks max hits, then max lang string —
   // hence the fr→es→en→de CASE order (reverse-lexicographic).
@@ -110,10 +116,11 @@ object DocQueries {
     val pred = q.textTerms
       .map(term => lower(col("text")).contains(term.toLowerCase))
       .reduce(_ && _) // AND across dimensions (reference sqlite.go:1466-1469)
-    t(s, dir, "documents")
-      .filter(pred)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .filter(pred)
+        .select(col("doc_id"), col("lang"), col("source")),
+      col("doc_id").asc)
   }
 
   val searchDocsSql: String =
@@ -127,9 +134,10 @@ object DocQueries {
   // output columns stay hashable downstream; reference serializes lists the
   // same way, duckdb.go:1897)
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
-      .withColumn("member_ids", array_join(col("member_ids"), ","))
-      .orderBy(col("content_hash").asc)
+    orderedAtTail(
+      Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .withColumn("member_ids", array_join(col("member_ids"), ",")),
+      col("content_hash").asc)
 
   val dedupExactSql: String =
     """SELECT sha256(text) AS content_hash, COUNT(*) AS dup_count,
@@ -139,9 +147,10 @@ object DocQueries {
       |ORDER BY content_hash ASC""".stripMargin
 
   def dedupSurvivor(s: SparkSession, dir: String): DataFrame =
-    Dedup.survivorPairs(t(s, dir, "documents"), col("doc_id"),
-      md5(col("text")), Nil)
-      .orderBy(col("loser_id").asc)
+    orderedAtTail(
+      Dedup.survivorPairs(t(s, dir, "documents"), col("doc_id"),
+        md5(col("text")), Nil),
+      col("loser_id").asc)
 
   val dedupSurvivorSql: String =
     """SELECT doc_id AS loser_id, winner_id FROM (
@@ -192,31 +201,28 @@ object DocQueries {
     * on an md5-derived hash both engines can compute.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashSignatures(t(s, dir, "documents"), col("doc_id"),
-      TextFunctions.rawTokens(col("text")))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      Dedup.simhashSignatures(t(s, dir, "documents"), col("doc_id"),
+        TextFunctions.rawTokens(col("text"))),
+      col("doc_id").asc)
 
   /** Oracle-expressible SimHash twin: token hash = first 60 bits of
     * md5(token) (15 hex chars — fits a signed long on both engines),
     * per-bit frequency-weighted majority vote, identical formulation in
-    * the DuckDB oracle. Proves the simhash construction end-to-end; the
-    * xxhash64 entry above is the throughput path.
+    * the DuckDB oracle. A per-row scalar, so it runs as ONE expression
+    * ([[org.apache.spark.sql.graft.SimHash60Md5]]) — the former explode →
+    * shuffle → 60-aggregate encoding cost a full shuffle of every token.
+    * Proves the simhash construction end-to-end; the xxhash64 entry above
+    * is the throughput path.
     */
-  def dedupSimhashMd5(s: SparkSession, dir: String): DataFrame = {
-    val ex = t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val votes = (0 until 60).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$j"))
-    val sig = (0 until 60).map(j =>
-      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ bitwiseOR _)
-    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-      .orderBy(col("doc_id").asc)
-  }
+  def dedupSimhashMd5(s: SparkSession, dir: String): DataFrame =
+    orderedViaShuffle(
+      Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.TextExpressions.simhash60Md5(
+            TextFunctions.rawTokens(col("text"))).as("simhash"))
+        .filter(col("simhash").isNotNull),
+      col("doc_id").asc)
 
   val dedupSimhashMd5Sql: String = {
     val votes = (0 until 60).map(j =>
@@ -252,12 +258,13 @@ object DocQueries {
       array_distinct(TextFunctions.wsTokens(col("text"))).as("__sa"))
     val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
       array_distinct(TextFunctions.wsTokens(col("text"))).as("__sb"))
-    a.join(b, "id_a")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb"))).cast("double"))
-          .as("jaccard"))
-      .orderBy(col("id_a").asc)
+    orderedViaShuffle(
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+            size(array_union(col("__sa"), col("__sb"))).cast("double"))
+            .as("jaccard")),
+      col("id_a").asc)
   }
 
   val dedupJaccardPairsSql: String =
@@ -419,8 +426,8 @@ object DocQueries {
   // --- §2.12 streaming (batch twins; true streaming spec-tested) ----------
 
   def streamTumbling(s: SparkSession, dir: String): DataFrame =
-    EventsStreaming.tumblingCounts(t(s, dir, "events"))
-      .orderBy(col("bucket").asc, col("event_type").asc)
+    orderedAtTail(EventsStreaming.tumblingCounts(t(s, dir, "events")),
+      col("bucket").asc, col("event_type").asc)
 
   val streamTumblingSql: String =
     """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bucket,
@@ -433,16 +440,17 @@ object DocQueries {
     */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc)
-    t(s, dir, "events")
-      .withColumn("__prev_ns", lag(col("ts_ns"), 1).over(w))
-      .withColumn("__new_session",
-        when(col("__prev_ns").isNull ||
-          col("ts_ns") - col("__prev_ns") > 30L * 60 * 1000000000L, 1L)
-          .otherwise(0L))
-      .groupBy(col("user_id"))
-      .agg(sum(col("__new_session")).as("session_cnt"),
-        count(lit(1)).as("event_cnt"))
-      .orderBy(col("user_id").asc)
+    orderedAtTail(
+      t(s, dir, "events")
+        .withColumn("__prev_ns", lag(col("ts_ns"), 1).over(w))
+        .withColumn("__new_session",
+          when(col("__prev_ns").isNull ||
+            col("ts_ns") - col("__prev_ns") > 30L * 60 * 1000000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("__new_session")).as("session_cnt"),
+          count(lit(1)).as("event_cnt")),
+      col("user_id").asc)
   }
 
   val streamSessionizeSql: String =
@@ -462,11 +470,12 @@ object DocQueries {
     * join (no native sliding windows in DuckDB).
     */
   def streamSliding(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").as("bucket"), col("cnt"))
-      .orderBy(col("bucket").asc)
+    orderedAtTail(
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("bucket"), col("cnt")),
+      col("bucket").asc)
 
   val streamSlidingSql: String =
     """SELECT bucket, COUNT(*) AS cnt FROM (
@@ -481,13 +490,11 @@ object DocQueries {
     * text-analysis metric with full arithmetic mirrored in the oracle.
     */
   def textQualityScore(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        TextFunctions.wsTokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
-          .as("quality"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+      col("doc_id").asc)
 
   val textQualityScoreSql: String =
     """SELECT doc_id, round((
@@ -507,9 +514,10 @@ object DocQueries {
     * shuffle ([[graft.operators.Curation]]).
     */
   def pipelineCurate(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Curation.curate(t(s, dir, "documents"),
-      col("doc_id"), col("text"), minQuality = 0.5)
-      .orderBy(col("doc_id").asc)
+    orderedAtTail(
+      graft.operators.Curation.curate(t(s, dir, "documents"),
+        col("doc_id"), col("text"), minQuality = 0.5),
+      col("doc_id").asc)
 
   val pipelineCurateSql: String =
     """WITH q AS (
@@ -534,11 +542,12 @@ object DocQueries {
   // --- multimodal plumbing -------------------------------------------------
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.withFakeMedia(t(s, dir, "documents"))
-      .select(col("doc_id"), col("mime"),
-        col("meta.n_bytes").as("n_bytes"),
-        col("meta.content_hash").as("content_hash"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      Multimodal.withFakeMedia(t(s, dir, "documents"))
+        .select(col("doc_id"), col("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.content_hash").as("content_hash")),
+      col("doc_id").asc)
 
   val multimodalMetaSql: String =
     """SELECT doc_id,
@@ -563,9 +572,10 @@ object DocQueries {
     val counts = (0 until 8).map(b =>
       round(element_at(col("features"), b + 1) *
         greatest(col("n_bytes"), lit(1L))).cast("long").as(s"h$b"))
-    Multimodal.extractFeatures(media).toDF()
-      .select(Seq(col("doc_id"), col("mime"), col("n_bytes")) ++ counts: _*)
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      Multimodal.extractFeatures(media).toDF()
+        .select(Seq(col("doc_id"), col("mime"), col("n_bytes")) ++ counts: _*),
+      col("doc_id").asc)
   }
 
   // the oracle re-derives the media bytes (hex-pair decode of the UTF-8
@@ -597,10 +607,12 @@ object DocQueries {
     * over the media blob, truncated at the end).
     */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(
-      Multimodal.withFakeMedia(t(s, dir, "documents")), framesPerDoc = 4)
-      .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("n"))
-      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+    orderedViaShuffle(
+      Multimodal.sampleFrames(
+        Multimodal.withFakeMedia(t(s, dir, "documents")), framesPerDoc = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("n")),
+      col("doc_id").asc, col("frame_idx").asc)
 
   val multimodalFramesSql: String =
     """SELECT doc_id, CAST(o.o AS INT) AS frame_idx,

@@ -25,12 +25,13 @@ object SearchQueries {
   def ftsPrefixSearch(s: SparkSession, dir: String): DataFrame =
     // tokens projected once, then the AND-of-prefix predicate over the
     // column — an inline filter would tokenize once per query term
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        TextFunctions.wsTokens(col("text")).as("__toks"))
-      .filter(Fts.prefixMatch(col("__toks"), Seq("spar", "win")))
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.wsTokens(col("text")).as("__toks"))
+        .filter(Fts.prefixMatch(col("__toks"), Seq("spar", "win")))
+        .select(col("doc_id"), col("lang")),
+      col("doc_id").asc)
 
   val ftsPrefixSearchSql: String =
     """SELECT doc_id, lang FROM documents
@@ -48,9 +49,10 @@ object SearchQueries {
       docs, col("doc_id"), TextFunctions.wsTokens(col("text")))
     val ids = graft.operators.InvertedIndex.matchingIds(
       index, Seq("spar", "win"), prefix = true)
-    docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id").asc)
+    orderedViaShuffle(
+      docs.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang")),
+      col("doc_id").asc)
   }
 
   // --- BM25 ranking ---------------------------------------------------------
@@ -58,10 +60,11 @@ object SearchQueries {
   def bm25Rank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
-    Fts.bm25Search(docs, col("doc_id"), col("toks"), terms, limit = 100)
-      .select(col("doc_id"), round(col("bm25_score"), 6).as("bm25_score"),
-        col("rank"))
-      .orderBy(col("rank").asc)
+    orderedAtTail(
+      Fts.bm25Search(docs, col("doc_id"), col("toks"), terms, limit = 100)
+        .select(col("doc_id"), round(col("bm25_score"), 6).as("bm25_score"),
+          col("rank")),
+      col("rank").asc)
   }
 
   val bm25RankSql: String =
@@ -100,12 +103,14 @@ object SearchQueries {
     val emb = t(s, dir, "embeddings")
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getAs[scala.collection.Seq[Float]](0).toSeq
-    HybridSearch.fusedSearch(
-      docs, col("doc_id"), col("toks"),
-      emb, col("vec_id"), col("embedding"),
-      terms, qv, k = 20).df
-      .select(col("id").as("doc_id"), round(col("rrf_score"), 9).as("rrf_score"))
-      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    orderedAtTail(
+      HybridSearch.fusedSearch(
+        docs, col("doc_id"), col("toks"),
+        emb, col("vec_id"), col("embedding"),
+        terms, qv, k = 20).df
+        .select(col("id").as("doc_id"),
+          round(col("rrf_score"), 9).as("rrf_score")),
+      col("rrf_score").desc, col("doc_id").asc)
   }
 
   val hybridRrfSql: String =

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Query registries (Core/Doc/Search) consumed by [[graft.SparkEntry]].
+  *
+  * Result-edge ordering discipline: every query ends in a deterministic
+  * total order (reference is explicit about tie-breaks,
+  * internal/vector/hybrid/rrf.go:64-75), but a bare un-limited `orderBy`
+  * compiles to a range exchange whose partitioner SAMPLING JOB executes
+  * the child plan a second time — for a map-only pipeline that doubles
+  * the query's real work just to sort a few thousand result rows
+  * (`orderBy(...).limit(k)` is exempt: it compiles to
+  * TakeOrderedAndProject, no sampling). Small final results therefore
+  * sort on a single partition:
+  */
+package object queries {
+
+  /** Total order for a small result of a MAP-ONLY pipeline: one
+    * round-robin shuffle of the already-computed result rows (upstream
+    * stays parallel, nothing re-executes), then an in-partition sort.
+    * `coalesce(1)` would be wrong here — with no shuffle boundary above,
+    * it collapses the whole scan+compute stage to one task.
+    */
+  private[queries] def orderedViaShuffle(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Total order for a small result ABOVE a shuffle (agg/join/window):
+    * coalesce the reduce side to one task and sort in place — no extra
+    * exchange at all. Only for results small enough that a single-task
+    * reduce is free (≤ ~100k narrow rows).
+    */
+  private[queries] def orderedAtTail(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+}

@@ -1,0 +1,199 @@
+package org.apache.spark.sql.graft
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass scalar text expressions for the hot analysis paths. Each
+  * replaces a relational encoding whose only purpose was dodging
+  * interpreted higher-order functions — per-row scalars (depending only on
+  * the row's own text/tokens) belong in ONE tight loop, not an explode →
+  * shuffle → N-aggregate plan (SimHash-md5) or a stack of interpreted
+  * `filter()` lambdas re-walking the token array per profile (lang-id,
+  * quality stats). Same design notes as [[SimHash64]]: CodegenFallback is
+  * deliberate — the loop body dwarfs the boxing, and correctness is
+  * oracle-gated bit-for-bit against DuckDB twins.
+  */
+
+/** 60-bit SimHash with md5-derived token hashes — the oracle-expressible
+  * twin of [[SimHash64]] (DuckDB has no xxhash64, but md5 is portable).
+  * Token hash = first 15 hex chars of md5(token) as a 60-bit integer —
+  * identical to `conv(substring(md5(t),1,15),16,10)` and to DuckDB's
+  * `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`. Per-bit frequency-weighted
+  * majority vote; null/empty tokens skipped; no real tokens → NULL.
+  */
+case class SimHash60Md5(child: Expression)
+    extends TokenArrayExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash60_md5"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    var seen = false
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
+        seen = true
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 15 hex chars = first 8 bytes big-endian >>> 4 (60 bits)
+        var acc = 0L
+        var j = 0
+        while (j < 8) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
+        val h = acc >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) return null
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Md5 =
+    copy(child = newChild)
+}
+
+/** Stopword-profile language ID over a token array, one pass. Semantics
+  * are EXACTLY the Column form it replaces
+  * (`greatest(struct(hits, lang))` over the four profiles): winner = max
+  * hit count, ties broken by lexicographically-greatest language code,
+  * zero hits → "und". Null/empty tokens are skipped so callers can pass a
+  * raw codegen'd `split`.
+  */
+case class LangId(child: Expression)
+    extends TokenArrayExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  import LangId._
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val hits = new Array[Int](langs.length)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val mask = profileWords.get(arr.getUTF8String(i))
+        if (mask != null) {
+          var l = 0
+          while (l < langs.length) {
+            if ((mask.intValue() & (1 << l)) != 0) hits(l) += 1
+            l += 1
+          }
+        }
+      }
+      i += 1
+    }
+    // langs is sorted ascending; >= keeps the lexicographically-last max
+    var best = 0
+    var l = 1
+    while (l < langs.length) { if (hits(l) >= hits(best)) best = l; l += 1 }
+    if (hits(best) == 0) und else langs(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+object LangId {
+  // lexicographic order is the tie-break order (see class doc)
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"))
+  private val langs: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+  private val und = UTF8String.fromString("und")
+  // word → bitmask of profile indexes ("la" is both es and fr)
+  private val profileWords: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    for (((_, words), idx) <- profiles.zipWithIndex; w <- words) {
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << idx)))
+    }
+    m
+  }
+}
+
+/** Whitespace-token statistics in one pass:
+  * struct(n_tokens, n_distinct, n_stopwords, n_punct). Token semantics are
+  * EXACTLY `split(text, " ")` (Java split with limit -1: empty tokens from
+  * runs/edges are kept and count toward n_tokens/n_distinct); n_punct is
+  * the number of `\p{P}` code points, i.e. `length(text) -
+  * length(regexp_replace(text, "\\p{P}", ""))` with Spark's code-point
+  * `length`. Replaces four interpreted array walks (size/array_distinct/
+  * filter-isin/regexp_replace) over the same tokens.
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_stopwords", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  import TextStats._
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = s.split(" ", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var stops = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      seen.add(t)
+      if (stopwords.contains(t)) stops += 1
+      i += 1
+    }
+    var punct = 0
+    val m = punctPattern.matcher(s)
+    while (m.find()) punct += 1 // \p{P} matches exactly one code point
+    InternalRow(toks.length, seen.size, stops, punct)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  private val stopwords = new java.util.HashSet[String](java.util.Arrays.asList(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+  private val punctPattern = Pattern.compile("\\p{P}")
+}
+
+object TextExpressions {
+  def simhash60Md5(toks: Column): Column =
+    ExpressionUtils.column(SimHash60Md5(ExpressionUtils.expression(toks)))
+
+  def langId(toks: Column): Column =
+    ExpressionUtils.column(LangId(ExpressionUtils.expression(toks)))
+
+  def textStats(text: Column): Column =
+    ExpressionUtils.column(TextStats(ExpressionUtils.expression(text)))
+}
