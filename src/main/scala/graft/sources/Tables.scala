@@ -35,12 +35,29 @@ object Tables {
     * (BASELINE.md methodology). Returns after materializing each cache.
     * Bench-only: ad-hoc sessions keep the plain scans (and their
     * pushdown/pruning, see PlanAuditSpec).
+    *
+    * The cache is REPARTITIONED first: the sf testdata ships one row
+    * group per table, so the raw scan is one partition — and an
+    * InMemoryRelation keeps its child's partitioning, which would pin the
+    * map side of every downstream stage to a single core. On real
+    * multi-file data `maxPartitionBytes` splitting delivers parallelism
+    * natively; here the partition count is sized to the work: `documents`
+    * feeds per-row-heavy text pipelines (tokenize/hash/shingle) and gets
+    * full parallelism, large fact tables get enough partitions to spread
+    * a scan-agg, and small dimensions stay single-partition (local-mode
+    * task launch costs ~5 ms each — 32 tasks over 15 k rows is pure
+    * overhead).
     */
   def cacheAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>
       val key = (System.identityHashCode(spark), sfDir, n)
       if (!cached.containsKey(key)) {
-        val df = load(spark, sfDir, n)
+        val raw = load(spark, sfDir, n)
+        val par = spark.sparkContext.defaultParallelism
+        val parts =
+          if (n == "documents") math.max(1, par / 4)
+          else math.max(1, math.min(par / 2, (raw.count() / 75000L).toInt))
+        val df = raw.repartition(parts)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         df.count()
         cached.put(key, df)
@@ -94,10 +111,14 @@ object Tables {
     // non-file DataFrame reports zero files — provenance unknown, so
     // leave its partitioning alone (repartitioning an already-wide
     // in-memory relation would add a gratuitous shuffle).
+    // a cached df was already repartitioned by cacheAll — its inputFiles
+    // still name the original single parquet file, so check storage first
+    val isCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val nFiles =
       try df.inputFiles.length
       catch { case scala.util.control.NonFatal(_) => 0 }
-    if (nFiles > 0 && nFiles < math.min(4, target)) df.repartition(target)
+    if (!isCached && nFiles > 0 && nFiles < math.min(4, target)) df.repartition(target)
     else df
   }
 
