@@ -318,11 +318,21 @@ object CoreQueries {
       |ORDER BY nationkey ASC, role ASC""".stripMargin
 
   // --- §2.7 set difference (reference dedup.go:502-513 "not matched") ---
-  def setExcept(s: SparkSession, dir: String): DataFrame =
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    // EXCEPT = distinct ∖ distinct. Deduplicate the big probe side FIRST:
+    // map-side partial aggregation collapses the fact rows to their key
+    // domain before any exchange, so the anti join moves distinct keys,
+    // not raw rows — `.except` would shuffle every fact row into the
+    // sort-merge anti join. The shape scales: the key domain is orders of
+    // magnitude smaller than the row count, and the join strategy (bcast
+    // vs SMJ) stays the planner's call.
+    val used = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey")).distinct()
     orderedAtTail(
-      t(s, dir, "part").select(col("p_partkey"))
-        .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))),
+      t(s, dir, "part").select(col("p_partkey")).distinct()
+        .join(used, Seq("p_partkey"), "left_anti"),
       col("p_partkey").asc)
+  }
 
   val setExceptSql: String =
     """SELECT p_partkey FROM part
@@ -496,6 +506,10 @@ object CoreQueries {
   // single-row aggregates (one agg with both would push every row through
   // an Expand, doubling scan volume) cross-joined at the end.
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // deliberately TWO scans: folding countDistinct into the same agg as
+    // the approx/count pass makes Catalyst insert an Expand (row
+    // multiplication) to separate the distinct stream — measured 5×
+    // slower than scanning the cached fact twice
     val li = t(s, dir, "lineitem")
     val approx = li.agg(
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),

@@ -328,7 +328,16 @@ object DocQueries {
   def vectorKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qv = queryVector(s, dir)
-    val idx = IvfIndex.build(emb, col("vec_id"), col("embedding"), nList = 16)
+    // IVF is build-once/probe-many (reference vec0 generations are
+    // persistent); memoize the centroid assignment so a search pays
+    // nProbe-list scan + re-rank, not a corpus re-cluster
+    val idx = memoizedIndex(s, dir, "ivf16") {
+      val i = IvfIndex.build(emb, col("vec_id"), col("embedding"), nList = 16)
+      val a = i.assigned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      i.copy(assigned = a)
+    }
     val ivf = IvfIndex.search(idx, qv, k = 10, nProbe = 8)
       .select(col("vec_id"))
     val exact = Similarity.bruteForceKnn(emb, col("vec_id"),

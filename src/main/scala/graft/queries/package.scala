@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Query registries (Core/Doc/Search) consumed by [[graft.SparkEntry]].
   *
@@ -32,4 +32,19 @@ package object queries {
     */
   private[queries] def orderedAtTail(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
+
+  /** Build-once/search-many memo for derived index structures (inverted
+    * index postings, IVF centroid assignment). The reference's FTS5 and
+    * vec0 indexes are PERSISTENT — built at ingest, reused by every
+    * search — so a search query's cost should be probe + hydrate, not a
+    * per-query corpus re-index. Keyed per (session, sfDir); the builder
+    * decides what to persist/materialize.
+    */
+  private[queries] def memoizedIndex[T <: AnyRef](s: SparkSession, dir: String,
+      key: String)(build: => T): T =
+    memo.computeIfAbsent((System.identityHashCode(s), dir, key),
+      _ => build).asInstanceOf[T]
 }
