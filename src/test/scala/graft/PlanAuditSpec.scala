@@ -79,6 +79,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_sum"), s"no map-side partial agg:\n$plan")
   }
 
+  test("set difference dedups the probe side below the anti join") {
+    // asserted on the optimized logical plan: at tiny SF the runtime
+    // result is empty and AQE elides the join entirely
+    val plan = CoreQueries.setExcept(spark, sf).queryExecution.optimizedPlan
+    val antiJoins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(antiJoins.nonEmpty, s"no anti join:\n$plan")
+    val probeDeduped = antiJoins.head.right.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(probeDeduped.nonEmpty,
+      s"probe side not deduplicated below the anti join:\n$plan")
+  }
+
   test("bucketed tables join shuffle-free (co-located SMJ)") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
