@@ -48,6 +48,19 @@ object Tables {
     * task launch costs ~5 ms each — 32 tasks over 15 k rows is pure
     * overhead).
     */
+  /** Cache clustering keys — the in-memory analogue of the `bucketBy`
+    * write path (PlanAuditSpec "bucketed tables join shuffle-free"): facts
+    * hash-partitioned on their join/grouping key make the pre-agg-below-
+    * join and co-located joins exchange-free, because HashPartitioning on
+    * the key satisfies the downstream ClusteredDistribution. lineitem and
+    * orders share the order key at the SAME partition count, so their
+    * join is co-located end-to-end.
+    */
+  private val clusterKey = Map(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey",
+    "events" -> "user_id")
+
   def cacheAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>
       val key = (System.identityHashCode(spark), sfDir, n)
@@ -56,11 +69,16 @@ object Tables {
         val par = spark.sparkContext.defaultParallelism
         val parts =
           if (n == "documents") math.max(1, par / 4)
+          else if (n == "lineitem" || n == "orders") math.max(1, par / 4)
           else math.max(1, math.min(par / 2, (raw.count() / 75000L).toInt))
-        val df = raw.repartition(parts)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-        df.count()
-        cached.put(key, df)
+        val df = clusterKey.get(n) match {
+          case Some(k) =>
+            raw.repartition(parts, org.apache.spark.sql.functions.col(k))
+          case None => raw.repartition(parts)
+        }
+        val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        persisted.count()
+        cached.put(key, persisted)
       }
     }
 
