@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, DocQueries, SearchQueries}
+import graft.queries.{CoreQueries, DocQueries, PipelineQueries, SearchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,8 @@ import graft.queries.{CoreQueries, DocQueries, SearchQueries}
 object SparkEntry {
   private def registry
       : Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    CoreQueries.all ++ DocQueries.all ++ SearchQueries.all
+    CoreQueries.all ++ DocQueries.all ++ SearchQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -151,4 +151,53 @@ object TextFunctions {
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Adjacent word pairs: ["a b", "b c", ...]; empty below 2 tokens.
+    * zip_with over two slices of the SAME projected array — cheaper than
+    * the index-transform shingle construction for the n=2 case.
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+
+  /** Duplicate-fraction repetition signals (Gopher-style repetition
+    * filters): 1 − distinct/total over words and over adjacent bigrams.
+    * High values flag boilerplate/spam for the curation gate.
+    */
+  def dupWordFraction(toks: Column): Column =
+    round(lit(1.0) -
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+
+  def dupBigramFraction(toks: Column): Column = {
+    val b = bigrams(toks)
+    when(size(b) < 1, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(b)).cast("double") / size(b).cast("double"), 6))
+  }
+
+  // PII patterns restricted to syntax RE2 engines also accept (no
+  // lookaround, no \b) — the redaction recipe must be replayable outside
+  // the JVM, same portability contract as Sampling.hashBucket
+  private[graft] val emailPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipv4Pattern =
+    "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII redaction for training corpora: emails → `<EMAIL>`, IPv4 →
+    * `<IP>`. Email pass runs first so an address's host part is never
+    * half-eaten by the IP pass. Pure regexp_replace — codegen'd,
+    * no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(emailPattern)),
+      regexp_count(regexp_replace(text, emailPattern, "<EMAIL>"),
+        lit(ipv4Pattern)))
 }

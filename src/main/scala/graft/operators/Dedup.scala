@@ -191,4 +191,59 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair set — A~B and B~C put A,B,C in ONE cluster even when A,C were
+    * never compared (the transitive step pairwise dedup misses; reference
+    * groups transitively too via shared Message-ID keys, dedup.go:505-600).
+    *
+    * Algorithm: iterative min-label propagation with path halving — each
+    * round every vertex takes the min label among itself and its
+    * neighbors, then jumps to its label's label (pointer doubling), so
+    * convergence is O(log diameter) rounds, not O(diameter); each round
+    * is two key-shuffle joins over the EDGE set (≪ corpus — only docs
+    * that appear in some candidate pair participate). Labels are min
+    * doc-ids, so the result is deterministic regardless of partitioning.
+    *
+    * Returns (doc_id, cluster_id = min id reachable).
+    */
+  def duplicateClusters(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(edges
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      // min label among neighbors …
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("__nbr"))
+      val stepped = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("__nbr"), col("l.label")))
+            .as("label"))
+      // … then path-halve: follow the label to ITS label (labels are
+      // vertex ids, so the lookup is a self-join on the same frame)
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("label"), col("label").as("__ll"))
+          .as("y"), Seq("label"), "left")
+        .select(col("id"), coalesce(col("__ll"), col("label")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "__prev"), "id")
+        .filter(col("label") =!= col("__prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

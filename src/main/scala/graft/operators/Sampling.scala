@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / mixing / packing operators for training-data curation —
+  * the "decide what goes into the run" half of the pipeline, complementing
+  * the dedup/quality half ([[Dedup]], [[graft.operators.Curation]]).
+  *
+  * Everything is DETERMINISTIC by construction: sampling decisions hash the
+  * row's stable id (never `rand()`), so a re-run — or a different engine
+  * replaying the recipe — selects the identical subset. That property is
+  * what makes 100 TB curation auditable, and it is what the DuckDB oracles
+  * verify bit-for-bit.
+  *
+  * Scale notes: hash-threshold sampling is a stateless per-row filter (no
+  * shuffle, pushes through scans); mixture weighting aggregates to one row
+  * per stratum before any windowing; packing windows are partitioned by the
+  * shard column so no global sort exists anywhere.
+  */
+object Sampling {
+
+  /** Uniform pseudo-random bucket in [0, buckets) from a stable id:
+    * first 60 bits of md5(cast(id as string)) mod buckets. md5 (not
+    * xxhash64) so any engine can reproduce the draw — the sampling
+    * decision is part of the dataset's recipe, not an engine internal.
+    */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic Bernoulli sample: keep iff bucket(id) < rate·buckets. */
+  def sampleByHash(df: DataFrame, id: Column, rate: Double,
+      buckets: Int = 1000): DataFrame =
+    df.filter(hashBucket(id, buckets) < math.round(rate * buckets))
+
+  /** Stratified deterministic sample: per-stratum keep-rates (applied to
+    * the same id-hash draw), default rate for unlisted strata. One
+    * stateless filter — no shuffle, no per-stratum pass.
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      buckets: Int = 1000): DataFrame = {
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * buckets))) {
+      case (acc, (k, r)) =>
+        when(stratum === k, lit(math.round(r * buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(id, buckets) < threshold)
+  }
+
+  /** Mixture weighting: per-stratum token share vs a uniform target share,
+    * emitting the up/down-sampling weight (target/actual) a data-mixing
+    * job would apply. Aggregates to |strata| rows FIRST; the total-window
+    * then runs over a handful of rows, never the corpus.
+    */
+  def mixtureWeights(df: DataFrame, stratum: Column,
+      tokens: Column): DataFrame = {
+    val agg = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("__total", sum(col("n_tokens")).over(all))
+      .withColumn("__k", count(lit(1)).over(all))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__total").cast("double"),
+          6).as("token_share"),
+        round((col("__total").cast("double") / col("__k").cast("double")) /
+          col("n_tokens").cast("double"), 6).as("weight"))
+  }
+
+  /** Greedy fixed-budget sequence packing: within each shard (`part`),
+    * documents in `order` accumulate into chunks of ~`targetTokens` —
+    * chunk = floor(tokens-before-this-doc / target), i.e. a doc starts a
+    * new chunk once the running total crosses the budget. Returns one row
+    * per (shard, chunk) with doc/token accounting.
+    *
+    * The window partitions by shard, so packing parallelizes across
+    * shards and no global order exists — the 100 TB layout (one shard
+    * per input file/source) keeps every partition independent.
+    */
+  def packChunks(df: DataFrame, part: Column, order: Column,
+      tokens: Column, targetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("__part")).orderBy(col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(part.as("__part"), order.as("__ord"),
+        tokens.cast("long").as("__n"))
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("chunk_id",
+        floor(col("__before") / lit(targetTokens.toLong)).cast("long"))
+      .groupBy(col("__part").as("part"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("chunk_tokens"),
+        min(col("__ord")).as("first_doc"),
+        max(col("__ord")).as("last_doc"))
+  }
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+
+/** Training-data curation operators beyond the reference's own inventory
+  * (prompt: "the operations a large-scale training-data pipeline would
+  * need"): duplicate-cluster assignment (connected components over the
+  * near-dup graph), deterministic stratified sampling, dataset mixture
+  * weighting, PII redaction, repetition signals, and sequence packing.
+  *
+  * All deterministic, all fully oracled — sampling draws hash a stable id
+  * through md5 (reproducible in any engine), cluster labels are min-ids,
+  * packing follows a pinned (shard, doc_id) order.
+  */
+object PipelineQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Near-dup CLUSTERS, not pairs: LSH candidate pairs ≥ 0.5 Jaccard →
+    * connected components → one row per cluster. The oracle recomputes
+    * the same edge set exactly (O(n²) Jaccard) and takes its transitive
+    * closure with a recursive CTE — so the gate proves the LSH path found
+    * every edge AND the label propagation grouped them transitively.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.nearDuplicates(t(s, dir, "documents"),
+      col("doc_id"), col("text"), threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    orderedAtTail(
+      Dedup.duplicateClusters(edges)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          array_join(array_sort(collect_list(col("doc_id"))), ",")
+            .as("member_ids")),
+      col("cluster_id").asc)
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |              ELSE list_transform(range(len(toks) - 2),
+      |                     i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+      |  FROM tok WHERE len(toks) > 0),
+      |e AS (
+      |  SELECT a.doc_id AS ea, b.doc_id AS eb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+      |edges AS (SELECT ea AS u, eb AS v FROM e UNION ALL SELECT eb, ea FROM e),
+      |reach AS (
+      |  SELECT u AS id, u AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+      |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS cluster_size,
+      |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
+      |FROM lab GROUP BY cluster_id ORDER BY cluster_id ASC""".stripMargin
+
+  /** Deterministic stratified sample: per-lang keep rates over the same
+    * md5 id-draw on both engines — selects the identical subset anywhere.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    orderedViaShuffle(
+      Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
+        col("lang"), Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket(col("doc_id")).as("bucket")),
+      col("doc_id").asc)
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      |      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
+      |ORDER BY doc_id ASC""".stripMargin
+
+  /** Dataset mixture weighting: per-lang token share vs a uniform target,
+    * emitting the sampling weight a mixing job applies per stratum.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      Sampling.mixtureWeights(t(s, dir, "documents"), col("lang"),
+        TextFunctions.tokenCount(col("text"))),
+      col("stratum").asc)
+
+  val mixWeightsSql: String =
+    """WITH a AS (
+      |  SELECT lang AS stratum, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang)
+      |SELECT stratum, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+      |  round((CAST(SUM(n_tokens) OVER () AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+      |        / CAST(n_tokens AS DOUBLE), 6) AS weight
+      |FROM a ORDER BY stratum ASC""".stripMargin
+
+  /** PII redaction. The corpus text carries no PII, so both sides derive
+    * the same deterministic PII-bearing text from (text, doc_id) — the
+    * withFakeMedia pattern — then the query counts and redacts emails and
+    * IPv4s; the md5 fingerprint pins the redacted output byte-for-byte.
+    */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".7"))
+    val (nEmails, nIps) = TextFunctions.piiCounts(pii)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          nEmails.cast("long").as("n_emails"),
+          nIps.cast("long").as("n_ips"),
+          md5(TextFunctions.redactPii(pii)).as("redacted_fp")),
+      col("doc_id").asc)
+  }
+
+  val textPiiRedactSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |           || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |           || '.7' AS pii
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(pii,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(regexp_replace(pii,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(pii,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS redacted_fp
+      |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** Gopher-style repetition signals: duplicate-word and duplicate-bigram
+    * fractions — the boilerplate/spam gate of a curation pipeline.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("__toks"))
+    orderedViaShuffle(
+      docs.select(col("doc_id"),
+        TextFunctions.dupWordFraction(col("__toks")).as("dup_word_frac"),
+        TextFunctions.dupBigramFraction(col("__toks")).as("dup_bigram_frac")),
+      col("doc_id").asc)
+  }
+
+  val textRepetitionSql: String =
+    """WITH tks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, toks,
+      |        list_transform(range(len(toks) - 1),
+      |          i -> toks[i+1] || ' ' || toks[i+2]) AS big
+      |      FROM tks)
+      |SELECT doc_id,
+      |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+      |            / CAST(len(toks) AS DOUBLE), 6) AS dup_word_frac,
+      |  CASE WHEN len(big) < 1 THEN 0.0
+      |       ELSE round(1.0 - CAST(len(list_distinct(big)) AS DOUBLE)
+      |                      / CAST(len(big) AS DOUBLE), 6) END AS dup_bigram_frac
+      |FROM b ORDER BY doc_id ASC""".stripMargin
+
+  /** Sequence packing: per-source shards, docs in id order accumulate
+    * into ~512-token chunks; one row per chunk with doc/token accounting.
+    * Windows partition by shard — no global order, packs in parallel.
+    */
+  def packChunks(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      Sampling.packChunks(t(s, dir, "documents"), col("source"),
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        targetTokens = 512)
+        .withColumnRenamed("part", "source"),
+      col("source").asc, col("chunk_id").asc)
+
+  val packChunksSql: String =
+    """WITH n AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, nt,
+      |         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM n)
+      |SELECT source, CAST(floor(cb / 512.0) AS BIGINT) AS chunk_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS chunk_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY source ASC, chunk_id ASC""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "dedup_clusters" -> (dedupClusters _, Some(dedupClustersSql)),
+    "sample_stratified" -> (sampleStratified _, Some(sampleStratifiedSql)),
+    "mix_weights" -> (mixWeights _, Some(mixWeightsSql)),
+    "text_pii_redact" -> (textPiiRedact _, Some(textPiiRedactSql)),
+    "text_repetition" -> (textRepetition _, Some(textRepetitionSql)),
+    "pack_chunks" -> (packChunks _, Some(packChunksSql)))
+}

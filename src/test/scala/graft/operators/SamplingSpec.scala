@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+/** Sampling / mixing / packing / clustering operators (PipelineQueries'
+  * backing implementations).
+  */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- duplicateClusters ----------------------------------------------------
+
+  test("duplicateClusters groups transitively, labels by min id") {
+    // chain 1-2-3 (1,3 never directly paired), island 7-9, singleton edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters converges on a long path and a star") {
+    // path 0-1-...-9 exercises pointer-halving (diameter 9), star 100-{101..105}
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val star = (101L to 105L).map(i => (100L, i))
+    val got = Dedup.duplicateClusters((path ++ star).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(v => assert(got(v) == 0L))
+    (100L to 105L).foreach(v => assert(got(v) == 100L))
+  }
+
+  test("duplicateClusters on empty edge set returns empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).isEmpty)
+  }
+
+  // --- hash sampling ----------------------------------------------------------
+
+  test("hashBucket matches an independent md5 computation and is stable") {
+    val ids = Seq(0L, 1L, 42L, 123456789L).toDF("id")
+    val got = ids.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expected(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    got.foreach { case (id, b) => assert(b == expected(id), s"id=$id") }
+  }
+
+  test("stratifiedSample applies per-stratum rates deterministically") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(docs, col("id"), col("lang"),
+      Map("en" -> 0.5), defaultRate = 0.1)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform: expect ~500 of 1000 en, ~100 of 1000 zz
+    assert(byLang("en") > 400 && byLang("en") < 600, byLang)
+    assert(byLang("zz") > 50 && byLang("zz") < 160, byLang)
+    // deterministic: re-running selects the identical subset
+    val again = Sampling.stratifiedSample(docs, col("id"), col("lang"),
+      Map("en" -> 0.5), defaultRate = 0.1)
+    assert(kept.select("id").except(again.select("id")).isEmpty &&
+      again.select("id").except(kept.select("id")).isEmpty)
+  }
+
+  test("mixtureWeights shares sum to 1 and weights invert shares") {
+    val docs = Seq(("a", 100), ("a", 300), ("b", 200), ("c", 400))
+      .toDF("lang", "n")
+    val w = Sampling.mixtureWeights(docs, col("lang"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toList.sortBy(_._1)
+    assert(w.map(_._2) == List(400L, 200L, 400L))
+    assert(math.abs(w.map(_._3).sum - 1.0) < 1e-9)
+    // uniform target share is 1/3 of 1000 tokens; weight = target/actual
+    assert(math.abs(w.head._4 - (1000.0 / 3 / 400)) < 1e-6)
+  }
+
+  // --- packing ---------------------------------------------------------------
+
+  test("packChunks splits at the token budget per shard, in order") {
+    val docs = Seq(
+      ("s1", 1L, 300), ("s1", 2L, 300), ("s1", 3L, 300), // 300+300 | 300
+      ("s2", 4L, 100), ("s2", 5L, 100), ("s2", 6L, 700)) // all < budget crossing
+      .toDF("src", "id", "n")
+    val got = Sampling.packChunks(docs, col("src"), col("id"), col("n"), 512)
+      .orderBy("part", "chunk_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      ("s1", 0L, 2L, 600L, 1L, 2L), // docs 1,2: before=0,300 < 512
+      ("s1", 1L, 1L, 300L, 3L, 3L), // doc 3: before=600 → chunk 1
+      ("s2", 0L, 3L, 900L, 4L, 6L))) // before=0,100,200 all < 512
+  }
+
+  // --- text signals -----------------------------------------------------------
+
+  test("bigrams and repetition fractions") {
+    val df = Seq("a b a b", "x y z", "w").toDF("text")
+      .select(TextFunctions.wsTokens(col("text")).as("t"))
+      .select(TextFunctions.bigrams(col("t")).as("b"),
+        TextFunctions.dupWordFraction(col("t")).as("dw"),
+        TextFunctions.dupBigramFraction(col("t")).as("db"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(math.abs(rows(0).getDouble(1) - 0.5) < 1e-9) // 2 distinct of 4
+    assert(math.abs(rows(0).getDouble(2) - (1.0 - 2.0 / 3)) < 1e-6)
+    assert(rows(1).getSeq[String](0) == Seq("x y", "y z"))
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 0.0)
+    assert(rows(2).getSeq[String](0).isEmpty && rows(2).getDouble(2) == 0.0)
+  }
+
+  test("redactPii masks emails before IPs and counts both") {
+    val df = Seq("mail a.b+c@ex-1.org or 10.0.3.7 and 1.2.3.4, no 1.2.3")
+      .toDF("text")
+    val (ne, ni) = TextFunctions.piiCounts(col("text"))
+    val r = df.select(TextFunctions.redactPii(col("text")).as("red"),
+      ne.as("ne"), ni.as("ni")).head()
+    assert(r.getString(0) == "mail <EMAIL> or <IP> and <IP>, no 1.2.3")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 2)
+  }
+}
