@@ -183,21 +183,38 @@ object TextFunctions {
   // the JVM, same portability contract as Sampling.hashBucket
   private[graft] val emailPattern =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  // IPv4 with range-checked octets and non-digit/non-dot context on both
+  // sides, so '1.2.3.4.5' and '999.999.999.999' don't (half-)match.
+  // Without lookaround the context chars are consumed: they're captured
+  // ($1/$3) and restored by the replacement, and redaction runs TWO
+  // passes because the first pass eats the char separating adjacent IPs
+  // ("1.2.3.4 5.6.7.8" → second IP only matches once the first is gone).
+  // Version-like strings in prose ("released 10.0.3.7") still redact —
+  // indistinguishable from an IP without semantic context.
+  private[graft] val ipv4Octet =
+    "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
   private[graft] val ipv4Pattern =
-    "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    s"(^|[^0-9.])($ipv4Octet(?:\\.$ipv4Octet){3})([^0-9.]|$$)"
+  private[graft] val ipv4Replacement = "$1<IP>$3"
 
   /** PII redaction for training corpora: emails → `<EMAIL>`, IPv4 →
     * `<IP>`. Email pass runs first so an address's host part is never
     * half-eaten by the IP pass. Pure regexp_replace — codegen'd,
     * no UDF.
     */
-  def redactPii(text: Column): Column =
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
     regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      ipv4Pattern, "<IP>")
+      regexp_replace(noEmail, ipv4Pattern, ipv4Replacement),
+      ipv4Pattern, ipv4Replacement)
+  }
 
-  def piiCounts(text: Column): (Column, Column) =
+  def piiCounts(text: Column): (Column, Column) = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val afterPass1 = regexp_replace(noEmail, ipv4Pattern, ipv4Replacement)
     (regexp_count(text, lit(emailPattern)),
-      regexp_count(regexp_replace(text, emailPattern, "<EMAIL>"),
-        lit(ipv4Pattern)))
+      // adjacent-IP chains surface across the two passes; count both
+      regexp_count(noEmail, lit(ipv4Pattern)) +
+        regexp_count(afterPass1, lit(ipv4Pattern)))
+  }
 }

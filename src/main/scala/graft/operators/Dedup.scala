@@ -197,28 +197,91 @@ object Dedup {
     * never compared (the transitive step pairwise dedup misses; reference
     * groups transitively too via shared Message-ID keys, dedup.go:505-600).
     *
-    * Algorithm: iterative min-label propagation with path halving — each
-    * round every vertex takes the min label among itself and its
-    * neighbors, then jumps to its label's label (pointer doubling), so
-    * convergence is O(log diameter) rounds, not O(diameter); each round
-    * is two key-shuffle joins over the EDGE set (≪ corpus — only docs
-    * that appear in some candidate pair participate). Labels are min
-    * doc-ids, so the result is deterministic regardless of partitioning.
+    * Two execution paths, picked by edge count (the GraphFrames/GraphX
+    * production pattern — iterate distributed, finish small graphs
+    * centrally):
+    *
+    *  - **≤ localEdgeThreshold edges**: union-find on the driver. The
+    *    near-dup EDGE set after exact verification is tiny relative to
+    *    the corpus (it is bounded by the LSH bucket cap, and a healthy
+    *    corpus has few dups), so even a 100 TB run usually lands here —
+    *    2 M edges is ~32 MB on the driver. One job to count, one to
+    *    collect; no iteration.
+    *  - **above the threshold**: iterative min-label propagation with
+    *    path halving — each round every vertex takes the min label among
+    *    itself and its neighbors, then jumps to its label's label
+    *    (pointer doubling), so convergence is O(log diameter) rounds;
+    *    each round is key-shuffle joins over the EDGE set only.
+    *    Convergence is detected by the (monotonically decreasing) sum of
+    *    labels going flat — an aggregate per round instead of a
+    *    change-count join. Rounds are `localCheckpoint`ed to keep the
+    *    plan constant-size; blocks are released by the ContextCleaner
+    *    when the frame is GC'd, so callers need not unpersist.
+    *
+    * Both paths label every vertex with the min doc-id reachable from it,
+    * so the result is identical and deterministic regardless of path or
+    * partitioning. Throws IllegalStateException if the distributed loop
+    * hits maxIter without converging (with path halving 25 rounds covers
+    * graphs of diameter ≫ 2^25 — hitting it means something is wrong, and
+    * returning half-propagated labels would be a silent wrong answer).
     *
     * Returns (doc_id, cluster_id = min id reachable).
     */
-  def duplicateClusters(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def duplicateClusters(edges: DataFrame, maxIter: Int = 25,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges
+    val spark = edges.sparkSession
+    val pairs = edges
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(edges
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .persist(MEMORY_AND_DISK)
+    val edgeCount = pairs.count()
+    val out =
+      if (edgeCount <= localEdgeThreshold) localUnionFind(spark, pairs)
+      else distributedClusters(pairs, maxIter)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-side union-find over a collected (bounded) edge set; labels
+    * components by min member id — byte-identical to the distributed path.
+    */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by min id: the surviving root IS the component label
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach(v => rows += ((v, find(v))))
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "cluster_id")
+  }
+
+  private def distributedClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val sym = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = labels.isEmpty
+    var converged = prevSum.signum() == 0 && labels.isEmpty
     while (!converged && iter < maxIter) {
       // min label among neighbors …
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
@@ -235,15 +298,18 @@ object Dedup {
         .join(stepped.select(col("id").as("label"), col("label").as("__ll"))
           .as("y"), Seq("label"), "left")
         .select(col("id"), coalesce(col("__ll"), col("label")).as("label"))
-        .persist(MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "__prev"), "id")
-        .filter(col("label") =!= col("__prev")).count()
-      labels.unpersist(blocking = false)
+        .localCheckpoint(true)
+      // labels only ever decrease, so an unchanged sum ⇔ a fixed point —
+      // one map-side-combined agg per round, no change-count join
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
-      converged = changed == 0
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: label propagation did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

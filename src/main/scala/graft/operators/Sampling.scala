@@ -73,9 +73,14 @@ object Sampling {
 
   /** Greedy fixed-budget sequence packing: within each shard (`part`),
     * documents in `order` accumulate into chunks of ~`targetTokens` —
-    * chunk = floor(tokens-before-this-doc / target), i.e. a doc starts a
-    * new chunk once the running total crosses the budget. Returns one row
-    * per (shard, chunk) with doc/token accounting.
+    * a doc joins the chunk its running total falls in (floor(tokens-
+    * before-this-doc / target)), so a chunk can OVERSHOOT the budget by
+    * up to one document (a doc is never split), and a doc longer than
+    * the whole budget spans several raw chunk numbers on its own.
+    * Returns one row per (shard, chunk); `chunk_id` is densely
+    * renumbered 0,1,2,… per shard (dense_rank over the handful of
+    * chunk rows, NOT over the corpus) so downstream consumers can
+    * index chunks contiguously despite the gaps oversized docs leave.
     *
     * The window partitions by shard, so packing parallelizes across
     * shards and no global order exists — the 100 TB layout (one shard
@@ -85,7 +90,7 @@ object Sampling {
       tokens: Column, targetTokens: Int): DataFrame = {
     val w = Window.partitionBy(col("__part")).orderBy(col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(part.as("__part"), order.as("__ord"),
+    val chunks = df.select(part.as("__part"), order.as("__ord"),
         tokens.cast("long").as("__n"))
       .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
       .withColumn("chunk_id",
@@ -95,5 +100,8 @@ object Sampling {
         sum(col("__n")).as("chunk_tokens"),
         min(col("__ord")).as("first_doc"),
         max(col("__ord")).as("last_doc"))
+    val dense = Window.partitionBy(col("part")).orderBy(col("chunk_id").asc)
+    chunks.withColumn("chunk_id",
+      (dense_rank().over(dense) - 1).cast("long"))
   }
 }

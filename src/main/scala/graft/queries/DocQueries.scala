@@ -161,16 +161,18 @@ object DocQueries {
 
   /** MinHash-LSH near-dup candidates + exact-Jaccard re-rank. The oracle
     * is the brute-force O(n²) exact Jaccard over the same shingle sets —
-    * so the gate verifies the LSH path finds EVERY true pair ≥ threshold
-    * (recall 1.0 holds here: the data's near-dups all sit ≥ 0.9 Jaccard,
-    * far above the 16-band/4-row S-curve midpoint).
+    * the gate certifies the LSH path found every true pair ≥ threshold on
+    * this corpus. Banding matches the threshold: 32 bands × 2 rows puts
+    * pair recall at s=0.5 at 1-(1-0.5²)³² ≈ 0.9999 (and ≈ 1-1e-23 at the
+    * s≥0.9 the corpus's near-dups actually sit at); the default 16×4
+    * banding would be ~0.64 at the midpoint and pass only by data luck.
     * Tiny result set: total order via a single-partition sort —
     * `orderBy` would add a range exchange whose partitioner SAMPLING
     * re-executes the upstream pipeline (measured +1.2s for ≤300 rows).
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(t(s, dir, "documents"), col("doc_id"), col("text"),
-      threshold = 0.5)
+      threshold = 0.5, bands = 32)
       .coalesce(1)
       .sortWithinPartitions(col("id_a").asc, col("id_b").asc)
 

@@ -23,12 +23,16 @@ object PipelineQueries {
   /** Near-dup CLUSTERS, not pairs: LSH candidate pairs ≥ 0.5 Jaccard →
     * connected components → one row per cluster. The oracle recomputes
     * the same edge set exactly (O(n²) Jaccard) and takes its transitive
-    * closure with a recursive CTE — so the gate proves the LSH path found
-    * every edge AND the label propagation grouped them transitively.
+    * closure with a recursive CTE. Banding is 32 bands × 2 rows so pair
+    * recall at the 0.5 threshold is 1-(1-0.5²)³² ≈ 0.9999 (16×4 would be
+    * ~0.64 — passing would be data luck); LSH is still probabilistic, so
+    * the exact-edge oracle certifies recall on THIS corpus, not
+    * universally. The extra false candidates the wider banding admits are
+    * discarded by the exact-Jaccard re-rank inside nearDuplicates.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val edges = Dedup.nearDuplicates(t(s, dir, "documents"),
-      col("doc_id"), col("text"), threshold = 0.5)
+      col("doc_id"), col("text"), threshold = 0.5, bands = 32)
       .select(col("id_a"), col("id_b"))
     orderedAtTail(
       Dedup.duplicateClusters(edges)
@@ -129,17 +133,27 @@ object PipelineQueries {
       |         text || ' contact user' || CAST(doc_id AS VARCHAR)
       |           || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
       |           || '.7' AS pii
-      |  FROM documents)
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, pii,
+      |         regexp_replace(pii,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne
+      |  FROM p),
+      |r2 AS (
+      |  SELECT doc_id, pii, ne,
+      |         regexp_replace(ne,
+      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g') AS ip1
+      |  FROM r)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(pii,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(regexp_replace(pii,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
-      |  md5(regexp_replace(regexp_replace(pii,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS redacted_fp
-      |FROM p ORDER BY doc_id ASC""".stripMargin
+      |  CAST(len(regexp_extract_all(ne,
+      |    '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)'))
+      |    + len(regexp_extract_all(ip1,
+      |    '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(ip1,
+      |    '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g')) AS redacted_fp
+      |FROM r2 ORDER BY doc_id ASC""".stripMargin
 
   /** Gopher-style repetition signals: duplicate-word and duplicate-bigram
     * fractions — the boilerplate/spam gate of a curation pipeline.
@@ -189,11 +203,17 @@ object PipelineQueries {
       |  SELECT source, doc_id, nt,
       |         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ASC
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-      |  FROM n)
-      |SELECT source, CAST(floor(cb / 512.0) AS BIGINT) AS chunk_id,
-      |       COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS chunk_tokens,
-      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-      |FROM c GROUP BY 1, 2 ORDER BY source ASC, chunk_id ASC""".stripMargin
+      |  FROM n),
+      |g AS (
+      |  SELECT source, CAST(floor(cb / 512.0) AS BIGINT) AS raw_chunk,
+      |         COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS chunk_tokens,
+      |         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |  FROM c GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(dense_rank() OVER (PARTITION BY source ORDER BY raw_chunk ASC)
+      |            - 1 AS BIGINT) AS chunk_id,
+      |       n_docs, chunk_tokens, first_doc, last_doc
+      |FROM g ORDER BY source ASC, chunk_id ASC""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "dedup_clusters" -> (dedupClusters _, Some(dedupClustersSql)),

@@ -37,6 +37,25 @@ class SamplingSpec extends SparkTestBase {
     assert(Dedup.duplicateClusters(empty).isEmpty)
   }
 
+  test("duplicateClusters distributed path matches the local fast path") {
+    // threshold 0 forces the iterative path; same graphs as above
+    val edges = (Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L)) ++
+      (0L until 9L).map(i => (i + 30L, i + 31L))).toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.duplicateClusters(edges, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local(3L) == 1L && local(39L) == 30L)
+  }
+
+  test("duplicateClusters distributed path fails loudly at maxIter") {
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(path, maxIter = 1, localEdgeThreshold = 0L)
+    }
+  }
+
   // --- hash sampling ----------------------------------------------------------
 
   test("hashBucket matches an independent md5 computation and is stable") {
@@ -86,7 +105,8 @@ class SamplingSpec extends SparkTestBase {
   test("packChunks splits at the token budget per shard, in order") {
     val docs = Seq(
       ("s1", 1L, 300), ("s1", 2L, 300), ("s1", 3L, 300), // 300+300 | 300
-      ("s2", 4L, 100), ("s2", 5L, 100), ("s2", 6L, 700)) // all < budget crossing
+      ("s2", 4L, 100), ("s2", 5L, 100), ("s2", 6L, 700), // all < budget crossing
+      ("s3", 7L, 2000), ("s3", 8L, 100)) // oversized doc → raw gap, dense ids
       .toDF("src", "id", "n")
     val got = Sampling.packChunks(docs, col("src"), col("id"), col("n"), 512)
       .orderBy("part", "chunk_id")
@@ -95,7 +115,9 @@ class SamplingSpec extends SparkTestBase {
     assert(got == List(
       ("s1", 0L, 2L, 600L, 1L, 2L), // docs 1,2: before=0,300 < 512
       ("s1", 1L, 1L, 300L, 3L, 3L), // doc 3: before=600 → chunk 1
-      ("s2", 0L, 3L, 900L, 4L, 6L))) // before=0,100,200 all < 512
+      ("s2", 0L, 3L, 900L, 4L, 6L), // before=0,100,200 all < 512
+      ("s3", 0L, 1L, 2000L, 7L, 7L), // oversized doc overshoots budget
+      ("s3", 1L, 1L, 100L, 8L, 8L))) // raw chunk 3 → dense id 1, no gap
   }
 
   // --- text signals -----------------------------------------------------------
@@ -123,5 +145,19 @@ class SamplingSpec extends SparkTestBase {
       ne.as("ne"), ni.as("ni")).head()
     assert(r.getString(0) == "mail <EMAIL> or <IP> and <IP>, no 1.2.3")
     assert(r.getInt(1) == 1 && r.getInt(2) == 2)
+  }
+
+  test("redactPii checks octet ranges, boundaries, and adjacent IPs") {
+    val cases = Seq(
+      "1.2.3.4 5.6.7.8" -> "<IP> <IP>",              // adjacent: 2nd pass
+      "a 1.1.1.1,2.2.2.2,3.3.3.3,4.4.4.4" -> "a <IP>,<IP>,<IP>,<IP>",
+      "1.2.3.4.5 stays" -> "1.2.3.4.5 stays",        // 5 dotted octets
+      "999.999.999.999 stays" -> "999.999.999.999 stays", // out of range
+      "end 10.0.255.7" -> "end <IP>",                 // $ boundary
+      "0.0.0.0 ok" -> "<IP> ok")                      // ^ boundary
+    val df = cases.map(_._1).toDF("text")
+      .select(col("text"), TextFunctions.redactPii(col("text")).as("red"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"in=$in") }
   }
 }
