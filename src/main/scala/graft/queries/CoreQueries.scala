@@ -35,7 +35,7 @@ object CoreQueries {
     * the throughput of a decimal aggregate (decimal adds are object ops;
     * long adds vectorize in whole-stage codegen).
     */
-  private def dsum(c: Column): Column =
+  private[queries] def dsum(c: Column): Column =
     sum(round(c.cast("double") * 100).cast("long")).cast("double") / 100.0
 
   // --- §2.4 core aggregate view (flagship; reference duckdb.go:773-807) ---

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TemporalJoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def asof(left: Seq[(Long, Long, String)],
+      right: Seq[(Long, Long, Double)], tol: Long = Long.MaxValue) = {
+    val l = left.toDF("k", "t", "tag")
+    val r = right.toDF("k", "rt", "v")
+    TemporalJoins.asofJoinBackward(l, r, "k", "t", "rt", Seq("v"), tol)
+      .collect()
+      .map(x => (x.getString(x.fieldIndex("tag")),
+        Option(x.get(x.fieldIndex("asof_ts"))).map(_.asInstanceOf[Long]),
+        Option(x.get(x.fieldIndex("v"))).map(_.asInstanceOf[Double])))
+      .toSet
+  }
+
+  test("asof picks latest prior right row per key, inclusive on ties") {
+    val got = asof(
+      left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c")),
+      right = Seq((1L, 5L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0),
+        (2L, 11L, 9.0)))
+    assert(got == Set(
+      ("a", Some(10L), Some(2.0)), // same-ts right row matches (inclusive)
+      ("b", Some(15L), Some(3.0)), // latest ≤ 20 is 15, not 10
+      ("c", None, None)))          // right row is in the future
+  }
+
+  test("asof tolerance expires old matches") {
+    val got = asof(
+      left = Seq((1L, 100L, "a"), (1L, 200L, "b")),
+      right = Seq((1L, 95L, 1.0)),
+      tol = 10L)
+    assert(got == Set(
+      ("a", Some(95L), Some(1.0)),
+      ("b", None, None))) // 105 ns gap > 10 ns tolerance
+  }
+
+  test("asof keeps every left row and all left columns") {
+    val l = Seq((1L, 10L, "x", 7), (9L, 10L, "y", 8)).toDF("k", "t", "tag", "extra")
+    val r = Seq((1L, 1L, 0.5)).toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoinBackward(l, r, "k", "t", "rt", Seq("v"))
+    assert(out.columns.toSet == Set("k", "t", "tag", "extra", "asof_ts", "v"))
+    assert(out.count() == 2) // key 9 has no right rows at all, still present
+  }
+
+  test("binned range join matches the naive inequality join") {
+    val points = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "v")
+    val iv = Seq(("a", 0.0, 30.0), ("b", 25.0, 60.0), ("c", 58.9, 59.1),
+      ("d", 900.0, 950.0)).toDF("band", "lo", "hi")
+    for (w <- Seq(5.0, 33.3, 1000.0)) { // narrower, comparable, wider than bins
+      val got = TemporalJoins.binnedRangeJoin(points, "v", iv, "lo", "hi", w)
+        .select("pid", "band").as[(Long, String)].collect().toSet
+      val naive = points.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "band").as[(Long, String)].collect().toSet
+      assert(got == naive, s"binWidth=$w")
+      assert(naive.exists(_._2 == "a") && naive.exists(_._2 == "b"))
+      assert(!naive.exists(_._2 == "d")) // empty interval drops out
+    }
+  }
+
+  test("range join boundary semantics: lo inclusive, hi exclusive") {
+    val points = Seq((1L, 10.0), (2L, 20.0)).toDF("pid", "v")
+    val iv = Seq(("e", 10.0, 20.0)).toDF("band", "lo", "hi")
+    val got = TemporalJoins.binnedRangeJoin(points, "v", iv, "lo", "hi", 7.0)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}
