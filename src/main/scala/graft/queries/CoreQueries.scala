@@ -562,8 +562,93 @@ object CoreQueries {
     s.sql(sqlPassthroughSql)
   }
 
+  // --- §2.4 multidimensional aggregates -----------------------------------
+
+  /** ROLLUP over (returnflag, linestatus): detail rows + per-flag
+    * subtotals + grand total in ONE pass. Spark plans grouping sets via
+    * Expand (each input row is replicated once per grouping set BEFORE
+    * the shuffle, ×3 here) — still one shuffle with map-side partial
+    * aggregation, vs three separate scan+shuffle passes for the naive
+    * union formulation. grouping_id disambiguates NULL-as-subtotal from
+    * NULL data and gives the sort a total order.
+    */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total_price")),
+      col("gid").asc, col("l_returnflag").asc_nulls_first,
+      col("l_linestatus").asc_nulls_first)
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+      |         l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** PIVOT: order counts, priority rows × status columns. The status
+    * values are pinned (`Seq("F","O","P")`) so Spark skips the extra
+    * distinct-values job a dynamic pivot needs and the plan is a single
+    * conditional aggregation — same shape the oracle spells with FILTER.
+    */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")),
+      col("o_orderpriority").asc)
+
+  val aggPivotSql: String =
+    """SELECT o_orderpriority,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority ASC""".stripMargin
+
+  /** Quantiles per group: exact interpolated percentiles (match DuckDB's
+    * quantile_cont bit-for-bit — quantity is integer-valued and quartile
+    * interpolation weights are exact binary fractions, so both engines'
+    * arithmetic is exact) plus the sketch path gated against them:
+    * percentile_approx (mergeable bounded-memory sketch — the 100 TB
+    * path; exact percentile buffers per-group values and only suits
+    * bounded-cardinality columns) must land within 1% of exact, emitted
+    * as `approx_ok` and asserted by the oracle's literal TRUE.
+    */
+  def aggQuantiles(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("__approx"))
+        .withColumn("approx_ok",
+          abs(col("__approx") - col("q50")) / col("q50") <= 0.01)
+        .drop("__approx"),
+      col("l_returnflag").asc)
+
+  val aggQuantilesSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.25) AS q25,
+      |       quantile_cont(l_quantity, 0.5) AS q50,
+      |       quantile_cont(l_quantity, 0.75) AS q75,
+      |       TRUE AS approx_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC""".stripMargin
+
   /** Registry consumed by [[graft.SparkEntry]]. */
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "agg_rollup" -> (aggRollup _, Some(aggRollupSql)),
+    "agg_pivot" -> (aggPivot _, Some(aggPivotSql)),
+    "agg_quantiles" -> (aggQuantiles _, Some(aggQuantilesSql)),
     "sql_passthrough" -> (sqlPassthrough _, Some(sqlPassthroughSql)),
     "agg_salted" -> (aggSalted _, Some(aggSaltedSql)),
     "pagination_keyset" -> (paginationKeyset _, Some(paginationKeysetSql)),
