@@ -84,7 +84,30 @@ object TemporalQueries {
       |FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
       |GROUP BY 1, 2, 3 ORDER BY band ASC""".stripMargin
 
+  /** Batch twin of the watermarked stream-stream interval join
+    * ([[graft.streaming.EventsStreaming.runAttributionJoinAvailableNow]],
+    * whose streaming==batch equivalence is spec-tested): purchases paired
+    * with same-user clicks from the preceding hour.
+    */
+  def streamJoinPairs(s: SparkSession, dir: String): DataFrame =
+    orderedViaShuffle(
+      graft.streaming.EventsStreaming.attributionPairs(t(s, dir, "events")),
+      col("purchase_id").asc, col("click_id").asc)
+
+  val streamJoinPairsSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS u, event_id AS pid, ts AS pt
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS u, event_id AS cid, ts AS ct
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.pid AS purchase_id, c.cid AS click_id, p.u AS user_id
+      |FROM p JOIN c ON p.u = c.u
+      |  AND c.ct BETWEEN p.pt - INTERVAL 1 HOUR AND p.pt
+      |ORDER BY purchase_id ASC, click_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "join_asof" -> (joinAsof _, Some(joinAsofSql)),
-    "join_range" -> (joinRange _, Some(joinRangeSql)))
+    "join_range" -> (joinRange _, Some(joinRangeSql)),
+    "stream_join_pairs" -> (streamJoinPairs _, Some(streamJoinPairsSql)))
 }

@@ -118,6 +118,60 @@ object EventsStreaming {
     spark.table(queryName)
   }
 
+  /** Batch twin of the stream-stream interval join: purchases paired with
+    * the same user's clicks from the preceding hour (inclusive).
+    */
+  def attributionPairs(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    purchases.join(clicks,
+      expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
+  /** Stream-stream interval join: two watermarked branches of the event
+    * stream (purchases ⋈ clicks) joined on user + a time-range bound.
+    * The range condition is what makes unbounded-stream state finite:
+    * each side's state store evicts a row once the OTHER side's watermark
+    * moves past the farthest time that row could still match
+    * (clicks retire 1 h + watermark delay after their event time) — so
+    * state is bounded by arrival skew × rate, not stream length. Without
+    * the range bound Spark rejects the inner stream-stream join outright.
+    */
+  def runAttributionJoinAvailableNow(spark: SparkSession, eventsDir: String,
+      checkpoint: String,
+      queryName: String = "graft_events_attribution"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    def branch(): DataFrame = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+    val purchases = branch().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = branch().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class UserRunning(user_id: Long, events: Long, total_value: Double)
 
   /** Custom state machine: per-user running totals via
