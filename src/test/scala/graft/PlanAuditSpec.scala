@@ -199,4 +199,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"year filter not a partition filter: ${scan.metadata}")
     assert(filtered.count() == 1)
   }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    import spark.implicits._
+    val points = (0 until 500).map(i => (i.toLong, i * 0.9)).toDF("pid", "v")
+    val iv = (0 until 20).map(i => (i.toLong, i * 20.0, i * 20.0 + 35.0))
+      .toDF("band", "lo", "hi")
+    val naive = points.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+    assert(executed(naive).toString.contains("BroadcastNestedLoopJoin"),
+      "naive range predicate should nested-loop — premise of the rewrite")
+    val binned = graft.operators.TemporalJoins
+      .binnedRangeJoin(points, "v", iv, "lo", "hi", 25.0)
+    val plan = executed(binned).toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"binned range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("Join"), s"no join in binned plan:\n$plan")
+  }
+
+  test("as-of join is one shuffle per side + one window, no join operator") {
+    import spark.implicits._
+    val l = (0 until 100).map(i => (i.toLong % 7, i.toLong, s"e$i"))
+      .toDF("k", "t", "tag")
+    val r = (0 until 50).map(i => (i.toLong % 7, i * 2L, i * 0.5))
+      .toDF("k", "rt", "v")
+    val df = graft.operators.TemporalJoins
+      .asofJoinBackward(l, r, "k", "t", "rt", Seq("v"))
+    val plan = executed(df).toString
+    // the merge formulation must not degenerate into an actual join
+    assert(!plan.contains("Join"), s"as-of should be union+window:\n$plan")
+    assert(plan.contains("Window"), s"no window in as-of plan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"as-of shuffled more than the two inputs:\n$plan")
+  }
 }
