@@ -114,6 +114,57 @@ object ScaleProbe {
         .filter(col("rn") <= 3).count()
     time("window top-3/key 1x")(topPerKey(ord1))
     time(s"window top-3/key ${factor}x")(topPerKey(ordN))
+
+    // --- temporal joins (round 4) ---
+    val ev1 = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_ns"), col("value"))
+    val evN = spark.range(factor).crossJoin(ev1)
+      .select((col("id") * 1000000000L + col("event_id")).as("event_id"),
+        // keep key cardinality fixed (more events PER user — the
+        // realistic growth axis for per-key sequential as-of work)
+        col("user_id"), col("event_type"),
+        (col("ts_ns") + col("id")).as("ts_ns"), col("value")).persist()
+    println(s"[scale] events 1x=${ev1.count()} ${factor}x=${evN.count()}")
+    def asof(ev: org.apache.spark.sql.DataFrame): Long = {
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val ref = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ns").as("ref_ts"))
+        .agg(max(col("value")).as("v"))
+      graft.operators.TemporalJoins
+        .asofJoinBackward(probe, ref, "user_id", "ts_ns", "ref_ts", Seq("v"))
+        .count()
+    }
+    asof(ev1) // warm
+    time("asof join 1x")(asof(ev1))
+    time(s"asof join ${factor}x")(asof(evN))
+    def rangeJoin(ev: org.apache.spark.sql.DataFrame): Long = {
+      val iv = spark.range(25).select(col("id").as("band"),
+        (col("id") * 18.0).as("lo"), (col("id") * 18.0 + 50.0).as("hi"))
+      graft.operators.TemporalJoins.binnedRangeJoin(
+        ev.select(col("event_id"), col("value")), "value",
+        iv, "lo", "hi", binWidth = 25.0).count()
+    }
+    time("binned range join 1x")(rangeJoin(ev1))
+    time(s"binned range join ${factor}x")(rangeJoin(evN))
+    // connected components: pathological mega-component (one chain per
+    // user spanning every copy) to stress the distributed loop path too
+    val edges = evN.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id").asc)))
+    val chain = edges.as("a").join(edges.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.rn") === col("b.rn") - 1)
+      .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))
+      .persist()
+    println(s"[scale] chain edges=${chain.count()}")
+    time(s"connected components local ${factor}x")(
+      Dedup.duplicateClusters(chain).count())
+    time(s"connected components distributed ${factor}x")(
+      Dedup.duplicateClusters(chain, localEdgeThreshold = 0L).count())
     spark.stop()
   }
 }
