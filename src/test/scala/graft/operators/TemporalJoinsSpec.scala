@@ -62,6 +62,62 @@ class TemporalJoinsSpec extends SparkTestBase {
     }
   }
 
+  test("asof matches a naive per-probe reference on random data") {
+    // randomized rounds with pinned seeds: dense ts range forces heavy
+    // tie/equal-timestamp traffic; tolerance exercises the expiry mask
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 8
+      val left = (0 until 300).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong, i.toLong))
+      val right = rnd.shuffle(
+        (for (k <- 0 until nKeys; t <- 0 until 50) yield (k.toLong, t.toLong))
+          .toList).take(150) // unique (key, ts) by construction
+        .map { case (k, t) => (k, t, k * 1000.0 + t) }
+      val tol = rnd.nextInt(20).toLong
+      val naive = left.map { case (k, t, id) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t && t - r._2 <= tol)
+        val best = if (m.isEmpty) None else Some(m.maxBy(_._2))
+        (id, best.map(_._2), best.map(_._3))
+      }.toSet
+      val got = TemporalJoins.asofJoinBackward(
+        left.toDF("k", "t", "id"), right.toDF("k", "rt", "v"),
+        "k", "t", "rt", Seq("v"), tol)
+        .collect().map(r => (r.getLong(r.fieldIndex("id")),
+          Option(r.get(r.fieldIndex("asof_ts"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("v"))).map(_.asInstanceOf[Double])))
+        .toSet
+      assert(got == naive, s"seed=$seed tol=$tol")
+    }
+  }
+
+  test("range join matches naive on random intervals incl. degenerate") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val points = (0 until 400).map(i => (i.toLong, rnd.nextDouble() * 100))
+      val iv = (0 until 30).map { i =>
+        val lo = rnd.nextDouble() * 100
+        // mix: normal, empty (hi <= lo outputs nothing), tiny, huge
+        val hi = rnd.nextInt(4) match {
+          case 0 => lo + rnd.nextDouble() * 30
+          case 1 => lo                      // empty interval
+          case 2 => lo + 1e-9               // sliver
+          case _ => lo + 60
+        }
+        (i.toLong, lo, hi)
+      }
+      val naive = (for {
+        (pid, v) <- points; (band, lo, hi) <- iv
+        if v >= lo && v < hi
+      } yield (pid, band)).toSet
+      val got = TemporalJoins.binnedRangeJoin(
+        points.toDF("pid", "v"), "v", iv.toDF("band", "lo", "hi"),
+        "lo", "hi", binWidth = 13.7)
+        .select("pid", "band").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"seed=$seed")
+    }
+  }
+
   test("range join boundary semantics: lo inclusive, hi exclusive") {
     val points = Seq((1L, 10.0), (2L, 20.0)).toDF("pid", "v")
     val iv = Seq(("e", 10.0, 20.0)).toDF("band", "lo", "hi")
