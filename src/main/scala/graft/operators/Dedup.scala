@@ -91,12 +91,11 @@ object Dedup {
     candidatesRaw(df, id, text, numHashes, bands, shingleSize, maxBucket)
       .distinct()
 
-  /** [[minhashCandidates]] WITHOUT the final dedup shuffle: a pair
-    * sharing j band buckets appears j times. Consumers that post-process
-    * pairs anyway ([[nearDuplicates]]) dedup once at the very end instead
-    * of paying an extra shuffle here.
+  /** [[minhashCandidates]] WITHOUT the dedup shuffle: a pair sharing j
+    * band buckets appears j times. Exposed for probes/consumers that
+    * dedup downstream anyway.
     */
-  private def candidatesRaw(df: DataFrame, id: Column, text: Column,
+  private[graft] def candidatesRaw(df: DataFrame, id: Column, text: Column,
       numHashes: Int, bands: Int, shingleSize: Int,
       maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -146,11 +145,16 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
-    // raw (possibly band-duplicated) candidates: dup pairs just redo a
-    // cheap array intersect below, while deduping HERE would cost a
-    // shuffle of the pair set — one distinct at the very end suffices
+    // distinct BEFORE verification: a pair sharing j band buckets would
+    // otherwise be exact-verified j times, and with high-recall low-row
+    // bandings j is large (2-row bands match a 0.9-Jaccard pair with
+    // p≈0.81 each ⇒ ~26 redundant shingle-set intersections at
+    // bands=32). The distinct shuffles two longs per candidate — orders
+    // of magnitude less data than the redundant verifications it removes
+    // once documents are big enough for the intersection to cost.
     val cand = candidatesRaw(docs, col("doc_id"), col("doc_text"),
       numHashes, bands, shingleSize, maxBucket = 1000)
+      .distinct()
     // dup ids are fine too: left_semi doesn't multiply matches
     val candIds = cand.select(explode(array(col("id_a"), col("id_b")))
       .as("doc_id"))
@@ -168,8 +172,9 @@ object Dedup {
         size(array_intersect(col("A.__sh"), col("B.__sh"))).cast("double") /
           size(array_union(col("A.__sh"), col("B.__sh"))).cast("double"))
       .filter(col("jaccard") >= threshold)
+      // no trailing distinct: cand is already distinct and each pair
+      // joins exactly one A-row and one B-row
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .distinct()
   }
 
   /** 64-bit SimHash: per-bit majority vote of token hashes, frequency-

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Decontaminate, Dedup, Sampling}
 
 /** Training-data curation operators beyond the reference's own inventory
   * (prompt: "the operations a large-scale training-data pipeline would
@@ -215,8 +215,43 @@ object PipelineQueries {
       |       n_docs, chunk_tokens, first_doc, last_doc
       |FROM g ORDER BY source ASC, chunk_id ASC""".stripMargin
 
+  /** Benchmark decontamination: docs sharing any word 8-gram with the
+    * "benchmark" slice (doc_id < 100 — standing in for an eval set; the
+    * corpus's dup families make some of the remaining docs verbatim-ish
+    * copies of it). Benchmark n-grams broadcast, corpus scanned once,
+    * never shuffled — only contamination hits reach the groupBy (see
+    * [[graft.operators.Decontaminate]]).
+    */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val benchGrams = Decontaminate.benchmarkNgrams(
+      docs.filter(col("doc_id") < 100), col("text"), n = 8)
+    orderedAtTail(
+      Decontaminate.contaminatedDocs(docs.filter(col("doc_id") >= 100),
+        col("doc_id"), col("text"), benchGrams, n = 8),
+      col("doc_id").asc)
+  }
+
+  val textDecontaminateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |              ELSE list_transform(range(len(toks) - 7),
+      |                     i -> array_to_string(toks[i+1:i+8], ' ')) END) AS grams
+      |  FROM tok WHERE len(toks) > 0),
+      |bench AS (SELECT DISTINCT unnest(grams) AS ngram FROM g WHERE doc_id < 100),
+      |hits AS (SELECT doc_id, unnest(grams) AS ngram FROM g WHERE doc_id >= 100)
+      |SELECT h.doc_id, COUNT(*) AS n_matched_ngrams
+      |FROM hits h JOIN bench b USING (ngram)
+      |GROUP BY h.doc_id ORDER BY doc_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "dedup_clusters" -> (dedupClusters _, Some(dedupClustersSql)),
+    "text_decontaminate" -> (textDecontaminate _, Some(textDecontaminateSql)),
     "sample_stratified" -> (sampleStratified _, Some(sampleStratifiedSql)),
     "mix_weights" -> (mixWeights _, Some(mixWeightsSql)),
     "text_pii_redact" -> (textPiiRedact _, Some(textPiiRedactSql)),
