@@ -71,6 +71,50 @@ object Sampling {
           col("n_tokens").cast("double"), 6).as("weight"))
   }
 
+  /** Temperature (α) mixture re-weighting — the multilingual sampling
+    * standard (XLM-R style): sampling probability p_i ∝ share_i^α, with
+    * α < 1 flattening the mix toward low-resource strata (α=1 keeps the
+    * natural distribution; α→0 approaches [[mixtureWeights]]' uniform
+    * target). Emits per stratum the natural token share, p_i, and the
+    * weight p_i/share_i a mixing job multiplies the natural draw rate by.
+    *
+    * Like [[mixtureWeights]], aggregates to |strata| rows first, so the
+    * windows never see the corpus. Determinism pedantry: the denominator
+    * Σ_j share_j^α is a DOUBLE sum, and float addition is not
+    * associative — a window SUM would fold in engine-dependent row
+    * order. It is instead folded over the stratum-SORTED array
+    * (collect → sort → left fold), so any engine that sorts the same
+    * produces the bit-identical double. α=0.5 (the common choice) is
+    * computed via sqrt, which IEEE 754 requires correctly rounded —
+    * pow(x,0.5) is not so guaranteed and may differ across libm
+    * implementations.
+    */
+  def temperatureWeights(df: DataFrame, stratum: Column, tokens: Column,
+      alpha: Double): DataFrame = {
+    def powA(c: Column): Column =
+      if (alpha == 0.5) sqrt(c)
+      else if (alpha == 1.0) c
+      else pow(c, lit(alpha))
+    val agg = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("__share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)
+          .cast("double"))
+      .withColumn("__p", powA(col("__share")))
+      .withColumn("__denom",
+        aggregate(
+          array_sort(collect_list(struct(col("stratum"), col("__p"))).over(all)),
+          lit(0.0), (acc, x) => acc + x.getField("__p")))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("__share"), 6).as("token_share"),
+        round(col("__p") / col("__denom"), 6).as("sample_prob"),
+        round(col("__p") / col("__denom") / col("__share"), 6).as("weight"))
+  }
+
   /** Greedy fixed-budget sequence packing: within each shard (`part`),
     * documents in `order` accumulate into chunks of ~`targetTokens` —
     * a doc joins the chunk its running total falls in (floor(tokens-

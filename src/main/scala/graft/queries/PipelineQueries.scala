@@ -215,6 +215,32 @@ object PipelineQueries {
       |       n_docs, chunk_tokens, first_doc, last_doc
       |FROM g ORDER BY source ASC, chunk_id ASC""".stripMargin
 
+  /** Temperature sampling weights at α=0.5 over per-lang token mass —
+    * sqrt on both engines (IEEE-exact), denominator folded in stratum
+    * order on both engines (see [[Sampling.temperatureWeights]]).
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      Sampling.temperatureWeights(t(s, dir, "documents"), col("lang"),
+        TextFunctions.tokenCount(col("text")), alpha = 0.5),
+      col("stratum").asc)
+
+  val mixTemperatureSql: String =
+    """WITH a AS (
+      |  SELECT lang AS stratum, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |s AS (
+      |  SELECT stratum, n_docs, n_tokens,
+      |         CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share
+      |  FROM a),
+      |p AS (SELECT stratum, n_docs, n_tokens, share, sqrt(share) AS pp FROM s),
+      |d AS (SELECT list_aggregate(list(pp ORDER BY stratum), 'sum') AS denom FROM p)
+      |SELECT stratum, n_docs, n_tokens, round(share, 6) AS token_share,
+      |       round(pp / denom, 6) AS sample_prob,
+      |       round(pp / denom / share, 6) AS weight
+      |FROM p, d ORDER BY stratum ASC""".stripMargin
+
   /** Benchmark decontamination: docs sharing any word 8-gram with the
     * "benchmark" slice (doc_id < 100 — standing in for an eval set; the
     * corpus's dup families make some of the remaining docs verbatim-ish
@@ -254,6 +280,7 @@ object PipelineQueries {
     "text_decontaminate" -> (textDecontaminate _, Some(textDecontaminateSql)),
     "sample_stratified" -> (sampleStratified _, Some(sampleStratifiedSql)),
     "mix_weights" -> (mixWeights _, Some(mixWeightsSql)),
+    "mix_temperature" -> (mixTemperature _, Some(mixTemperatureSql)),
     "text_pii_redact" -> (textPiiRedact _, Some(textPiiRedactSql)),
     "text_repetition" -> (textRepetition _, Some(textRepetitionSql)),
     "pack_chunks" -> (packChunks _, Some(packChunksSql)))

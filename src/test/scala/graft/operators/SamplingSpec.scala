@@ -137,6 +137,25 @@ class SamplingSpec extends SparkTestBase {
     assert(rows(2).getSeq[String](0).isEmpty && rows(2).getDouble(2) == 0.0)
   }
 
+  test("temperatureWeights: α=1 is identity, α=0.5 flattens toward small strata") {
+    val df = Seq.tabulate(90)(i => ("big", 100)) ++ Seq.tabulate(10)(i => ("small", 100))
+    val docs = df.toDF("lang", "nt")
+    val id = Sampling.temperatureWeights(docs, col("lang"), col("nt"), alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(id("big") == 1.0 && id("small") == 1.0)
+    val flat = Sampling.temperatureWeights(docs, col("lang"), col("nt"), alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // shares 0.9/0.1 → p ∝ (0.9^.5, 0.1^.5) ≈ (0.948683, 0.316228)
+    // → probs ≈ (0.75, 0.25): big downweighted, small upweighted 2.5×
+    assert(math.abs(flat("big")._1 - 0.9) < 1e-6)
+    assert(math.abs(flat("big")._2 - 0.75) < 1e-3)
+    assert(math.abs(flat("small")._2 - 0.25) < 1e-3)
+    assert(flat("big")._3 < 1.0 && flat("small")._3 > 2.0)
+    // probabilities sum to 1
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
   test("redactPii masks emails before IPs and counts both") {
     val df = Seq("mail a.b+c@ex-1.org or 10.0.3.7 and 1.2.3.4, no 1.2.3")
       .toDF("text")
