@@ -63,4 +63,30 @@ object Curation {
     kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("quality"))
   }
+
+  /** Corpus boilerplate report: the top-k word n-grams by DOCUMENT
+    * frequency (each doc counts an n-gram once) — the heavy-hitter scan
+    * a curation pipeline runs to find template/boilerplate text worth
+    * stripping (CCNet/Dolma-style "common substrings" diagnostics).
+    *
+    * Scale shape: per-doc DISTINCT n-grams explode into ONE groupBy
+    * shuffle with map-side partial aggregation (the per-partition
+    * combine absorbs the heavy hitters — precisely the rows that would
+    * otherwise skew the shuffle), then a TakeOrderedAndProject top-k; no
+    * global sort of the n-gram space.
+    */
+  def ngramDocFreq(docs: DataFrame, id: Column, text: Column,
+      n: Int, topK: Int, minDocs: Long = 2L): DataFrame = {
+    val toks = TextFunctions.tokens(text)
+    graft.sources.Tables.spread(
+      docs.select(id.as("doc_id"),
+        when(size(toks) >= n, array_distinct(TextFunctions.shingles(toks, n)))
+          .as("__grams")))
+      .select(explode(col("__grams")).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .orderBy(col("doc_freq").desc, col("ngram").asc)
+      .limit(topK)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Batch embedding plumbing (reference: internal/vector/embed/{queue,
   * worker,client}.go — pending rows seeded per generation, batched calls
@@ -53,5 +53,38 @@ object Embed {
           }
         }
       }
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * storage/serving compression for vector corpora (4× smaller than
+    * float32, dot products stay SIMD-friendly). Per vector:
+    * scale = max|v|/127, code_i = floor(v_i/scale + 0.5) ∈ [-127, 127],
+    * plus the quantization MSE (the quality signal a pipeline thresholds
+    * on before switching an index to int8).
+    *
+    * Per-row scalar arithmetic only — no shuffle, scales linearly.
+    * Determinism across engines (for the differential oracle): floats
+    * widen to double exactly; max/division/floor are IEEE-exact; the MSE
+    * sum folds in index order on both sides. Zero vectors quantize to
+    * all-zero codes with scale 0 (guarded division).
+    *
+    * Returns (id, scale, codes: array<long>, code_checksum, mse).
+    */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vd = transform(vec, x => x.cast("double"))
+    val scale = array_max(transform(vd, x => abs(x))) / lit(127.0)
+    val safe = when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale"))
+    df.select(id.as("id"), vd.as("__v"), scale.as("scale"))
+      .withColumn("codes",
+        transform(col("__v"), x => floor(x / safe + lit(0.5)).cast("long")))
+      .withColumn("code_checksum",
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c))
+      .withColumn("mse",
+        aggregate(
+          zip_with(col("__v"), col("codes"),
+            (x, c) => (x - c * col("scale")) * (x - c * col("scale"))),
+          lit(0.0), (acc, e) => acc + e) / size(col("__v")))
+      .drop("__v")
   }
 }

@@ -550,6 +550,56 @@ object DocQueries {
       |FROM w WHERE doc_id = winner
       |ORDER BY doc_id ASC""".stripMargin
 
+  /** Symmetric int8 quantization over the embeddings table — per-vector
+    * scale, codes, exact checksum, and quantization MSE, bit-matching
+    * the oracle's double arithmetic ([[graft.operators.Embed]]).
+    */
+  def vectorQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    orderedViaShuffle(
+      graft.operators.Embed.quantizeInt8(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"))
+        .select(col("id").as("vec_id"), round(col("scale"), 9).as("scale"),
+          array_join(transform(col("codes"), _.cast("string")), ",")
+            .as("codes_csv"),
+          col("code_checksum"), round(col("mse"), 12).as("mse")),
+      col("vec_id").asc)
+
+  val vectorQuantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e),
+      |c AS (SELECT vec_id, v, scale,
+      |        list_transform(v, x -> CAST(floor(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5) AS BIGINT)) AS codes
+      |      FROM s)
+      |SELECT vec_id, round(scale, 9) AS scale, array_to_string(codes, ',') AS codes_csv,
+      |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_checksum,
+      |       round(list_aggregate(list_transform(list_zip(v, codes),
+      |             p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)), 'sum') / len(v), 12) AS mse
+      |FROM c ORDER BY vec_id ASC""".stripMargin
+
+  /** Corpus boilerplate report: top-50 5-grams by document frequency
+    * (each doc counts once) — map-side-combined heavy-hitter scan + topk
+    * ([[graft.operators.Curation.ngramDocFreq]]).
+    */
+  def ngramDocfreq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.ngramDocFreq(t(s, dir, "documents"),
+      col("doc_id"), col("text"), n = 5, topK = 50)
+
+  val ngramDocfreqSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 4),
+      |           i -> array_to_string(toks[i+1:i+5], ' '))) AS grams
+      |  FROM tok WHERE len(toks) >= 5),
+      |h AS (SELECT unnest(grams) AS ngram FROM g)
+      |SELECT ngram, COUNT(*) AS doc_freq FROM h GROUP BY ngram
+      |HAVING COUNT(*) >= 2
+      |ORDER BY doc_freq DESC, ngram ASC LIMIT 50""".stripMargin
+
   // --- multimodal plumbing -------------------------------------------------
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -657,5 +707,7 @@ object DocQueries {
     "text_quality_score" -> (textQualityScore _, Some(textQualityScoreSql)),
     "pipeline_curate" -> (pipelineCurate _, Some(pipelineCurateSql)),
     "multimodal_meta" -> (multimodalMeta _, Some(multimodalMetaSql)),
-    "multimodal_features" -> (multimodalFeatures _, Some(multimodalFeaturesSql)))
+    "multimodal_features" -> (multimodalFeatures _, Some(multimodalFeaturesSql)),
+    "vector_quantize_int8" -> (vectorQuantizeInt8 _, Some(vectorQuantizeInt8Sql)),
+    "ngram_docfreq" -> (ngramDocfreq _, Some(ngramDocfreqSql)))
 }
