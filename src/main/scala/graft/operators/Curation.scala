@@ -77,10 +77,12 @@ object Curation {
     */
   def ngramDocFreq(docs: DataFrame, id: Column, text: Column,
       n: Int, topK: Int, minDocs: Long = 2L): DataFrame = {
-    val toks = TextFunctions.tokens(text)
     graft.sources.Tables.spread(
       docs.select(id.as("doc_id"),
-        when(size(toks) >= n, array_distinct(TextFunctions.shingles(toks, n)))
+        // compiled shingles; shortFallback=false — a doc below n tokens
+        // has no real n-gram and contributes nothing to the report
+        org.apache.spark.sql.graft.HashingExpressions.wordShingles(
+          TextFunctions.rawTokens(text), n, shortFallback = false)
           .as("__grams")))
       .select(explode(col("__grams")).as("ngram"))
       .groupBy(col("ngram"))

@@ -27,11 +27,12 @@ import graft.functions.TextFunctions
   */
 object Decontaminate {
 
-  private def grams(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) > 0,
-      array_distinct(TextFunctions.shingles(toks, n)))
-  }
+  // compiled shingle expression (nulls for zero-token docs — explode
+  // drops them); identical output to
+  // array_distinct(shingles(tokens(text), n))
+  private def grams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.HashingExpressions.wordShingles(
+      TextFunctions.rawTokens(text), n)
 
   /** Distinct word n-grams of the benchmark set: one row per n-gram.
     * Intended to be broadcast — callers hand this to

@@ -123,8 +123,13 @@ object Dedup {
     * cheap).
     */
   def jaccard(textA: Column, textB: Column, shingleSize: Int = 3): Column = {
-    val sa = array_distinct(shingles(tokens(textA), shingleSize))
-    val sb = array_distinct(shingles(tokens(textB), shingleSize))
+    // compiled shingle expression (≈µs/doc vs ms/doc for the interpreted
+    // transform/slice/concat_ws HOF chain); NULL for zero-token inputs,
+    // so degenerate docs yield NULL jaccard instead of matching on [""]
+    val sa = org.apache.spark.sql.graft.HashingExpressions
+      .wordShingles(rawTokens(textA), shingleSize)
+    val sb = org.apache.spark.sql.graft.HashingExpressions
+      .wordShingles(rawTokens(textB), shingleSize)
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
   }
@@ -161,7 +166,8 @@ object Dedup {
     val shingled = docs
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("doc_text")), shingleSize)).as("__sh"))
+        org.apache.spark.sql.graft.HashingExpressions
+          .wordShingles(rawTokens(col("doc_text")), shingleSize).as("__sh"))
     // the two broadcast sides are the SAME subplan (aliased, not
     // re-projected) so the broadcast exchange is planned once and reused —
     // candidates are shingled and shipped a single time

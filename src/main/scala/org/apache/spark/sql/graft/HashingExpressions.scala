@@ -126,6 +126,65 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-grams ("shingles") of a token array as space-joined
+  * strings — the compiled twin of the `transform(sequence, slice,
+  * concat_ws)` higher-order construction, which evaluates interpreted
+  * (per shingle: a lambda dispatch, a slice allocation, a concat) and
+  * measures ~ms/doc; this loop is ~µs/doc. Output order and content are
+  * identical to `array_distinct(shingles(tokens(text), n))`:
+  * first-occurrence order, null/empty tokens skipped (so a raw codegen'd
+  * `split` can feed it), docs with zero real tokens yield NULL.
+  *
+  * `shortFallback`: docs with fewer than `n` tokens contribute their
+  * whole token run as a single shingle (the [[graft.functions
+  * .TextFunctions.shingles]] contract, needed by minhash/decontamination
+  * so short docs still match verbatim copies); with it off they yield
+  * NULL (no real n-gram — the doc-frequency report's contract).
+  */
+case class WordShingles(child: Expression, n: Int, shortFallback: Boolean)
+    extends TokenArrayExpression with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val toks = new Array[UTF8String](total)
+    var m = 0
+    var i = 0
+    while (i < total) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
+        toks(m) = arr.getUTF8String(i); m += 1
+      }
+      i += 1
+    }
+    if (m == 0 || (m < n && !shortFallback)) return null
+    val width = math.min(n, m)
+    val count = if (m < n) 1 else m - n + 1
+    // first-occurrence dedup, preserving array_distinct order
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    val window = new Array[UTF8String](width)
+    var p = 0
+    while (p < count) {
+      System.arraycopy(toks, p, window, 0, width)
+      seen.add(UTF8String.concatWs(space, window: _*))
+      p += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object HashingExpressions {
   def simhash64(toks: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
@@ -133,4 +192,9 @@ object HashingExpressions {
   def minhashSignature(toks: Column, numHashes: Int, shingleSize: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(toks), numHashes, shingleSize))
+
+  def wordShingles(toks: Column, n: Int,
+      shortFallback: Boolean = true): Column =
+    ExpressionUtils.column(WordShingles(
+      ExpressionUtils.expression(toks), n, shortFallback))
 }

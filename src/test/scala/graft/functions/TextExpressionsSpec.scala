@@ -19,6 +19,41 @@ class TextExpressionsSpec extends SparkTestBase {
     rows.toSeq.toDF("text")
   }
 
+  test("wordShingles ≡ array_distinct(shingles(tokens(text), n)) on edge inputs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val inputs = df(
+      "a b c d e f", // normal
+      "a b", // below n → whole-run fallback
+      "x", // single token
+      "a a a a a", // duplicate shingles collapse
+      "a,b;c d", // punctuation splits
+      "  ", // zero tokens → NULL
+      "Héllo wörld mixed CASE tokens here")
+    val rows = inputs.select(
+      org.apache.spark.sql.graft.HashingExpressions
+        .wordShingles(TextFunctions.rawTokens(col("text")), 3).as("fast"),
+      when(size(TextFunctions.tokens(col("text"))) > 0, array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)))
+        .as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch: $r")
+    }
+  }
+
+  test("wordShingles shortFallback=false nulls out docs below n tokens") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val rows = df("a b", "a b c").select(
+      org.apache.spark.sql.graft.HashingExpressions.wordShingles(
+        TextFunctions.rawTokens(col("text")), 3, shortFallback = false))
+      .collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getSeq[String](0) == Seq("a b c"))
+  }
+
   test("textStats matches the four-walk Column form on edge inputs") {
     val inputs = Seq(
       "the cat and the hat",
