@@ -217,4 +217,34 @@ object TextFunctions {
       regexp_count(noEmail, lit(ipv4Pattern)) +
         regexp_count(afterPass1, lit(ipv4Pattern)))
   }
+
+  /** Occurrences of a literal marker in `c` by length arithmetic — a
+    * single codegen'd string pass, no regex. */
+  def markerCount(c: Column, marker: String): Column =
+    (length(c) - length(replace(c, lit(marker), lit("")))) / marker.length
+
+  /** URL canonicalization for URL-level dedup (the CCNet/RefinedWeb
+    * pre-pass that collapses scheme/www/tracking-param variants of the
+    * same page before any content hashing): lowercase, drop scheme and
+    * leading www., drop utm_* tracking params, drop a then-dangling
+    * '?'/'&' tail and trailing slashes. Pure regexp_replace chain —
+    * codegen'd, RE2-portable (no lookaround), replayable by any engine.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val low = lower(url)
+    val noScheme = regexp_replace(low, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noUtm = regexp_replace(noWww, "utm_[a-z]+=[^&]*&?", "")
+    val noTail = regexp_replace(noUtm, "[?&]+$", "")
+    regexp_replace(noTail, "/+$", "")
+  }
+
+  /** Redaction counts read off the ALREADY-redacted text: occurrences of
+    * `<EMAIL>` / `<IP>` markers. Equals [[piiCounts]] whenever the source
+    * text contains neither literal marker (any corpus that itself embeds
+    * `<EMAIL>` would inflate the count — callers needing exactness under
+    * that input use [[piiCounts]] and pay its three extra regex passes).
+    */
+  def piiMarkerCounts(redacted: Column): (Column, Column) =
+    (markerCount(redacted, "<EMAIL>"), markerCount(redacted, "<IP>"))
 }

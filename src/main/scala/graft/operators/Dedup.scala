@@ -203,6 +203,56 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup PAIRS via exact band blocking (the Manku–Jain–
+    * Sarma WWW'07 simhash-dedup construction): split the `sigBits`-bit
+    * signature into `maxHamming + 1` contiguous bit-bands; by pigeonhole
+    * any pair within Hamming distance `maxHamming` agrees EXACTLY on at
+    * least one band, so blocking on (band, band_bits) has recall 1.0 —
+    * deterministic, unlike probabilistic minhash banding. Candidates are
+    * then verified with the true Hamming distance to kill band-collision
+    * false positives.
+    *
+    * Plan shape mirrors [[minhashCandidates]]: explode bands (× bands
+    * rows of two longs), ONE shuffle on (band, band_bits), bucket-local
+    * pair fan-out capped at `maxBucket` (a 2^bandBits-space collision
+    * bucket that large means a degenerate corpus slice — same bound and
+    * caveat as LSH), then the signature table (two longs/doc) broadcasts
+    * into both sides of the verify join.
+    *
+    * `sigs` carries (doc_id, simhash); returns (id_a, id_b, hamming)
+    * with id_a < id_b.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3, sigBits: Int = 60,
+      maxBucket: Int = 1000): DataFrame = {
+    val bands = maxHamming + 1
+    val bandBits = sigBits / bands
+    require(bandBits * bands == sigBits, "bands must divide sigBits")
+    val mask = (1L << bandBits) - 1
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bandBits)
+          .bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+    val cand = banded
+      .groupBy(col("band"), col("band_bits"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sigOnly = sigs.select(col("doc_id"), col("simhash"))
+    cand
+      .join(broadcast(sigOnly).as("A"), col("id_a") === col("A.doc_id"))
+      .join(broadcast(sigOnly).as("B"), col("id_b") === col("B.doc_id"))
+      .withColumn("hamming",
+        hamming64(col("A.simhash"), col("B.simhash")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair set — A~B and B~C put A,B,C in ONE cluster even when A,C were
     * never compared (the transitive step pairwise dedup misses; reference

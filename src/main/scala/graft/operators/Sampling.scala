@@ -49,6 +49,55 @@ object Sampling {
     df.filter(hashBucket(id, buckets) < threshold)
   }
 
+  /** Deterministic train/valid/test assignment: cumulative fraction
+    * cut-points over the same id-hash draw as [[sampleByHash]]. Fractions
+    * are applied in the given order; anything past the last cut falls in
+    * the final split. Stateless per-row expression — no shuffle, and the
+    * SAME doc lands in the same split on every engine and every re-run,
+    * which is what keeps a 100 TB eval holdout stable across rebuilds.
+    */
+  def splitAssign(id: Column, splits: Seq[(String, Double)],
+      buckets: Int = 1000): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val b = hashBucket(id, buckets)
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * buckets) }.tail
+    splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) => when(b < cut, name).otherwise(acc)
+    }
+  }
+
+  /** Deterministic global shuffle: every row gets a dense position
+    * 0..n-1 in md5(id) order — the "shuffle the corpus once, identically,
+    * on any engine" step before sequence packing / epoch slicing.
+    *
+    * Scale shape: NO global window. Rows are bucketed by the first hex
+    * byte of the key (256 ways), ranked within their bucket in parallel,
+    * and offset by the cumulative counts of the lexicographically smaller
+    * buckets — a 256-row aggregate that is windowed and broadcast back.
+    * Equivalent to row_number() over a global sort, without ever moving
+    * the corpus to one partition (the per-bucket rank is the only
+    * corpus-wide shuffle, and it is 256-way parallel).
+    */
+  def shufflePositions(df: DataFrame, id: Column): DataFrame = {
+    val keyed = df.select(id.as("doc_id"),
+      md5(id.cast("string")).as("shuffle_key"))
+      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+    val ranked = keyed.withColumn("__rn", row_number().over(w))
+    val offsets = ranked.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranked.join(broadcast(offsets), "__b")
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("__off") + col("__rn") - 1).cast("long").as("shuffle_pos"))
+  }
+
   /** Mixture weighting: per-stratum token share vs a uniform target share,
     * emitting the up/down-sampling weight (target/actual) a data-mixing
     * job would apply. Aggregates to |strata| rows FIRST; the total-window

@@ -226,7 +226,11 @@ object DocQueries {
         .filter(col("simhash").isNotNull),
       col("doc_id").asc)
 
-  val dedupSimhashMd5Sql: String = {
+  /** The md5-simhash construction as a DuckDB CTE chain ending in
+    * `s(doc_id, simhash)` — shared by the signature query and the
+    * band-blocked pairs query so the two oracles cannot drift.
+    */
+  private val simhashMd5Cte: String = {
     val votes = (0 until 60).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
     val sig = (0 until 60).map(j =>
@@ -242,11 +246,42 @@ object DocQueries {
        |v AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id,
+       |  FROM h GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id,
        |    $sig AS simhash
-       |FROM v ORDER BY doc_id ASC""".stripMargin
+       |  FROM v)""".stripMargin
   }
+
+  val dedupSimhashMd5Sql: String =
+    s"""$simhashMd5Cte
+       |SELECT doc_id, simhash FROM s ORDER BY doc_id ASC""".stripMargin
+
+  /** SimHash near-dup PAIRS: exact band blocking (4 × 15-bit bands ⇒
+    * recall 1.0 for Hamming ≤ 3 by pigeonhole — see
+    * [[Dedup.simhashPairs]]) + true-Hamming verify, over the md5
+    * signatures both engines can compute. The oracle is the full O(n²)
+    * Hamming self-join, so the gate proves the blocking dropped nothing —
+    * and unlike the minhash gate this equivalence is a THEOREM, not a
+    * per-dataset observation.
+    */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.spread(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.simhash60Md5(
+          TextFunctions.rawTokens(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    orderedAtTail(Dedup.simhashPairs(sigs, maxHamming = 3, sigBits = 60),
+      col("id_a").asc, col("id_b").asc)
+  }
+
+  val dedupSimhashPairsSql: String =
+    s"""$simhashMd5Cte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
   /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids) —
     * oracle-able twin of the LSH re-rank step.
@@ -578,6 +613,56 @@ object DocQueries {
       |             p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)), 'sum') / len(v), 12) AS mse
       |FROM c ORDER BY vec_id ASC""".stripMargin
 
+  /** Per-label embedding centroid — the class-prototype / cluster-seed
+    * aggregation of a similarity pipeline. Element-wise mean via
+    * posexplode → groupBy(label, pos) → EXACT fixed-point sums: each
+    * float component scales by 2²⁰ (exact in double — power-of-two
+    * multiply) and rounds to a long, so the per-position sum is integer
+    * arithmetic with NO float-addition-order dependence; the single
+    * double division at the end is deterministic on any engine. (A plain
+    * AVG(double) would fold in partition order and hash-mismatch the
+    * oracle run-to-run.) The map-side combine makes the shuffle
+    * |labels| × dims rows regardless of corpus size.
+    *
+    * The centroid ships as CSV of fixed-point (2⁻²⁰-unit) longs, not an
+    * array of doubles: the driver's pandas compare can't hash array
+    * columns, and double→string formatting differs across engines while
+    * integer formatting never does. round(s/n) is deterministic — s and
+    * n are exact longs < 2⁵³, the division is a single correctly-rounded
+    * double op, and both engines round half away from zero.
+    */
+  def embedCentroid(s: SparkSession, dir: String): DataFrame = {
+    val fixed = sum(round(col("v").cast("double") * 1048576.0).cast("long"))
+    orderedAtTail(
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(fixed.as("s"), count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+            x => round(x.getField("s").cast("double") /
+              x.getField("n").cast("double")).cast("long").cast("string")),
+            ",").as("centroid_fp_csv")),
+      col("label").asc)
+  }
+
+  val embedCentroidSql: String =
+    """WITH e AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT label, pos,
+      |         SUM(CAST(round(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+      |         COUNT(*) AS n
+      |  FROM e GROUP BY label, pos)
+      |SELECT label, MAX(n) AS n_vecs,
+      |       array_to_string(list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+      |            ORDER BY pos), ',') AS centroid_fp_csv
+      |FROM a GROUP BY label ORDER BY label ASC""".stripMargin
+
   /** Corpus boilerplate report: top-50 5-grams by document frequency
     * (each doc counts once) — map-side-combined heavy-hitter scan + topk
     * ([[graft.operators.Curation.ngramDocFreq]]).
@@ -694,6 +779,8 @@ object DocQueries {
     "dedup_minhash" -> (dedupMinhash _, Some(dedupMinhashSql)),
     "dedup_simhash" -> (dedupSimhash _, None),
     "dedup_simhash_md5" -> (dedupSimhashMd5 _, Some(dedupSimhashMd5Sql)),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _, Some(dedupSimhashPairsSql)),
+    "embed_centroid" -> (embedCentroid _, Some(embedCentroidSql)),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),

@@ -117,13 +117,20 @@ object PipelineQueries {
     val pii = concat(col("text"), lit(" contact user"),
       col("doc_id").cast("string"), lit("@example.com or 10.0."),
       (col("doc_id") % 256).cast("string"), lit(".7"))
-    val (nEmails, nIps) = TextFunctions.piiCounts(pii)
+    // redact ONCE (the three regex passes are the whole cost of this
+    // query), then read the counts off the redacted text as literal
+    // marker occurrences — piiCounts' regexp_count formulation would
+    // traverse the text three more times for the same integers (the
+    // corpus embeds no literal '<EMAIL>'/'<IP>'; see piiMarkerCounts)
+    val redacted = TextFunctions.redactPii(pii)
+    val (nEmails, nIps) = TextFunctions.piiMarkerCounts(col("__red"))
     orderedViaShuffle(
       t(s, dir, "documents")
+        .select(col("doc_id"), redacted.as("__red"))
         .select(col("doc_id"),
           nEmails.cast("long").as("n_emails"),
           nIps.cast("long").as("n_ips"),
-          md5(TextFunctions.redactPii(pii)).as("redacted_fp")),
+          md5(col("__red")).as("redacted_fp")),
       col("doc_id").asc)
   }
 
@@ -135,25 +142,17 @@ object PipelineQueries {
       |           || '.7' AS pii
       |  FROM documents),
       |r AS (
-      |  SELECT doc_id, pii,
-      |         regexp_replace(pii,
-      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne
-      |  FROM p),
-      |r2 AS (
-      |  SELECT doc_id, pii, ne,
-      |         regexp_replace(ne,
-      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g') AS ip1
-      |  FROM r)
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(regexp_replace(pii,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g'),
+      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g') AS red
+      |  FROM p)
       |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(pii,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(ne,
-      |    '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)'))
-      |    + len(regexp_extract_all(ip1,
-      |    '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)')) AS BIGINT) AS n_ips,
-      |  md5(regexp_replace(ip1,
-      |    '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g')) AS redacted_fp
-      |FROM r2 ORDER BY doc_id ASC""".stripMargin
+      |  CAST((length(red) - length(replace(red, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails,
+      |  CAST((length(red) - length(replace(red, '<IP>', ''))) / 4 AS BIGINT) AS n_ips,
+      |  md5(red) AS redacted_fp
+      |FROM r ORDER BY doc_id ASC""".stripMargin
 
   /** Gopher-style repetition signals: duplicate-word and duplicate-bigram
     * fractions — the boilerplate/spam gate of a curation pipeline.
@@ -241,6 +240,87 @@ object PipelineQueries {
       |       round(pp / denom / share, 6) AS weight
       |FROM p, d ORDER BY stratum ASC""".stripMargin
 
+  /** Deterministic train/valid/test split: 90/5/5 over the md5 id-draw,
+    * reported as per-(lang, split) doc and token counts. The same doc
+    * lands in the same split on any engine — the oracle recomputes the
+    * assignment from the recipe, not from a row sample.
+    */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      t(s, dir, "documents")
+        .groupBy(col("lang"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)).as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens")),
+      col("lang").asc, col("split").asc)
+
+  val sampleSplitSql: String =
+    """WITH a AS (
+      |  SELECT lang,
+      |         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 900 THEN 'train'
+      |              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 950 THEN 'valid'
+      |              ELSE 'test' END AS split,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents)
+      |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |FROM a GROUP BY lang, split ORDER BY lang ASC, split ASC""".stripMargin
+
+  /** Deterministic global shuffle: dense position in md5(id) order with
+    * no global window (bucket ranks + broadcast cumulative offsets — see
+    * [[Sampling.shufflePositions]]). The oracle IS the global window the
+    * implementation avoids, so the gate proves the two are identical.
+    */
+  def sampleShuffle(s: SparkSession, dir: String): DataFrame =
+    orderedViaShuffle(
+      Sampling.shufflePositions(t(s, dir, "documents"), col("doc_id")),
+      col("doc_id").asc)
+
+  val sampleShuffleSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+      |            - 1 AS BIGINT) AS shuffle_pos
+      |FROM documents ORDER BY doc_id ASC""".stripMargin
+
+  /** URL-level dedup: canonicalize scheme/www/tracking-param variants,
+    * group by canonical URL, report multi-doc groups. The corpus carries
+    * no URLs, so both engines derive the same synthetic URL from
+    * (source, doc_id) — the withFakeMedia pattern — with deliberate case,
+    * scheme, and utm_* noise for the canonicalizer to strip.
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("HTTPS://www.Example.com/Docs/"),
+      (col("doc_id") % 40).cast("string"),
+      lit("/?utm_source="), col("source"), lit("&utm_campaign=sync"))
+    orderedAtTail(
+      t(s, dir, "documents")
+        .groupBy(TextFunctions.canonicalizeUrl(url).as("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          array_join(array_sort(collect_list(col("doc_id"))), ",")
+            .as("member_ids"))
+        .filter(col("n_docs") > 1),
+      col("canonical_url").asc)
+  }
+
+  val urlDedupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'HTTPS://www.Example.com/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+      |           || '/?utm_source=' || source || '&utm_campaign=sync' AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |           lower(url), '^https?://', ''), '^www\.', ''),
+      |           'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]+$', ''), '/+$', '') AS canonical_url
+      |  FROM u)
+      |SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+      |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
+      |FROM c GROUP BY canonical_url HAVING COUNT(*) > 1
+      |ORDER BY canonical_url ASC""".stripMargin
+
   /** Benchmark decontamination: docs sharing any word 8-gram with the
     * "benchmark" slice (doc_id < 100 — standing in for an eval set; the
     * corpus's dup families make some of the remaining docs verbatim-ish
@@ -279,6 +359,9 @@ object PipelineQueries {
     "dedup_clusters" -> (dedupClusters _, Some(dedupClustersSql)),
     "text_decontaminate" -> (textDecontaminate _, Some(textDecontaminateSql)),
     "sample_stratified" -> (sampleStratified _, Some(sampleStratifiedSql)),
+    "sample_split" -> (sampleSplit _, Some(sampleSplitSql)),
+    "sample_shuffle" -> (sampleShuffle _, Some(sampleShuffleSql)),
+    "url_dedup" -> (urlDedup _, Some(urlDedupSql)),
     "mix_weights" -> (mixWeights _, Some(mixWeightsSql)),
     "mix_temperature" -> (mixTemperature _, Some(mixTemperatureSql)),
     "text_pii_redact" -> (textPiiRedact _, Some(textPiiRedactSql)),

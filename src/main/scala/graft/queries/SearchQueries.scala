@@ -163,9 +163,50 @@ object SearchQueries {
       |FROM bm25 FULL OUTER JOIN ann USING (doc_id)
       |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  // --- positional phrase search --------------------------------------------
+
+  /** Phrase ("adjacent tokens") search — FTS5's `"a b"` syntax, which
+    * token-AND matching cannot express. Containment runs as
+    * `array_contains` over the COMPILED shingle expression (the distinct
+    * set suffices for a boolean), so the corpus-wide filter stays a
+    * per-row codegen'd scan; the occurrence count (a non-distinct
+    * adjacency walk via zip_with bigrams) is computed only for the few
+    * docs that matched — filter-then-project keeps the expensive
+    * expression off the full corpus.
+    */
+  def ftsPhrase(s: SparkSession, dir: String): DataFrame = {
+    val phrase = "table hash"
+    val hits = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("__toks"))
+      .filter(array_contains(
+        org.apache.spark.sql.graft.HashingExpressions.wordShingles(
+          col("__toks"), 2), phrase))
+    orderedViaShuffle(
+      hits.select(col("doc_id"),
+        size(filter(TextFunctions.bigrams(col("__toks")),
+          x => x === lit(phrase))).cast("long").as("n_occurrences")),
+      col("doc_id").asc)
+  }
+
+  val ftsPhraseSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, list_transform(range(len(toks) - 1),
+      |           i -> toks[i+1] || ' ' || toks[i+2]) AS big
+      |  FROM tok)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(big, g -> g = 'table hash')) AS BIGINT)
+      |         AS n_occurrences
+      |FROM b WHERE len(list_filter(big, g -> g = 'table hash')) > 0
+      |ORDER BY doc_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "fts_prefix_search" -> (ftsPrefixSearch _, Some(ftsPrefixSearchSql)),
     "fts_indexed_search" -> (ftsIndexedSearch _, Some(ftsPrefixSearchSql)),
+    "fts_phrase" -> (ftsPhrase _, Some(ftsPhraseSql)),
     "bm25_rank" -> (bm25Rank _, Some(bm25RankSql)),
     "hybrid_rrf" -> (hybridRrf _, Some(hybridRrfSql)))
 }

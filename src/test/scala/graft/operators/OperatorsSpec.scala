@@ -54,6 +54,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("simhashPairs equals the O(n²) Hamming join (pigeonhole recall 1.0)") {
+    // 40 synthetic signatures with planted near-pairs at varying distances
+    val base = 0x0FEDCBA987654321L & ((1L << 60) - 1)
+    def flip(sig: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(sig)((s, b) => s ^ (1L << b))
+    val sigs = ((1L to 30L).map(i => i -> (i * 0x9E3779B97F4A7C15L & ((1L << 60) - 1))) ++ Seq(
+      31L -> base, 32L -> flip(base, Seq(3)), 33L -> flip(base, Seq(3, 17, 42)),
+      34L -> flip(base, Seq(1, 2, 3, 4)), // hamming 4 from 31: excluded
+      35L -> flip(base, Seq(59)))).toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(sigs, maxHamming = 3, sigBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want)
+    assert(want.exists { case (a, b, _) => a == 31L && b == 34L } == false)
+    assert(want.nonEmpty) // the planted pairs actually exercise the path
+  }
+
   test("simhash: docs with no real tokens are absent, even via rawTokens") {
     // rawTokens of "" / punctuation yields [""], never an empty array —
     // the absence invariant must come from the expression's NULL, not a

@@ -156,6 +156,57 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("splitAssign: total cover, disjoint, stable, ~90/5/5") {
+    val df = (0L until 2000L).toDF("id")
+    val split = Sampling.splitAssign(col("id"),
+      Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+    val counts = df.groupBy(split.as("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L) // every row in exactly one split
+    assert(counts("train") > 1700 && counts("valid") > 50 && counts("test") > 50)
+    // deterministic: same assignment on a re-run
+    val again = df.groupBy(split.as("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("shufflePositions: dense permutation identical to a global sort") {
+    val df = (0L until 777L).toDF("id")
+    val got = Sampling.shufflePositions(df, col("id"))
+      .orderBy(col("shuffle_pos")).collect()
+    assert(got.map(_.getAs[Long]("shuffle_pos")).toSeq == (0L until 777L))
+    // positions agree with the single-partition global sort it replaces
+    val want = df.select(col("id"), md5(col("id").cast("string")).as("k"))
+      .orderBy(col("k").asc, col("id").asc).collect().map(_.getLong(0)).toSeq
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == want)
+  }
+
+  test("canonicalizeUrl strips scheme, www, utm params, trailing slash") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.com/A/?utm_source=x&utm_id=9" -> "example.com/a",
+      "http://example.com/a?id=3&utm_campaign=c" -> "example.com/a?id=3",
+      "example.com/a/b/" -> "example.com/a/b",
+      "https://sub.www.example.com" -> "sub.www.example.com", // only LEADING www.
+      "www.example.com/?utm_a=1&utm_b=2" -> "example.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), TextFunctions.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"in=$in") }
+  }
+
+  test("piiMarkerCounts equals piiCounts on marker-free source text") {
+    val df = Seq("mail a.b+c@ex-1.org or 10.0.3.7 and 1.2.3.4, no 1.2.3")
+      .toDF("text")
+    val (ne, ni) = TextFunctions.piiCounts(col("text"))
+    val (me, mi) = TextFunctions.piiMarkerCounts(
+      TextFunctions.redactPii(col("text")))
+    val r = df.select(ne, ni, me.cast("int"), mi.cast("int")).head()
+    assert(r.getInt(0) == r.getInt(2) && r.getInt(1) == r.getInt(3))
+  }
+
   test("redactPii masks emails before IPs and counts both") {
     val df = Seq("mail a.b+c@ex-1.org or 10.0.3.7 and 1.2.3.4, no 1.2.3")
       .toDF("text")
