@@ -253,6 +253,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Exact-substring near-dup pairs via winnowing fingerprints
+    * (Schleimer–Wilkerson–Aiken; see
+    * [[org.apache.spark.sql.graft.WinnowFingerprints]]): docs sharing at
+    * least `minShared` selected k-gram hashes are reported with the
+    * shared count. Catches long verbatim COPIED PASSAGES inside otherwise
+    * different documents — the case set-similarity (minhash/simhash)
+    * underweights, because a 500-token boilerplate block inside two 10k-
+    * token docs moves Jaccard by only ~5% but yields dozens of shared
+    * fingerprints. Any shared run of ≥ k+w−1 tokens is guaranteed ≥ 1
+    * shared fingerprint.
+    *
+    * Plan shape: fingerprints are a per-row scalar (ONE corpus scan, no
+    * shuffle), then explode → ONE shuffle on the fingerprint → bucket-
+    * local pair fan-out (capped at `maxBucket`, same bound and rationale
+    * as [[minhashCandidates]]) → count shared per pair. Pair rows enter
+    * the final groupBy once per shared fingerprint; the count is the
+    * map-side-combinable aggregate.
+    *
+    * Returns (id_a, id_b, n_shared) with id_a < id_b, n_shared ≥ minShared.
+    */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 4, w: Int = 5, minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val fps = graft.sources.Tables.spread(
+      df.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.winnowFingerprints(
+          rawTokens(col("__text")), k, w).as("fps"))
+      .filter(col("fps").isNotNull)
+    fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair set — A~B and B~C put A,B,C in ONE cluster even when A,C were
     * never compared (the transitive step pairwise dedup misses; reference

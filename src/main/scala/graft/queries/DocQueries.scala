@@ -283,6 +283,42 @@ object DocQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
+  /** Exact-substring dedup: winnowing fingerprints (k=4-gram hashes,
+    * window w=5, ≥ 2 shared) — [[Dedup.winnowPairs]]. The oracle
+    * recomputes the identical fingerprint selection in SQL and joins
+    * every pair, so the gate proves the bucket-local plan loses nothing.
+    */
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      Dedup.winnowPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        k = 4, w = 5, minShared = 2),
+      col("id_a").asc, col("id_b").asc)
+
+  val dedupWinnowSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |           ELSE list_transform(range(len(toks) - 3),
+      |                  i -> array_to_string(toks[i+1:i+4], ' ')) END AS grams
+      |  FROM tok WHERE len(toks) > 0),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams,
+      |           s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      |  FROM g),
+      |f AS (
+      |  SELECT doc_id, CASE WHEN len(hs) <= 5 THEN [list_min(hs)]
+      |           ELSE list_distinct(list_transform(range(len(hs) - 4),
+      |                  i -> list_min(hs[i+1:i+5]))) END AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY id_a ASC, id_b ASC""".stripMargin
+
   /** Exact n-gram Jaccard on a deterministic pair set (adjacent doc ids) —
     * oracle-able twin of the LSH re-rank step.
     */
@@ -780,6 +816,7 @@ object DocQueries {
     "dedup_simhash" -> (dedupSimhash _, None),
     "dedup_simhash_md5" -> (dedupSimhashMd5 _, Some(dedupSimhashMd5Sql)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _, Some(dedupSimhashPairsSql)),
+    "dedup_winnow" -> (dedupWinnow _, Some(dedupWinnowSql)),
     "embed_centroid" -> (embedCentroid _, Some(embedCentroidSql)),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
@@ -283,6 +284,33 @@ object PipelineQueries {
       |            - 1 AS BIGINT) AS shuffle_pos
       |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  /** Fixed-SIZE per-stratum subsample (vs [[sampleStratified]]'s fixed
+    * RATE): the k lexicographically-smallest md5 draws per lang — a
+    * deterministic reservoir. The window partitions by stratum, so
+    * ranking parallelizes across strata and no global order exists;
+    * per-partition TOP-K pushdown (WindowGroupLimit) keeps the state
+    * bounded at scale.
+    */
+  def sampleGroupTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    orderedAtTail(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("draw_rank", row_number().over(w).cast("long"))
+        .filter(col("draw_rank") <= 25),
+      col("lang").asc, col("draw_rank").asc)
+  }
+
+  val sampleGroupTopkSql: String =
+    """SELECT doc_id, lang,
+      |       CAST(row_number() OVER (PARTITION BY lang
+      |         ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+      |         AS draw_rank
+      |FROM documents
+      |QUALIFY draw_rank <= 25
+      |ORDER BY lang ASC, draw_rank ASC""".stripMargin
+
   /** URL-level dedup: canonicalize scheme/www/tracking-param variants,
     * group by canonical URL, report multi-doc groups. The corpus carries
     * no URLs, so both engines derive the same synthetic URL from
@@ -361,6 +389,7 @@ object PipelineQueries {
     "sample_stratified" -> (sampleStratified _, Some(sampleStratifiedSql)),
     "sample_split" -> (sampleSplit _, Some(sampleSplitSql)),
     "sample_shuffle" -> (sampleShuffle _, Some(sampleShuffleSql)),
+    "sample_group_topk" -> (sampleGroupTopk _, Some(sampleGroupTopkSql)),
     "url_dedup" -> (urlDedup _, Some(urlDedupSql)),
     "mix_weights" -> (mixWeights _, Some(mixWeightsSql)),
     "mix_temperature" -> (mixTemperature _, Some(mixTemperatureSql)),

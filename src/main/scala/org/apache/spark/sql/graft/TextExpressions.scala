@@ -138,6 +138,95 @@ object LangId {
   }
 }
 
+/** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+  * the MOSS local-fingerprinting algorithm): hash every word k-gram
+  * (md5-derived 60-bit hash, the portable recipe shared with
+  * [[SimHash60Md5]]), slide a window of `w` consecutive gram hashes, keep
+  * each window's MINIMUM, return the distinct selected hashes sorted
+  * ascending. Guarantee: any shared token run of length ≥ k + w − 1
+  * contributes at least one IDENTICAL fingerprint to both documents — the
+  * detection floor for exact-substring dedup is structural, not
+  * probabilistic. Fewer grams than w ⇒ the single global min; no real
+  * tokens ⇒ NULL. Null/empty tokens are skipped so callers can pass a raw
+  * codegen'd `split`.
+  *
+  * Winnowing selects by VALUE only (positions are discarded before the
+  * distinct), so the classic rightmost-vs-leftmost tie rule is moot here.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends TokenArrayExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  private def hash60(s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var j = 0
+    while (j < 8) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
+    acc >>> 4
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val toks = new scala.collection.mutable.ArrayBuffer[String](arr.numElements())
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0)
+        toks += arr.getUTF8String(i).toString
+      i += 1
+    }
+    if (toks.isEmpty) return null
+    val hs: Array[Long] =
+      if (toks.length < k) Array(hash60(toks.mkString(" ")))
+      else {
+        val g = toks.length - k + 1
+        val out = new Array[Long](g)
+        val sb = new java.lang.StringBuilder
+        var s = 0
+        while (s < g) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          out(s) = hash60(sb.toString)
+          s += 1
+        }
+        out
+      }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (hs.length <= w) {
+      var m = hs(0); var j = 1
+      while (j < hs.length) { if (hs(j) < m) m = hs(j); j += 1 }
+      sel.add(m)
+    } else {
+      var s = 0
+      while (s <= hs.length - w) {
+        var m = hs(s); var j = 1
+        while (j < w) { if (hs(s + j) < m) m = hs(s + j); j += 1 }
+        sel.add(m)
+        s += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Whitespace-token statistics in one pass:
   * struct(n_tokens, n_distinct, n_stopwords, n_punct). Token semantics are
   * EXACTLY `split(text, " ")` (Java split with limit -1: empty tokens from
@@ -196,4 +285,8 @@ object TextExpressions {
 
   def textStats(text: Column): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(text)))
+
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(
+      WinnowFingerprints(ExpressionUtils.expression(toks), k, w))
 }

@@ -75,6 +75,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(want.nonEmpty) // the planted pairs actually exercise the path
   }
 
+  test("winnowPairs: shared run >= k+w-1 tokens guarantees a shared fingerprint") {
+    // docs 1,2 share a 9-token run (k=4, w=5 ⇒ k+w-1=8 < 9: structural hit);
+    // docs 3,4 share nothing beyond isolated words
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota unique1 tail1 one"),
+      (2L, "head2 alpha beta gamma delta epsilon zeta eta theta iota other2 two"),
+      (3L, "totally different words live here in this sentence about engines"),
+      (4L, "unrelated content speaking of other topics entirely with no overlap"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, col("doc_id"), col("text"),
+      k = 4, w = 5, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("winnow fingerprints: deterministic, sorted, null on empty docs") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, ""), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions.winnowFingerprints(
+        TextFunctions.rawTokens(col("text")), 4, 5).as("fps"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(fps(2L) == null && fps(3L) == null)
+    val f1 = fps(1L)
+    assert(f1 != null && f1 == f1.sorted && f1.distinct == f1)
+  }
+
   test("simhash: docs with no real tokens are absent, even via rawTokens") {
     // rawTokens of "" / punctuation yields [""], never an empty array —
     // the absence invariant must come from the expression's NULL, not a
