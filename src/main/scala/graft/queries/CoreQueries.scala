@@ -444,6 +444,60 @@ object CoreQueries {
       |GROUP BY e.user_id
       |ORDER BY e.user_id ASC""".stripMargin
 
+  // --- behavioral funnel (sequential-pattern aggregation) ---
+
+  /** Ordered conversion funnel signup → click → purchase: per user, each
+    * step's FIRST occurrence strictly after the previous step's first
+    * occurrence — the sequential-pattern aggregation of product
+    * analytics, which plain per-type counts cannot express (a purchase
+    * before the signup must not convert).
+    *
+    * Three conditional-min aggregations, each keyed on user_id: every
+    * groupBy and join shares the one hash partitioning, so after the
+    * first exchange the chain is co-located end-to-end (and the cached
+    * events table is already clustered on user_id — see Tables).
+    * Step comparisons use the exact-nanosecond `ts_ns` long, so strict
+    * "after" agrees with the oracle's TIMESTAMP_NS comparison at full
+    * precision.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts_ns"))).as("t1"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts_ns") > col("t1"), col("ts_ns"))).as("t2"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts_ns") > col("t2"), col("ts_ns"))).as("t3"))
+    s1.join(s2, Seq("user_id")).join(s3, Seq("user_id"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_after"),
+        count(col("t3")).as("n_purchase_after"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id,
+      |         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id,
+      |         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       CAST(COUNT(s1.t1) AS BIGINT) AS n_signup,
+      |       CAST(COUNT(s2.t2) AS BIGINT) AS n_click_after,
+      |       CAST(COUNT(s3.t3) AS BIGINT) AS n_purchase_after
+      |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin
+
   // --- §2.1 partitioned parquet sink roundtrip (ETL; build_cache.go:284-315)
   // Writes orders hive-partitioned by year with zstd, reads back, verifies
   // per-partition counts — the driver oracle recomputes them from the source.
@@ -673,5 +727,6 @@ object CoreQueries {
     "scalar_date_string" -> (scalarDateString _, Some(scalarDateStringSql)),
     "scalar_json" -> (scalarJson _, Some(scalarJsonSql)),
     "scalar_sha256" -> (scalarSha256 _, Some(scalarSha256Sql)),
-    "etl_sink_roundtrip" -> (etlSinkRoundtrip _, Some(etlSinkRoundtripSql)))
+    "etl_sink_roundtrip" -> (etlSinkRoundtrip _, Some(etlSinkRoundtripSql)),
+    "events_funnel" -> (eventsFunnel _, Some(eventsFunnelSql)))
 }

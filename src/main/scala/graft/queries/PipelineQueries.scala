@@ -215,6 +215,47 @@ object PipelineQueries {
       |       n_docs, chunk_tokens, first_doc, last_doc
       |FROM g ORDER BY source ASC, chunk_id ASC""".stripMargin
 
+  /** Overlapping sliding-window chunking (RAG / context-window prep):
+    * each doc yields ⌈(n−size)/stride⌉+1 chunks of ≤ `size` tokens at
+    * `stride` offsets, so consecutive chunks overlap by size−stride
+    * tokens. Pure per-row arithmetic + explode — no shuffle at all until
+    * the result-edge sort; chunk rows stay on the partition that read
+    * the doc.
+    */
+  def chunkSliding(s: SparkSession, dir: String): DataFrame = {
+    val size = 32L
+    val stride = 16L
+    orderedAtTail(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__n"))
+        .withColumn("__k",
+          when(col("__n") <= size, lit(1L))
+            .otherwise(((col("__n") - size + stride - 1) / stride)
+              .cast("long") + 1))
+        .select(col("doc_id"), col("__n"),
+          explode(sequence(lit(0L), col("__k") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("start_tok"),
+          least(lit(size), col("__n") - col("chunk_idx") * stride)
+            .as("chunk_len")),
+      col("doc_id").asc, col("chunk_idx").asc)
+  }
+
+  val chunkSlidingSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, nt,
+      |         CASE WHEN nt <= 32 THEN 1
+      |              ELSE CAST((nt - 32 + 15) // 16 AS BIGINT) + 1 END AS nk
+      |  FROM n)
+      |SELECT doc_id, CAST(unnest(range(nk)) AS BIGINT) AS chunk_idx,
+      |       CAST(unnest(range(nk)) * 16 AS BIGINT) AS start_tok,
+      |       CAST(least(32, nt - unnest(range(nk)) * 16) AS BIGINT) AS chunk_len
+      |FROM k ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin
+
   /** Temperature sampling weights at α=0.5 over per-lang token mass —
     * sqrt on both engines (IEEE-exact), denominator folded in stratum
     * order on both engines (see [[Sampling.temperatureWeights]]).
@@ -395,5 +436,6 @@ object PipelineQueries {
     "mix_temperature" -> (mixTemperature _, Some(mixTemperatureSql)),
     "text_pii_redact" -> (textPiiRedact _, Some(textPiiRedactSql)),
     "text_repetition" -> (textRepetition _, Some(textRepetitionSql)),
-    "pack_chunks" -> (packChunks _, Some(packChunksSql)))
+    "pack_chunks" -> (packChunks _, Some(packChunksSql)),
+    "chunk_sliding" -> (chunkSliding _, Some(chunkSlidingSql)))
 }
