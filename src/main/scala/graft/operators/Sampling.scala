@@ -87,7 +87,9 @@ object Sampling {
     val w = Window.partitionBy(col("__b"))
       .orderBy(col("shuffle_key").asc, col("doc_id").asc)
     val ranked = keyed.withColumn("__rn", row_number().over(w))
-    val offsets = ranked.groupBy(col("__b"))
+    // offsets need only bucket COUNTS — build them from the pre-window
+    // frame so this branch is a plain scan-agg, not a second rank window
+    val offsets = keyed.groupBy(col("__b"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(Window.orderBy(col("__b").asc)

@@ -81,6 +81,24 @@ object ScaleProbe {
     time(s"exact dedup ${factor}x")(
       Dedup.exactGroups(docsN, col("doc_id"), col("text")).count())
 
+    // --- round-4 additions: substring/simhash pairs, shuffle positions ---
+    Dedup.winnowPairs(docs1, col("doc_id"), col("text")).count() // warm
+    time("winnow pairs 1x")(
+      Dedup.winnowPairs(docs1, col("doc_id"), col("text")).count())
+    time(s"winnow pairs ${factor}x")(
+      Dedup.winnowPairs(docsN, col("doc_id"), col("text")).count())
+    def sigsOf(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions.simhash60Md5(
+        graft.functions.TextFunctions.rawTokens(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    time("simhash pairs 1x")(Dedup.simhashPairs(sigsOf(docs1)).count())
+    time(s"simhash pairs ${factor}x")(Dedup.simhashPairs(sigsOf(docsN)).count())
+    import graft.operators.Sampling
+    time("shuffle positions 1x")(
+      Sampling.shufflePositions(docs1, col("doc_id")).count())
+    time(s"shuffle positions ${factor}x")(
+      Sampling.shufflePositions(docsN, col("doc_id")).count())
+
     // --- core relational shapes (agg-below-join, window, semi join) ---
     val li1 = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))

@@ -216,6 +216,55 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("Join"), s"no join in binned plan:\n$plan")
   }
 
+  test("shufflePositions: corpus shuffles only on the bucket, offsets broadcast") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    val out = graft.operators.Sampling.shufflePositions(df, col("id"))
+    val plan = executed(out).toString
+    // every corpus-wide exchange keys on the 256-way bucket — a
+    // hashpartitioning on anything else (or a range exchange) would mean
+    // the global sort crept back in
+    val keys = "Exchange hashpartitioning\\(([^,#]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_ == "__b"),
+      s"corpus exchange not on bucket: $keys\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global range sort in shuffle-positions plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets did not broadcast:\n$plan")
+  }
+
+  test("events funnel reuses one user_id partitioning across all stages") {
+    val df = CoreQueries.eventsFunnel(spark, sf)
+    val plan = executed(df).toString
+    val keys = "Exchange hashpartitioning\\(([^,#]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.forall(_ == "user_id"),
+      s"funnel re-partitioned on a non-user key: $keys\n$plan")
+  }
+
+  test("winnowPairs scans the corpus exactly once") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.operators.Dedup.winnowPairs(docs, col("doc_id"), col("text"))
+    // AQE buries finished stages in QueryStageExec leaves collect* does
+    // not descend into — count scans on the rendered tree
+    val plan = executed(df).toString
+    val nScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"winnow should be one corpus scan, got $nScans:\n$plan")
+  }
+
+  test("simhashPairs broadcasts the signature table once (reused exchange)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sigs = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions.simhash60Md5(
+        graft.functions.TextFunctions.rawTokens(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    val df = graft.operators.Dedup.simhashPairs(sigs)
+    val plan = executed(df).toString
+    assert(plan.contains("ReusedExchange"),
+      s"A/B verify sides did not share one broadcast:\n$plan")
+  }
+
   test("as-of join is one shuffle per side + one window, no join operator") {
     import spark.implicits._
     val l = (0 until 100).map(i => (i.toLong % 7, i.toLong, s"e$i"))
