@@ -55,6 +55,36 @@ object GraftExtensions {
           "minhash_signature(tokens, numHashes, shingleSize)")
         MinHashSignature(exprs.head,
           litInt(exprs(1), "numHashes"), litInt(exprs(2), "shingleSize"))
+      }),
+    ("simhash60_md5",
+      new ExpressionInfo(classOf[SimHash60Md5].getName, "simhash60_md5"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash60_md5(tokens)")
+        SimHash60Md5(exprs.head)
+      }),
+    ("winnow_fingerprints",
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "winnow_fingerprints(tokens, k, w)")
+        WinnowFingerprints(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "w"))
+      }),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "word_shingles(tokens, n)")
+        WordShingles(exprs.head, litInt(exprs(1), "n"), shortFallback = true)
+      }),
+    ("lang_id",
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "lang_id(tokens)")
+        LangId(exprs.head)
+      }),
+    ("text_stats",
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "text_stats(text)")
+        TextStats(exprs.head)
       }))
 
   /** Register the functions into an existing session's catalog. */

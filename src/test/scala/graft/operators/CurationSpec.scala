@@ -38,6 +38,21 @@ class CurationSpec extends SparkTestBase {
     assert(sh.getAs[scala.collection.Seq[Long]](1).length == 8)
   }
 
+  test("round-4 expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash60_md5(array('a','b')) AS sig, " +
+        "winnow_fingerprints(array('a','b','c','d','e','f','g'), 4, 5) AS fps, " +
+        "word_shingles(array('a','b','c'), 2) AS sh, " +
+        "lang_id(array('the','and','of')) AS lang, " +
+        "text_stats('a b a').n_distinct AS nd").head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getAs[scala.collection.Seq[Long]](1).nonEmpty)
+    assert(r.getAs[scala.collection.Seq[String]](2) == Seq("a b", "b c"))
+    assert(r.getString(3) == "en")
+    assert(r.getInt(4) == 2)
+  }
+
   test("keyset pagination pages match offset pagination pages") {
     import Fixtures._
     val v = Fixtures.vault(spark,
