@@ -212,12 +212,17 @@ object Dedup {
     * then verified with the true Hamming distance to kill band-collision
     * false positives.
     *
-    * Plan shape mirrors [[minhashCandidates]]: explode bands (× bands
-    * rows of two longs), ONE shuffle on (band, band_bits), bucket-local
-    * pair fan-out capped at `maxBucket` (a 2^bandBits-space collision
-    * bucket that large means a degenerate corpus slice — same bound and
-    * caveat as LSH), then the signature table (two longs/doc) broadcasts
-    * into both sides of the verify join.
+    * Plan shape: the full signature is ONE long, so it rides through the
+    * band shuffle alongside the doc id — explode bands (× bands rows of
+    * three longs), ONE shuffle on (band, band_bits), bucket-local pair
+    * fan-out capped at `maxBucket` (a 2^bandBits-space collision bucket
+    * that large means a degenerate corpus slice — same bound and caveat
+    * as LSH), Hamming verified INLINE from the carried signatures. One
+    * corpus scan, no join, no broadcast — the join-back alternative
+    * would ship the whole signature table to every executor, an O(corpus)
+    * memory bound this formulation doesn't have. The final distinct
+    * dedups pairs that match in several bands (shuffles only verified
+    * survivors).
     *
     * `sigs` carries (doc_id, simhash); returns (id_a, id_b, hamming)
     * with id_a < id_b.
@@ -228,29 +233,24 @@ object Dedup {
     val bandBits = sigBits / bands
     require(bandBits * bands == sigBits, "bands must divide sigBits")
     val mask = (1L << bandBits) - 1
-    val banded = sigs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("simhash"), b * bandBits)
           .bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
-    val cand = banded
+    banded
       .groupBy(col("band"), col("band_bits"))
-      .agg(collect_list(col("doc_id")).as("members"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
-      .select(explode(col("members")).as("id_a"), col("members"))
-      .select(col("id_a"), explode(col("members")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val sigOnly = sigs.select(col("doc_id"), col("simhash"))
-    cand
-      .join(broadcast(sigOnly).as("A"), col("id_a") === col("A.doc_id"))
-      .join(broadcast(sigOnly).as("B"), col("id_b") === col("B.doc_id"))
-      .withColumn("hamming",
-        hamming64(col("A.simhash"), col("B.simhash")).cast("long"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.simhash"), col("b.simhash")).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact-substring near-dup pairs via winnowing fingerprints

@@ -253,7 +253,7 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nScans == 1, s"winnow should be one corpus scan, got $nScans:\n$plan")
   }
 
-  test("simhashPairs broadcasts the signature table once (reused exchange)") {
+  test("simhashPairs: one corpus scan, no join — sigs ride the band shuffle") {
     val docs = Tables.load(spark, sf, "documents")
     val sigs = docs.select(col("doc_id"),
       org.apache.spark.sql.graft.TextExpressions.simhash60Md5(
@@ -261,8 +261,12 @@ class PlanAuditSpec extends SparkTestBase {
       .filter(col("simhash").isNotNull)
     val df = graft.operators.Dedup.simhashPairs(sigs)
     val plan = executed(df).toString
-    assert(plan.contains("ReusedExchange"),
-      s"A/B verify sides did not share one broadcast:\n$plan")
+    val nScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"expected 1 corpus scan, got $nScans:\n$plan")
+    // the signature rides the shuffle — a Join or BroadcastExchange here
+    // would mean the O(corpus)-memory join-back formulation crept back
+    assert(!plan.contains("Join") && !plan.contains("BroadcastExchange"),
+      s"simhash verify should be inline, not a join:\n$plan")
   }
 
   test("as-of join is one shuffle per side + one window, no join operator") {
