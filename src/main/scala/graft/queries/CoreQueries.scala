@@ -498,6 +498,44 @@ object CoreQueries {
       |       CAST(COUNT(s3.t3) AS BIGINT) AS n_purchase_after
       |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin
 
+  /** Weekly cohort retention: users bucketed by the week of their FIRST
+    * event, then counted per (cohort, week-offset) of later activity —
+    * the second classic sequential-behavior aggregate next to
+    * [[eventsFunnel]]. Same partitioning story: first-event agg, distinct
+    * activity, and the join all key on user_id, so one exchange serves
+    * the chain; the final (cohort, offset) rollup is |weeks|² rows.
+    * Week arithmetic sticks to date_trunc/datediff, which both engines
+    * define identically (ISO Monday weeks), and the offset division is
+    * exact (Monday−Monday is always a multiple of 7).
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+    val u = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val a = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+    a.join(u, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .coalesce(1)
+      .sortWithinPartitions(col("cohort_week").asc, col("week_offset").asc)
+  }
+
+  val eventsRetentionSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events)
+      |SELECT u.cohort_week,
+      |       CAST(date_diff('day', u.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset,
+      |       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |FROM a JOIN u USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week ASC, week_offset ASC""".stripMargin
+
   // --- §2.1 partitioned parquet sink roundtrip (ETL; build_cache.go:284-315)
   // Writes orders hive-partitioned by year with zstd, reads back, verifies
   // per-partition counts — the driver oracle recomputes them from the source.
@@ -728,5 +766,6 @@ object CoreQueries {
     "scalar_json" -> (scalarJson _, Some(scalarJsonSql)),
     "scalar_sha256" -> (scalarSha256 _, Some(scalarSha256Sql)),
     "etl_sink_roundtrip" -> (etlSinkRoundtrip _, Some(etlSinkRoundtripSql)),
-    "events_funnel" -> (eventsFunnel _, Some(eventsFunnelSql)))
+    "events_funnel" -> (eventsFunnel _, Some(eventsFunnelSql)),
+    "events_retention" -> (eventsRetention _, Some(eventsRetentionSql)))
 }
