@@ -699,6 +699,67 @@ object DocQueries {
       |            ORDER BY pos), ',') AS centroid_fp_csv
       |FROM a GROUP BY label ORDER BY label ASC""".stripMargin
 
+  /** Corpus-LM fluency score (the model-based quality signal of a
+    * CCNet-style pipeline, next to the heuristic gates): train a bigram
+    * model ON the corpus itself — B(w1,w2) bigram counts, U(w1) prefix
+    * counts — and score each doc by its mean conditional bigram
+    * probability, mean over B(w1,w2)/U(w1) in token order. Low scores
+    * flag token salads; high scores, formulaic text.
+    *
+    * Determinism by construction: probabilities are single correctly-
+    * rounded double divisions of exact longs, and the per-doc mean folds
+    * the POSITION-SORTED probability array (collect → sort → left fold,
+    * the [[graft.operators.Sampling.temperatureWeights]] trick), so no
+    * float-addition-order or libm (`ln`) dependence exists — the oracle
+    * hash-matches without rounding.
+    *
+    * Scale shape: counts are one groupBy over the exploded bigrams;
+    * scoring joins the counts back on the bigram (AQE broadcasts them
+    * while the vocabulary is small; at web scale one would prune the LM
+    * to top-K n-grams first and broadcast the pruned table — noted, not
+    * needed at this corpus).
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bg = docs.select(col("doc_id"),
+      posexplode(TextFunctions.bigrams(TextFunctions.wsTokens(col("text"))))
+        .as(Seq("pos", "bg")))
+    val b = bg.groupBy(col("bg")).agg(count(lit(1)).as("b"))
+    val u = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("u"))
+    val p = bg.join(b, Seq("bg"))
+      .join(u, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("doc_id"), col("pos"),
+        (col("b").cast("double") / col("u").cast("double")).as("p"))
+    orderedAtTail(
+      p.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (aggregate(
+            array_sort(collect_list(struct(col("pos"), col("p")))),
+            lit(0.0), (acc, x) => acc + x.getField("p")) /
+            count(lit(1)).cast("double")).as("avg_bigram_prob")),
+      col("doc_id").asc)
+  }
+
+  val textBigramLmSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest(range(len(toks) - 1)) AS pos,
+      |         unnest(list_transform(range(len(toks) - 1),
+      |           i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+      |  FROM tk WHERE len(toks) >= 2),
+      |b AS (SELECT bg, COUNT(*) AS b FROM g GROUP BY bg),
+      |u AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS u FROM g GROUP BY 1),
+      |p AS (
+      |  SELECT g.doc_id, g.pos, CAST(b.b AS DOUBLE) / CAST(u.u AS DOUBLE) AS p
+      |  FROM g JOIN b USING (bg) JOIN u ON split_part(g.bg, ' ', 1) = u.w1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / COUNT(*)
+      |         AS avg_bigram_prob
+      |FROM p GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+
   /** Corpus boilerplate report: top-50 5-grams by document frequency
     * (each doc counts once) — map-side-combined heavy-hitter scan + topk
     * ([[graft.operators.Curation.ngramDocFreq]]).
@@ -833,5 +894,6 @@ object DocQueries {
     "multimodal_meta" -> (multimodalMeta _, Some(multimodalMetaSql)),
     "multimodal_features" -> (multimodalFeatures _, Some(multimodalFeaturesSql)),
     "vector_quantize_int8" -> (vectorQuantizeInt8 _, Some(vectorQuantizeInt8Sql)),
-    "ngram_docfreq" -> (ngramDocfreq _, Some(ngramDocfreqSql)))
+    "ngram_docfreq" -> (ngramDocfreq _, Some(ngramDocfreqSql)),
+    "text_bigram_lm" -> (textBigramLm _, Some(textBigramLmSql)))
 }
