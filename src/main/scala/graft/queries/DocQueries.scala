@@ -724,13 +724,17 @@ object DocQueries {
     val bg = docs.select(col("doc_id"),
       posexplode(TextFunctions.bigrams(TextFunctions.wsTokens(col("text"))))
         .as(Seq("pos", "bg")))
+    // fold U into the bigram table FIRST (a |vocab|²-row join) so the
+    // exploded corpus is joined ONCE — joining b and u separately would
+    // shuffle the full bigram stream twice
     val b = bg.groupBy(col("bg")).agg(count(lit(1)).as("b"))
     val u = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(count(lit(1)).as("u"))
-    val p = bg.join(b, Seq("bg"))
-      .join(u, substring_index(col("bg"), " ", 1) === col("w1"))
-      .select(col("doc_id"), col("pos"),
-        (col("b").cast("double") / col("u").cast("double")).as("p"))
+    val lm = b.join(u, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"), (col("b").cast("double") / col("u").cast("double"))
+        .as("p"))
+    val p = bg.join(lm, Seq("bg"))
+      .select(col("doc_id"), col("pos"), col("p"))
     orderedAtTail(
       p.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
@@ -752,9 +756,10 @@ object DocQueries {
       |  FROM tk WHERE len(toks) >= 2),
       |b AS (SELECT bg, COUNT(*) AS b FROM g GROUP BY bg),
       |u AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS u FROM g GROUP BY 1),
-      |p AS (
-      |  SELECT g.doc_id, g.pos, CAST(b.b AS DOUBLE) / CAST(u.u AS DOUBLE) AS p
-      |  FROM g JOIN b USING (bg) JOIN u ON split_part(g.bg, ' ', 1) = u.w1)
+      |lm AS (
+      |  SELECT bg, CAST(b.b AS DOUBLE) / CAST(u.u AS DOUBLE) AS p
+      |  FROM b JOIN u ON split_part(b.bg, ' ', 1) = u.w1),
+      |p AS (SELECT g.doc_id, g.pos, lm.p FROM g JOIN lm USING (bg))
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
       |       list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / COUNT(*)
       |         AS avg_bigram_prob
