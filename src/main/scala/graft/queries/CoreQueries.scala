@@ -498,6 +498,54 @@ object CoreQueries {
       |       CAST(COUNT(s3.t3) AS BIGINT) AS n_purchase_after
       |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin
 
+  /** Table profiling (the data-quality monitor of an ingest pipeline):
+    * per-column row/null/distinct counts and min/max, computed in ONE
+    * pass over the table — a single multi-distinct aggregate (Catalyst
+    * plans the k distincts as one Expand, still one scan) unpivoted to a
+    * row per column via stack(). The oracle is the k-scan UNION ALL
+    * formulation, one SELECT per column. min/max are computed on the
+    * NATIVE type and cast to string for display (string-min of a numeric
+    * column would be lexicographic — wrong).
+    */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cols: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("l_linenumber", col("l_linenumber")),
+      ("l_linestatus", col("l_linestatus")),
+      ("l_orderkey", col("l_orderkey")),
+      ("l_returnflag", col("l_returnflag")),
+      ("l_shipdate", col("l_shipdate").cast("date")))
+    val aggs = cols.flatMap { case (n, c) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$n"),
+      countDistinct(c).as(s"__nd_$n"),
+      min(c).cast("string").as(s"__mn_$n"),
+      max(c).cast("string").as(s"__mx_$n")) }
+    val one = li.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', __nn_$n, __nd_$n, __mn_$n, __mx_$n" }.mkString(", ")
+    one.select(col("__n"), expr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"))
+      .select(col("column_name"), col("__n").as("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .coalesce(1)
+      .sortWithinPartitions(col("column_name").asc)
+  }
+
+  val profileColumnsSql: String = {
+    def sel(n: String, c: String) =
+      s"""SELECT '$n' AS column_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+    Seq(sel("l_linenumber", "l_linenumber"),
+      sel("l_linestatus", "l_linestatus"),
+      sel("l_orderkey", "l_orderkey"),
+      sel("l_returnflag", "l_returnflag"),
+      sel("l_shipdate", "CAST(l_shipdate AS DATE)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC")
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their FIRST
     * event, then counted per (cohort, week-offset) of later activity —
     * the second classic sequential-behavior aggregate next to
@@ -767,5 +815,6 @@ object CoreQueries {
     "scalar_sha256" -> (scalarSha256 _, Some(scalarSha256Sql)),
     "etl_sink_roundtrip" -> (etlSinkRoundtrip _, Some(etlSinkRoundtripSql)),
     "events_funnel" -> (eventsFunnel _, Some(eventsFunnelSql)),
-    "events_retention" -> (eventsRetention _, Some(eventsRetentionSql)))
+    "events_retention" -> (eventsRetention _, Some(eventsRetentionSql)),
+    "profile_columns" -> (profileColumns _, Some(profileColumnsSql)))
 }
