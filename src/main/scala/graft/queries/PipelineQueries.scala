@@ -44,7 +44,11 @@ object PipelineQueries {
       col("cluster_id").asc)
   }
 
-  val dedupClustersSql: String =
+  /** The exact near-dup transitive-closure construction as a DuckDB CTE
+    * chain ending in `lab(doc_id, cluster_id)` — shared by the clusters
+    * query and the cluster-survivor query so the oracles cannot drift.
+    */
+  private val clusterLabelCte: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
       |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
@@ -65,10 +69,106 @@ object PipelineQueries {
       |  SELECT u AS id, u AS r FROM edges
       |  UNION
       |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
-      |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""$clusterLabelCte
       |SELECT cluster_id, COUNT(*) AS cluster_size,
       |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
       |FROM lab GROUP BY cluster_id ORDER BY cluster_id ASC""".stripMargin
+
+  /** Survivor per near-dup cluster: the doc with the highest quality
+    * score (ties to the lowest id) represents its cluster; everything
+    * else is the drop set — the step that turns cluster labels into an
+    * actual deduped corpus. One window over the cluster members only
+    * (docs outside any cluster are untouched by construction).
+    */
+  def dedupClusterSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = Dedup.nearDuplicates(docs, col("doc_id"), col("text"),
+      threshold = 0.5, bands = 32)
+      .select(col("id_a"), col("id_b"))
+    val labeled = Dedup.duplicateClusters(edges)
+      .join(docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("__q")), Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col("doc_id").asc)
+    orderedAtTail(
+      labeled.withColumn("__rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(when(col("__rn") === 1, col("doc_id"))).as("survivor_id"),
+          max(when(col("__rn") === 1, col("__q"))).as("survivor_quality"),
+          array_join(array_sort(collect_list(
+            when(col("__rn") > 1, col("doc_id")))), ",").as("dropped_ids")),
+      col("cluster_id").asc)
+  }
+
+  private val qualityScoreSql: String =
+    """round((
+      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) +
+      |  least(CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
+      |  (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
+      |) / 4.0, 6)""".stripMargin
+
+  val dedupClusterSurvivorSql: String =
+    s"""$clusterLabelCte,
+      |q AS (
+      |  SELECT lab.doc_id, lab.cluster_id, $qualityScoreSql AS qs
+      |  FROM lab JOIN documents d ON lab.doc_id = d.doc_id),
+      |r AS (
+      |  SELECT doc_id, cluster_id, qs,
+      |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                            ORDER BY qs DESC, doc_id ASC) AS rn
+      |  FROM q)
+      |SELECT cluster_id, COUNT(*) AS cluster_size,
+      |       MIN(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+      |       MAX(CASE WHEN rn = 1 THEN qs END) AS survivor_quality,
+      |       array_to_string(list(CASE WHEN rn > 1 THEN doc_id END ORDER BY doc_id), ',')
+      |         AS dropped_ids
+      |FROM r GROUP BY cluster_id ORDER BY cluster_id ASC""".stripMargin
+
+  /** Quality-quartile distribution: exact interpolated quartile
+    * thresholds over the corpus score (one tiny agg, broadcast back),
+    * then a bucketed rollup — the "where does the quality mass sit"
+    * report that gates curation cuts. At web scale the exact percentile
+    * (which buffers values per group) swaps for percentile_approx; the
+    * `agg_quantiles` gate measures that sketch within 1% of exact on
+    * this data.
+    */
+  def qualityQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val scores = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("score"))
+    val th = scores.agg(
+      percentile(col("score"), lit(0.25)).as("t1"),
+      percentile(col("score"), lit(0.5)).as("t2"),
+      percentile(col("score"), lit(0.75)).as("t3"))
+    orderedAtTail(
+      scores.crossJoin(broadcast(th))
+        .groupBy(when(col("score") < col("t1"), 0L)
+          .when(col("score") < col("t2"), 1L)
+          .when(col("score") < col("t3"), 2L)
+          .otherwise(3L).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score")),
+      col("bucket").asc)
+  }
+
+  val qualityQuartilesSql: String =
+    s"""WITH s AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
+      |t AS (SELECT quantile_cont(score, 0.25) AS t1,
+      |             quantile_cont(score, 0.5) AS t2,
+      |             quantile_cont(score, 0.75) AS t3 FROM s)
+      |SELECT CAST(CASE WHEN score < t1 THEN 0 WHEN score < t2 THEN 1
+      |            WHEN score < t3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+      |       COUNT(*) AS n_docs, MIN(score) AS min_score, MAX(score) AS max_score
+      |FROM s, t GROUP BY 1 ORDER BY bucket ASC""".stripMargin
 
   /** Deterministic stratified sample: per-lang keep rates over the same
     * md5 id-draw on both engines — selects the identical subset anywhere.
@@ -426,6 +526,8 @@ object PipelineQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "dedup_clusters" -> (dedupClusters _, Some(dedupClustersSql)),
+    "dedup_cluster_survivor" -> (dedupClusterSurvivor _, Some(dedupClusterSurvivorSql)),
+    "quality_quartiles" -> (qualityQuartiles _, Some(qualityQuartilesSql)),
     "text_decontaminate" -> (textDecontaminate _, Some(textDecontaminateSql)),
     "sample_stratified" -> (sampleStratified _, Some(sampleStratifiedSql)),
     "sample_split" -> (sampleSplit _, Some(sampleSplitSql)),
