@@ -95,17 +95,25 @@ object Dedup {
     * band buckets appears j times. Exposed for probes/consumers that
     * dedup downstream anyway.
     */
+  /** (doc_id, band, band_hash) band rows for LSH bucketing — shared by
+    * the batch candidate generator and the incremental probe.
+    */
+  private def bandRows(df: DataFrame, id: Column, text: Column,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    minhashSignatures(df, id, text, numHashes, shingleSize)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   private[graft] def candidatesRaw(df: DataFrame, id: Column, text: Column,
       numHashes: Int, bands: Int, shingleSize: Int,
       maxBucket: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = minhashSignatures(df, id, text, numHashes, shingleSize)
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = bandRows(df, id, text, numHashes, bands, shingleSize)
     val buckets = banded
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("members"))
@@ -181,6 +189,54 @@ object Dedup {
       // no trailing distinct: cand is already distinct and each pair
       // joins exactly one A-row and one B-row
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** INCREMENTAL near-dup: new docs probed against an already-indexed
+    * corpus — the daily-ingest path, where re-running batch dedup over
+    * corpus+delta would redo O(corpus) work for an O(delta)-sized
+    * question. Candidates pair a fresh doc with an indexed doc only
+    * (never fresh×fresh or indexed×indexed); the fresh side's band rows
+    * broadcast into the indexed side's (bucket-capped) band table, so
+    * the indexed corpus is scanned once and never shuffled, and the
+    * exact-Jaccard verify is bounded by the candidate set exactly as in
+    * [[nearDuplicates]]. At production scale the indexed band table is
+    * a materialized artifact (build once, probe per batch — the
+    * memoizedIndex pattern the inverted-index and IVF queries use).
+    *
+    * Returns (new_id, indexed_id, jaccard) with jaccard ≥ threshold.
+    */
+  def incrementalNearDuplicates(indexed: DataFrame, fresh: DataFrame,
+      id: Column, text: Column, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val bIdx = bandRows(indexed.select(id.as("doc_id"), text.as("doc_text")),
+      col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+    val bNew = bandRows(fresh.select(id.as("doc_id"), text.as("doc_text")),
+      col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
+      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+    val cand = bIdx.join(broadcast(bNew), Seq("band", "band_hash"))
+      .select(col("new_id"), explode(col("members")).as("indexed_id"))
+      .distinct()
+    val shingleOf = (d: DataFrame) => d.select(col("doc_id"),
+      org.apache.spark.sql.graft.HashingExpressions
+        .wordShingles(rawTokens(col("doc_text")), shingleSize).as("__sh"))
+    val shIdx = shingleOf(indexed.select(id.as("doc_id"), text.as("doc_text"))
+      .join(broadcast(cand.select(col("indexed_id").as("doc_id"))),
+        Seq("doc_id"), "left_semi"))
+    val shNew = shingleOf(fresh.select(id.as("doc_id"), text.as("doc_text"))
+      .join(broadcast(cand.select(col("new_id").as("doc_id"))),
+        Seq("doc_id"), "left_semi"))
+    cand
+      .join(broadcast(shNew).as("N"), col("new_id") === col("N.doc_id"))
+      .join(broadcast(shIdx).as("I"), col("indexed_id") === col("I.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("N.__sh"), col("I.__sh"))).cast("double") /
+          size(array_union(col("N.__sh"), col("I.__sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("indexed_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash: per-bit majority vote of token hashes, frequency-

@@ -283,6 +283,41 @@ object DocQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
+  /** Incremental near-dup: the "new shard vs indexed corpus" probe
+    * ([[Dedup.incrementalNearDuplicates]]) at the 0.5 threshold with
+    * recall-matched banding (32×2, as dedup_clusters). The oracle is the
+    * exact cross-slice O(old×new) Jaccard join — so the gate certifies
+    * the probe finds every cross-slice edge on this corpus while doing
+    * none of the O(corpus²) work.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    orderedAtTail(
+      Dedup.incrementalNearDuplicates(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        col("doc_id"), col("text"), threshold = 0.5, bands = 32),
+      col("new_id").asc, col("indexed_id").asc)
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |              ELSE list_transform(range(len(toks) - 2),
+      |                     i -> array_to_string(toks[i+1:i+3], ' ')) END) AS s
+      |  FROM tok WHERE len(toks) > 0)
+      |SELECT n.doc_id AS new_id, i.doc_id AS indexed_id,
+      |       CAST(len(list_intersect(n.s, i.s)) AS DOUBLE) /
+      |       CAST(len(list_distinct(list_concat(n.s, i.s))) AS DOUBLE) AS jaccard
+      |FROM sh n JOIN sh i ON n.doc_id >= 400 AND i.doc_id < 400
+      |WHERE CAST(len(list_intersect(n.s, i.s)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(n.s, i.s))) AS DOUBLE) >= 0.5
+      |ORDER BY new_id ASC, indexed_id ASC""".stripMargin
+
   /** Exact-substring dedup: winnowing fingerprints (k=4-gram hashes,
     * window w=5, ≥ 2 shared) — [[Dedup.winnowPairs]]. The oracle
     * recomputes the identical fingerprint selection in SQL and joins
@@ -883,6 +918,7 @@ object DocQueries {
     "dedup_simhash_md5" -> (dedupSimhashMd5 _, Some(dedupSimhashMd5Sql)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _, Some(dedupSimhashPairsSql)),
     "dedup_winnow" -> (dedupWinnow _, Some(dedupWinnowSql)),
+    "dedup_incremental" -> (dedupIncremental _, Some(dedupIncrementalSql)),
     "embed_centroid" -> (embedCentroid _, Some(embedCentroidSql)),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),

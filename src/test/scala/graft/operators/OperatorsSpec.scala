@@ -75,6 +75,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(want.nonEmpty) // the planted pairs actually exercise the path
   }
 
+  test("incremental probe finds cross-slice near-dups only") {
+    // doc 6 (fresh) is a near-dup of docs 1/2/4 (indexed); docs 6,7 are
+    // near-dups of EACH OTHER but fresh×fresh must not be reported
+    val six = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank now!"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDuplicates(docs, six.union(docs.limit(0)),
+      col("doc_id"), col("text"), threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall { case (n, i) => n >= 6L && i <= 5L },
+      s"probe leaked a non-cross-slice pair: $got")
+  }
+
   test("winnowPairs: shared run >= k+w-1 tokens guarantees a shared fingerprint") {
     // docs 1,2 share a 9-token run (k=4, w=5 ⇒ k+w-1=8 < 9: structural hit);
     // docs 3,4 share nothing beyond isolated words
