@@ -98,6 +98,16 @@ object ScaleProbe {
       Sampling.shufflePositions(docs1, col("doc_id")).count())
     time(s"shuffle positions ${factor}x")(
       Sampling.shufflePositions(docsN, col("doc_id")).count())
+    // incremental ingest: probing a 1x delta into a (factor-1)x index vs
+    // re-running batch dedup over the whole (factor)x corpus — the
+    // daily-ingest claim in one measurement
+    val idx = docsN.filter(col("doc_id") >= n1 * 10)
+    time(s"batch re-dedup ${factor}x corpus")(
+      Dedup.nearDuplicates(docsN, col("doc_id"), col("text"),
+        threshold = 0.8).count())
+    time(s"incremental probe 1x delta vs ${factor - 1}x index")(
+      Dedup.incrementalNearDuplicates(idx, docs1,
+        col("doc_id"), col("text"), threshold = 0.8).count())
 
     // --- core relational shapes (agg-below-join, window, semi join) ---
     val li1 = Tables.load(spark, sfDir, "lineitem")
