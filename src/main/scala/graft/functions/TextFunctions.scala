@@ -234,7 +234,11 @@ object TextFunctions {
     val low = lower(url)
     val noScheme = regexp_replace(low, "^https?://", "")
     val noWww = regexp_replace(noScheme, "^www\\.", "")
-    val noUtm = regexp_replace(noWww, "utm_[a-z]+=[^&]*&?", "")
+    // anchor to a real query separator so a param merely NAMED *utm_x or
+    // utm_ text inside a path segment survives; the (...)+ chain strips
+    // consecutive utm params in one match (the separator is consumed, so
+    // an unchained form would skip every second one)
+    val noUtm = regexp_replace(noWww, "([?&])(utm_[a-z]+=[^&]*&?)+", "$1")
     val noTail = regexp_replace(noUtm, "[?&]+$", "")
     regexp_replace(noTail, "/+$", "")
   }

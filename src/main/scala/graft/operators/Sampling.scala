@@ -60,6 +60,11 @@ object Sampling {
       buckets: Int = 1000): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
+    // cut granularity is 1/buckets: a fraction that rounds to zero buckets
+    // would silently produce an EMPTY split — fail loudly instead (raise
+    // `buckets` for tiny eval holdouts)
+    require(splits.init.forall { case (_, f) => math.round(f * buckets) >= 1 },
+      s"every non-final split fraction must round to >= 1/$buckets")
     val b = hashBucket(id, buckets)
     val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * buckets) }.tail
@@ -72,18 +77,20 @@ object Sampling {
     * 0..n-1 in md5(id) order — the "shuffle the corpus once, identically,
     * on any engine" step before sequence packing / epoch slicing.
     *
-    * Scale shape: NO global window. Rows are bucketed by the first hex
-    * byte of the key (256 ways), ranked within their bucket in parallel,
-    * and offset by the cumulative counts of the lexicographically smaller
-    * buckets — a 256-row aggregate that is windowed and broadcast back.
-    * Equivalent to row_number() over a global sort, without ever moving
-    * the corpus to one partition (the per-bucket rank is the only
-    * corpus-wide shuffle, and it is 256-way parallel).
+    * Scale shape: NO global window. Rows are bucketed by the first THREE
+    * hex chars of the key (4,096 ways), ranked within their bucket in
+    * parallel, and offset by the cumulative counts of the
+    * lexicographically smaller buckets — a 4,096-row aggregate that is
+    * windowed and broadcast back. Equivalent to row_number() over a
+    * global sort, without ever moving the corpus to one partition (the
+    * per-bucket rank is the only corpus-wide shuffle, and it is
+    * 4,096-way parallel — at 100 TB each bucket sorts corpus/4096 rows,
+    * comfortably inside one executor's memory).
     */
   def shufflePositions(df: DataFrame, id: Column): DataFrame = {
     val keyed = df.select(id.as("doc_id"),
       md5(id.cast("string")).as("shuffle_key"))
-      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
+      .withColumn("__b", substring(col("shuffle_key"), 1, 3))
     val w = Window.partitionBy(col("__b"))
       .orderBy(col("shuffle_key").asc, col("doc_id").asc)
     val ranked = keyed.withColumn("__rn", row_number().over(w))

@@ -142,19 +142,26 @@ object PipelineQueries {
     * this data.
     */
   def qualityQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val scores = t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("score"))
-    val th = scores.agg(
-      percentile(col("score"), lit(0.25)).as("t1"),
-      percentile(col("score"), lit(0.5)).as("t2"),
-      percentile(col("score"), lit(0.75)).as("t3"))
+    // ONE corpus scan: fold the regex-heavy score into a (score, freq)
+    // histogram first — scores round to 6 dp so the histogram is bounded
+    // (≤1e6 rows) no matter the corpus size. Exact interpolated quartiles
+    // come off the histogram via percentile's frequency form (identical
+    // to raw-value percentile), and the bucket rollup reweights the same
+    // tiny histogram instead of re-walking the corpus.
+    val hist = t(s, dir, "documents")
+      .select(TextFunctions.qualityScore(col("text")).as("score"))
+      .groupBy(col("score")).agg(count(lit(1)).as("freq"))
+    val th = hist.agg(
+      percentile(col("score"), lit(0.25), col("freq")).as("t1"),
+      percentile(col("score"), lit(0.5), col("freq")).as("t2"),
+      percentile(col("score"), lit(0.75), col("freq")).as("t3"))
     orderedAtTail(
-      scores.crossJoin(broadcast(th))
+      hist.crossJoin(broadcast(th))
         .groupBy(when(col("score") < col("t1"), 0L)
           .when(col("score") < col("t2"), 1L)
           .when(col("score") < col("t3"), 2L)
           .otherwise(3L).as("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
+        .agg(sum(col("freq")).as("n_docs"),
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score")),
       col("bucket").asc)
@@ -483,7 +490,7 @@ object PipelineQueries {
       |  SELECT doc_id,
       |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |           lower(url), '^https?://', ''), '^www\.', ''),
-      |           'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]+$', ''), '/+$', '') AS canonical_url
+      |           '([?&])(utm_[a-z]+=[^&]*&?)+', '\1', 'g'), '[?&]+$', ''), '/+$', '') AS canonical_url
       |  FROM u)
       |SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
       |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids

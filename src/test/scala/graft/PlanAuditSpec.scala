@@ -221,7 +221,7 @@ class PlanAuditSpec extends SparkTestBase {
     val df = (0L until 500L).toDF("id")
     val out = graft.operators.Sampling.shufflePositions(df, col("id"))
     val plan = executed(out).toString
-    // every corpus-wide exchange keys on the 256-way bucket — a
+    // every corpus-wide exchange keys on the 4,096-way bucket — a
     // hashpartitioning on anything else (or a range exchange) would mean
     // the global sort crept back in
     val keys = "Exchange hashpartitioning\\(([^,#]*)".r
@@ -239,8 +239,23 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = executed(df).toString
     val keys = "Exchange hashpartitioning\\(([^,#]*)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(keys.forall(_ == "user_id"),
+    // nonEmpty guards against a plan-rendering change silently matching
+    // nothing and hollowing the forall out to a vacuous pass
+    assert(keys.nonEmpty && keys.forall(_ == "user_id"),
       s"funnel re-partitioned on a non-user key: $keys\n$plan")
+  }
+
+  test("quality quartiles walks the corpus exactly once (histogram reuse)") {
+    val df = graft.queries.PipelineQueries.qualityQuartiles(spark, sf)
+    val plan = executed(df).toString
+    // the regex-heavy score feeds a (score, freq) histogram whose exchange
+    // both the percentile subtree and the bucket rollup reuse — a second
+    // FileScan means the corpus is being re-walked for the thresholds
+    val nScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"expected 1 corpus scan, got $nScans:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("TableCacheQueryStage"),
+      s"histogram not reused across subtrees:\n$plan")
   }
 
   test("winnowPairs scans the corpus exactly once") {

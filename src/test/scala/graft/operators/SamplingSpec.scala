@@ -190,7 +190,12 @@ class SamplingSpec extends SparkTestBase {
       "http://example.com/a?id=3&utm_campaign=c" -> "example.com/a?id=3",
       "example.com/a/b/" -> "example.com/a/b",
       "https://sub.www.example.com" -> "sub.www.example.com", // only LEADING www.
-      "www.example.com/?utm_a=1&utm_b=2" -> "example.com")
+      "www.example.com/?utm_a=1&utm_b=2" -> "example.com",
+      // utm strip is anchored to a real [?&] separator: a param merely
+      // NAMED *utm_x and utm_ text inside a path segment both survive
+      "example.com/a?myutm_x=1" -> "example.com/a?myutm_x=1",
+      "example.com/utm_a=1/b" -> "example.com/utm_a=1/b",
+      "example.com/a?utm_a=1&id=2&utm_b=3" -> "example.com/a?id=2")
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), TextFunctions.canonicalizeUrl(col("u")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
