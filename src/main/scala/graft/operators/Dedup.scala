@@ -208,12 +208,33 @@ object Dedup {
   def incrementalNearDuplicates(indexed: DataFrame, fresh: DataFrame,
       id: Column, text: Column, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val bIdx = bandRows(indexed.select(id.as("doc_id"), text.as("doc_text")),
+      maxBucket: Int = 1000): DataFrame =
+    incrementalProbe(
+      indexedBandTable(indexed, id, text, numHashes, bands, shingleSize,
+        maxBucket),
+      indexed, fresh, id, text, threshold, numHashes, bands, shingleSize)
+
+  /** The indexed corpus's (band, band_hash) → members table — the
+    * materialized artifact a production pipeline builds once and probes
+    * per ingest batch (persist/write it; [[incrementalProbe]] consumes it).
+    */
+  def indexedBandTable(indexed: DataFrame, id: Column, text: Column,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    bandRows(indexed.select(id.as("doc_id"), text.as("doc_text")),
       col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")) <= maxBucket)
+
+  /** Probe half of [[incrementalNearDuplicates]]: fresh docs against a
+    * prebuilt [[indexedBandTable]]. `indexed` is still needed for the
+    * exact-Jaccard verify, but only candidate members are shingled.
+    */
+  def incrementalProbe(bIdx: DataFrame, indexed: DataFrame, fresh: DataFrame,
+      id: Column, text: Column, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
     val bNew = bandRows(fresh.select(id.as("doc_id"), text.as("doc_text")),
       col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))

@@ -133,6 +133,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Precomputed multi-table signature index behind [[lshKnnMultiTable]]:
+    * (vec_id, __v, __sig_0..__sig_{L-1}) — the deployment artifact: write
+    * or persist once (bucketable by any signature column), probe per
+    * query. Signatures are deterministic in (dim, nBits, seedBase), so a
+    * probe with the same parameters sees the exact bucketing the scan
+    * form computes inline.
+    */
+  def lshMultiTableIndex(emb: DataFrame, id: Column, vec: Column, dim: Int,
+      nBits: Int = 4, tables: Int = 8, seedBase: Long = 42L): DataFrame =
+    emb.select(id.as("vec_id") +: vec.as("__v") +:
+      (0 until tables).map { t =>
+        lshSignature(vec, hyperplanes(dim, nBits, seedBase + t))
+          .as(s"__sig_$t")
+      }: _*)
+
+  /** Probe half of [[lshKnnMultiTable]] over a prebuilt
+    * [[lshMultiTableIndex]] — identical results, minus the per-query
+    * 32-hyperplane signature recomputation.
+    */
+  def lshKnnMultiTableIndexed(idx: DataFrame, query: Seq[Float], k: Int,
+      nBits: Int = 4, tables: Int = 8, multiProbe: Boolean = true,
+      seedBase: Long = 42L): DataFrame = {
+    val dim = query.length
+    val cond = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, nBits, seedBase + t)
+      val qSig = querySignature(query, planes)
+      val probes: Seq[Long] =
+        if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
+        else Seq(qSig)
+      col(s"__sig_$t").isin(probes: _*)
+    }.reduce(_ || _)
+    idx.filter(cond)
+      .select(col("vec_id"), cosine(col("__v"), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs at corpus scale: bucket by
     * sign-LSH signature (one shuffle), generate pairs only within buckets
     * (bounded by `maxBucket`, like [[Dedup.minhashCandidates]]), exact

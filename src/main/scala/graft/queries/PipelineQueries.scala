@@ -32,8 +32,10 @@ object PipelineQueries {
     * discarded by the exact-Jaccard re-rank inside nearDuplicates.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.nearDuplicates(t(s, dir, "documents"),
-      col("doc_id"), col("text"), threshold = 0.5, bands = 32)
+    // probes the materialized pair artifact (DocQueries.nearDupPairs05) —
+    // clustering consumes the same verified pair table the pair report
+    // emits, it does not re-run LSH
+    val edges = DocQueries.nearDupPairs05(s, dir)
       .select(col("id_a"), col("id_b"))
     orderedAtTail(
       Dedup.duplicateClusters(edges)
@@ -85,8 +87,7 @@ object PipelineQueries {
     */
   def dedupClusterSurvivor(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val edges = Dedup.nearDuplicates(docs, col("doc_id"), col("text"),
-      threshold = 0.5, bands = 32)
+    val edges = DocQueries.nearDupPairs05(s, dir)
       .select(col("id_a"), col("id_b"))
     val labeled = Dedup.duplicateClusters(edges)
       .join(docs.select(col("doc_id"),
