@@ -31,7 +31,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // Bench/Verify cache the sf tables and run every query several times in
-  // one JVM; 8g left them GC-bound on the 128 GiB box (warm sub-second
-  // queries measured 2-7x slower under heap pressure). Overridable.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // one JVM. Heap is a Goldilocks knob here: 8g is GC-bound, and a HUGE
+  // heap (48g) lets G1 defer collection until one massive mixed-GC storm
+  // freezes a multi-second window of the run (measured: a contiguous
+  // alphabetical span of queries 3-10x slower, wandering between runs).
+  // 16g benches flat: zero full GCs, max pause 83 ms. Overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A full Bench/Verify run compiles thousands of generated classes
+  // (whole-stage codegen per query x runs); the JVM's default 240 MB code
+  // cache fills late in the suite, the JIT silently shuts off, and
+  // late-alphabet queries measure 5-20x slower (interpreted). Reproduced
+  // locally: scalar_json 0.32s isolated vs 6.9s late in a full run.
+  "-XX:ReservedCodeCacheSize=2g",
 )
