@@ -183,9 +183,15 @@ final class FilterCompiler(v: MsgVault) {
   /** Source/account scoping: SourceIDs (collections) overrides SourceID
     * (reference source_filter.go:1-37).
     */
-  private def sourceScope(sourceId: Option[Long], sourceIds: Seq[Long]): Option[Column] =
-    if (sourceIds.nonEmpty) Some(col("source_id").isin(sourceIds: _*))
-    else sourceId.map(col("source_id") === _)
+  private def sourceScope(sourceId: Option[Long],
+      sourceIds: Option[Seq[Long]]): Option[Column] =
+    sourceIds match {
+      // set-but-empty = match NOTHING (reference source_filter.go:12-18:
+      // an empty collection compiles to 1=0, not to "unscoped")
+      case Some(ids) if ids.isEmpty => Some(lit(false))
+      case Some(ids) => Some(col("source_id").isin(ids: _*))
+      case None => sourceId.map(col("source_id") === _)
+    }
 
   // ---- search query compilation (SearchFast path) ------------------------
 

@@ -191,23 +191,26 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def listMessagesAfter(filter: MessageFilter,
       cursor: Option[(java.sql.Timestamp, Long)], limit: Int = 500): DataFrame = {
-    var page = filters.compile(filter)
-    cursor.foreach {
-      // null-timestamp rows sort AFTER all dated rows (desc, nulls last)
-      // — the cursor predicate must keep them reachable: a dated cursor
-      // admits every null row; a null cursor pages within the null tail.
-      case (null, id) =>
-        page = page.filter(col("sent_at").isNull && col("id") < id)
-      case (ts, id) =>
-        page = page.filter(col("sent_at") < lit(ts) ||
-          (col("sent_at") === lit(ts) && col("id") < id) ||
-          col("sent_at").isNull)
-    }
+    val page = cursorPredicate(cursor).foldLeft(filters.compile(filter))(_.filter(_))
     val sorted = page
       .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
       .limit(if (limit > 0) limit else 500)
     enrich(sorted).orderBy(col("sent_at").desc_nulls_last, col("id").desc)
   }
+
+  /** The (sent_at DESC, id DESC) keyset predicate shared by every cursor
+    * path. Null-timestamp rows sort AFTER all dated rows (desc, nulls
+    * last) — the predicate must keep them reachable: a dated cursor
+    * admits every null row; a null cursor pages within the null tail.
+    */
+  private def cursorPredicate(
+      cursor: Option[(java.sql.Timestamp, Long)]): Option[Column] =
+    cursor.map {
+      case (null, id) => col("sent_at").isNull && col("id") < id
+      case (ts, id) => col("sent_at") < lit(ts) ||
+        (col("sent_at") === lit(ts) && col("id") < id) ||
+        col("sent_at").isNull
+    }
 
   /** Sender resolution (dual path) + labels + conversation title for a page
     * of messages (reference duckdb.go:1254-1299; FIRST→min_by for
@@ -303,6 +306,23 @@ final class MsgEngine(val vault: MsgVault) {
     enrich(page).orderBy(col("sent_at").desc, col("id").desc)
   }
 
+  /** Keyset twin of [[searchFast]] (SURVEY §7 hard-item 4): the cursor is
+    * a range predicate that prunes before any sort, where `offset` must
+    * order every matching row on each page fetch. Same ordering and
+    * enrichment as the offset path — page k+1 of one equals page k+1 of
+    * the other.
+    */
+  def searchFastAfter(query: String, filter: MessageFilter = MessageFilter(),
+      cursor: Option[(java.sql.Timestamp, Long)] = None,
+      limit: Int = 100): DataFrame = {
+    val q = SearchParser.parse(query)
+    val msg = filters.compileSearch(filters.compile(filter), q)
+    val page = cursorPredicate(cursor).foldLeft(msg)(_.filter(_))
+      .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
+      .limit(if (limit > 0) limit else 100)
+    enrich(page).orderBy(col("sent_at").desc_nulls_last, col("id").desc)
+  }
+
   /** Materialize-once search (reference SearchFastWithStats
     * duckdb.go:2190-2300): ONE scan materializes matching ids, then
     * count/page/stats reuse it. Spark: persist(MEMORY_AND_DISK) keyed by the
@@ -358,6 +378,40 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def searchDeep(query: String, bodies: DataFrame,
       filter: MessageFilter = MessageFilter()): DataFrame = {
+    val matched = deepMatches(query, bodies, filter)
+      .orderBy(col("sent_at").desc, col("id").desc)
+    val offset = if (filter.pagination.offset > 0) matched.offset(filter.pagination.offset)
+      else matched
+    val page = offset
+      .limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
+      .drop("__b_mid", "tokens")
+    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+  }
+
+  /** Keyset twin of [[searchDeep]]: same matching and ordering, cursor
+    * range predicate instead of offset — the predicate lands BEFORE the
+    * body-token scan, so deep-search paging prunes instead of re-ranking
+    * every match per page.
+    */
+  def searchDeepAfter(query: String, bodies: DataFrame,
+      filter: MessageFilter = MessageFilter(),
+      cursor: Option[(java.sql.Timestamp, Long)] = None,
+      limit: Int = 100): DataFrame = {
+    val matched = cursorPredicate(cursor)
+      .foldLeft(deepMatches(query, bodies, filter))(_.filter(_))
+    val page = matched
+      .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
+      .limit(if (limit > 0) limit else 100)
+      .drop("__b_mid", "tokens")
+    enrich(page).orderBy(col("sent_at").desc_nulls_last, col("id").desc)
+  }
+
+  /** Shared match stage of the deep-search paths: metadata filters +
+    * subject: terms compile FIRST (semi-joining the body table down), then
+    * bare text terms apply as prefix-token-OR-subject predicates.
+    */
+  private def deepMatches(query: String, bodies: DataFrame,
+      filter: MessageFilter): DataFrame = {
     val q = SearchParser.parse(query)
     // subject: terms stay subject-only (compileSearch applies them as
     // subject filters, reference sqlite.go:1287-1292); only bare text
@@ -371,14 +425,7 @@ final class MsgEngine(val vault: MsgVault) {
       graft.functions.Fts.prefixMatch(col("tokens"), Seq(t)) ||
         lower(col("subject")).contains(t)
     }.reduceOption(_ && _).getOrElse(lit(true))
-    val matched = candidates.filter(termHit)
-      .orderBy(col("sent_at").desc, col("id").desc)
-    val offset = if (filter.pagination.offset > 0) matched.offset(filter.pagination.offset)
-      else matched
-    val page = offset
-      .limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
-      .drop("__b_mid", "tokens")
-    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+    candidates.filter(termHit)
   }
 
   // ---------------------------------------------------------- texts mode

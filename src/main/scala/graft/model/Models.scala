@@ -116,7 +116,10 @@ final case class MessageFilter(
     emptyValueTargets: Set[ViewType] = Set.empty,
     timeRange: TimeRange = TimeRange(),
     sourceId: Option[Long] = None,
-    sourceIds: Seq[Long] = Nil,
+    // tri-state (reference appendSourceFilter source_filter.go:1-37):
+    // None = unscoped; Some(Nil) = match NOTHING (an empty collection);
+    // Some(ids) = IN-list. Takes precedence over sourceId when set.
+    sourceIds: Option[Seq[Long]] = None,
     after: Option[Timestamp] = None,
     before: Option[Timestamp] = None,
     withAttachmentsOnly: Boolean = false,
@@ -132,7 +135,10 @@ final case class AggregateOptions(
     sortDirection: SortDirection = SortDirection.Desc,
     limit: Int = 100,
     sourceId: Option[Long] = None,
-    sourceIds: Seq[Long] = Nil,
+    // tri-state (reference appendSourceFilter source_filter.go:1-37):
+    // None = unscoped; Some(Nil) = match NOTHING (an empty collection);
+    // Some(ids) = IN-list. Takes precedence over sourceId when set.
+    sourceIds: Option[Seq[Long]] = None,
     after: Option[Timestamp] = None,
     before: Option[Timestamp] = None,
     withAttachmentsOnly: Boolean = false,

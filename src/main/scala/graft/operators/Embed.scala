@@ -55,6 +55,70 @@ object Embed {
       }
   }
 
+  /** Outcome row of the resilient path: embedding present on success;
+    * failures carry the last error and keep flowing (the failure QUEUE —
+    * the reference re-seeds failed pending_embeddings rows for the next
+    * worker pass rather than aborting the batch job).
+    */
+  final case class EmbedOutcome(id: Long, embedding: Option[Array[Float]],
+      attempts: Int, error: Option[String])
+
+  /** [[embedAll]] with the reference worker's full client contract
+    * (vector/embed/worker.go): per-batch retry with exponential backoff,
+    * a short/invalid reply treated as a failure, and — after maxAttempts —
+    * the batch's rows emitted as failed OUTCOMES instead of failing the
+    * job: one flaky batch must not kill a 100 TB embedding run. Split the
+    * result with [[succeeded]]/[[failed]]; re-running the failed side is
+    * the queue-drain loop.
+    */
+  def embedAllResilient(spark: SparkSession, rows: DataFrame,
+      client: EmbedClient, batchSize: Int = 32, maxAttempts: Int = 3,
+      backoffMs: Long = 100L): Dataset[EmbedOutcome] = {
+    import spark.implicits._
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    rows.select("id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          var attempt = 0
+          var result: Option[Seq[Array[Float]]] = None
+          var lastErr = ""
+          while (result.isEmpty && attempt < maxAttempts) {
+            attempt += 1
+            try {
+              val vecs = client.embed(batch.map(_._2))
+              if (vecs.length != batch.length)
+                throw new IllegalStateException(
+                  s"short reply: ${vecs.length} vectors for ${batch.length} texts")
+              result = Some(vecs)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                lastErr = String.valueOf(e.getMessage)
+                if (attempt < maxAttempts)
+                  Thread.sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x…
+            }
+          }
+          result match {
+            case Some(vecs) =>
+              batch.iterator.zip(vecs.iterator).map { case ((id, _), v) =>
+                EmbedOutcome(id, Some(v), attempt, None)
+              }
+            case None =>
+              batch.iterator.map { case (id, _) =>
+                EmbedOutcome(id, None, attempt, Some(lastErr))
+              }
+          }
+        }
+      }
+  }
+
+  def succeeded(out: Dataset[EmbedOutcome]): Dataset[EmbeddedRow] = {
+    import out.sparkSession.implicits._
+    out.flatMap(o => o.embedding.map(EmbeddedRow(o.id, _)))
+  }
+
+  def failed(out: Dataset[EmbedOutcome]): Dataset[EmbedOutcome] =
+    out.filter((o: EmbedOutcome) => o.error.nonEmpty)
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/serving compression for vector corpora (4× smaller than
     * float32, dot products stay SIMD-friendly). Per vector:

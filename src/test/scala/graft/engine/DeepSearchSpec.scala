@@ -61,6 +61,45 @@ class DeepSearchSpec extends SparkTestBase {
       .map(_.getAs[Long]("id")).toSeq == Seq(1L))
   }
 
+  test("search keyset pages equal search offset pages (fast + deep)") {
+    val many = Fixtures.vault(spark,
+      messages = (1 to 15).map(i =>
+        msg(i.toLong, s"report $i", f"2024-01-${i % 5 + 1}%02d 10:00:00")),
+      recipients = (1 to 15).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val engine = new MsgEngine(many)
+
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("id")).toSeq
+    def cursorOf(rows: Array[org.apache.spark.sql.Row]) = Some(
+      (rows.last.getAs[java.sql.Timestamp]("sent_at"),
+        rows.last.getAs[Long]("id")))
+
+    // fast path: page 2 via cursor == rows 6..10 of the offset ordering
+    val fastAll = engine.searchFast("report").collect()
+    val fastP1 = engine.searchFastAfter("report", limit = 5).collect()
+    assert(ids(fastP1) == ids(fastAll).take(5).map(Seq(_)).flatten)
+    val fastP2 = engine.searchFastAfter("report",
+      cursor = cursorOf(fastP1), limit = 5).collect()
+    assert(ids(fastP2) == ids(fastAll).slice(5, 10))
+
+    // deep path: same equivalence over the body-token matcher
+    val manyBodies = {
+      val out = java.nio.file.Files.createTempDirectory("graft_bodies2").toString
+      CacheBuilder.buildBodies(spark,
+        (1 to 15).map(i => (i.toLong, s"revenue details $i"))
+          .toDF("message_id", "body_text"), out)
+      spark.read.parquet(s"$out/message_bodies")
+    }
+    val deepAll = engine.searchDeep("revenue", manyBodies,
+      MessageFilter(pagination = Pagination(limit = 15))).collect()
+    val deepP1 = engine.searchDeepAfter("revenue", manyBodies, limit = 6).collect()
+    assert(ids(deepP1) == ids(deepAll).take(6))
+    val deepP2 = engine.searchDeepAfter("revenue", manyBodies,
+      cursor = cursorOf(deepP1), limit = 6).collect()
+    assert(ids(deepP2) == ids(deepAll).slice(6, 12))
+  }
+
   test("findSimilar with an unknown seed returns empty, not a crash") {
     val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("message_id", "embedding")
     assert(VectorIndex.findSimilar(vecs, seedId = 999L, k = 3).collect().isEmpty)

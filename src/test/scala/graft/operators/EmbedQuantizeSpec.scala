@@ -34,6 +34,53 @@ class EmbedQuantizeSpec extends SparkTestBase {
     assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0)
   }
 
+  test("embedAllResilient: transient failures retry with backoff and recover") {
+    EmbedQuantizeSpec.callCount.set(0)
+    // fails the first 2 calls in the JVM, then succeeds — exercises the
+    // retry loop (local mode shares the static across tasks)
+    val flaky = new Embed.EmbedClient {
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        if (EmbedQuantizeSpec.callCount.incrementAndGet() <= 2)
+          throw new RuntimeException("503 from embedding server")
+        texts.map(t => Array(t.length.toFloat))
+      }
+    }
+    val rows = (1 to 5).map(i => (i.toLong, "x" * i)).toDF("id", "text")
+      .coalesce(1) // one partition ⇒ deterministic call sequence
+    val out = Embed.embedAllResilient(spark, rows, flaky,
+      batchSize = 10, maxAttempts = 3, backoffMs = 1L).collect()
+    assert(out.length == 5 && out.forall(_.error.isEmpty))
+    assert(out.forall(_.attempts == 3))
+    assert(out.map(o => o.id -> o.embedding.get.head).toMap ==
+      (1 to 5).map(i => i.toLong -> i.toFloat).toMap)
+  }
+
+  test("embedAllResilient: persistent failure lands in the failed side output") {
+    val dead = new Embed.EmbedClient {
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        throw new RuntimeException("connection refused")
+    }
+    val rows = (1 to 4).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    val out = Embed.embedAllResilient(spark, rows, dead,
+      batchSize = 2, maxAttempts = 2, backoffMs = 1L)
+    assert(Embed.succeeded(out).count() == 0)
+    val failures = Embed.failed(out).collect()
+    assert(failures.length == 4)
+    assert(failures.forall(f => f.attempts == 2 &&
+      f.error.get.contains("connection refused")))
+  }
+
+  test("embedAllResilient: a short reply is a failure, not silent row loss") {
+    val short = new Embed.EmbedClient {
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.drop(1).map(_ => Array(1.0f)) // one vector short
+    }
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "text").coalesce(1)
+    val out = Embed.embedAllResilient(spark, rows, short,
+      batchSize = 2, maxAttempts = 2, backoffMs = 1L).collect()
+    assert(out.forall(_.error.exists(_.contains("short reply"))))
+  }
+
   test("ngramDocFreq counts each doc once and orders (freq desc, ngram asc)") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
@@ -50,4 +97,10 @@ class EmbedQuantizeSpec extends SparkTestBase {
     // remaining entries are ngram-ascending within equal freq
     assert(top.map(_._2).sorted.reverse.toSeq == top.map(_._2).toSeq)
   }
+}
+
+object EmbedQuantizeSpec {
+  // shared with the flaky-client closure: local mode runs tasks in-JVM,
+  // so a static counter gives a deterministic cross-call failure script
+  val callCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }
