@@ -193,6 +193,35 @@ object ScaleProbe {
       Dedup.duplicateClusters(chain).count())
     time(s"connected components distributed ${factor}x")(
       Dedup.duplicateClusters(chain, localEdgeThreshold = 0L).count())
+
+    // --- round-5 additions: inverted index build/probe, profiling ---
+    import graft.operators.InvertedIndex
+    import graft.functions.TextFunctions
+    def toks(c: org.apache.spark.sql.Column) = TextFunctions.wsTokens(c)
+    InvertedIndex.build(docs1, col("doc_id"), toks(col("text"))).count() // warm
+    time("inverted index build 1x")(
+      InvertedIndex.build(docs1, col("doc_id"), toks(col("text"))).count())
+    var idxDirN: String = null
+    time(s"inverted index build+write ${factor}x") {
+      idxDirN = java.nio.file.Files.createTempDirectory("graft_sp_idx").toString
+      InvertedIndex.write(
+        InvertedIndex.build(docsN, col("doc_id"), toks(col("text"))), idxDirN)
+    }
+    val diskIdx = InvertedIndex.read(spark, idxDirN)
+    time(s"inverted index probe ${factor}x")(
+      InvertedIndex.matchingIds(diskIdx, Seq("spar", "win"), prefix = true)
+        .count())
+    def profile(d: org.apache.spark.sql.DataFrame): Long = {
+      val cols = Seq("doc_id", "text")
+      cols.map { n =>
+        d.agg(lit(n).as("column_name"), count(lit(1)).as("n_rows"),
+          sum(when(col(n).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(n)).as("n_distinct"))
+      }.reduce(_.unionAll(_)).count()
+    }
+    profile(docs1) // warm
+    time("profile columns 1x")(profile(docs1))
+    time(s"profile columns ${factor}x")(profile(docsN))
     spark.stop()
   }
 }
