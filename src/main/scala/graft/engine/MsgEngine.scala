@@ -421,8 +421,11 @@ final class MsgEngine(val vault: MsgVault) {
     val terms = q.textTerms.map(_.toLowerCase)
     val b = bodies.select(col("message_id").as("__b_mid"), col("tokens"))
     val candidates = msg.join(b, msg("id") === col("__b_mid"), "left")
+    // every term compiles to FTS5's `"term"*` (sqlite.go:1326-1333): a
+    // quoted multi-word phrase matches adjacent in-order tokens with the
+    // LAST word as a prefix; a single word is a plain token prefix
     val termHit = terms.map { t =>
-      graft.functions.Fts.prefixMatch(col("tokens"), Seq(t)) ||
+      graft.functions.Fts.prefixPhraseMatch(col("tokens"), t) ||
         lower(col("subject")).contains(t)
     }.reduceOption(_ && _).getOrElse(lit(true))
     candidates.filter(termHit)

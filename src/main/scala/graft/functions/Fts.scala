@@ -35,6 +35,32 @@ object Fts {
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
+  /** FTS5 prefix-PHRASE match — the `"foo bar"*` form every reference
+    * search term compiles to (sqlite.go:1326-1333 quotes each term and
+    * appends `*`): tokens of the phrase must appear ADJACENT and in
+    * order, with the LAST word matched as a prefix. A single-word phrase
+    * degenerates to the plain prefix match. Runs as one codegen'd
+    * `exists` over candidate start positions — no explode, no shuffle.
+    */
+  def prefixPhraseMatch(tokens: Column, phrase: String): Column = {
+    val words = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    words match {
+      case Seq() => lit(true)
+      case Seq(w) => exists(tokens, t => t.startsWith(w))
+      case ws =>
+        val n = ws.length
+        // element_at is 1-based; i ranges over 0-based start positions.
+        // sequence(a, b) DESCENDS when b < a, so the size guard must gate
+        // the exists — without it a short doc generates negative indices.
+        size(tokens) >= n && exists(
+          sequence(lit(0), size(tokens) - n),
+          i => ws.init.zipWithIndex.map { case (w, k) =>
+            element_at(tokens, i + k + 1) === w
+          }.reduce(_ && _) &&
+            element_at(tokens, i + n).startsWith(ws.last))
+    }
+  }
+
   final case class CorpusStats(n: Long, avgdl: Double, df: Map[String, Long])
 
   /** One aggregate pass over the corpus for BM25 inputs: total docs, mean

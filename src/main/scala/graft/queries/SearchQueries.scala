@@ -203,10 +203,46 @@ object SearchQueries {
       |FROM b WHERE len(list_filter(big, g -> g = 'table hash')) > 0
       |ORDER BY doc_id ASC""".stripMargin
 
+  /** FTS5 prefix-PHRASE search (`"table ha"*` — the form EVERY reference
+    * search term compiles to, sqlite.go:1326-1333): adjacent in-order
+    * tokens, last word a prefix. The filter is [[Fts.prefixPhraseMatch]]'s
+    * codegen'd positional `exists`; matched docs then count their hit
+    * positions. Closes the quoted-phrase+prefix interaction corner of the
+    * FTS approximation contract — the oracle runs the identical positional
+    * scan in DuckDB.
+    */
+  def ftsPrefixPhrase(s: SparkSession, dir: String): DataFrame = {
+    val hits = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("__toks"))
+      .filter(graft.functions.Fts.prefixPhraseMatch(col("__toks"), "table ha"))
+    orderedViaShuffle(
+      hits.select(col("doc_id"),
+        size(filter(sequence(lit(0), size(col("__toks")) - 2),
+          i => element_at(col("__toks"), i + 1) === "table" &&
+            element_at(col("__toks"), i + 2).startsWith("ha")))
+          .cast("long").as("n_positions")),
+      col("doc_id").asc)
+  }
+
+  val ftsPrefixPhraseSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(range(len(toks) - 1),
+      |           i -> toks[i+1] = 'table' AND starts_with(toks[i+2], 'ha')))
+      |           AS BIGINT) AS n_positions
+      |  FROM tok WHERE len(toks) >= 2)
+      |SELECT doc_id, n_positions FROM p WHERE n_positions > 0
+      |ORDER BY doc_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "fts_prefix_search" -> (ftsPrefixSearch _, Some(ftsPrefixSearchSql)),
     "fts_indexed_search" -> (ftsIndexedSearch _, Some(ftsPrefixSearchSql)),
     "fts_phrase" -> (ftsPhrase _, Some(ftsPhraseSql)),
+    "fts_prefix_phrase" -> (ftsPrefixPhrase _, Some(ftsPrefixPhraseSql)),
     "bm25_rank" -> (bm25Rank _, Some(bm25RankSql)),
     "hybrid_rrf" -> (hybridRrf _, Some(hybridRrfSql)))
 }

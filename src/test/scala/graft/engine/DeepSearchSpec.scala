@@ -61,6 +61,38 @@ class DeepSearchSpec extends SparkTestBase {
       .map(_.getAs[Long]("id")).toSeq == Seq(1L))
   }
 
+  test("prefixPhraseMatch: adjacency, order, last-word prefix, short-doc guard") {
+    import graft.functions.Fts
+    val df = Seq(
+      (1L, Seq("the", "quarterly", "revenue", "report")),
+      (2L, Seq("revenue", "quarterly")), // right words, wrong order
+      (3L, Seq("quarterly", "numbers", "revenue")), // not adjacent
+      (4L, Seq("quarterly", "revenues")), // last word as PREFIX matches
+      (5L, Seq("quarterly"))) // shorter than the phrase — guard, not crash
+      .toDF("id", "tokens")
+    def ids(phrase: String) = df
+      .filter(Fts.prefixPhraseMatch(col("tokens"), phrase))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids("quarterly revenue") == Set(1L, 4L))
+    assert(ids("quarterly revenues") == Set(4L)) // full last word still prefix
+    assert(ids("revenue report") == Set(1L))
+    assert(ids("quarterly") == Set(1L, 2L, 3L, 4L, 5L)) // single word = prefix
+    assert(ids("the quarterly revenue rep") == Set(1L)) // 4-word phrase
+  }
+
+  test("searchDeep: quoted phrase matches adjacent body tokens, prefix on last word") {
+    val bodies = spark.read.parquet(s"$bodiesDir/message_bodies")
+    val engine = new MsgEngine(v)
+    // "quarterly revenue" adjacent only in body 3 ("quarterly revenue
+    // numbers"); body 1 has "quarterly numbers ... revenue doubled" — the
+    // words present but not adjacent
+    assert(engine.searchDeep("\"quarterly revenue\"", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    // last word of the quoted phrase is a prefix: "revenue num" → body 3
+    assert(engine.searchDeep("\"revenue num\"", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(3L))
+  }
+
   test("search keyset pages equal search offset pages (fast + deep)") {
     val many = Fixtures.vault(spark,
       messages = (1 to 15).map(i =>
