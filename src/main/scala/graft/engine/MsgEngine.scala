@@ -423,9 +423,13 @@ final class MsgEngine(val vault: MsgVault) {
     val candidates = msg.join(b, msg("id") === col("__b_mid"), "left")
     // every term compiles to FTS5's `"term"*` (sqlite.go:1326-1333): a
     // quoted multi-word phrase matches adjacent in-order tokens with the
-    // LAST word as a prefix; a single word is a plain token prefix
+    // LAST word as a prefix; a single word is a plain token prefix.
+    // unicode61 folds BOTH sides — the token column was folded at ETL, so
+    // the query literal folds here (driver-side, once); the subject
+    // fallback stays unfolded like the reference's LIKE path.
     val termHit = terms.map { t =>
-      graft.functions.Fts.prefixPhraseMatch(col("tokens"), t) ||
+      graft.functions.Fts.prefixPhraseMatch(col("tokens"),
+        graft.functions.TextFunctions.foldDiacriticsLocal(t)) ||
         lower(col("subject")).contains(t)
     }.reduceOption(_ && _).getOrElse(lit(true))
     candidates.filter(termHit)

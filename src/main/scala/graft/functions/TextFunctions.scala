@@ -31,15 +31,21 @@ object TextFunctions {
     */
   def rawTokens(text: Column): Column = split(lower(text), "[^\\p{L}\\p{N}]+")
 
+  /** Driver-side diacritic folding (NFD strip) for QUERY literals: FTS5's
+    * unicode61 tokenizer folds both the indexed text and the query term,
+    * so a search for "café" must compare as "cafe" against the folded
+    * token column — fold the literal once on the driver, never per row.
+    */
+  def foldDiacriticsLocal(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+
   /** ETL-time diacritic folding (NFD strip) — the one place a UDF is
     * justified: runs once per document at ingest, not per query.
     */
   val foldDiacritics: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-        .replaceAll("\\p{M}+", "")
-    }
+    udf { (s: String) => foldDiacriticsLocal(s) }
 
   def tokenCount(text: Column): Column = size(wsTokens(text))
 

@@ -47,6 +47,11 @@ class DeepSearchSpec extends SparkTestBase {
     assert(engine.searchDeep("target", bodies).collect()
       .map(_.getAs[Long]("id")).toSeq == Seq(2L))
 
+    // ...and the QUERY side folds too (unicode61 folds both sides):
+    // searching WITH diacritics matches the folded token column
+    assert(engine.searchDeep("câfé", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(2L))
+
     // subject fallback: term matching only the subject still hits
     assert(engine.searchDeep("lunch", bodies).collect()
       .map(_.getAs[Long]("id")).toSeq == Seq(2L))
