@@ -573,16 +573,25 @@ final class MsgEngine(val vault: MsgVault) {
     * chat types only; contact = direct sender_id, falling back to the
     * first from-recipient (deterministic min_by).
     */
-  def aggregateTextContacts(opts: AggregateOptions = AggregateOptions()): DataFrame = {
+  /** Dual-path contact resolution shared by the texts-mode paths: contact
+    * participant = direct sender_id, falling back to the first (min_by)
+    * from-recipient — reference duckdb_text.go's COALESCE(msg.sender_id,
+    * (SELECT ... LIMIT 1)) correlated subquery as one left join.
+    * Adds `__contact_pid` (+ helper `__f_mid`/`__f_pid`).
+    */
+  private def withContactPid(msg: DataFrame): DataFrame = {
     val mr = vault.recipients
-    val p = vault.participants
-    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
     val firstFrom = mr.filter(col("recipient_type") === "from")
       .groupBy(mr("message_id").as("__f_mid"))
       .agg(min(mr("participant_id")).as("__f_pid"))
-    val withContact = msg
-      .join(firstFrom, msg("id") === col("__f_mid"), "left")
+    msg.join(firstFrom, msg("id") === col("__f_mid"), "left")
       .withColumn("__contact_pid", coalesce(col("sender_id"), col("__f_pid")))
+  }
+
+  def aggregateTextContacts(opts: AggregateOptions = AggregateOptions()): DataFrame = {
+    val p = vault.participants
+    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
+    val withContact = withContactPid(msg)
     val pd = p.select(p("id").as("__p_id"),
       participantNameOf(p).as("contact"))
     withContact
@@ -623,6 +632,143 @@ final class MsgEngine(val vault: MsgVault) {
       .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
       .orderBy(col("key").asc)
       .limit(if (opts.limit > 0) opts.limit else 100)
+  }
+
+  /** TextFilter → filtered chat-type message frame (reference
+    * buildTextFilterConditions duckdb_text.go:22-103). Source/label/time
+    * bounds reuse the MessageFilter compiler; contact phone/name resolve
+    * through the dual-path sender and semi-join a broadcast participant
+    * set; source_type semi-joins the sources dim.
+    */
+  private def compileTextFilter(filter: TextFilter): DataFrame = {
+    val base = MessageFilter(sourceId = filter.sourceId,
+      label = filter.label, timeRange = filter.timeRange,
+      after = filter.after, before = filter.before)
+    var msg = filters.compile(base).filter(filters.textsOnly)
+    if (filter.contactPhone.nonEmpty || filter.contactName.nonEmpty) {
+      val p = vault.participants
+      var key: Column = lit(true)
+      if (filter.contactPhone.nonEmpty)
+        key = key && coalesce(nullif(p("phone_number"), lit("")),
+          p("email_address")) === filter.contactPhone
+      if (filter.contactName.nonEmpty)
+        key = key && participantNameOf(p) === filter.contactName
+      val pids = p.filter(key).select(p("id").as("__cf_pid"))
+      msg = withContactPid(msg)
+        .join(broadcast(pids), col("__contact_pid") === col("__cf_pid"),
+          "left_semi")
+        .drop("__f_mid", "__f_pid", "__contact_pid")
+    }
+    if (filter.sourceType.nonEmpty) {
+      val srcIds = vault.sources
+        .filter(col("source_type") === filter.sourceType)
+        .select(col("id").as("__st_sid"))
+      msg = msg.join(broadcast(srcIds), msg("source_id") === col("__st_sid"),
+        "left_semi")
+    }
+    msg
+  }
+
+  /** Texts-mode conversation list (reference ListConversations
+    * duckdb_text.go:103-190): per-conversation rollup over the filtered
+    * chat messages, enriched with title + source type, sorted by
+    * last-message/count/name with a conversation-id tie-break
+    * (deterministic where the reference's bare FIRST is not).
+    */
+  def listConversations(filter: TextFilter = TextFilter()): DataFrame = {
+    val msg = compileTextFilter(filter)
+    val stats = msg.groupBy(col("conversation_id"))
+      .agg(count(lit(1)).as("message_count"),
+        countDistinct(coalesce(col("sender_id"), lit(0L)))
+          .as("participant_count"),
+        max(col("sent_at")).as("last_message_at"),
+        max_by(col("snippet"), struct(col("sent_at"), col("id")))
+          .as("__preview"),
+        min_by(col("source_id"), col("id")).as("__src_id"))
+    val conv = vault.conversations.select(col("id").as("__c_id"),
+      coalesce(col("title"), lit("")).as("title"))
+    val src = vault.sources.select(col("id").as("__s_id"),
+      col("source_type").as("__stype"))
+    val rowsDf = stats
+      .join(conv, col("conversation_id") === col("__c_id"))
+      .join(src, col("__src_id") === col("__s_id"), "left")
+      .select(col("conversation_id"), col("title"),
+        coalesce(col("__stype"), lit("")).as("source_type"),
+        col("message_count"), col("participant_count"),
+        col("last_message_at"),
+        coalesce(col("__preview"), lit("")).as("last_preview"))
+    val sortCol = filter.sortField match {
+      case TextSortField.Count => col("message_count")
+      case TextSortField.Name => col("title")
+      case TextSortField.LastMessage => col("last_message_at")
+    }
+    val ordered = filter.sortDirection match {
+      case SortDirection.Asc => Seq(sortCol.asc, col("conversation_id").asc)
+      case _ => Seq(sortCol.desc, col("conversation_id").asc)
+    }
+    var page = rowsDf.orderBy(ordered: _*)
+    if (filter.pagination.offset > 0) page = page.offset(filter.pagination.offset)
+    page.limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
+  }
+
+  /** Chat timeline for one conversation (reference ListConversationMessages
+    * duckdb_text.go:298-392): filtered chat messages of the conversation,
+    * paged BEFORE the sender/label enrichment joins, sent_at ASC unless
+    * descending requested (+id tie-break).
+    */
+  def listConversationMessages(convId: Long,
+      filter: TextFilter = TextFilter()): DataFrame = {
+    val ordered = filter.sortDirection match {
+      case SortDirection.Desc => Seq(col("sent_at").desc, col("id").desc)
+      case _ => Seq(col("sent_at").asc, col("id").asc)
+    }
+    var page = compileTextFilter(filter)
+      .filter(col("conversation_id") === convId)
+      .orderBy(ordered: _*)
+    if (filter.pagination.offset > 0) page = page.offset(filter.pagination.offset)
+    page = page.limit(
+      if (filter.pagination.limit > 0) filter.pagination.limit else 500)
+    enrich(page).orderBy(ordered: _*)
+  }
+
+  /** Texts-mode full-text search (reference TextSearch
+    * duckdb_text.go:399-452: FTS5 over chat types, sent_at DESC, default
+    * limit 50; empty query → empty result). Runs over the bodies sidecar
+    * like [[searchDeep]].
+    */
+  def textSearch(query: String, bodies: DataFrame, limit: Int = 50,
+      offset: Int = 0): DataFrame = {
+    val matched0 = deepMatches(query, bodies, MessageFilter())
+      .filter(filters.textsOnly)
+    val matched = (if (query.isEmpty) matched0.filter(lit(false)) else matched0)
+      .orderBy(col("sent_at").desc, col("id").desc)
+    val off = if (offset > 0) matched.offset(offset) else matched
+    val page = off.limit(if (limit > 0) limit else 50)
+      .drop("__b_mid", "tokens")
+    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+  }
+
+  /** Texts-mode totals (reference GetTextStats duckdb_text.go:453-520):
+    * chat types only, optional source scope + subject/snippet substring
+    * search — same single-pass shape as [[totalStats]].
+    */
+  def textStats(sourceId: Option[Long] = None,
+      searchQuery: String = ""): DataFrame = {
+    var msg = filters.compile(MessageFilter(sourceId = sourceId))
+      .filter(filters.textsOnly)
+    if (searchQuery.nonEmpty) {
+      val t = searchQuery.toLowerCase
+      msg = msg.filter(lower(col("subject")).contains(t) ||
+        lower(col("snippet")).contains(t))
+    }
+    val att = vault.attachmentRollup
+    msg.join(att, col("__att_mid") === msg("id"), "left")
+      .agg(
+        count(lit(1)).as("message_count"),
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
+        coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
+        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"),
+        countDistinct(col("source_id")).as("distinct_sources"))
   }
 
   private def optsFilter(opts: AggregateOptions): MessageFilter =

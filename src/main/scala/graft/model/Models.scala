@@ -92,6 +92,42 @@ object MessageSortField {
   case object Subject extends MessageSortField
 }
 
+/** Texts-mode conversation-list sort (reference text_models.go TextSortBy*). */
+sealed trait TextSortField
+object TextSortField {
+  case object LastMessage extends TextSortField
+  case object Count extends TextSortField
+  case object Name extends TextSortField
+}
+
+/** Texts-mode filter (reference text_models.go TextFilter;
+  * duckdb_text.go:22-103 buildTextFilterConditions). Contact matches
+  * resolve against the dual-path sender (direct sender_id, falling back
+  * to the first from-recipient).
+  */
+final case class TextFilter(
+    sourceId: Option[Long] = None,
+    contactPhone: String = "",
+    contactName: String = "",
+    sourceType: String = "",
+    label: String = "",
+    timeRange: TimeRange = TimeRange(),
+    after: Option[Timestamp] = None,
+    before: Option[Timestamp] = None,
+    sortField: TextSortField = TextSortField.LastMessage,
+    sortDirection: SortDirection = SortDirection.Desc,
+    pagination: Pagination = Pagination())
+
+/** Texts-mode conversation row (reference text_models.go:38-46). */
+final case class ConversationRow(
+    conversation_id: Long,
+    title: String,
+    source_type: String,
+    message_count: Long,
+    participant_count: Long,
+    last_message_at: Timestamp,
+    last_preview: String)
+
 final case class Pagination(limit: Int = 0, offset: Int = 0)
 final case class MessageSorting(
     field: MessageSortField = MessageSortField.Date,

@@ -1,0 +1,113 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.model._
+import org.apache.spark.sql.functions._
+
+/** Texts-mode surface (reference duckdb_text.go): conversation list,
+  * chat timeline, text search, text stats, and the TextFilter compiler's
+  * contact/source-type scoping.
+  */
+class TextModeSpec extends SparkTestBase {
+  import Fixtures._
+  import spark.implicits._
+
+  // two chats + one email thread; chat senders via sender_id (dual path:
+  // msg 23 has NO sender_id — contact resolves via the from-recipient)
+  private lazy val v = Fixtures.vault(spark,
+    messages = Seq(
+      msg(11, "", "2024-01-01 10:00:00", convId = 1, senderId = Some(1),
+        msgType = Some("imessage"), snippet = "hey there", sourceId = 1),
+      msg(12, "", "2024-01-02 10:00:00", convId = 1, senderId = Some(2),
+        msgType = Some("imessage"), snippet = "hello back", sourceId = 1),
+      msg(13, "", "2024-01-03 10:00:00", convId = 1, senderId = Some(1),
+        msgType = Some("imessage"), snippet = "latest in chat 1", sourceId = 1),
+      msg(21, "", "2024-02-01 10:00:00", convId = 2, senderId = Some(2),
+        msgType = Some("whatsapp"), snippet = "wa first", sourceId = 2),
+      msg(23, "", "2024-02-05 10:00:00", convId = 2, senderId = None,
+        msgType = Some("whatsapp"), snippet = "wa latest", sourceId = 2),
+      msg(31, "an email", "2024-03-01 10:00:00", convId = 3,
+        msgType = Some("email"), snippet = "email snippet", sourceId = 1)),
+    recipients = Seq(
+      MrRow(11, 1, "from", None), MrRow(12, 2, "from", None),
+      MrRow(13, 1, "from", None), MrRow(21, 2, "from", None),
+      MrRow(23, 1, "from", None), // msg 23's contact via fallback
+      MrRow(31, 1, "from", None)),
+    participants = Seq(
+      PRow(1, Some("a@x.com"), Some("Alice"), Some("+15550001"), Some("x.com")),
+      PRow(2, Some("b@y.org"), Some("Bob"), None, Some("y.org"))),
+    conversations = Seq(
+      ConvRow(1, "conv-1", Some("Chat One"), Some("direct")),
+      ConvRow(2, "conv-2", None, Some("group")),
+      ConvRow(3, "conv-3", None, None)),
+    sources = Seq(
+      SrcRow(1, "acct@x.com", Some("imessage")),
+      SrcRow(2, "wa@x.com", Some("whatsapp"))))
+
+  private lazy val engine = new MsgEngine(v)
+
+  test("listConversations: rollup, deterministic preview, title/source enrichment") {
+    val out = engine.listConversations().collect()
+    // email conversation 3 excluded by the chat-type filter
+    assert(out.map(_.getAs[Long]("conversation_id")).toSeq == Seq(2L, 1L)) // last_message desc
+    val c1 = out.find(_.getAs[Long]("conversation_id") == 1L).get
+    assert(c1.getAs[String]("title") == "Chat One")
+    assert(c1.getAs[Long]("message_count") == 3)
+    assert(c1.getAs[Long]("participant_count") == 2)
+    assert(c1.getAs[String]("last_preview") == "latest in chat 1")
+    assert(c1.getAs[String]("source_type") == "imessage")
+    // count sort flips the order (3 msgs vs 2)
+    val byCount = engine.listConversations(TextFilter(
+      sortField = TextSortField.Count)).collect()
+    assert(byCount.map(_.getAs[Long]("conversation_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("TextFilter contact scoping resolves the dual-path sender") {
+    // Alice by phone: direct sender of 11,13 AND fallback contact of 23
+    val byPhone = engine.listConversations(TextFilter(contactPhone = "+15550001"))
+      .collect().map(r => r.getAs[Long]("conversation_id") ->
+        r.getAs[Long]("message_count")).toMap
+    assert(byPhone == Map(1L -> 2L, 2L -> 1L))
+    // Bob by name
+    val byName = engine.listConversations(TextFilter(contactName = "Bob"))
+      .collect().map(r => r.getAs[Long]("conversation_id") ->
+        r.getAs[Long]("message_count")).toMap
+    assert(byName == Map(1L -> 1L, 2L -> 1L))
+    // source_type scoping
+    val wa = engine.listConversations(TextFilter(sourceType = "whatsapp"))
+      .collect().map(_.getAs[Long]("conversation_id")).toSeq
+    assert(wa == Seq(2L))
+  }
+
+  test("listConversationMessages: ascending timeline, paged, enriched") {
+    val timeline = engine.listConversationMessages(1L,
+      TextFilter(sortDirection = SortDirection.Asc)).collect()
+    assert(timeline.map(_.getAs[Long]("id")).toSeq == Seq(11L, 12L, 13L))
+    assert(timeline.head.getAs[String]("from_email") == "a@x.com")
+    assert(timeline.head.getAs[String]("conversation_title") == "Chat One")
+    val page2 = engine.listConversationMessages(1L, TextFilter(
+      sortDirection = SortDirection.Asc,
+      pagination = Pagination(limit = 2, offset = 2))).collect()
+    assert(page2.map(_.getAs[Long]("id")).toSeq == Seq(13L))
+  }
+
+  test("textSearch hits chat bodies only; empty query returns nothing") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tb").toString
+    CacheBuilder.buildBodies(spark, Seq(
+      (11L, "pizza tonight?"), (23L, "pizza tomorrow"),
+      (31L, "pizza in an email")).toDF("message_id", "body_text"), out)
+    val bodies = spark.read.parquet(s"$out/message_bodies")
+    val hits = engine.textSearch("pizza", bodies).collect()
+    // email 31 excluded by the chat-type filter; sent_at desc
+    assert(hits.map(_.getAs[Long]("id")).toSeq == Seq(23L, 11L))
+    assert(engine.textSearch("", bodies).collect().isEmpty)
+  }
+
+  test("textStats: chat-only totals with snippet search") {
+    val all = engine.textStats().head()
+    assert(all.getAs[Long]("message_count") == 5)
+    assert(all.getAs[Long]("distinct_sources") == 2)
+    val wa = engine.textStats(searchQuery = "wa ").head()
+    assert(wa.getAs[Long]("message_count") == 2) // "wa first", "wa latest"
+  }
+}
