@@ -119,6 +119,53 @@ object CacheBuilder {
     newCount
   }
 
+  /** Bucketed star variant — the co-located-join layout for the biggest
+    * join family at 100 TB: messages bucketed+sorted by `id` and every
+    * junction bucketed+sorted by `message_id` with the SAME bucket count,
+    * so message↔recipients/labels/attachments joins sort-merge WITHOUT
+    * shuffling either side (PlanAuditSpec proves the zero-Exchange plan).
+    * Dimensions stay plain tables (they broadcast). The directory star
+    * ([[build]]) remains the portable default; this is the warehouse
+    * deployment shape (`spark.table`-served, metastore-backed).
+    */
+  def buildBucketed(spark: SparkSession, input: MsgVault,
+      db: String = "graft_star", buckets: Int = 64): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val live = input.messages.filter(col("deleted_at").isNull)
+      .withColumn("year", year(col("sent_at")))
+      .withColumn("month", month(col("sent_at")))
+    live.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .option("compression", "zstd").saveAsTable(s"$db.messages")
+    Seq("message_recipients" -> input.recipients,
+      "message_labels" -> input.messageLabels,
+      "attachments" -> input.attachments).foreach { case (n, df) =>
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "message_id").sortBy("message_id")
+        .option("compression", "zstd").saveAsTable(s"$db.$n")
+    }
+    Seq("participants" -> input.participants, "labels" -> input.labels,
+      "conversations" -> input.conversations, "sources" -> input.sources)
+      .foreach { case (n, df) =>
+        df.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").saveAsTable(s"$db.$n")
+      }
+  }
+
+  /** Open a [[buildBucketed]] star: frames come from the metastore so the
+    * bucketing metadata drives shuffle-free sort-merge joins.
+    */
+  def openBucketed(spark: SparkSession, db: String = "graft_star"): MsgVault =
+    MsgVault(spark,
+      messages = spark.table(s"$db.messages"),
+      recipients = spark.table(s"$db.message_recipients"),
+      participants = spark.table(s"$db.participants"),
+      labels = spark.table(s"$db.labels"),
+      messageLabels = spark.table(s"$db.message_labels"),
+      attachments = spark.table(s"$db.attachments"),
+      conversations = spark.table(s"$db.conversations"),
+      sources = spark.table(s"$db.sources"))
+
   /** Canonical type casts applied to JDBC reads: OLTP engines differ in
     * what they hand back over JDBC (SQLite stores timestamps as TEXT and
     * booleans as INTEGER; Derby has native types), so every column the

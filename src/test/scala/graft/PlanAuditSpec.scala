@@ -113,6 +113,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
   }
 
+  test("bucketed star: message↔junction joins run shuffle-free and match the directory star") {
+    import graft.engine.{CacheBuilder, Fixtures, MsgEngine, MsgVault}
+    import Fixtures._
+    import graft.model._
+    val vlt = Fixtures.vault(spark,
+      messages = (1 to 12).map(i =>
+        msg(i.toLong, s"s$i", f"2024-${i % 6 + 1}%02d-10 10:00:00",
+          hasAtt = i == 1, attCount = if (i == 1) 1 else 0)),
+      recipients = (1 to 12).map(i => MrRow(i.toLong, (i % 2 + 1).toLong, "from", None)),
+      participants = Seq(
+        PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com")),
+        PRow(2, Some("b@y.org"), Some("B"), None, Some("y.org"))),
+      attachments = Seq(AttRow(1, 1, "f.bin", "application/octet-stream", 10, "h")))
+    CacheBuilder.buildBucketed(spark, vlt, db = "graft_star_test", buckets = 4)
+    val bucketed = CacheBuilder.openBucketed(spark, "graft_star_test")
+
+    // co-located SMJ: neither the fact nor the junction shuffles
+    val joined = bucketed.messages.select(col("id"), col("size_estimate"))
+      .join(bucketed.recipients.hint("merge"),
+        col("id") === col("message_id"))
+    val plan = executed(joined).toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed message-recipients join still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+
+    // the bucketed star answers engine queries identically to fromFrames
+    val viaBucketed = new MsgEngine(bucketed)
+      .aggregate(ViewType.Senders).orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val viaFrames = new MsgEngine(vlt)
+      .aggregate(ViewType.Senders).orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(viaBucketed == viaFrames)
+  }
+
   test("salted aggregation produces the exact unsalted result") {
     import graft.operators.Skew
     import org.apache.spark.sql.Column
