@@ -203,6 +203,10 @@ final class MsgEngine(val vault: MsgVault) {
     * last) — the predicate must keep them reachable: a dated cursor
     * admits every null row; a null cursor pages within the null tail.
     */
+  private[engine] def cursorFiltered(df: DataFrame,
+      cursor: Option[(java.sql.Timestamp, Long)]): DataFrame =
+    cursorPredicate(cursor).foldLeft(df)(_.filter(_))
+
   private def cursorPredicate(
       cursor: Option[(java.sql.Timestamp, Long)]): Option[Column] =
     cursor.map {
@@ -790,6 +794,18 @@ final case class SearchWithStats(matches: DataFrame, engine: MsgEngine) {
     val off = if (offset > 0) sorted.offset(offset) else sorted
     engine.enrich(off.limit(if (limit > 0) limit else 100))
       .orderBy(col("sent_at").desc, col("id").desc)
+  }
+
+  /** Keyset page over the SAME persisted match set — deep paging through
+    * a large result without re-sorting every match per page.
+    */
+  def pageAfter(cursor: Option[(java.sql.Timestamp, Long)],
+      limit: Int = 100): DataFrame = {
+    val after = engine.cursorFiltered(matches, cursor)
+      .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
+      .limit(if (limit > 0) limit else 100)
+    engine.enrich(after)
+      .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
   }
 
   def stats: DataFrame = {

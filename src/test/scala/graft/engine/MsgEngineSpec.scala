@@ -192,6 +192,13 @@ class MsgEngineSpec extends SparkTestBase {
     val st = s.stats.collect()(0)
     assert(st.getAs[Long]("message_count") == 2)
     assert(st.getAs[Long]("total_size") == 3000)
+    // keyset page over the same match set: cursor after page 1 yields the
+    // same row offset paging would
+    val first = p.head
+    val p2 = s.pageAfter(Some((first.getAs[java.sql.Timestamp]("sent_at"),
+      first.getAs[Long]("id"))), limit = 1).collect()
+    assert(p2.map(_.getAs[Long]("id")).toSeq ==
+      s.page(1, 1).collect().map(_.getAs[Long]("id")).toSeq)
     engine.invalidateSearchCache()
   }
 
