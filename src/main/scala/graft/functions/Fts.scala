@@ -108,11 +108,16 @@ object Fts {
     * Returns (id, bm25_score, rank).
     */
   def bm25Search(docs: DataFrame, id: Column, tokens: Column,
-      termsIn: Seq[String], limit: Int = 100): DataFrame = {
+      termsIn: Seq[String], limit: Int = 100,
+      statsOpt: Option[CorpusStats] = None): DataFrame = {
     // dedupe terms: a repeated query word must not double its score
     // (keeps parity with InvertedIndex.bm25Search, which also dedupes)
     val terms = termsIn.map(_.toLowerCase).distinct
-    val stats = corpusStats(docs, tokens, terms)
+    // stats are corpus constants — callers serving many queries over one
+    // snapshot precompute them once (corpusStats is a blocking agg pass);
+    // a supplied stats object MUST describe `docs` as passed (i.e. the
+    // same corpus and filtering)
+    val stats = statsOpt.getOrElse(corpusStats(docs, tokens, terms))
     docs.filter(terms.map(t => array_contains(tokens, t.toLowerCase)).reduce(_ || _))
       .select(id.as("doc_id"), bm25(tokens, terms, stats).as("bm25_score"))
       .orderBy(col("bm25_score").desc, col("doc_id").asc)

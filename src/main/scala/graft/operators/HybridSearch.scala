@@ -35,7 +35,12 @@ object HybridSearch {
   def fusedSearch(docs: DataFrame, id: Column, tokens: Column,
       vectors: DataFrame, vecId: Column, vec: Column,
       terms: Seq[String], queryVec: Seq[Float], k: Int = 20,
-      rrfK: Int = 60, preFilter: Option[DataFrame] = None): Result = {
+      rrfK: Int = 60, preFilter: Option[DataFrame] = None,
+      statsOpt: Option[graft.functions.Fts.CorpusStats] = None): Result = {
+    // precomputed BM25 stats describe the UNFILTERED corpus — with a
+    // pre-filter the lexical branch must re-measure the filtered set
+    require(statsOpt.isEmpty || preFilter.isEmpty,
+      "statsOpt cannot be combined with preFilter (stats would be stale)")
 
     def applyPre(df: DataFrame, c: Column): DataFrame = preFilter match {
       case Some(ids) => df.join(ids, c === ids("id"), "left_semi")
@@ -43,7 +48,8 @@ object HybridSearch {
     }
 
     // BM25 branch: LIMIT k+1 — the extra row only signals saturation
-    val bm25 = Fts.bm25Search(applyPre(docs, id), id, tokens, terms, k + 1)
+    val bm25 = Fts.bm25Search(applyPre(docs, id), id, tokens, terms, k + 1,
+      statsOpt)
       .select(col("doc_id").as("id"), col("rank").as("rank"))
     val bm25Trimmed = bm25.filter(col("rank") <= k)
 

