@@ -43,11 +43,17 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // dev-only subset filter (comma-separated names); driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val bench = only.fold(SparkEntry.benchQueries)(names =>
+      SparkEntry.benchQueries.filter(kv => names(kv._1)))
+
     // warm: in-memory table cache (the reference benches warm in-memory
     // DuckDB — BASELINE.md) + one execution per query (codegen/catalog)
     try graft.sources.Tables.cacheAll(spark, sfDir)
     catch { case _: Throwable => () } // uncached tables still bench correctly
-    SparkEntry.benchQueries.foreach { case (_, fn) =>
+    bench.foreach { case (_, fn) =>
       try runOnce(fn) catch { case _: Throwable => () }
     }
 
@@ -55,7 +61,7 @@ object Bench {
     // not first-run; JIT/exchange warmup and scheduler noise otherwise
     // dominate sub-second queries — measured ±1 s total across runs at
     // best-of-2)
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { runOnce(fn); (System.nanoTime() - t0) / 1e9 }

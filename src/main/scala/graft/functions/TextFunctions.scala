@@ -215,6 +215,17 @@ object TextFunctions {
       ipv4Pattern, ipv4Replacement)
   }
 
+  /** [[redactPii]]'s hot-path twin: ONE alternation scan via the
+    * [[org.apache.spark.sql.graft.RedactPii]] scalar expression instead
+    * of three full regex traversals (measured ~2.5× on the corpus pass).
+    * Output is byte-identical — equivalence argument in the expression's
+    * Scaladoc, gated by the `text_pii_redact` md5-fingerprint oracle and
+    * the property spec. Use [[redactPii]] where the recipe must stay
+    * RE2-replayable outside the JVM (it is the documented portable form).
+    */
+  def redactPiiFast(text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions.redactPii(text)
+
   def piiCounts(text: Column): (Column, Column) = {
     val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
     val afterPass1 = regexp_replace(noEmail, ipv4Pattern, ipv4Replacement)

@@ -238,9 +238,14 @@ object Dedup {
     val bNew = bandRows(fresh.select(id.as("doc_id"), text.as("doc_text")),
       col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+    // materialize eagerly: cand is bounded (bucket-capped fan-out) but its
+    // lineage holds the MinHash pass over the whole fresh batch, and the
+    // plan below references cand three times (spine + two semi-join
+    // broadcasts) — without the checkpoint the batch is re-hashed 3×
     val cand = bIdx.join(broadcast(bNew), Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("members")).as("indexed_id"))
       .distinct()
+      .localCheckpoint(true)
     val shingleOf = (d: DataFrame) => d.select(col("doc_id"),
       org.apache.spark.sql.graft.HashingExpressions
         .wordShingles(rawTokens(col("doc_text")), shingleSize).as("__sh"))

@@ -646,19 +646,22 @@ object CoreQueries {
   // single-row aggregates (one agg with both would push every row through
   // an Expand, doubling scan volume) cross-joined at the end.
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
-    // deliberately TWO scans: folding countDistinct into the same agg as
-    // the approx/count pass makes Catalyst insert an Expand (row
-    // multiplication) to separate the distinct stream — measured 5×
-    // slower than scanning the cached fact twice
-    val li = t(s, dir, "lineitem")
-    val approx = li.agg(
-      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-      count(lit(1)).as("total_rows"))
-    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-    approx.crossJoin(exact).select(
-      col("total_rows"), col("exact_orders"),
-      (abs(col("approx_orders") - col("exact_orders")).cast("double") <=
-        col("exact_orders").cast("double") * 0.05).as("approx_within_5pct"))
+    // ONE scan: pre-aggregate to (key, count) — map-side combine shrinks
+    // the shuffle to the distinct keys — then exact = COUNT of keys,
+    // total = SUM of counts, and the HLL runs over the distinct keys
+    // (duplicate-insensitive, so the estimate is identical to running it
+    // over the raw rows). Folding countDistinct into a flat agg instead
+    // would make Catalyst insert an Expand (measured 5× slower).
+    val byKey = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__n"))
+    byKey.agg(
+      sum(col("__n")).as("total_rows"),
+      count(lit(1)).as("exact_orders"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+      .select(
+        col("total_rows"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") <=
+          col("exact_orders").cast("double") * 0.05).as("approx_within_5pct"))
   }
 
   val aggApproxDistinctSql: String =

@@ -226,12 +226,13 @@ object PipelineQueries {
     val pii = concat(col("text"), lit(" contact user"),
       col("doc_id").cast("string"), lit("@example.com or 10.0."),
       (col("doc_id") % 256).cast("string"), lit(".7"))
-    // redact ONCE (the three regex passes are the whole cost of this
-    // query), then read the counts off the redacted text as literal
-    // marker occurrences — piiCounts' regexp_count formulation would
-    // traverse the text three more times for the same integers (the
-    // corpus embeds no literal '<EMAIL>'/'<IP>'; see piiMarkerCounts)
-    val redacted = TextFunctions.redactPii(pii)
+    // redact ONCE in a single alternation scan (redactPiiFast — the
+    // regex passes are the whole cost of this query), then read the
+    // counts off the redacted text as literal marker occurrences —
+    // piiCounts' regexp_count formulation would traverse the text three
+    // more times for the same integers (the corpus embeds no literal
+    // '<EMAIL>'/'<IP>'; see piiMarkerCounts)
+    val redacted = TextFunctions.redactPiiFast(pii)
     val (nEmails, nIps) = TextFunctions.piiMarkerCounts(col("__red"))
     orderedViaShuffle(
       t(s, dir, "documents")

@@ -85,6 +85,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "text_stats(text)")
         TextStats(exprs.head)
+      }),
+    ("redact_pii",
+      new ExpressionInfo(classOf[RedactPii].getName, "redact_pii"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "redact_pii(text)")
+        RedactPii(exprs.head)
       }))
 
   /** Register the functions into an existing session's catalog. */

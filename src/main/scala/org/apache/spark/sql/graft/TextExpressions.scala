@@ -276,6 +276,60 @@ object TextStats {
   private val punctPattern = Pattern.compile("\\p{P}")
 }
 
+/** One-pass PII redaction (emails → `<EMAIL>`, IPv4 → `<IP>`) — the
+  * hot-path twin of the portable three-pass `regexp_replace` chain in
+  * `graft.functions.TextFunctions.redactPii` (email pass + two consuming
+  * IPv4 passes; reference msgvault redacts at ingest, dedup.go-adjacent
+  * normalize paths). One alternation scan replaces three full traversals:
+  * the IPv4 context chars become zero-width lookarounds instead of
+  * consumed-and-restored captures, which is also why a single pass
+  * suffices — the char separating adjacent IPs is no longer eaten, so the
+  * second "cleanup" IPv4 pass has nothing left to find. The email
+  * alternative is listed first: every IPv4 character is a valid email
+  * local-part character, so any address overlapping a dotted-quad also
+  * matches from the quad's first character and must win, exactly as it
+  * does when the email pass runs first. Byte-equality with the portable
+  * chain is oracle-gated (`text_pii_redact` md5 fingerprint vs DuckDB
+  * running the three-pass recipe).
+  */
+case class RedactPii(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "redact_pii"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val m = RedactPii.pattern.matcher(s)
+    if (!m.find()) return input // no PII: hand back the original bytes
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    var more = true
+    while (more) {
+      sb.append(s, last, m.start())
+      sb.append(if (m.start(1) >= 0) "<EMAIL>" else "<IP>")
+      last = m.end()
+      more = m.find()
+    }
+    sb.append(s, last, s.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RedactPii =
+    copy(child = newChild)
+}
+
+object RedactPii {
+  // MUST stay textually in sync with TextFunctions.{emailPattern,
+  // ipv4Octet} (different root package, so the private[graft] strings
+  // aren't visible here); the shared-recipe equivalence is spec- and
+  // oracle-gated.
+  private val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  private[graft] val pattern = Pattern.compile(
+    "([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})" +
+      s"|(?<![0-9.])$octet(?:\\.$octet){3}(?![0-9.])")
+}
+
 object TextExpressions {
   def simhash60Md5(toks: Column): Column =
     ExpressionUtils.column(SimHash60Md5(ExpressionUtils.expression(toks)))
@@ -289,4 +343,7 @@ object TextExpressions {
   def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(
       WinnowFingerprints(ExpressionUtils.expression(toks), k, w))
+
+  def redactPii(text: Column): Column =
+    ExpressionUtils.column(RedactPii(ExpressionUtils.expression(text)))
 }

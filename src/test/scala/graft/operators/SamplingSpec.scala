@@ -235,4 +235,43 @@ class SamplingSpec extends SparkTestBase {
     val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (in, want) => assert(got(in) == want, s"in=$in") }
   }
+
+  test("redactPiiFast is byte-identical to the portable 3-pass chain") {
+    // adversarial corners of the equivalence argument: email whose local
+    // part is itself a dotted-quad, IP hard against an email on either
+    // side, adjacent IP chains (the case the portable form needs its
+    // second pass for), boundary/overlap rejections, and plain text
+    val cases = Seq(
+      "mail a.b+c@ex-1.org or 10.0.3.7 and 1.2.3.4, no 1.2.3",
+      "1.2.3.4@x.com eats the quad", "1.2.3.4x@y.com too",
+      "a@10.0.0.1 keeps the quad", "a@b.co1.2.3.4 after a tld",
+      "1.2.3.4 5.6.7.8", "x 1.1.1.1,2.2.2.2,3.3.3.3,4.4.4.4 y",
+      "1.2.3.4.5 stays", "999.999.999.999 stays", "0.0.0.0",
+      "version 10.0.3.7 in prose", "no pii at all", "", "@ . 1.2",
+      "u1@e.com u2@e.com 8.8.8.8u3@e.com")
+    val df = cases.toDF("text").select(
+      TextFunctions.redactPii(col("text")).as("slow"),
+      TextFunctions.redactPiiFast(col("text")).as("fast"))
+    df.collect().zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"in=$in slow=${r.getString(0)} fast=${r.getString(1)}")
+    }
+  }
+
+  test("redactPiiFast equals the chain on random digit/dot/at soup") {
+    // randomized cross-check over strings dense in the alphabet the two
+    // recipes disagree on if the equivalence argument has a hole
+    val rnd = new scala.util.Random(42)
+    val alpha = "01259.a@-_ ,eXcom"
+    val soup = Seq.fill(300)(
+      (0 until (1 + rnd.nextInt(40))).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString)
+    val df = soup.toDF("text").select(col("text"),
+      TextFunctions.redactPii(col("text")).as("slow"),
+      TextFunctions.redactPiiFast(col("text")).as("fast"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"in=${r.getString(0)} slow=${r.getString(1)} fast=${r.getString(2)}")
+    }
+  }
 }
