@@ -45,12 +45,14 @@ class CurationSpec extends SparkTestBase {
         "winnow_fingerprints(array('a','b','c','d','e','f','g'), 4, 5) AS fps, " +
         "word_shingles(array('a','b','c'), 2) AS sh, " +
         "lang_id(array('the','and','of')) AS lang, " +
-        "text_stats('a b a').n_distinct AS nd").head()
+        "text_stats('a b a').n_distinct AS nd, " +
+        "redact_pii('mail a@b.co or 1.2.3.4') AS red").head()
     assert(r.getLong(0) != 0L)
     assert(r.getAs[scala.collection.Seq[Long]](1).nonEmpty)
     assert(r.getAs[scala.collection.Seq[String]](2) == Seq("a b", "b c"))
     assert(r.getString(3) == "en")
     assert(r.getInt(4) == 2)
+    assert(r.getString(5) == "mail <EMAIL> or <IP>")
   }
 
   test("keyset pagination pages match offset pagination pages") {
