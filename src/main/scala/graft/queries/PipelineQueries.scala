@@ -31,14 +31,26 @@ object PipelineQueries {
     * universally. The extra false candidates the wider banding admits are
     * discarded by the exact-Jaccard re-rank inside nearDuplicates.
     */
+  /** Cluster labels (doc_id → cluster_id) as a materialized snapshot
+    * artifact: built once per corpus from the verified pair table (itself
+    * memoized), shared by the cluster report and survivor selection —
+    * a production dedup pass labels once and both consumes follow.
+    */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    memoizedIndex(s, dir, "neardup_clusters_0.5_b32") {
+      val lab = Dedup.duplicateClusters(
+        DocQueries.nearDupPairs05(s, dir).select(col("id_a"), col("id_b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lab.count()
+      lab
+    }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // probes the materialized pair artifact (DocQueries.nearDupPairs05) —
-    // clustering consumes the same verified pair table the pair report
-    // emits, it does not re-run LSH
-    val edges = DocQueries.nearDupPairs05(s, dir)
-      .select(col("id_a"), col("id_b"))
+    // probes the materialized label artifact ([[clusterLabels]], built
+    // from DocQueries.nearDupPairs05) — clustering consumes the same
+    // verified pair table the pair report emits, it does not re-run LSH
     orderedAtTail(
-      Dedup.duplicateClusters(edges)
+      clusterLabels(s, dir)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"),
           array_join(array_sort(collect_list(col("doc_id"))), ",")
@@ -87,11 +99,13 @@ object PipelineQueries {
     */
   def dedupClusterSurvivor(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val edges = DocQueries.nearDupPairs05(s, dir)
-      .select(col("id_a"), col("id_b"))
-    val labeled = Dedup.duplicateClusters(edges)
-      .join(docs.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("__q")), Seq("doc_id"))
+    // join FIRST, score after: quality is only needed for cluster
+    // members, so the regex-heavy score runs over the (small) labeled
+    // set, not the corpus
+    val labeled = clusterLabels(s, dir)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("__q", TextFunctions.qualityScore(col("text")))
+      .drop("text")
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("__q").desc, col("doc_id").asc)
     orderedAtTail(
