@@ -317,6 +317,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"simhash verify should be inline, not a join:\n$plan")
   }
 
+  test("approx-distinct is ONE corpus scan (exact+total+HLL off the key pre-agg)") {
+    val df = CoreQueries.aggApproxDistinct(spark, sf)
+    val plan = executed(df).toString
+    val nScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"expected 1 lineitem scan, got $nScans:\n$plan")
+    // the flat-agg formulation would surface as an Expand (row ×(k+1))
+    assert(!plan.contains("Expand"), s"Expand crept back:\n$plan")
+  }
+
   test("as-of join is one shuffle per side + one window, no join operator") {
     import spark.implicits._
     val l = (0 until 100).map(i => (i.toLong % 7, i.toLong, s"e$i"))
