@@ -616,6 +616,40 @@ object CoreQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size
       |FROM orders GROUP BY 1 ORDER BY year ASC""".stripMargin
 
+  /** JSONL (gzip) sink + source roundtrip — the interchange format
+    * training corpora actually ship in (CommonCrawl-style .json.gz
+    * shards). Scale shape: gzip JSONL is NOT splittable, so the shard
+    * count written IS the read parallelism — repartition before the
+    * write to pick it (the parquet twin's year-partition lesson, in
+    * file-count form). Read-back is schema-enforced PERMISSIVE: corrupt
+    * lines become nulls instead of failing a 100 TB ingest, the only
+    * sane contract for web-scale JSONL.
+    */
+  def etlJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_etl_docs_jsonl"
+    t(s, dir, "documents")
+      .repartition(8)
+      .write.mode("overwrite")
+      .option("compression", "gzip")
+      .json(out)
+    val back = s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("mode", "PERMISSIVE")
+      .json(out)
+    orderedAtTail(
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(length(col("text"))).as("text_chars")),
+      col("lang").asc)
+  }
+
+  val etlJsonlRoundtripSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(SUM(length(text)) AS BIGINT) AS text_chars
+      |FROM documents GROUP BY 1 ORDER BY lang ASC""".stripMargin
+
   // --- keyset (cursor) pagination — the scale path for deep paging
   // (SURVEY §7 hard-item 4): the cursor is a range predicate pushed to the
   // scan, vs OFFSET's sort-everything. Cursor literal = last row of an
@@ -817,6 +851,7 @@ object CoreQueries {
     "scalar_json" -> (scalarJson _, Some(scalarJsonSql)),
     "scalar_sha256" -> (scalarSha256 _, Some(scalarSha256Sql)),
     "etl_sink_roundtrip" -> (etlSinkRoundtrip _, Some(etlSinkRoundtripSql)),
+    "etl_jsonl_roundtrip" -> (etlJsonlRoundtrip _, Some(etlJsonlRoundtripSql)),
     "events_funnel" -> (eventsFunnel _, Some(eventsFunnelSql)),
     "events_retention" -> (eventsRetention _, Some(eventsRetentionSql)),
     "profile_columns" -> (profileColumns _, Some(profileColumnsSql)))

@@ -124,6 +124,36 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(after.select(col("id")).distinct().count() == 6) // no re-ingest dups
   }
 
+  test("gzip JSONL sink/source roundtrips rows; PERMISSIVE nulls corrupt lines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val docs = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "line\nbreak \"quoted\" \\ slash", "en", "web", 26L),
+      (3L, "unicode café 日本語", "fr", "books", 15L),
+      (4L, null.asInstanceOf[String], "de", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(2).write.mode("overwrite")
+      .option("compression", "gzip").json(s"$dir/out")
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    val back = spark.read.schema(schema).json(s"$dir/out")
+    // full row fidelity — embedded newlines/quotes are escaped inside the
+    // JSON string, so line-oriented JSONL survives them
+    val a = docs.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val b = back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(a == b)
+    // PERMISSIVE: a corrupt line becomes a null row, not a failed ingest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/mixed.jsonl"),
+      "{\"doc_id\": 9, \"text\": \"ok\", \"lang\": \"en\", \"source\": \"w\", \"n_chars\": 2}\nnot json at all\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mixed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(s"$dir/mixed.jsonl")
+    assert(mixed.count() == 2)
+    assert(mixed.filter(col("doc_id").isNull).count() == 1)
+    assert(mixed.filter(col("doc_id") === 9 && col("text") === "ok").count() == 1)
+  }
+
   test("aggregateTextSources / aggregateTextTime: chat-only buckets") {
     val engine = new MsgEngine(sourceVault(9))
     val bySrc = engine.aggregateTextSources().collect()
