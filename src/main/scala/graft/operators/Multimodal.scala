@@ -32,6 +32,34 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         md5(col("text")).as("content_hash")).as("meta"))
 
+  /** Raw media ingestion: Spark's `binaryFile` source reads a directory
+    * of image/audio/video files as (path, modificationTime, length,
+    * content) rows — the real on-ramp from an object store full of media
+    * to the opaque-binary column the pipeline operates on. MIME derives
+    * from the extension here (a 100 TB ingest sniffs magic bytes inside
+    * the per-partition decode instead — one more reason decode is
+    * partition-local). Media files are unsplittable, so parallelism =
+    * file count; `pathGlobFilter` prunes non-media files at listing time,
+    * before any bytes are read.
+    */
+  def ingestBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame = {
+    val ext = regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        col("path").as("media_uri"),
+        col("length").as("n_bytes"),
+        col("content").as("media"),
+        coalesce(element_at(typedLit(Map(
+          "png" -> "image/png", "jpg" -> "image/jpeg",
+          "jpeg" -> "image/jpeg", "gif" -> "image/gif",
+          "wav" -> "audio/wav", "mp3" -> "audio/mpeg",
+          "mp4" -> "video/mp4", "mkv" -> "video/x-matroska")),
+          lower(ext)), lit("application/octet-stream")).as("mime"))
+  }
+
   /** STUB decoder — deterministic 8-dim byte histogram standing in for a
     * real image/audio decode. Replace with the actual decoder at
     * deployment; the signature (bytes → float features) is the contract.

@@ -211,6 +211,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(f1(0).features.sum - 1.0f) <= 1e-6f)
   }
 
+  test("multimodal: binaryFile ingestion reads raw media into opaque columns") {
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3))
+    put("b.WAV", Array[Byte](0x52, 0x49, 0x46, 0x46)) // extension case-folds
+    put("c.xyz", Array[Byte](9))                      // unknown → octet-stream
+    put("notes.txt", "skip me".getBytes)              // pruned by the glob
+    val got = Multimodal
+      .ingestBinaryFiles(spark, dir.toString, glob = "*.{png,WAV,xyz}")
+      .collect()
+      .map(r => (r.getAs[String]("media_uri").split('/').last,
+        r.getAs[String]("mime"), r.getAs[Long]("n_bytes"),
+        r.getAs[Array[Byte]]("media").length))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("a.png", "b.WAV", "c.xyz"))
+    assert(got.map(_._2).toSeq ==
+      Seq("image/png", "audio/wav", "application/octet-stream"))
+    assert(got.forall { case (_, _, n, len) => n == len && n > 0 })
+    // the ingested frame feeds extractFeatures unchanged: same contract
+    // as the fixture path (doc_id keyed off anything stable — here row #)
+    val media = Multimodal.ingestBinaryFiles(spark, dir.toString,
+      glob = "*.{png,WAV}")
+      .select(monotonically_increasing_id().as("doc_id"), col("mime"),
+        col("media")).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2 &&
+      feats.forall(f => math.abs(f.features.sum - 1.0f) <= 1e-6f))
+  }
+
   test("multimodal: frame sampling fans out only video rows") {
     val media = Multimodal.withFakeMedia(
       Seq((2L, "a video document with enough bytes to slice into frames ok"),
