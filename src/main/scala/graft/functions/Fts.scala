@@ -65,14 +65,18 @@ object Fts {
   final case class CorpusStats(n: Long, avgdl: Double, df: Map[String, Long])
 
   /** One aggregate pass over the corpus for BM25 inputs: total docs, mean
-    * doc length, and document frequency per query term.
+    * doc length, and document frequency per query term. The df map is
+    * keyed by LOWERCASED terms (matching what the df measurement itself
+    * matches on), so stats built with any term casing serve a lookup with
+    * any other — [[bm25]]/[[bm25Search]] normalize the same way.
     */
   def corpusStats(docs: DataFrame, tokens: Column, terms: Seq[String]): CorpusStats = {
+    val lowered = terms.map(_.toLowerCase).distinct
     val aggs = Seq(
       count(lit(1)).as("n"),
       avg(size(tokens).cast("double")).as("avgdl")) ++
-      terms.zipWithIndex.map { case (term, i) =>
-        sum(when(array_contains(tokens, term.toLowerCase), 1L).otherwise(0L))
+      lowered.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(tokens, term), 1L).otherwise(0L))
           .as(s"df_$i")
       }
     val row = docs.agg(aggs.head, aggs.tail: _*).head()
@@ -81,7 +85,7 @@ object Fts {
       // avg over zero rows is null — unboxing would NPE on an empty corpus
       if (row.isNullAt(row.fieldIndex("avgdl"))) 0.0
       else row.getAs[Double]("avgdl"),
-      terms.zipWithIndex.map { case (t, i) =>
+      lowered.zipWithIndex.map { case (t, i) =>
         t -> (if (row.isNullAt(row.fieldIndex(s"df_$i"))) 0L
           else row.getAs[Long](s"df_$i"))
       }.toMap)
@@ -96,7 +100,7 @@ object Fts {
     val dl = size(tokens).cast("double")
     terms.map { term =>
       val t = term.toLowerCase
-      val df = stats.df.getOrElse(term, 0L)
+      val df = stats.df.getOrElse(t, 0L) // stats map is lowercase-keyed
       val idf = math.log((stats.n - df + 0.5) / (df + 0.5) + 1.0)
       val tf = size(filter(tokens, x => x === t)).cast("double")
       lit(idf) * tf * (k1 + 1.0) /

@@ -230,22 +230,31 @@ object Dedup {
   /** Probe half of [[incrementalNearDuplicates]]: fresh docs against a
     * prebuilt [[indexedBandTable]]. `indexed` is still needed for the
     * exact-Jaccard verify, but only candidate members are shingled.
+    *
+    * `materializeCandidates = true` eagerly `localCheckpoint`s the
+    * bounded candidate set: its lineage holds the MinHash pass over the
+    * whole fresh batch, and the verify plan references it three times
+    * (spine + two semi-join broadcasts). Spark's ReuseExchange usually
+    * deduplicates those identical subplans anyway, so this is a
+    * measured-but-modest win (~15%) that also makes the reuse structural
+    * instead of optimizer-dependent. It is OFF by default because it (a)
+    * runs a Spark job at DataFrame-construction time — a surprise for a
+    * plan-building API — and (b) stores lineage-truncated blocks on
+    * executors, which a dynamic-allocation decommission cannot recompute.
+    * Opt in from single-tenant batch pipelines (the driver queries do).
     */
   def incrementalProbe(bIdx: DataFrame, indexed: DataFrame, fresh: DataFrame,
       id: Column, text: Column, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, materializeCandidates: Boolean = false): DataFrame = {
     val bNew = bandRows(fresh.select(id.as("doc_id"), text.as("doc_text")),
       col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
-    // materialize eagerly: cand is bounded (bucket-capped fan-out) but its
-    // lineage holds the MinHash pass over the whole fresh batch, and the
-    // plan below references cand three times (spine + two semi-join
-    // broadcasts) — without the checkpoint the batch is re-hashed 3×
-    val cand = bIdx.join(broadcast(bNew), Seq("band", "band_hash"))
+    val candLazy = bIdx.join(broadcast(bNew), Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("members")).as("indexed_id"))
       .distinct()
-      .localCheckpoint(true)
+    val cand = if (materializeCandidates) candLazy.localCheckpoint(true)
+      else candLazy
     val shingleOf = (d: DataFrame) => d.select(col("doc_id"),
       org.apache.spark.sql.graft.HashingExpressions
         .wordShingles(rawTokens(col("doc_text")), shingleSize).as("__sh"))

@@ -689,8 +689,11 @@ object CoreQueries {
     val byKey = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__n"))
     byKey.agg(
-      sum(col("__n")).as("total_rows"),
-      count(lit(1)).as("exact_orders"),
+      // COUNT(*) semantics include a NULL-key group's rows; the distinct
+      // counts (exact and HLL alike) exclude it — count(col) skips the
+      // null key, matching COUNT(DISTINCT). Empty table → 0, not NULL.
+      coalesce(sum(col("__n")), lit(0L)).as("total_rows"),
+      count(col("l_orderkey")).as("exact_orders"),
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
       .select(
         col("total_rows"), col("exact_orders"),

@@ -319,7 +319,8 @@ object DocQueries {
     }
     orderedAtTail(
       Dedup.incrementalProbe(bIdx, indexed, docs.filter(col("doc_id") >= 400),
-        col("doc_id"), col("text"), threshold = 0.5, bands = 32),
+        col("doc_id"), col("text"), threshold = 0.5, bands = 32,
+        materializeCandidates = true),
       col("new_id").asc, col("indexed_id").asc)
   }
 
@@ -410,7 +411,7 @@ object DocQueries {
 
   // --- §2.10 vector similarity ---------------------------------------------
 
-  private def queryVector(s: SparkSession, dir: String): Seq[Float] =
+  private[queries] def queryVector(s: SparkSession, dir: String): Seq[Float] =
     // a driver-side head() is a full job — fetch the standing query
     // vector once per snapshot, not once per query build
     memoizedIndex(s, dir, "query_vector_0") {

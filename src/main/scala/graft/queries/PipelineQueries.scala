@@ -21,20 +21,10 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Near-dup CLUSTERS, not pairs: LSH candidate pairs ≥ 0.5 Jaccard →
-    * connected components → one row per cluster. The oracle recomputes
-    * the same edge set exactly (O(n²) Jaccard) and takes its transitive
-    * closure with a recursive CTE. Banding is 32 bands × 2 rows so pair
-    * recall at the 0.5 threshold is 1-(1-0.5²)³² ≈ 0.9999 (16×4 would be
-    * ~0.64 — passing would be data luck); LSH is still probabilistic, so
-    * the exact-edge oracle certifies recall on THIS corpus, not
-    * universally. The extra false candidates the wider banding admits are
-    * discarded by the exact-Jaccard re-rank inside nearDuplicates.
-    */
   /** Cluster labels (doc_id → cluster_id) as a materialized snapshot
     * artifact: built once per corpus from the verified pair table (itself
     * memoized), shared by the cluster report and survivor selection —
-    * a production dedup pass labels once and both consumes follow.
+    * a production dedup pass labels once and both consumers follow.
     */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     memoizedIndex(s, dir, "neardup_clusters_0.5_b32") {
@@ -45,6 +35,16 @@ object PipelineQueries {
       lab
     }
 
+  /** Near-dup CLUSTERS, not pairs: LSH candidate pairs ≥ 0.5 Jaccard →
+    * connected components → one row per cluster. The oracle recomputes
+    * the same edge set exactly (O(n²) Jaccard) and takes its transitive
+    * closure with a recursive CTE. Banding is 32 bands × 2 rows so pair
+    * recall at the 0.5 threshold is 1-(1-0.5²)³² ≈ 0.9999 (16×4 would be
+    * ~0.64 — passing would be data luck); LSH is still probabilistic, so
+    * the exact-edge oracle certifies recall on THIS corpus, not
+    * universally. The extra false candidates the wider banding admits are
+    * discarded by the exact-Jaccard re-rank inside nearDuplicates.
+    */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     // probes the materialized label artifact ([[clusterLabels]], built
     // from DocQueries.nearDupPairs05) — clustering consumes the same

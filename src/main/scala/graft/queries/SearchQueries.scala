@@ -121,10 +121,7 @@ object SearchQueries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
     val emb = t(s, dir, "embeddings")
-    val qv = memoizedIndex(s, dir, "query_vector_0") {
-      emb.filter(col("vec_id") === 0).select(col("embedding"))
-        .head().getAs[scala.collection.Seq[Float]](0).toSeq
-    }
+    val qv = DocQueries.queryVector(s, dir) // shared snapshot memo
     orderedAtTail(
       HybridSearch.fusedSearch(
         docs, col("doc_id"), col("toks"),
