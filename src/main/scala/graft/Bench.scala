@@ -74,8 +74,10 @@ object Bench {
 
     // Emit under the consumer's tail budget: try 3-decimal values, then
     // 2-decimal, then keep only the slowest entries + an "other" sum.
+    // Locale.ROOT: String.format honors the default locale, and a JVM on
+    // a comma-decimal locale would emit "0,123" — invalid JSON.
     def fmt(v: Double, dec: Int): String = {
-      val s = ("%." + dec + "f").format(v)
+      val s = ("%." + dec + "f").formatLocal(java.util.Locale.ROOT, v)
       if (s == "-1." + "0" * dec) "-1" else s
     }
     def line(qs: Seq[(String, Double)], dec: Int, other: Double): String = {
@@ -92,14 +94,18 @@ object Bench {
         val l2 = line(results, 2, 0.0)
         if (l2.length <= budget) l2
         else {
-          // keep the slowest queries (the informative ones) until it fits
-          val bySlow = results.sortBy(-_._2)
+          // keep the slowest queries (the informative ones) until it
+          // fits — but ALWAYS keep failure markers (-1): they sort to
+          // the tail and would otherwise be truncated away, turning a
+          // failed run into a plausible-looking clean one
+          val (failed, ok) = results.partition(_._2 < 0)
+          val bySlow = ok.sortBy(-_._2)
           var keep = bySlow.length
           var cur = l2
           while (cur.length > budget && keep > 10) {
             keep -= 5
-            val kept = bySlow.take(keep).sortBy(_._1)
-            val other = bySlow.drop(keep).map(_._2).filter(_ >= 0).sum
+            val kept = (bySlow.take(keep) ++ failed).sortBy(_._1)
+            val other = bySlow.drop(keep).map(_._2).sum
             cur = line(kept, 2, other)
           }
           cur

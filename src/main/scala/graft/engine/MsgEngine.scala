@@ -683,6 +683,12 @@ final class MsgEngine(val vault: MsgVault) {
     val msg = compileTextFilter(filter)
     val stats = msg.groupBy(col("conversation_id"))
       .agg(count(lit(1)).as("message_count"),
+        // deliberate reference parity, imprecision included: the
+        // reference counts COALESCE(sender_id, 0) (duckdb_text.go:136,
+        // with its own TODO to use conversation_participants), so ALL
+        // null-sender messages collapse into one phantom participant.
+        // The dual-path contact resolution (withContactPid) could do
+        // better, but would diverge from the numbers users see today.
         countDistinct(coalesce(col("sender_id"), lit(0L)))
           .as("participant_count"),
         max(col("sent_at")).as("last_message_at"),
@@ -744,7 +750,14 @@ final class MsgEngine(val vault: MsgVault) {
       offset: Int = 0): DataFrame = {
     val matched0 = deepMatches(query, bodies, MessageFilter())
       .filter(filters.textsOnly)
-    val matched = (if (query.isEmpty) matched0.filter(lit(false)) else matched0)
+    // reference returns nil for "" and FTS5 ERRORS on a whitespace-only
+    // MATCH (duckdb_text.go:399-412) — guard on the PARSED text terms,
+    // not the raw string, so " " (or an operator-only query, which FTS5
+    // would mangle as column-filter syntax) yields nothing rather than
+    // the newest 50 chats via the vacuous-true term reduce
+    val hasTerms =
+      graft.search.SearchParser.parse(query).textTerms.nonEmpty
+    val matched = (if (hasTerms) matched0 else matched0.filter(lit(false)))
       .orderBy(col("sent_at").desc, col("id").desc)
     val off = if (offset > 0) matched.offset(offset) else matched
     val page = off.limit(if (limit > 0) limit else 50)

@@ -43,7 +43,13 @@ object Fts {
     * `exists` over candidate start positions — no explode, no shuffle.
     */
   def prefixPhraseMatch(tokens: Column, phrase: String): Column = {
-    val words = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    // tokenize the QUERY with the same separator class as the indexed
+    // side ([^\p{L}\p{N}]+, unicode61-ish): FTS5 runs one tokenizer over
+    // both, so "e-mail thread" must compile to [e, mail, thread] — a
+    // whitespace-only split would leave "e-mail" unmatchable against a
+    // token column that never contains punctuation
+    val words =
+      phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
     words match {
       case Seq() => lit(true)
       case Seq(w) => exists(tokens, t => t.startsWith(w))

@@ -62,12 +62,17 @@ object Sampling {
       "split fractions must sum to 1")
     // cut granularity is 1/buckets: a fraction that rounds to zero buckets
     // would silently produce an EMPTY split — fail loudly instead (raise
-    // `buckets` for tiny eval holdouts)
-    require(splits.init.forall { case (_, f) => math.round(f * buckets) >= 1 },
-      s"every non-final split fraction must round to >= 1/$buckets")
-    val b = hashBucket(id, buckets)
+    // `buckets` for tiny eval holdouts). The FINAL split's width is what
+    // remains after the rounded cuts, so it needs its own check: with
+    // Seq(0.9996, 0.0004) at 1000 buckets the init rounds to the full
+    // 1000 and the holdout would silently get zero buckets.
     val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * buckets) }.tail
+    val widths = cuts.zip(0L +: cuts.init).map { case (hi, lo) => hi - lo }
+    val finalWidth = buckets - cuts.init.lastOption.getOrElse(0L)
+    require(widths.init.forall(_ >= 1) && finalWidth >= 1,
+      s"every split fraction must round to >= 1/$buckets of the bucket space")
+    val b = hashBucket(id, buckets)
     splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), acc) => when(b < cut, name).otherwise(acc)
     }

@@ -11,7 +11,7 @@ object BenchFew {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.benchQueries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -25,7 +25,7 @@ object BenchFew {
     graft.sources.Tables.cacheAll(spark, sfDir)
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.benchQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

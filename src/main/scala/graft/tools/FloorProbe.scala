@@ -26,10 +26,10 @@ object FloorProbe {
     graft.sources.Tables.cacheAll(spark, sfDir)
     // warm every probed query once (codegen/JIT)
     names.foreach { n =>
-      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      SparkEntry.benchQueries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
     for (name <- names) {
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.benchQueries(name)
       def best(k: Int)(f: => Unit): Double =
         (0 until k).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

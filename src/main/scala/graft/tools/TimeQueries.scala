@@ -10,7 +10,7 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.benchQueries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -20,7 +20,7 @@ object TimeQueries {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.benchQueries(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

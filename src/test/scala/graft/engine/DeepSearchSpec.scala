@@ -83,6 +83,12 @@ class DeepSearchSpec extends SparkTestBase {
     assert(ids("revenue report") == Set(1L))
     assert(ids("quarterly") == Set(1L, 2L, 3L, 4L, 5L)) // single word = prefix
     assert(ids("the quarterly revenue rep") == Set(1L)) // 4-word phrase
+    // the query runs through the SAME tokenizer as the indexed side:
+    // punctuation separates words ("quarterly-revenue" ≡ [quarterly,
+    // revenue]), so punctuated phrases still match a token column that
+    // never contains punctuation
+    assert(ids("quarterly-revenue") == Set(1L, 4L))
+    assert(ids("quarterly.revenue!") == Set(1L, 4L))
   }
 
   test("searchDeep: quoted phrase matches adjacent body tokens, prefix on last word") {

@@ -101,6 +101,9 @@ class TextModeSpec extends SparkTestBase {
     // email 31 excluded by the chat-type filter; sent_at desc
     assert(hits.map(_.getAs[Long]("id")).toSeq == Seq(23L, 11L))
     assert(engine.textSearch("", bodies).collect().isEmpty)
+    // whitespace-only and operator-only queries parse to ZERO text terms:
+    // nothing matches (the reference nils on "" and FTS5 errors on " ")
+    assert(engine.textSearch("   ", bodies).collect().isEmpty)
   }
 
   test("textStats: chat-only totals with snippet search") {
