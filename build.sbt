@@ -43,4 +43,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // late-alphabet queries measure 5-20x slower (interpreted). Reproduced
   // locally: scalar_json 0.32s isolated vs 6.9s late in a full run.
   "-XX:ReservedCodeCacheSize=2g",
-)
+) ++ {
+  // Scratch space (java.io.tmpdir feeds spark.local.dir shuffle files and
+  // the bench's sink-roundtrip outputs) on tmpfs when the host has one:
+  // /tmp here is disk-backed, and page-cache flush jitter from the two
+  // write+read queries leaks ±100ms run-to-run noise into a best-of-N
+  // bench. Sub-second scratch lifetime; bytes are bounded (MBs at sf0.1).
+  val shm = file("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val dir = "/dev/shm/graft-tmp"
+    file(dir).mkdirs()
+    Seq(s"-Djava.io.tmpdir=$dir")
+  } else Seq.empty
+}

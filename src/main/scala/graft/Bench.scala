@@ -57,17 +57,18 @@ object Bench {
       try runOnce(fn) catch { case _: Throwable => () }
     }
 
-    // best-of-3 steady-state timing (Go testing.B reports steady state,
+    // best-of-4 steady-state timing (Go testing.B reports steady state,
     // not first-run; JIT/exchange warmup and scheduler noise otherwise
     // dominate sub-second queries — measured ±1 s total across runs at
-    // best-of-2)
+    // best-of-2, still ±0.8 s at best-of-3 under co-tenant load; each
+    // extra pass costs ~12 s wall and tightens the min)
     val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { runOnce(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      val runs = Seq.fill(3)(timed()).filter(_ >= 0)
+      val runs = Seq.fill(4)(timed()).filter(_ >= 0)
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
