@@ -57,9 +57,17 @@ final class FilterCompiler(v: MsgVault) {
       .filter(pred)
       .select(mr("message_id")).distinct()
 
-  /** ids of messages with any to/cc/bcc participant matching `pred`. */
-  private def rcptIds(pred: Column): DataFrame =
-    mr.filter(col("recipient_type").isin("to", "cc", "bcc"))
+  /** ids of messages with a participant of one of `types` matching `pred`.
+    * The `to:` operator spans all three recipient types (reference
+    * duckdb.go:2413-2424 `recipient_type IN ('to','cc','bcc')`); `cc:` and
+    * `bcc:` match only their own type (the DuckDB search path ignores
+    * those operators entirely — no CcAddrs/BccAddrs handling — so the
+    * contract comes from the SQLite engine, sqlite.go:1243-1272, which
+    * filters `recipient_type = 'cc'` / `= 'bcc'` exactly).
+    */
+  private def rcptIds(pred: Column,
+      types: Seq[String] = Seq("to", "cc", "bcc")): DataFrame =
+    mr.filter(col("recipient_type").isin(types: _*))
       .join(p, p("id") === mr("participant_id"))
       .filter(pred)
       .select(mr("message_id")).distinct()
@@ -230,27 +238,41 @@ final class FilterCompiler(v: MsgVault) {
       msg = msg.filter(lower(col("subject")).contains(s.toLowerCase))
 
     // address dimensions: OR within a dimension, AND across dimensions
-    def addrDim(values: Seq[String], from: Boolean): Unit = if (values.nonEmpty) {
+    // (reference sqlite.go:1464-1469 documents OR-within-dimension; exact
+    // email/phone equality is the declared SQLite-engine contract — the
+    // DuckDB engine's per-addr ANDed substring ILIKE, duckdb.go:2391-2424,
+    // is a documented divergence between the reference's own two engines)
+    def addrDim(values: Seq[String], from: Boolean,
+        types: Seq[String] = Seq("to", "cc", "bcc")): Unit = if (values.nonEmpty) {
       val pred = values.map(addrPred).reduce(_ || _)
-      val ids = if (from) fromIds(pred) else rcptIds(pred)
+      val ids = if (from) fromIds(pred) else rcptIds(pred, types)
       msg = msg.join(ids, mid === ids("message_id"), "left_semi")
     }
     addrDim(q.fromAddrs, from = true)
-    addrDim(q.toAddrs, from = false)
-    addrDim(q.ccAddrs, from = false)
-    addrDim(q.bccAddrs, from = false)
+    addrDim(q.toAddrs, from = false) // to: spans to/cc/bcc (duckdb.go:2413)
+    addrDim(q.ccAddrs, from = false, types = Seq("cc"))
+    addrDim(q.bccAddrs, from = false, types = Seq("bcc"))
 
-    if (q.labels.nonEmpty) {
-      val pred = q.labels.map(l => lower(lbl("name")) === l.toLowerCase).reduce(_ || _)
-      val ids = labelIds(pred)
+    // labels: AND across terms (each must match — sqlite.go:1466-1469
+    // "message must have all labels"), each term a case-insensitive
+    // SUBSTRING match (both engines wrap the escaped term in %...%:
+    // duckdb.go:2436-2444, sqlite.go:1274-1284) — one semi-join per term
+    // so different terms may match different label rows
+    for (l <- q.labels) {
+      val ids = labelIds(lower(lbl("name")).contains(l.toLowerCase))
       msg = msg.join(ids, mid === ids("message_id"), "left_semi")
     }
 
     q.hasAttachment.foreach(b => msg = msg.filter(col("has_attachments") === b))
-    q.afterDate.foreach(d =>
-      msg = msg.filter(col("sent_at") >= lit(java.sql.Timestamp.valueOf(d))))
-    q.beforeDate.foreach(d =>
-      msg = msg.filter(col("sent_at") < lit(java.sql.Timestamp.valueOf(d))))
+    // the parser resolves dates against UTC wall-clock (SearchParser now =
+    // LocalDateTime.now(UTC), mirroring parser.go:200 time.Now().UTC()) —
+    // convert via an explicit UTC offset, NOT Timestamp.valueOf (which
+    // would interpret the wall time in the JVM default zone and shift
+    // every boundary by the host's UTC offset)
+    def utcTs(d: java.time.LocalDateTime): java.sql.Timestamp =
+      java.sql.Timestamp.from(d.toInstant(java.time.ZoneOffset.UTC))
+    q.afterDate.foreach(d => msg = msg.filter(col("sent_at") >= lit(utcTs(d))))
+    q.beforeDate.foreach(d => msg = msg.filter(col("sent_at") < lit(utcTs(d))))
     q.largerThan.foreach(n => msg = msg.filter(col("size_estimate") > n))
     q.smallerThan.foreach(n => msg = msg.filter(col("size_estimate") < n))
 

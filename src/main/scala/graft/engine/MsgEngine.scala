@@ -191,7 +191,7 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def listMessagesAfter(filter: MessageFilter,
       cursor: Option[(java.sql.Timestamp, Long)], limit: Int = 500): DataFrame = {
-    val page = cursorPredicate(cursor).foldLeft(filters.compile(filter))(_.filter(_))
+    val page = cursorFiltered(filters.compile(filter), cursor)
     val sorted = page
       .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
       .limit(if (limit > 0) limit else 500)
@@ -285,8 +285,7 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def messageSummariesByIds(ids: Seq[Long]): DataFrame = {
     if (ids.isEmpty) return enrich(vault.messages.limit(0))
-    val rank = ids.zipWithIndex.map { case (id, i) => (id, i) }
-    val rankDf = spark.createDataFrame(rank).toDF("__rid", "__rank")
+    val rankDf = spark.createDataFrame(ids.zipWithIndex).toDF("__rid", "__rank")
     val page = vault.messages
       .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
     enrich(page.drop("__rid"))
@@ -321,7 +320,7 @@ final class MsgEngine(val vault: MsgVault) {
       limit: Int = 100): DataFrame = {
     val q = SearchParser.parse(query)
     val msg = filters.compileSearch(filters.compile(filter), q)
-    val page = cursorPredicate(cursor).foldLeft(msg)(_.filter(_))
+    val page = cursorFiltered(msg, cursor)
       .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
       .limit(if (limit > 0) limit else 100)
     enrich(page).orderBy(col("sent_at").desc_nulls_last, col("id").desc)
@@ -373,8 +372,10 @@ final class MsgEngine(val vault: MsgVault) {
     * (SURVEY §2.9): `bodies` carries a precomputed `tokens` array (built at
     * ETL by [[CacheBuilder.buildBodies]] with the unicode61-ish tokenizer);
     * match = AND over terms of prefix-token hits on body tokens OR subject
-    * substring; results BM25-ranked then recency-ordered like the
-    * reference's bare-column fallback ordering.
+    * substring; results recency-ordered (sent_at DESC, id DESC) exactly
+    * like the reference's deep path (duckdb.go:2046/2079 ORDER BY sent_at
+    * DESC) — relevance-ranked retrieval is the separate
+    * [[graft.functions.Fts.bm25Search]] / hybrid-search surface.
     *
     * Scale: the body scan is the honest cost of no inverted index — but
     * metadata filters (dates, sources, labels) compile FIRST and semi-join
@@ -401,8 +402,7 @@ final class MsgEngine(val vault: MsgVault) {
       filter: MessageFilter = MessageFilter(),
       cursor: Option[(java.sql.Timestamp, Long)] = None,
       limit: Int = 100): DataFrame = {
-    val matched = cursorPredicate(cursor)
-      .foldLeft(deepMatches(query, bodies, filter))(_.filter(_))
+    val matched = cursorFiltered(deepMatches(query, bodies, filter), cursor)
     val page = matched
       .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
       .limit(if (limit > 0) limit else 100)
@@ -415,8 +415,11 @@ final class MsgEngine(val vault: MsgVault) {
     * bare text terms apply as prefix-token-OR-subject predicates.
     */
   private def deepMatches(query: String, bodies: DataFrame,
+      filter: MessageFilter): DataFrame =
+    deepMatchesParsed(SearchParser.parse(query), bodies, filter)
+
+  private def deepMatchesParsed(q: graft.search.SearchQuery, bodies: DataFrame,
       filter: MessageFilter): DataFrame = {
-    val q = SearchParser.parse(query)
     // subject: terms stay subject-only (compileSearch applies them as
     // subject filters, reference sqlite.go:1287-1292); only bare text
     // terms get the body-token OR subject treatment below
@@ -748,16 +751,15 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def textSearch(query: String, bodies: DataFrame, limit: Int = 50,
       offset: Int = 0): DataFrame = {
-    val matched0 = deepMatches(query, bodies, MessageFilter())
+    val q = SearchParser.parse(query)
+    val matched0 = deepMatchesParsed(q, bodies, MessageFilter())
       .filter(filters.textsOnly)
     // reference returns nil for "" and FTS5 ERRORS on a whitespace-only
     // MATCH (duckdb_text.go:399-412) — guard on the PARSED text terms,
     // not the raw string, so " " (or an operator-only query, which FTS5
     // would mangle as column-filter syntax) yields nothing rather than
     // the newest 50 chats via the vacuous-true term reduce
-    val hasTerms =
-      graft.search.SearchParser.parse(query).textTerms.nonEmpty
-    val matched = (if (hasTerms) matched0 else matched0.filter(lit(false)))
+    val matched = (if (q.textTerms.nonEmpty) matched0 else matched0.filter(lit(false)))
       .orderBy(col("sent_at").desc, col("id").desc)
     val off = if (offset > 0) matched.offset(offset) else matched
     val page = off.limit(if (limit > 0) limit else 50)

@@ -171,6 +171,30 @@ class MsgEngineSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("id")).sorted == Seq(1L, 3, 5))
   }
 
+  test("searchFast: multiple label: terms AND — message must carry all labels") {
+    // msg1 has INBOX+Work; msgs 2,3 INBOX only (sqlite.go:1466-1469:
+    // "Labels use per-term EXISTS subqueries with AND semantics")
+    assert(rows(engine.searchFast("label:inbox label:work"))
+      .map(_.getAs[Long]("id")) == Seq(1))
+    // single label still matches all carriers
+    assert(rows(engine.searchFast("label:inbox"))
+      .map(_.getAs[Long]("id")).sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("searchFast: label: is a case-insensitive substring match") {
+    // both engines wrap the escaped term in %...% (duckdb.go:2436-2444)
+    assert(rows(engine.searchFast("label:ork")).map(_.getAs[Long]("id")) == Seq(1))
+  }
+
+  test("searchFast: to: spans to/cc/bcc but cc:/bcc: match only their own type") {
+    // bob is a `to` recipient on msg1 and a `cc` recipient on msg3
+    assert(rows(engine.searchFast("to:bob@b.org"))
+      .map(_.getAs[Long]("id")).sorted == Seq(1L, 3L)) // duckdb.go:2413 IN-list
+    assert(rows(engine.searchFast("cc:bob@b.org"))
+      .map(_.getAs[Long]("id")) == Seq(3)) // sqlite.go:1243-1256 type-exact
+    assert(rows(engine.searchFast("bcc:bob@b.org")).isEmpty)
+  }
+
   test("searchFast: has:attachment and larger:") {
     assert(rows(engine.searchFast("has:attachment")).map(_.getAs[Long]("id")) == Seq(1))
     assert(rows(engine.searchFast("larger:1K")).map(_.getAs[Long]("id")).sorted == Seq(2L))
