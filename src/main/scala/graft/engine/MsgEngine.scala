@@ -147,7 +147,10 @@ final class MsgEngine(val vault: MsgVault) {
     * hash-agg pass over the filtered fact table + attachment rollup.
     */
   def totalStats(filter: MessageFilter = MessageFilter()): DataFrame = {
-    val msg = filters.compile(filter)
+    // email surface: the reference's GetTotalStats restricts to email
+    // types on BOTH engines (duckdb.go:1109, sqlite.go:894); chat totals
+    // are the separate textStats surface
+    val msg = filters.compile(filter).filter(filters.emailOnly)
     val att = vault.attachmentRollup
     msg.join(att, col("__att_mid") === msg("id"), "left")
       .agg(
@@ -197,6 +200,14 @@ final class MsgEngine(val vault: MsgVault) {
       .limit(if (limit > 0) limit else 500)
     enrich(sorted).orderBy(col("sent_at").desc_nulls_last, col("id").desc)
   }
+
+  /** Email-surface search base: every search surface in the reference
+    * restricts to email message types (SearchFast duckdb.go:2310, deep
+    * Search via buildSearchQueryParts sqlite.go:1196) — chats are served
+    * by the texts-mode surface ([[textSearch]]/[[textStats]]) instead.
+    */
+  private def emailSearchBase(filter: MessageFilter): DataFrame =
+    filters.compile(filter).filter(filters.emailOnly)
 
   /** The (sent_at DESC, id DESC) keyset predicate shared by every cursor
     * path. Null-timestamp rows sort AFTER all dated rows (desc, nulls
@@ -302,7 +313,7 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def searchFast(query: String, filter: MessageFilter = MessageFilter()): DataFrame = {
     val q = SearchParser.parse(query)
-    val msg = filters.compileSearch(filters.compile(filter), q)
+    val msg = filters.compileSearch(emailSearchBase(filter), q)
     val page0 = msg.orderBy(col("sent_at").desc, col("id").desc)
     val page1 = if (filter.pagination.offset > 0) page0.offset(filter.pagination.offset) else page0
     val page = page1.limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
@@ -319,7 +330,7 @@ final class MsgEngine(val vault: MsgVault) {
       cursor: Option[(java.sql.Timestamp, Long)] = None,
       limit: Int = 100): DataFrame = {
     val q = SearchParser.parse(query)
-    val msg = filters.compileSearch(filters.compile(filter), q)
+    val msg = filters.compileSearch(emailSearchBase(filter), q)
     val page = cursorFiltered(msg, cursor)
       .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
       .limit(if (limit > 0) limit else 100)
@@ -354,7 +365,7 @@ final class MsgEngine(val vault: MsgVault) {
     val matches = searchCache.synchronized {
       searchCache.computeIfAbsent(key, _ => {
         val q = SearchParser.parse(query)
-        filters.compileSearch(filters.compile(filter), q)
+        filters.compileSearch(emailSearchBase(filter), q)
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
     }
@@ -416,14 +427,20 @@ final class MsgEngine(val vault: MsgVault) {
     */
   private def deepMatches(query: String, bodies: DataFrame,
       filter: MessageFilter): DataFrame =
-    deepMatchesParsed(SearchParser.parse(query), bodies, filter)
+    deepMatchesParsed(SearchParser.parse(query), bodies, filter,
+      filters.emailOnly)
 
+  /** `typeScope` picks the surface: email types for [[searchDeep]]
+    * (sqlite.go:1196), chat types for [[textSearch]]
+    * (duckdb_text.go:399-452) — applied on the fact table BEFORE the
+    * body join so the scan prunes early.
+    */
   private def deepMatchesParsed(q: graft.search.SearchQuery, bodies: DataFrame,
-      filter: MessageFilter): DataFrame = {
+      filter: MessageFilter, typeScope: Column): DataFrame = {
     // subject: terms stay subject-only (compileSearch applies them as
     // subject filters, reference sqlite.go:1287-1292); only bare text
     // terms get the body-token OR subject treatment below
-    val msg = filters.compileSearch(filters.compile(filter),
+    val msg = filters.compileSearch(filters.compile(filter).filter(typeScope),
       q.copy(textTerms = Nil))
     val terms = q.textTerms.map(_.toLowerCase)
     val b = bodies.select(col("message_id").as("__b_mid"), col("tokens"))
@@ -542,7 +559,7 @@ final class MsgEngine(val vault: MsgVault) {
   def searchFastCount(query: String,
       filter: MessageFilter = MessageFilter()): Long = {
     val q = SearchParser.parse(query)
-    filters.compileSearch(filters.compile(filter), q).count()
+    filters.compileSearch(emailSearchBase(filter), q).count()
   }
 
   /** Any-participant domain search, date-bounded (reference
@@ -752,8 +769,8 @@ final class MsgEngine(val vault: MsgVault) {
   def textSearch(query: String, bodies: DataFrame, limit: Int = 50,
       offset: Int = 0): DataFrame = {
     val q = SearchParser.parse(query)
-    val matched0 = deepMatchesParsed(q, bodies, MessageFilter())
-      .filter(filters.textsOnly)
+    val matched0 = deepMatchesParsed(q, bodies, MessageFilter(),
+      filters.textsOnly)
     // reference returns nil for "" and FTS5 ERRORS on a whitespace-only
     // MATCH (duckdb_text.go:399-412) — guard on the PARSED text terms,
     // not the raw string, so " " (or an operator-only query, which FTS5

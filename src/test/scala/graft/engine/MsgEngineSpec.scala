@@ -171,6 +171,13 @@ class MsgEngineSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("id")).sorted == Seq(1L, 3, 5))
   }
 
+  test("searchFast is an email surface — chat messages never match") {
+    // msg6 subject "chat msg" is imessage; reference SearchFast appends
+    // emailOnlyFilterMsg (duckdb.go:2310) — chats go through textSearch
+    assert(rows(engine.searchFast("chat")).isEmpty)
+    assert(engine.searchFastCount("chat") == 0)
+  }
+
   test("searchFast: multiple label: terms AND — message must carry all labels") {
     // msg1 has INBOX+Work; msgs 2,3 INBOX only (sqlite.go:1466-1469:
     // "Labels use per-term EXISTS subqueries with AND semantics")
@@ -226,9 +233,11 @@ class MsgEngineSpec extends SparkTestBase {
     engine.invalidateSearchCache()
   }
 
-  test("totalStats") {
+  test("totalStats counts the email surface only") {
+    // live messages 1,2,3,5 — chat msg 6 belongs to textStats
+    // (reference GetTotalStats duckdb.go:1109 emailOnlyFilterMsg)
     val st = engine.totalStats().collect()(0)
-    assert(st.getAs[Long]("message_count") == 5)
+    assert(st.getAs[Long]("message_count") == 4)
     assert(st.getAs[Long]("attachment_count") == 1)
     assert(st.getAs[Long]("distinct_sources") == 1)
   }
@@ -256,7 +265,7 @@ class MsgEngineSpec extends SparkTestBase {
     assert(page.map(_.id).toSeq == Seq(6L, 5L))
     assert(page.head.from_name == "Carol")
     val st = engine.totalStatsTyped()
-    assert(st.message_count == 5 && st.attachment_count == 1)
+    assert(st.message_count == 4 && st.attachment_count == 1)
   }
 
   test("raw SQL surface: v_messages + v_senders registered") {
