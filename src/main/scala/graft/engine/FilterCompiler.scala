@@ -216,22 +216,31 @@ final class FilterCompiler(v: MsgVault) {
     var msg = msgIn
     def mid: Column = idCol.getOrElse(msg("id"))
 
-    // text terms: each term must match subject OR snippet OR from-party OR
-    // a key column (AND across terms)
+    // text terms: each term must match subject OR snippet OR the sender's
+    // email/name/phone OR a key column (AND across terms). The sender
+    // fields come from the from-recipient row with a direct-sender
+    // (sender_id) fallback, mirroring the reference's
+    // COALESCE(ms.from_*, ds.from_*) columns (duckdb.go:2375-2388) — as
+    // an OR of the two paths, which over-admits only the anomalous row
+    // carrying BOTH a from-recipient and a conflicting sender_id.
     for (term <- q.textTerms) {
       val t = term.toLowerCase
-      val fromMatch = fromIds(
-        lower(p("email_address")).contains(t) ||
-          lower(coalesce(p("display_name"), lit(""))).contains(t))
+      val partyPred = lower(p("email_address")).contains(t) ||
+        lower(coalesce(p("display_name"), lit(""))).contains(t) ||
+        coalesce(p("phone_number"), lit("")).contains(t)
+      val fromMatch = fromIds(partyPred)
         .withColumnRenamed("message_id", "__tm_id")
+      val senderMatch = participantIds(partyPred)
       val direct = lower(col("subject")).contains(t) ||
         lower(coalesce(col("snippet"), lit(""))).contains(t) ||
         keyCols.map(k => lower(k).contains(t)).foldLeft(lit(false))(_ || _)
       msg = msg
         .join(fromMatch.withColumn("__from_hit", lit(true)),
           mid === fromMatch("__tm_id"), "left")
-        .filter(direct || col("__from_hit"))
-        .drop("__from_hit", "__tm_id")
+        .join(senderMatch.withColumn("__sender_hit", lit(true)),
+          col("sender_id") === senderMatch("__pid"), "left")
+        .filter(direct || col("__from_hit") || col("__sender_hit"))
+        .drop("__from_hit", "__tm_id", "__sender_hit", "__pid")
     }
 
     for (s <- q.subjectTerms)

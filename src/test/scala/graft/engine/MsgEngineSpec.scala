@@ -178,6 +178,27 @@ class MsgEngineSpec extends SparkTestBase {
     assert(engine.searchFastCount("chat") == 0)
   }
 
+  test("searchFast: text term matches the sender's phone and direct-sender fallback") {
+    // reference fast-path terms match COALESCE(ms.from_*, ds.from_*)
+    // email/name/phone (duckdb.go:2375-2388)
+    val v2 = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1, "no subject hit", "2024-01-01 10:00:00"),
+        // email message with NO from-recipient row, only a direct sender
+        msg(2, "also no hit", "2024-01-02 10:00:00", senderId = Some(2))),
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(
+        PRow(1, None, Some("Carol"), Some("+447700900123"), None),
+        PRow(2, Some("dan@d.net"), Some("Dan Direct"), None, Some("d.net"))))
+    val e2 = new MsgEngine(v2)
+    // phone substring via the from-recipient path
+    assert(e2.searchFast("447700").collect().map(_.getAs[Long]("id")).toSeq == Seq(1))
+    // display-name, case-insensitive
+    assert(e2.searchFast("carol").collect().map(_.getAs[Long]("id")).toSeq == Seq(1))
+    // direct-sender (sender_id) fallback when no from-recipient row exists
+    assert(e2.searchFast("dan direct").collect().map(_.getAs[Long]("id")).toSeq == Seq(2))
+  }
+
   test("searchFast: multiple label: terms AND — message must carry all labels") {
     // msg1 has INBOX+Work; msgs 2,3 INBOX only (sqlite.go:1466-1469:
     // "Labels use per-term EXISTS subqueries with AND semantics")
