@@ -212,35 +212,46 @@ final class FilterCompiler(v: MsgVault) {
     * columns.
     */
   def compileSearch(msgIn: DataFrame, q: SearchQuery,
-      keyCols: Seq[Column] = Nil, idCol: Option[Column] = None): DataFrame = {
+      keyCols: Seq[Column] = Nil, idCol: Option[Column] = None,
+      senderFallback: Boolean = true): DataFrame = {
     var msg = msgIn
     def mid: Column = idCol.getOrElse(msg("id"))
 
-    // text terms: each term must match subject OR snippet OR the sender's
-    // email/name/phone OR a key column (AND across terms). The sender
-    // fields come from the from-recipient row with a direct-sender
-    // (sender_id) fallback, mirroring the reference's
-    // COALESCE(ms.from_*, ds.from_*) columns (duckdb.go:2375-2388) — as
-    // an OR of the two paths, which over-admits only the anomalous row
-    // carrying BOTH a from-recipient and a conflicting sender_id.
+    // text terms: each term must match subject OR snippet OR the sender
+    // OR a key column (AND across terms). On the fast path
+    // (`senderFallback`) the sender match spans email/name/PHONE from the
+    // from-recipient row with a direct-sender (sender_id) fallback,
+    // mirroring the reference's COALESCE(ms.from_*, ds.from_*) columns
+    // (duckdb.go:2375-2388) — an OR of the two paths, which over-admits
+    // only the anomalous row carrying BOTH a from-recipient and a
+    // conflicting sender_id. The aggregate path matches only the
+    // from-recipient's email/display name (duckdb.go:448-462 — no phone,
+    // no direct-sender there).
     for (term <- q.textTerms) {
       val t = term.toLowerCase
-      val partyPred = lower(p("email_address")).contains(t) ||
-        lower(coalesce(p("display_name"), lit(""))).contains(t) ||
-        coalesce(p("phone_number"), lit("")).contains(t)
+      val basePred = lower(p("email_address")).contains(t) ||
+        lower(coalesce(p("display_name"), lit(""))).contains(t)
+      val partyPred =
+        if (senderFallback) basePred || coalesce(p("phone_number"), lit("")).contains(t)
+        else basePred
       val fromMatch = fromIds(partyPred)
         .withColumnRenamed("message_id", "__tm_id")
-      val senderMatch = participantIds(partyPred)
       val direct = lower(col("subject")).contains(t) ||
         lower(coalesce(col("snippet"), lit(""))).contains(t) ||
         keyCols.map(k => lower(k).contains(t)).foldLeft(lit(false))(_ || _)
       msg = msg
         .join(fromMatch.withColumn("__from_hit", lit(true)),
           mid === fromMatch("__tm_id"), "left")
-        .join(senderMatch.withColumn("__sender_hit", lit(true)),
-          col("sender_id") === senderMatch("__pid"), "left")
-        .filter(direct || col("__from_hit") || col("__sender_hit"))
-        .drop("__from_hit", "__tm_id", "__sender_hit", "__pid")
+      msg =
+        if (senderFallback) {
+          val senderMatch = participantIds(partyPred)
+          msg.join(senderMatch.withColumn("__sender_hit", lit(true)),
+              col("sender_id") === senderMatch("__pid"), "left")
+            .filter(direct || col("__from_hit") || col("__sender_hit"))
+            .drop("__from_hit", "__tm_id", "__sender_hit", "__pid")
+        } else
+          msg.filter(direct || col("__from_hit"))
+            .drop("__from_hit", "__tm_id")
     }
 
     for (s <- q.subjectTerms)

@@ -91,7 +91,8 @@ final class MsgEngine(val vault: MsgVault) {
     if (opts.searchQuery.nonEmpty)
       joined0 = filters.compileSearch(joined0,
         SearchParser.parse(opts.searchQuery),
-        keyCols = Seq(key), idCol = Some(msgIn("id")))
+        keyCols = Seq(key), idCol = Some(msgIn("id")),
+        senderFallback = false)
     val att = vault.attachmentRollup
     val joined = joined0
       .join(att, col("__att_mid") === msgIn("id"), "left")

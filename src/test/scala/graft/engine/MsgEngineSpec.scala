@@ -199,6 +199,30 @@ class MsgEngineSpec extends SparkTestBase {
     assert(e2.searchFast("dan direct").collect().map(_.getAs[Long]("id")).toSeq == Seq(2))
   }
 
+  test("aggregate search text terms match email/name only — no phone, no direct sender") {
+    // the reference's aggregate search EXISTS matches only the
+    // from-recipient's email_address/display_name (duckdb.go:448-462),
+    // unlike the fast path's COALESCE(ms.*, ds.*) email/name/phone
+    val v2 = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1, "no subject hit", "2024-01-01 10:00:00"),
+        msg(2, "also no hit", "2024-02-02 10:00:00", senderId = Some(2))),
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(
+        PRow(1, None, Some("Carol"), Some("+447700900123"), None),
+        PRow(2, Some("dan@d.net"), Some("Dan Direct"), None, Some("d.net"))))
+    val e2 = new MsgEngine(v2)
+    def timeKeys(q: String): Set[String] =
+      rows(e2.aggregate(ViewType.Time, AggregateOptions(searchQuery = q)))
+        .map(_.getString(0)).toSet
+    // display-name still matches (shared email/name predicate)
+    assert(timeKeys("carol") == Set("2024-01"))
+    // phone substring does NOT match on the aggregate path
+    assert(timeKeys("447700") == Set.empty[String])
+    // direct-sender (sender_id) fallback absent on the aggregate path
+    assert(timeKeys("dan direct") == Set.empty[String])
+  }
+
   test("searchFast: multiple label: terms AND — message must carry all labels") {
     // msg1 has INBOX+Work; msgs 2,3 INBOX only (sqlite.go:1466-1469:
     // "Labels use per-term EXISTS subqueries with AND semantics")
