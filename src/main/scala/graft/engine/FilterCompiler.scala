@@ -254,6 +254,18 @@ final class FilterCompiler(v: MsgVault) {
             .drop("__from_hit", "__tm_id")
     }
 
+    applyNonText(msg, q, idCol)
+  }
+
+  /** Non-text search conditions — identical across the fast, aggregate and
+    * stats paths (reference buildNonTextSearchConditions duckdb.go:484-586
+    * is shared the same way).
+    */
+  private def applyNonText(msgIn: DataFrame, q: SearchQuery,
+      idCol: Option[Column]): DataFrame = {
+    var msg = msgIn
+    def mid: Column = idCol.getOrElse(msg("id"))
+
     for (s <- q.subjectTerms)
       msg = msg.filter(lower(col("subject")).contains(s.toLowerCase))
 
@@ -297,6 +309,53 @@ final class FilterCompiler(v: MsgVault) {
     q.smallerThan.foreach(n => msg = msg.filter(col("size_estimate") < n))
 
     msg
+  }
+
+  /** Search conditions for the stats surface (reference
+    * buildStatsSearchConditions duckdb.go:588-647). Text terms filter on
+    * the ACTIVE VIEW's key dimension for 1:N views — the stats query has
+    * no participant/label joins, so each term becomes an EXISTS
+    * (semi-join) against that dimension — keeping the headline totals
+    * consistent with the aggregate rows on screen:
+    *   - Recipients / RecipientNames: any to/cc/bcc participant whose
+    *     email or display name contains the term;
+    *   - Labels: any label whose name contains the term;
+    *   - everything else: the default subject/snippet/from-sender match
+    *     (email/name only — the aggregate-path semantics).
+    * Non-text operators are view-independent and shared.
+    */
+  def compileStatsSearch(msgIn: DataFrame, q: SearchQuery,
+      groupBy: Option[ViewType] = None): DataFrame = {
+    var msg = msgIn
+    groupBy match {
+      case Some(ViewType.Recipients) | Some(ViewType.RecipientNames) =>
+        for (term <- q.textTerms) {
+          val t = term.toLowerCase
+          val ids = rcptIds(lower(p("email_address")).contains(t) ||
+            lower(coalesce(p("display_name"), lit(""))).contains(t))
+          msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+        }
+      case Some(ViewType.Labels) =>
+        for (term <- q.textTerms) {
+          val ids = labelIds(lower(lbl("name")).contains(term.toLowerCase))
+          msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+        }
+      case _ =>
+        for (term <- q.textTerms) {
+          val t = term.toLowerCase
+          val fromMatch = fromIds(lower(p("email_address")).contains(t) ||
+              lower(coalesce(p("display_name"), lit(""))).contains(t))
+            .withColumnRenamed("message_id", "__tm_id")
+          val direct = lower(col("subject")).contains(t) ||
+            lower(coalesce(col("snippet"), lit(""))).contains(t)
+          msg = msg
+            .join(fromMatch.withColumn("__from_hit", lit(true)),
+              msg("id") === fromMatch("__tm_id"), "left")
+            .filter(direct || col("__from_hit"))
+            .drop("__from_hit", "__tm_id")
+        }
+    }
+    applyNonText(msg, q, idCol = None)
   }
 }
 

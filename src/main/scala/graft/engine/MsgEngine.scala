@@ -145,21 +145,62 @@ final class MsgEngine(val vault: MsgVault) {
   }
 
   /** Archive totals (reference GetTotalStats duckdb.go:1101-1179): one
-    * hash-agg pass over the filtered fact table + attachment rollup.
+    * hash-agg pass over the filtered fact table + attachment rollup, plus
+    * a second small pass for the distinct-label-name count (the reference
+    * runs the same two queries — the label count is a different grain and
+    * folding it in would multiply the size sums).
     */
-  def totalStats(filter: MessageFilter = MessageFilter()): DataFrame = {
+  def totalStats(filter: MessageFilter = MessageFilter()): DataFrame =
     // email surface: the reference's GetTotalStats restricts to email
     // types on BOTH engines (duckdb.go:1109, sqlite.go:894); chat totals
     // are the separate textStats surface
-    val msg = filters.compile(filter).filter(filters.emailOnly)
+    statsOf(filters.compile(filter).filter(filters.emailOnly))
+
+  /** Stats with an active search (reference StatsOptions models.go:339-346):
+    * when the TUI has a search applied over an aggregate view, the
+    * headline totals reflect only matching messages, with text terms
+    * matched against the ACTIVE view's key dimension (duckdb.go:1121-1126).
+    */
+  def totalStats(opts: StatsOptions): DataFrame = {
+    val base = MessageFilter(
+      sourceId = opts.sourceId, sourceIds = opts.sourceIds,
+      withAttachmentsOnly = opts.withAttachmentsOnly,
+      hideDeletedFromSource = opts.hideDeletedFromSource)
+    var msg = filters.compile(base).filter(filters.emailOnly)
+    if (opts.searchQuery.nonEmpty)
+      msg = filters.compileStatsSearch(msg,
+        SearchParser.parse(opts.searchQuery), opts.groupBy)
+    statsOf(msg)
+  }
+
+  /** The shared stats aggregation: main rollup + distinct label names,
+    * fused with a 1-row × 1-row crossJoin (broadcast, no shuffle).
+    */
+  private def statsOf(msg: DataFrame): DataFrame = {
     val att = vault.attachmentRollup
-    msg.join(att, col("__att_mid") === msg("id"), "left")
+    val main = msg.join(att, col("__att_mid") === msg("id"), "left")
       .agg(
         count(lit(1)).as("message_count"),
         coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
         coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
         coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"),
         countDistinct(col("source_id")).as("distinct_sources"))
+    main.crossJoin(labelNameCount(msg))
+  }
+
+  /** COUNT(DISTINCT label name) over a message set — renamed projections
+    * throughout because the caller's set may already carry ml/lbl in its
+    * lineage (a label: term or Labels-view stats search), which would
+    * otherwise trip the ambiguous-self-join detector.
+    */
+  private[engine] def labelNameCount(msg: DataFrame): DataFrame = {
+    val ml = vault.messageLabels
+      .select(col("message_id").as("__ml_mid"), col("label_id").as("__ml_lid"))
+    val lbl = vault.labels
+      .select(col("id").as("__lbl_id"), col("name").as("__lbl_name"))
+    ml.join(msg.select(msg("id").as("__sid")), col("__ml_mid") === col("__sid"), "left_semi")
+      .join(lbl, col("__lbl_id") === col("__ml_lid"))
+      .agg(countDistinct(col("__lbl_name")).as("label_count"))
   }
 
   // ------------------------------------------------------------- listing
@@ -841,13 +882,20 @@ final case class SearchWithStats(matches: DataFrame, engine: MsgEngine) {
       .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
   }
 
+  /** Search-scoped totals (reference computeSearchStats
+    * duckdb.go:2144-2190): the same rollup + distinct-label-name shape as
+    * GetTotalStats, computed over the persisted match set — the second
+    * pass re-reads the in-memory matches, not the archive.
+    */
   def stats: DataFrame = {
     val att = engine.vault.attachmentRollup
-    matches.join(att, col("__att_mid") === matches("id"), "left")
+    val main = matches.join(att, col("__att_mid") === matches("id"), "left")
       .agg(
         count(lit(1)).as("message_count"),
         coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
         coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
-        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"))
+        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"),
+        countDistinct(col("source_id")).as("distinct_sources"))
+    main.crossJoin(engine.labelNameCount(matches))
   }
 }

@@ -34,13 +34,17 @@ final case class MessageSummary(
     message_type: String,
     conversation_title: String)
 
-/** Archive-wide stats (reference engine.go:96-103). */
+/** Archive-wide stats (reference engine.go:96-103). `distinct_sources`
+  * is the reference's AccountCount; `label_count` its LabelCount (distinct
+  * label NAMES among the matching messages, duckdb.go:1164-1177).
+  */
 final case class TotalStats(
     message_count: Long,
     total_size: Long,
     attachment_size: Long,
     attachment_count: Long,
-    distinct_sources: Long)
+    distinct_sources: Long,
+    label_count: Long)
 
 /** Aggregate view dimension (reference models.go:90-121). */
 sealed abstract class ViewType(val name: String)
@@ -164,6 +168,24 @@ final case class MessageFilter(
     sorting: MessageSorting = MessageSorting()) {
   def matchesEmpty(v: ViewType): Boolean = emptyValueTargets.contains(v)
 }
+
+/** Options for [[graft.engine.MsgEngine.totalStats]] (reference
+  * models.go:339-346 StatsOptions). When `searchQuery` is set, stats
+  * reflect only matching messages; `groupBy` switches the text-term
+  * semantics to the active view's key columns (duckdb.go:588-647
+  * buildStatsSearchConditions) so the totals line up with the visible
+  * aggregate rows.
+  */
+final case class StatsOptions(
+    sourceId: Option[Long] = None,
+    // tri-state, same contract as MessageFilter.sourceIds
+    sourceIds: Option[Seq[Long]] = None,
+    withAttachmentsOnly: Boolean = false,
+    hideDeletedFromSource: Boolean = false,
+    searchQuery: String = "",
+    // None = default subject/snippet/sender terms (the reference's
+    // zero-value ViewType lands in the same default branch)
+    groupBy: Option[ViewType] = None)
 
 /** Options for aggregate views (reference models.go:124-147). */
 final case class AggregateOptions(

@@ -268,6 +268,10 @@ class MsgEngineSpec extends SparkTestBase {
     val st = s.stats.collect()(0)
     assert(st.getAs[Long]("message_count") == 2)
     assert(st.getAs[Long]("total_size") == 3000)
+    // computeSearchStats parity (duckdb.go:2144-2190): account count and
+    // distinct label names over the match set (msgs 1,2 → INBOX + Work)
+    assert(st.getAs[Long]("distinct_sources") == 1)
+    assert(st.getAs[Long]("label_count") == 2)
     // keyset page over the same match set: cursor after page 1 yields the
     // same row offset paging would
     val first = p.head
@@ -285,6 +289,30 @@ class MsgEngineSpec extends SparkTestBase {
     assert(st.getAs[Long]("message_count") == 4)
     assert(st.getAs[Long]("attachment_count") == 1)
     assert(st.getAs[Long]("distinct_sources") == 1)
+    // distinct label NAMES among matching messages (duckdb.go:1164-1177):
+    // INBOX (msgs 1,2,3) + Work (msg 1)
+    assert(st.getAs[Long]("label_count") == 2)
+  }
+
+  test("totalStats with StatsOptions: search scopes totals; groupBy swaps term semantics") {
+    // search "quarterly" hits msgs 1,2 subjects → stats reflect only those
+    val st = engine.totalStats(StatsOptions(searchQuery = "quarterly")).collect()(0)
+    assert(st.getAs[Long]("message_count") == 2)
+    assert(st.getAs[Long]("label_count") == 2) // INBOX + Work (msg 1)
+    // Labels view: the term matches label NAMES instead (duckdb.go:612-619)
+    // — "work" appears in no subject/sender but is a label of msg 1
+    val lv = engine.totalStats(StatsOptions(searchQuery = "work",
+      groupBy = Some(ViewType.Labels))).collect()(0)
+    assert(lv.getAs[Long]("message_count") == 1)
+    // same term under the default branch matches nothing
+    val dv = engine.totalStats(StatsOptions(searchQuery = "work")).collect()(0)
+    assert(dv.getAs[Long]("message_count") == 0)
+    assert(dv.getAs[Long]("label_count") == 0)
+    // Recipients view: terms match to/cc/bcc participant email/name
+    // (duckdb.go:604-611) — bob is a recipient of msgs 1 and 3
+    val rv = engine.totalStats(StatsOptions(searchQuery = "bob",
+      groupBy = Some(ViewType.Recipients))).collect()(0)
+    assert(rv.getAs[Long]("message_count") == 2)
   }
 
   test("conversationStats: texts mode only, deterministic last snippet") {
@@ -311,6 +339,7 @@ class MsgEngineSpec extends SparkTestBase {
     assert(page.head.from_name == "Carol")
     val st = engine.totalStatsTyped()
     assert(st.message_count == 4 && st.attachment_count == 1)
+    assert(st.label_count == 2)
   }
 
   test("raw SQL surface: v_messages + v_senders registered") {
