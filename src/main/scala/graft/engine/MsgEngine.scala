@@ -828,7 +828,8 @@ final class MsgEngine(val vault: MsgVault) {
 
   /** Texts-mode totals (reference GetTextStats duckdb_text.go:453-520):
     * chat types only, optional source scope + subject/snippet substring
-    * search — same single-pass shape as [[totalStats]].
+    * search — the same rollup + distinct-label-name shape as
+    * [[totalStats]].
     */
   def textStats(sourceId: Option[Long] = None,
       searchQuery: String = ""): DataFrame = {
@@ -839,14 +840,7 @@ final class MsgEngine(val vault: MsgVault) {
       msg = msg.filter(lower(col("subject")).contains(t) ||
         lower(col("snippet")).contains(t))
     }
-    val att = vault.attachmentRollup
-    msg.join(att, col("__att_mid") === msg("id"), "left")
-      .agg(
-        count(lit(1)).as("message_count"),
-        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
-        coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
-        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"),
-        countDistinct(col("source_id")).as("distinct_sources"))
+    statsOf(msg)
   }
 
   private def optsFilter(opts: AggregateOptions): MessageFilter =

@@ -110,6 +110,8 @@ class TextModeSpec extends SparkTestBase {
     val all = engine.textStats().head()
     assert(all.getAs[Long]("message_count") == 5)
     assert(all.getAs[Long]("distinct_sources") == 2)
+    // GetTextStats also reports distinct label names (duckdb_text.go:503-517)
+    assert(all.getAs[Long]("label_count") == 0) // no labels on chats here
     val wa = engine.textStats(searchQuery = "wa ").head()
     assert(wa.getAs[Long]("message_count") == 2) // "wa first", "wa latest"
   }
