@@ -263,12 +263,17 @@ object CacheBuilder {
     * that FTS index IS this table — columnar, zstd, co-partitioned with
     * nothing (joined by message_id semi-join after metadata filters).
     *
-    * Input: (message_id, body_text).
+    * Input: (message_id, body_text[, body_html]) — body_html rides along
+    * when present (reference schema.sql:266-270 keeps both; the detail
+    * surface returns BodyText AND BodyHTML, models.go:63-65).
     */
   def buildBodies(spark: SparkSession, bodies: DataFrame, outDir: String): Unit = {
     import graft.functions.TextFunctions
+    val html =
+      if (bodies.columns.contains("body_html")) col("body_html")
+      else lit(null).cast("string").as("body_html")
     bodies
-      .select(col("message_id"), col("body_text"),
+      .select(col("message_id"), col("body_text"), html,
         TextFunctions.tokens(
           TextFunctions.foldDiacritics(col("body_text"))).as("tokens"))
       .write.mode(SaveMode.Overwrite)

@@ -554,6 +554,44 @@ final class MsgEngine(val vault: MsgVault) {
       .drop("__d_mid", "__a_mid", "__l_mid")
   }
 
+  /** Full detail INCLUDING body content (reference MessageDetail
+    * models.go:44-69 carries BodyText + BodyHTML, fetched from the
+    * message_bodies table by PK — shared.go:305-324 — with a raw-MIME
+    * extraction fallback when both are empty, shared.go:326-330).
+    * `bodies` is the (message_id, body_text[, body_html]) sidecar;
+    * `raw` optionally supplies the zlib raw sidecar for the fallback.
+    * All point-pruned joins — no driver-side conditional.
+    */
+  def messageDetail(id: Long, bodies: DataFrame,
+      raw: Option[DataFrame]): DataFrame = {
+    val html =
+      if (bodies.columns.contains("body_html")) col("body_html")
+      else lit(null).cast("string")
+    val b = bodies.filter(col("message_id") === id)
+      .select(col("message_id").as("__bd_mid"),
+        col("body_text").as("__bd_text"), html.as("__bd_html"))
+    var out = messageDetail(id).join(b, col("id") === col("__bd_mid"), "left")
+    val rawText = raw match {
+      case Some(r) =>
+        out = out.join(
+          r.filter(col("message_id") === id)
+            .select(col("message_id").as("__rw_mid"), col("raw_data").as("__rw_data")),
+          col("id") === col("__rw_mid"), "left")
+        when(col("__rw_data").isNotNull,
+          graft.functions.Mime.extractBodyTextUdf(
+            graft.functions.Mime.inflateUdf(col("__rw_data"))))
+          .otherwise(lit(""))
+      case None => lit("")
+    }
+    val bt = coalesce(col("__bd_text"), lit(""))
+    val bh = coalesce(col("__bd_html"), lit(""))
+    out
+      .withColumn("body_text",
+        when(bt === "" && bh === "", coalesce(rawText, lit(""))).otherwise(bt))
+      .withColumn("body_html", bh)
+      .drop("__bd_mid", "__bd_text", "__bd_html", "__rw_mid", "__rw_data")
+  }
+
   /** Point lookup by the source system's message id (reference
     * GetMessageBySourceID engine.go:28 — routed to SQLite there
     * (duckdb.go:1412-1422), served from the star here). Lowest live id
@@ -801,6 +839,28 @@ final class MsgEngine(val vault: MsgVault) {
     page = page.limit(
       if (filter.pagination.limit > 0) filter.pagination.limit else 500)
     enrich(page).orderBy(ordered: _*)
+  }
+
+  /** Conversation timeline WITH full body text (reference
+    * ListConversationMessages routes to SQLite because "timelines need
+    * the full body text" — duckdb_text.go:298-306,
+    * scanMessageSummariesWithBody models.go:40 BodyText "only populated
+    * for timeline views"). The body join is page-scoped: applied AFTER
+    * the limit, so it touches `limit` rows, not the conversation.
+    */
+  def listConversationMessages(convId: Long, filter: TextFilter,
+      bodies: DataFrame): DataFrame = {
+    val ordered = filter.sortDirection match {
+      case SortDirection.Desc => Seq(col("sent_at").desc, col("id").desc)
+      case _ => Seq(col("sent_at").asc, col("id").asc)
+    }
+    val page = listConversationMessages(convId, filter)
+    val b = bodies.select(col("message_id").as("__bd_mid"),
+      col("body_text").as("__bd_text"))
+    page.join(b, page("id") === col("__bd_mid"), "left")
+      .withColumn("body_text", coalesce(col("__bd_text"), lit("")))
+      .drop("__bd_mid", "__bd_text")
+      .orderBy(ordered: _*)
   }
 
   /** Texts-mode full-text search (reference TextSearch

@@ -386,6 +386,35 @@ class MsgEngineSpec extends SparkTestBase {
     assert(engine.messageRaw(raw, 2L).isEmpty)
   }
 
+  test("messageDetail with bodies: body columns, html passthrough, raw-MIME fallback") {
+    import spark.implicits._
+    // msg1 has a stored body; msg2 has an EMPTY body row and a raw blob —
+    // the reference falls back to raw-MIME extraction when body_text AND
+    // body_html are both empty (shared.go:326-330)
+    val bodies = Seq(
+      (1L, "stored body", "<p>stored body</p>"),
+      (2L, "", "")).toDF("message_id", "body_text", "body_html")
+    val payload = "Subject: x\r\n\r\nextracted from raw".getBytes("UTF-8")
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val raw = Seq((2L, deflated)).toDF("message_id", "raw_data")
+    val d1 = engine.messageDetail(1L, bodies, Some(raw)).collect()(0)
+    assert(d1.getAs[String]("body_text") == "stored body")
+    assert(d1.getAs[String]("body_html") == "<p>stored body</p>")
+    val d2 = engine.messageDetail(2L, bodies, Some(raw)).collect()(0)
+    assert(d2.getAs[String]("body_text") == "extracted from raw")
+    assert(d2.getAs[String]("body_html") == "")
+    // no body row and no raw → empty strings (reference zero values)
+    val d3 = engine.messageDetail(3L, bodies, None).collect()(0)
+    assert(d3.getAs[String]("body_text") == "")
+    assert(d3.getAs[String]("body_html") == "")
+  }
+
   test("listAccounts lists sources with identifier fallback display name") {
     val accts = rows(engine.listAccounts())
     assert(accts.length == 1)

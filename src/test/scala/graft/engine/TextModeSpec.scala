@@ -91,6 +91,19 @@ class TextModeSpec extends SparkTestBase {
     assert(page2.map(_.getAs[Long]("id")).toSeq == Seq(13L))
   }
 
+  test("listConversationMessages with bodies joins full body text page-scoped") {
+    // timelines carry the full body (reference duckdb_text.go:298-306,
+    // MessageSummary.BodyText models.go:40); missing body rows → ""
+    val bodies = Seq((11L, "full body eleven"), (13L, "full body thirteen"))
+      .toDF("message_id", "body_text")
+    val timeline = engine.listConversationMessages(1L,
+      TextFilter(sortDirection = SortDirection.Asc), bodies).collect()
+    assert(timeline.map(_.getAs[Long]("id")).toSeq == Seq(11L, 12L, 13L))
+    assert(timeline.map(_.getAs[String]("body_text")).toSeq ==
+      Seq("full body eleven", "", "full body thirteen"))
+    assert(timeline.head.getAs[String]("from_email") == "a@x.com")
+  }
+
   test("textSearch hits chat bodies only; empty query returns nothing") {
     val out = java.nio.file.Files.createTempDirectory("graft_tb").toString
     CacheBuilder.buildBodies(spark, Seq(
