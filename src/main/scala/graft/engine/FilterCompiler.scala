@@ -322,7 +322,11 @@ final class FilterCompiler(v: MsgVault) {
     *   - Labels: any label whose name contains the term;
     *   - everything else: the default subject/snippet/from-sender match
     *     (email/name only — the aggregate-path semantics).
-    * Non-text operators are view-independent and shared.
+    * The reference special-cases ONLY those three 1:N views; Time and
+    * SenderNames deliberately land in the default branch (its switch,
+    * duckdb.go:602-635), so a Time-view search can show a matching
+    * bucket while the header counts by subject/sender — faithful parity,
+    * not a gap. Non-text operators are view-independent and shared.
     */
   def compileStatsSearch(msgIn: DataFrame, q: SearchQuery,
       groupBy: Option[ViewType] = None): DataFrame = {

@@ -176,7 +176,7 @@ final class MsgEngine(val vault: MsgVault) {
   /** The shared stats aggregation: main rollup + distinct label names,
     * fused with a 1-row × 1-row crossJoin (broadcast, no shuffle).
     */
-  private def statsOf(msg: DataFrame): DataFrame = {
+  private[engine] def statsOf(msg: DataFrame): DataFrame = {
     val att = vault.attachmentRollup
     val main = msg.join(att, col("__att_mid") === msg("id"), "left")
       .agg(
@@ -828,10 +828,7 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def listConversationMessages(convId: Long,
       filter: TextFilter = TextFilter()): DataFrame = {
-    val ordered = filter.sortDirection match {
-      case SortDirection.Desc => Seq(col("sent_at").desc, col("id").desc)
-      case _ => Seq(col("sent_at").asc, col("id").asc)
-    }
+    val ordered = timelineOrdering(filter)
     var page = compileTextFilter(filter)
       .filter(col("conversation_id") === convId)
       .orderBy(ordered: _*)
@@ -850,18 +847,24 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def listConversationMessages(convId: Long, filter: TextFilter,
       bodies: DataFrame): DataFrame = {
-    val ordered = filter.sortDirection match {
-      case SortDirection.Desc => Seq(col("sent_at").desc, col("id").desc)
-      case _ => Seq(col("sent_at").asc, col("id").asc)
-    }
     val page = listConversationMessages(convId, filter)
     val b = bodies.select(col("message_id").as("__bd_mid"),
       col("body_text").as("__bd_text"))
     page.join(b, page("id") === col("__bd_mid"), "left")
       .withColumn("body_text", coalesce(col("__bd_text"), lit("")))
       .drop("__bd_mid", "__bd_text")
-      .orderBy(ordered: _*)
+      .orderBy(timelineOrdering(filter): _*)
   }
+
+  /** Timeline sort: sent_at ASC unless descending requested, id
+    * tie-break — shared so the body-join overload re-sorts exactly the
+    * order the page was cut with.
+    */
+  private def timelineOrdering(filter: TextFilter): Seq[Column] =
+    filter.sortDirection match {
+      case SortDirection.Desc => Seq(col("sent_at").desc, col("id").desc)
+      case _ => Seq(col("sent_at").asc, col("id").asc)
+    }
 
   /** Texts-mode full-text search (reference TextSearch
     * duckdb_text.go:399-452: FTS5 over chat types, sent_at DESC, default
@@ -941,15 +944,5 @@ final case class SearchWithStats(matches: DataFrame, engine: MsgEngine) {
     * GetTotalStats, computed over the persisted match set — the second
     * pass re-reads the in-memory matches, not the archive.
     */
-  def stats: DataFrame = {
-    val att = engine.vault.attachmentRollup
-    val main = matches.join(att, col("__att_mid") === matches("id"), "left")
-      .agg(
-        count(lit(1)).as("message_count"),
-        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
-        coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
-        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"),
-        countDistinct(col("source_id")).as("distinct_sources"))
-    main.crossJoin(engine.labelNameCount(matches))
-  }
+  def stats: DataFrame = engine.statsOf(matches)
 }
