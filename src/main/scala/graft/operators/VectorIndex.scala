@@ -20,39 +20,104 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  final case class IndexState(active: Long, fingerprint: String)
+  final case class IndexState(active: Long, fingerprint: String,
+      model: String = "", dimension: Int = 0, activatedAt: String = "")
+
+  /** In-flight rebuild marker (reference Generation state=building,
+    * backend.go:22-35).
+    */
+  final case class BuildingState(id: Long, model: String, dimension: Int,
+      startedAt: String)
 
   private def metaPath(dir: String) = Paths.get(dir, "_index.json")
+  private def buildingPath(dir: String) = Paths.get(dir, "_building.json")
+
+  private def strField(s: String, key: String): Option[String] =
+    (""""""" + key + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
+  private def numField(s: String, key: String): Option[Long] =
+    (""""""" + key + """"\s*:\s*(\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong)
 
   def readState(dir: String): Option[IndexState] = {
     val p = metaPath(dir)
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), "UTF-8")
-      val gen = """"active"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-      val fp = """"fingerprint"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
-      for (g <- gen; f <- fp) yield IndexState(g, f)
+      for (g <- numField(s, "active"); f <- strField(s, "fingerprint"))
+        yield IndexState(g, f,
+          model = strField(s, "model").getOrElse(""),
+          dimension = numField(s, "dimension").getOrElse(0L).toInt,
+          activatedAt = strField(s, "activated_at").getOrElse(""))
+    }
+  }
+
+  def readBuilding(dir: String): Option[BuildingState] = {
+    val p = buildingPath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), "UTF-8")
+      for (id <- numField(s, "id"))
+        yield BuildingState(id,
+          model = strField(s, "model").getOrElse(""),
+          dimension = numField(s, "dimension").getOrElse(0L).toInt,
+          startedAt = strField(s, "started_at").getOrElse(""))
     }
   }
 
   private def writeState(dir: String, st: IndexState): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
-      s"""{"active":${st.active},"fingerprint":"${st.fingerprint}"}""".getBytes("UTF-8"),
+      (s"""{"active":${st.active},"fingerprint":"${st.fingerprint}",""" +
+        s""""model":"${st.model}","dimension":${st.dimension},""" +
+        s""""activated_at":"${st.activatedAt}"}""").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def nowUtc(): String =
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+      java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+
+  /** Reserve the next generation id and mark it building (reference
+    * CreateGeneration → state='building', sqlitevec/schema.sql:8-29).
+    * The marker makes an in-flight cluster-scale rebuild observable to
+    * [[collectStats]] while the previous generation stays live.
+    */
+  def beginGeneration(dir: String, model: String = "",
+      dimension: Int = 0): Long = {
+    val next = readState(dir).map(_.active + 1).getOrElse(0L)
+    Files.createDirectories(Paths.get(dir))
+    Files.write(buildingPath(dir),
+      (s"""{"id":$next,"model":"$model","dimension":$dimension,""" +
+        s""""started_at":"${nowUtc()}"}""").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    next
+  }
+
+  /** Write the building generation's vectors and atomically activate it
+    * (reference ActivateGeneration: the pointer flip is the only mutation
+    * readers can observe). No-op marker cleanup when [[beginGeneration]]
+    * wasn't called — the one-shot [[buildGeneration]] path.
+    */
+  def completeGeneration(vectors: DataFrame, dir: String,
+      fingerprint: String): Long = {
+    val building = readBuilding(dir)
+    val next = building.map(_.id)
+      .getOrElse(readState(dir).map(_.active + 1).getOrElse(0L))
+    vectors.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$dir/gen=$next")
+    writeState(dir, IndexState(next, fingerprint,
+      model = building.map(_.model).getOrElse(""),
+      dimension = building.map(_.dimension).getOrElse(0),
+      activatedAt = nowUtc()))
+    Files.deleteIfExists(buildingPath(dir))
+    next
   }
 
   /** Build the next generation from (id, embedding) rows and atomically
     * activate it. Returns the new generation number.
     */
   def buildGeneration(vectors: DataFrame, dir: String,
-      fingerprint: String): Long = {
-    val next = readState(dir).map(_.active + 1).getOrElse(0L)
-    vectors.write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(s"$dir/gen=$next")
-    writeState(dir, IndexState(next, fingerprint))
-    next
-  }
+      fingerprint: String): Long =
+    completeGeneration(vectors, dir, fingerprint)
 
   /** The active generation's vectors; None before any build completes. */
   def active(spark: SparkSession, dir: String): Option[DataFrame] =
@@ -63,6 +128,59 @@ object VectorIndex {
     */
   def needsRebuild(dir: String, fingerprint: String): Boolean =
     !readState(dir).exists(_.fingerprint == fingerprint)
+
+  /** Serving-state summary for the active generation (reference
+    * GenerationSummary stats.go:37-46).
+    */
+  final case class GenerationSummary(id: Long, model: String,
+      dimension: Int, fingerprint: String, state: String,
+      activated_at: String, message_count: Long)
+
+  /** In-flight rebuild summary with queue progress (reference
+    * BuildingSummary + Progress stats.go:48-63).
+    */
+  final case class BuildingSummary(id: Long, model: String,
+      dimension: Int, started_at: String, done: Long, total: Long)
+
+  /** Stats-endpoint view (reference StatsView stats.go:15-34). */
+  final case class VectorStatsView(enabled: Boolean,
+      active: Option[GenerationSummary],
+      building: Option[BuildingSummary],
+      pending_embeddings_total: Long)
+
+  /** Assemble the stats view (reference CollectStats stats.go:78-133):
+    * active-generation serving state, in-flight rebuild progress, and the
+    * total pending-embeddings backlog. `pendingActive`/`pendingBuilding`
+    * are the caller's queue depths (the pending frame is the caller's —
+    * e.g. `Embed.failed(...)` counts — since the queue lives outside the
+    * index directory). Missing index → disabled view, mirroring the nil
+    * backend contract; an absent active generation during a first build
+    * is the normal state, not an error.
+    */
+  def collectStats(spark: SparkSession, dir: String,
+      pendingActive: Long = 0, pendingBuilding: Long = 0): VectorStatsView = {
+    val state = readState(dir)
+    val building = readBuilding(dir)
+    if (state.isEmpty && building.isEmpty)
+      return VectorStatsView(enabled = false, None, None, 0L)
+    val active = state.map { st =>
+      GenerationSummary(st.active, st.model, st.dimension, st.fingerprint,
+        state = "active", activated_at = st.activatedAt,
+        message_count = spark.read.parquet(s"$dir/gen=${st.active}").count())
+    }
+    val bld = building.map { b =>
+      // progress: rows already written to the building dir (partial
+      // cluster output is observable) vs those plus the pending queue
+      val done =
+        if (Files.exists(Paths.get(dir, s"gen=${b.id}")))
+          spark.read.parquet(s"$dir/gen=${b.id}").count()
+        else 0L
+      BuildingSummary(b.id, b.model, b.dimension, b.startedAt,
+        done = done, total = done + pendingBuilding)
+    }
+    VectorStatsView(enabled = true, active, bld,
+      pending_embeddings_total = pendingActive + pendingBuilding)
+  }
 
   /** find_similar_messages (reference mcp/server.go:342-358 +
     * backend.go:606-626): the seed message's stored vector becomes the

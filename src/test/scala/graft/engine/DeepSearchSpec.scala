@@ -166,6 +166,44 @@ class DeepSearchSpec extends SparkTestBase {
     assert(VectorIndex.readState(dir).get.active == 1L)
   }
 
+  test("vector index: building lifecycle is observable via collectStats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecstats").toString
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("message_id", "embedding")
+
+    // no index at all → disabled view (reference CollectStats nil backend)
+    assert(!VectorIndex.collectStats(spark, dir).enabled)
+
+    // first build in flight: building summary, no active yet (the normal
+    // first-run state, stats.go:103-106)
+    val id0 = VectorIndex.beginGeneration(dir, model = "stub-embed", dimension = 2)
+    assert(id0 == 0L)
+    val mid = VectorIndex.collectStats(spark, dir, pendingBuilding = 3)
+    assert(mid.enabled && mid.active.isEmpty)
+    assert(mid.building.exists(b => b.id == 0L && b.model == "stub-embed" &&
+      b.dimension == 2 && b.done == 0L && b.total == 3L))
+    assert(mid.pending_embeddings_total == 3L)
+
+    // complete → active carries the building metadata; marker cleared
+    assert(VectorIndex.completeGeneration(vecs, dir, "fp-a") == 0L)
+    assert(VectorIndex.readBuilding(dir).isEmpty)
+    val done = VectorIndex.collectStats(spark, dir)
+    assert(done.building.isEmpty)
+    val a = done.active.get
+    assert(a.id == 0L && a.model == "stub-embed" && a.dimension == 2 &&
+      a.fingerprint == "fp-a" && a.state == "active" &&
+      a.message_count == 3L && a.activated_at.nonEmpty)
+
+    // rebuild: previous generation stays live while the next is building
+    val id1 = VectorIndex.beginGeneration(dir, model = "stub-embed", dimension = 2)
+    assert(id1 == 1L)
+    val during = VectorIndex.collectStats(spark, dir, pendingBuilding = 2)
+    assert(during.active.exists(_.id == 0L))
+    assert(during.building.exists(b => b.id == 1L && b.total == 2L))
+    assert(VectorIndex.active(spark, dir).get.count() == 3L)
+  }
+
   test("embedding preprocessing strips quoted replies and signatures") {
     val body = "Here is my reply.\n\nOn Mon, Jan 1, 2024 someone wrote:\n> old text\n> more old"
     val out = Mime.preprocessForEmbedding("Re: plans", body, 8000)
