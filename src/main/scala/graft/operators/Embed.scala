@@ -111,6 +111,21 @@ object Embed {
       }
   }
 
+  /** The enqueue/delta selection (reference enqueue.go:29-34: newly
+    * synced ids join pending_embeddings per non-retired generation;
+    * queue.go Claim drains them): rows of `corpus` (id, text, ...) with
+    * no vector in `embedded` (message_id) yet — the set one worker pass
+    * over this generation still has to embed. The reference's
+    * dual-enqueue (active + building both stay current during a rebuild)
+    * is this call made once per generation, against each generation's
+    * own vectors. Anti-join on the id: at 100 TB the output is the daily
+    * increment — the already-embedded side is only semi-joined, never
+    * re-embedded.
+    */
+  def pendingEmbeddings(corpus: DataFrame, embedded: DataFrame): DataFrame =
+    corpus.join(embedded.select(embedded("message_id").as("__e_id")),
+      corpus("id") === org.apache.spark.sql.functions.col("__e_id"), "left_anti")
+
   def succeeded(out: Dataset[EmbedOutcome]): Dataset[EmbeddedRow] = {
     import out.sparkSession.implicits._
     out.flatMap(o => o.embedding.map(EmbeddedRow(o.id, _)))

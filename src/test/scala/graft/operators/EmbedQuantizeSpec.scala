@@ -34,6 +34,21 @@ class EmbedQuantizeSpec extends SparkTestBase {
     assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0)
   }
 
+  test("pendingEmbeddings selects only rows the generation hasn't embedded") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "text")
+    val embedded = Seq((1L, Array(0.1f)), (3L, Array(0.2f)))
+      .toDF("message_id", "embedding")
+    val pending = Embed.pendingEmbeddings(corpus, embedded)
+    assert(pending.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    assert(pending.columns.toSeq == Seq("id", "text")) // corpus shape kept
+    // drained generation → empty delta; empty generation → whole corpus
+    val all = Seq((1L, Array(0f)), (2L, Array(0f)), (3L, Array(0f)), (4L, Array(0f)))
+      .toDF("message_id", "embedding")
+    assert(Embed.pendingEmbeddings(corpus, all).isEmpty)
+    assert(Embed.pendingEmbeddings(corpus, all.limit(0)).count() == 4L)
+  }
+
   test("embedAllResilient: transient failures retry with backoff and recover") {
     EmbedQuantizeSpec.callCount.set(0)
     // fails the first 2 calls in the JVM, then succeeds — exercises the
