@@ -411,19 +411,18 @@ object CoreQueries {
   // (conversation stats; reference duckdb_text.go:129-158) ---
   def aggGroupStats(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns").desc, col("event_id").desc) // exact-ns order = oracle's ts order
-    val lastType = ev
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type").as("last_type"))
+    // single scan: the deterministic last-row pick is max_by over the
+    // exact-ns (ts_ns, event_id) struct — same row the oracle's
+    // ROW_NUMBER() OVER (ORDER BY ts DESC, event_id DESC) selects, without
+    // a second scan + window + join branch
     ev.groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("event_count"),
         countDistinct(col("event_type")).as("distinct_types"),
         dsum(col("value")).as("total_value"),
-        max(col("ts")).cast("date").as("last_day"))
-      .join(lastType, Seq("user_id"))
+        max(col("ts")).cast("date").as("last_day"),
+        max_by(col("event_type"),
+          struct(col("ts_ns"), col("event_id"))).as("last_type"))
       .coalesce(1)
       .sortWithinPartitions(col("user_id").asc)
   }

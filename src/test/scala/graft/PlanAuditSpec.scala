@@ -326,6 +326,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Expand"), s"Expand crept back:\n$plan")
   }
 
+  test("agg_group_stats is ONE events scan (max_by last-pick, no window branch)") {
+    val df = CoreQueries.aggGroupStats(spark, sf)
+    val plan = executed(df).toString
+    val nScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"expected 1 events scan, got $nScans:\n$plan")
+    // the row_number formulation would re-surface as a Window + self-join
+    assert(!plan.contains("Window"), s"window branch crept back:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"self-join crept back:\n$plan")
+  }
+
   test("as-of join is one shuffle per side + one window, no join operator") {
     import spark.implicits._
     val l = (0 until 100).map(i => (i.toLong % 7, i.toLong, s"e$i"))
