@@ -617,13 +617,23 @@ final class MsgEngine(val vault: MsgVault) {
   /** Decompressed raw MIME for one message, from the raw sidecar frame
     * (message_id, raw_data zlib binary). Raw MIME stays OUT of the
     * analytics star by design (reference query/DESIGN.md:56-69) — the
-    * caller supplies the sidecar. None when absent (the reference
-    * returns nil, nil — engine.go:33-34).
+    * caller supplies the sidecar. None when absent OR when the message
+    * is hidden from normal reads: dedup losers (deleted_at) and
+    * source-deleted rows (deleted_from_source_at) are BOTH filtered
+    * here, matching the reference's raw-read visibility rule
+    * (shared.go:217-254 getMessageRawShared) — stricter than the list
+    * surfaces, where source-deleted hiding is opt-in.
     */
-  def messageRaw(raw: DataFrame, id: Long): Option[Array[Byte]] =
+  def messageRaw(raw: DataFrame, id: Long): Option[Array[Byte]] = {
+    val visible = vault.messages
+      .filter(col("id") === id && col("deleted_at").isNull &&
+        col("deleted_from_source_at").isNull)
+      .select(col("id").as("__viz_id"))
     raw.filter(col("message_id") === id)
+      .join(visible, col("message_id") === col("__viz_id"), "left_semi")
       .select(graft.functions.Mime.inflateUdf(col("raw_data")))
       .collect().headOption.map(_.getAs[Array[Byte]](0))
+  }
 
   /** Source accounts (reference ListAccounts → AccountInfo{id,
     * source_type, identifier, display_name}, models.go:330-336).

@@ -380,10 +380,15 @@ class MsgEngineSpec extends SparkTestBase {
       val n = d.deflate(buf); d.end()
       java.util.Arrays.copyOf(buf, n)
     }
-    val raw = Seq((1L, deflated)).toDF("message_id", "raw_data")
+    val raw = Seq((1L, deflated), (4L, deflated), (5L, deflated))
+      .toDF("message_id", "raw_data")
     assert(engine.messageRaw(raw, 1L).map(new String(_, "UTF-8"))
       .contains("Message-ID: <m1@x>\r\n\r\nhello body"))
     assert(engine.messageRaw(raw, 2L).isEmpty)
+    // raw reads hide BOTH deletion kinds unconditionally (shared.go:217-254):
+    // msg 4 is a dedup loser, msg 5 is source-deleted — data exists, reads None
+    assert(engine.messageRaw(raw, 4L).isEmpty)
+    assert(engine.messageRaw(raw, 5L).isEmpty)
   }
 
   test("messageDetail with bodies: body columns, html passthrough, raw-MIME fallback") {
