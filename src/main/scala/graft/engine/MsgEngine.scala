@@ -607,12 +607,17 @@ final class MsgEngine(val vault: MsgVault) {
   }
 
   /** Attachment metadata point lookup (reference GetAttachment,
-    * models.go:79-85 AttachmentInfo shape).
+    * models.go:79-85 AttachmentInfo shape; nulls coalesce to ''/0 —
+    * sqlite.go:831-845 — and no visibility filter applies, unlike raw
+    * reads).
     */
   def attachmentInfo(id: Long): DataFrame =
     vault.attachments.filter(col("id") === id)
-      .select(col("id"), col("filename"), col("mime_type"), col("size"),
-        col("content_hash"))
+      .select(col("id"),
+        coalesce(col("filename"), lit("")).as("filename"),
+        coalesce(col("mime_type"), lit("")).as("mime_type"),
+        coalesce(col("size"), lit(0L)).as("size"),
+        coalesce(col("content_hash"), lit("")).as("content_hash"))
 
   /** Decompressed raw MIME for one message, from the raw sidecar frame
     * (message_id, raw_data zlib binary). Raw MIME stays OUT of the
