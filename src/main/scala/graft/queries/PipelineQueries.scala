@@ -432,6 +432,39 @@ object PipelineQueries {
       |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
       |FROM a GROUP BY lang, split ORDER BY lang ASC, split ASC""".stripMargin
 
+  /** Leakage-safe split: the train/valid/test draw hashes the
+    * DUPLICATE-GROUP key (exact-dup content hash here; any cluster label
+    * works the same way) instead of the doc id, so every member of a
+    * duplicate group lands in the SAME split — with an id-hash draw,
+    * near-identical docs straddle train and the eval holdout and leak.
+    * Same stateless splitAssign expression, different key; group
+    * co-assignment is structural (one hash → one split). Output is the
+    * per-split doc/group/dup-doc census; the invariant that no group
+    * spans two splits is what makes n_groups sum to the corpus-wide
+    * distinct-group count across splits (a property the oracle's
+    * identical grouping would break if co-assignment ever broke).
+    */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      t(s, dir, "documents")
+        .withColumn("grp", md5(col("text")))
+        .withColumn("split", Sampling.splitAssign(col("grp"),
+          Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups")),
+      col("split").asc)
+
+  val splitLeakageSafeSql: String =
+    """WITH a AS (
+      |  SELECT md5(text) AS grp,
+      |         CASE WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 1000 < 900 THEN 'train'
+      |              WHEN CAST(concat('0x', substr(md5(md5(text)), 1, 15)) AS BIGINT) % 1000 < 950 THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups
+      |FROM a GROUP BY split ORDER BY split ASC""".stripMargin
+
   /** Deterministic global shuffle: dense position in md5(id) order with
     * no global window (bucket ranks + broadcast cumulative offsets — see
     * [[Sampling.shufflePositions]]). The oracle IS the global window the
@@ -554,6 +587,7 @@ object PipelineQueries {
     "text_decontaminate" -> (textDecontaminate _, Some(textDecontaminateSql)),
     "sample_stratified" -> (sampleStratified _, Some(sampleStratifiedSql)),
     "sample_split" -> (sampleSplit _, Some(sampleSplitSql)),
+    "split_leakage_safe" -> (splitLeakageSafe _, Some(splitLeakageSafeSql)),
     "sample_shuffle" -> (sampleShuffle _, Some(sampleShuffleSql)),
     "sample_group_topk" -> (sampleGroupTopk _, Some(sampleGroupTopkSql)),
     "url_dedup" -> (urlDedup _, Some(urlDedupSql)),

@@ -173,6 +173,26 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("splitAssign on a group key co-assigns every group member (leakage-safe)") {
+    // 300 docs in 100 near-dup clusters of 3: the draw hashes the CLUSTER
+    // label, so members can never straddle train and the eval holdout
+    val df = (0L until 300L).map(i => (i, s"c${i % 100}"))
+      .toDF("doc_id", "cluster")
+    val assigned = df.withColumn("split", Sampling.splitAssign(col("cluster"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+    val perCluster = assigned.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .collect()
+    assert(perCluster.length == 100 && perCluster.forall(_.getLong(1) == 1L))
+    // contrast: the id-hash draw DOES split at least one cluster here —
+    // the leak the group-key draw exists to prevent
+    val byId = df.withColumn("split", Sampling.splitAssign(col("doc_id"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+      .groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assert(byId.filter(col("n_splits") > 1).count() > 0)
+  }
+
   test("shufflePositions: dense permutation identical to a global sort") {
     val df = (0L until 777L).toDF("id")
     val got = Sampling.shufflePositions(df, col("id"))
