@@ -113,6 +113,27 @@ object TextFunctions {
     round((lenScore + divScore + stopScore + punctPenalty) / 4.0, 6)
   }
 
+  /** Hashed-feature linear classifier score — the fastText-style quality
+    * classifier of the CCNet/GPT-3-era curation stack: hash each token
+    * into a `dim`-bucket weight table, mean-pool the weights, squash
+    * through a sigmoid. The weight table here is a deterministic
+    * placeholder derived from the bucket id ((b % 201 − 100) / 100 ∈
+    * [−1, 1]) — a deployment substitutes trained weights as a broadcast
+    * literal lookup; the hashing-trick feature map, pooling, and link
+    * function are the real path. One scan, no shuffle; md5 bucketing
+    * reproduces in any engine (same idiom as [[graft.operators.Sampling
+    * .hashBucket]]). Empty token array → mean 0 → score 0.5.
+    */
+  def classifierScore(toks: Column, dim: Int = 1024): Column = {
+    val weight = (t: Column) =>
+      (((conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim) % 201)
+        .cast("double") - 100.0) / 100.0
+    val sum = aggregate(transform(toks, weight), lit(0.0), (a, x) => a + x)
+    val mean = when(size(toks) > 0, sum / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+    lit(1.0) / (lit(1.0) + exp(-mean))
+  }
+
   /** n-gram character/word-profile language ID: stopword-profile scoring,
     * winner = max hits with lexicographically-last tie-break, zero hits →
     * "und". One pass over the raw codegen'd `split` via the

@@ -55,7 +55,8 @@ object IvfIndex {
     * centroid literals — `greatest(struct(score, idx))` picks the max
     * score (ties → higher idx, deterministic). No shuffle; one scan.
     */
-  private def assign(base: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
+  private[operators] def assign(base: DataFrame,
+      centroids: Seq[Seq[Float]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(Similarity.cosine(col("embedding"), typedLit(c)).as("s"),
         lit(i).as("i"))

@@ -197,6 +197,56 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus around coarse centroids, then report every
+    * document whose cosine to a LOWER-id member of its own cluster exceeds
+    * `eps` — the canonical "prune ε-balls within k-means clusters" recipe
+    * for embedding-level near-dup removal in LLM training pipelines.
+    * Output: one row per pruned doc — (dup_id, cluster, kept_id = its
+    * smallest qualifying neighbor, max_cosine) — anti-join `dup_id`
+    * against the corpus to materialize the deduplicated set.
+    *
+    * Scale shape: centroid pick is a bounded `limit(nList).collect()`
+    * (≤ nList rows on the driver); assignment is one scan with no shuffle
+    * ([[IvfIndex.assign]]); the pair stage shuffles on `cluster` once and
+    * is quadratic only WITHIN a cluster, so `nList` must grow with the
+    * corpus to hold the mean cluster size (≈ n/nList) at the budget — the
+    * same knob as the paper's k. Centroids here are a mod-stride sample
+    * over the dense ids (cross-engine reproducible, hence oracle-able);
+    * a deployment swaps in [[IvfIndex.build]]'s hash stride or MLlib
+    * KMeans without touching the pair stage.
+    */
+  def semanticDedup(emb: DataFrame, id: Column, vec: Column,
+      nList: Int, eps: Double): DataFrame = {
+    val base = emb.select(id.as("vec_id"), vec.as("embedding"))
+    val n = base.count()
+    require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
+    val stride = math.max(1L, n / nList)
+    val centroids = base
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id").asc)
+      .limit(nList)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
+      .toSeq
+    require(centroids.nonEmpty, "id stride produced no centroids")
+    val assigned = IvfIndex.assign(base, centroids)
+    val keep = assigned.select(col("cluster"), col("vec_id").as("kept_id"),
+      col("embedding").as("__ea"))
+    val dup = assigned.select(col("cluster"), col("vec_id").as("dup_id"),
+      col("embedding").as("__eb"))
+    keep.join(dup, "cluster")
+      .filter(col("kept_id") < col("dup_id"))
+      .select(col("dup_id"), col("cluster"), col("kept_id"),
+        cosine(col("__ea"), col("__eb")).as("cosine"))
+      .filter(col("cosine") > eps)
+      .groupBy(col("dup_id"))
+      .agg(min(col("cluster")).cast("long").as("cluster"),
+        min(col("kept_id")).as("kept_id"),
+        max(col("cosine")).as("max_cosine"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (reference rrf.go:24-76;
     * SQL form sqlitevec/fused.go:176-190): full outer join on id,
     * score = Σ 1/(K + rank), deterministic (score DESC, id ASC) order.

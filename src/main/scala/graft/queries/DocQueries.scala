@@ -545,6 +545,56 @@ object DocQueries {
       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       |ORDER BY cosine DESC, id_a ASC LIMIT 100""".stripMargin
 
+  /** SemDeDup over the embeddings corpus: 16 clusters, ε tuned to this
+    * synthetic corpus's cosine mass (pairwise max ≈ 0.51, p999 ≈ 0.38 —
+    * ε = 0.33 prunes ~17% at sf0.01). The oracle replays the WHOLE
+    * pipeline in SQL — mod-stride centroid pick, argmax assignment with
+    * the same (score, cid) tie-break, within-cluster pair threshold — and
+    * hash-matches bit-for-bit, so the cluster structure, not just the
+    * final ids, is what the gate proves.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    orderedViaShuffle(
+      Similarity.semanticDedup(t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), nList = 16, eps = 0.33),
+      col("dup_id").asc)
+
+  val dedupSemanticSql: String =
+    """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+      |  FROM embeddings, n
+      |  WHERE vec_id % greatest(1, cnt // 16) = 0
+      |  ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q) /
+      |    (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)) *
+      |     sqrt(list_reduce(list_transform(list_zip(c.cvec, c.cvec),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q))) AS s
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cid AS cluster
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT b.vec_id AS dup_id, a.cluster, a.vec_id AS kept_id,
+      |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q) /
+      |    (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)) *
+      |     sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q))) AS cosine
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      |SELECT dup_id, min(cluster) AS cluster, min(kept_id) AS kept_id,
+      |       max(cosine) AS max_cosine
+      |FROM pairs WHERE cosine > 0.33
+      |GROUP BY dup_id ORDER BY dup_id ASC""".stripMargin
+
   // --- §2.10 RRF fusion (on orders: price-rank × recency-rank) ------------
 
   /** Each signal extracts its top-100 with orderBy+limit FIRST — that
@@ -665,6 +715,36 @@ object DocQueries {
       |    / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
       |) / 4.0, 6) AS quality
       |FROM documents ORDER BY doc_id ASC""".stripMargin
+
+  /** Classifier-based quality filter (the fastText-style companion to the
+    * heuristic `text_quality_score`): hashed token features → linear
+    * weights → mean-pool → sigmoid, keep at score ≥ 0.5. The oracle
+    * replays the full hash-bucket/weight/pool/sigmoid arithmetic, so the
+    * feature map — not just the verdicts — is gated. Rounded to 6 dp like
+    * the other score oracles (double fold order is engine-identical; the
+    * round pins the textual boundary).
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val score = round(TextFunctions.classifierScore(
+      TextFunctions.wsTokens(col("text"))), 6)
+    orderedViaShuffle(
+      t(s, dir, "documents")
+        .select(col("doc_id"), score.as("score"))
+        .withColumn("keep", col("score") >= 0.5),
+      col("doc_id").asc)
+  }
+
+  val qualityClassifierSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, round(1.0 / (1.0 + exp(-(
+      |    list_reduce(list_transform(string_split(text, ' '), t ->
+      |      (CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+      |         % 1024 % 201 AS DOUBLE) - 100.0) / 100.0),
+      |      (a, x) -> a + x) / CAST(len(string_split(text, ' ')) AS DOUBLE)))),
+      |    6) AS score
+      |  FROM documents)
+      |SELECT doc_id, score, score >= 0.5 AS keep
+      |FROM s ORDER BY doc_id ASC""".stripMargin
 
   /** Composed curation pipeline, deterministic core: quality gate + exact
     * dedup (min-id winner) + token accounting in one pass + one window
@@ -970,6 +1050,7 @@ object DocQueries {
     "embed_centroid" -> (embedCentroid _, Some(embedCentroidSql)),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),
+    "dedup_semantic" -> (dedupSemantic _, Some(dedupSemanticSql)),
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
     "vector_knn_lsh" -> (vectorKnnLsh _, Some(vectorKnnBruteSql)),
     "vector_knn_ivf" -> (vectorKnnIvf _, Some(vectorKnnIvfSql)),
@@ -979,6 +1060,7 @@ object DocQueries {
     "stream_sliding" -> (streamSliding _, Some(streamSlidingSql)),
     "stream_sessionize" -> (streamSessionize _, Some(streamSessionizeSql)),
     "text_quality_score" -> (textQualityScore _, Some(textQualityScoreSql)),
+    "quality_classifier" -> (qualityClassifier _, Some(qualityClassifierSql)),
     "pipeline_curate" -> (pipelineCurate _, Some(pipelineCurateSql)),
     "multimodal_meta" -> (multimodalMeta _, Some(multimodalMetaSql)),
     "multimodal_features" -> (multimodalFeatures _, Some(multimodalFeaturesSql)),

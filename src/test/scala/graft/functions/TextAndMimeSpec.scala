@@ -78,4 +78,19 @@ class TextAndMimeSpec extends SparkTestBase {
     assert(r.getAs[Double]("qj") < r.getAs[Double]("qp"))
     assert(r.getAs[Double]("qp") <= 1.0 && r.getAs[Double]("qj") >= 0.0)
   }
+
+  test("classifierScore: deterministic, bounded, 0.5 on empty tokens") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"), // identical text → identical score
+      (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.classifierScore(
+        filter(TextFunctions.wsTokens(col("text")), t => length(t) > 0))
+        .as("s"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) > 0.0 && out(1L) < 1.0)
+    assert(out(3L) == 0.5) // no tokens → mean weight 0 → sigmoid(0)
+  }
 }

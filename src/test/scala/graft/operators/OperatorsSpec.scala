@@ -171,6 +171,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("semanticDedup prunes the in-cluster near-copy and nothing else") {
+    // ids 0-3 point near +x (centroid id 0), ids 4-7 near +z (centroid
+    // id 4); id 3 is a near-copy of id 1 (cosine ≈ 0.999997); every other
+    // in-cluster pair sits below 0.99
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.3f, 0.0f, 0.0f)),
+      (2L, Seq(0.8f, -0.4f, 0.2f, 0.0f)),
+      (3L, Seq(0.9001f, 0.2999f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.05f)),
+      (5L, Seq(0.0f, 0.3f, 0.9f, 0.0f)),
+      (6L, Seq(0.2f, 0.0f, 0.8f, -0.4f)),
+      (7L, Seq(0.0f, 0.0f, 0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val pruned = Similarity.semanticDedup(emb, col("vec_id"),
+      col("embedding"), nList = 2, eps = 0.99).collect()
+    assert(pruned.length == 1)
+    assert(pruned.head.getAs[Long]("dup_id") == 3L)
+    assert(pruned.head.getAs[Long]("kept_id") == 1L)
+    assert(pruned.head.getAs[Long]("cluster") == 0L)
+    assert(pruned.head.getAs[Double]("max_cosine") > 0.999)
+    // a threshold no cosine can exceed prunes nothing
+    assert(Similarity.semanticDedup(emb, col("vec_id"), col("embedding"),
+      nList = 2, eps = 1.01).isEmpty)
+  }
+
   test("rrf fusion ranks an item present in both lists first") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
