@@ -81,6 +81,16 @@ object ScaleProbe {
     time(s"exact dedup ${factor}x")(
       Dedup.exactGroups(docsN, col("doc_id"), col("text")).count())
 
+    // semantic dedup: nList must scale with the corpus (hold the mean
+    // cluster size ≈ n/nList constant) — that is the documented knob that
+    // keeps the within-cluster pair stage linear overall
+    time("semantic dedup 1x nList=16")(
+      Similarity.semanticDedup(emb1, col("vec_id"), col("embedding"),
+        nList = 16, eps = 0.33).count())
+    time(s"semantic dedup ${factor}x nList=${16 * factor}")(
+      Similarity.semanticDedup(embN, col("vec_id"), col("embedding"),
+        nList = 16 * factor, eps = 0.33).count())
+
     // --- round-4 additions: substring/simhash pairs, shuffle positions ---
     Dedup.winnowPairs(docs1, col("doc_id"), col("text")).count() // warm
     time("winnow pairs 1x")(

@@ -317,6 +317,23 @@ class PlanAuditSpec extends SparkTestBase {
       s"simhash verify should be inline, not a join:\n$plan")
   }
 
+  test("semantic dedup: hash shuffles only — no range exchange, no window") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.semanticDedup(emb,
+      col("vec_id"), col("embedding"), nList = 8, eps = 0.33)
+    val plan = executed(df).toString
+    // assignment is a pure projection and the pair stage keys on cluster;
+    // a range exchange or window here would mean a global-order stage
+    // crept into what must stay an embarrassingly-parallel pipeline
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"semantic dedup must not range-partition:\n$plan")
+    assert(!plan.contains("Window"),
+      s"semantic dedup must not use a window:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3,
+      s"expected <=3 hash shuffles (join sides + final agg), got $shuffles:\n$plan")
+  }
+
   test("approx-distinct is ONE corpus scan (exact+total+HLL off the key pre-agg)") {
     val df = CoreQueries.aggApproxDistinct(spark, sf)
     val plan = executed(df).toString
