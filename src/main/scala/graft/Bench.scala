@@ -51,8 +51,15 @@ object Bench {
 
     // warm: in-memory table cache (the reference benches warm in-memory
     // DuckDB — BASELINE.md) + one execution per query (codegen/catalog)
+    // cacheAll is per-table fault-tolerant (logs failures to stderr and
+    // leaves that table on its plain scan); this outer guard only covers
+    // catastrophic setup failure, and must be loud — silently uncached
+    // tables bench 2-5× slower with zero signal
     try graft.sources.Tables.cacheAll(spark, sfDir)
-    catch { case _: Throwable => () } // uncached tables still bench correctly
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[graft] bench: cacheAll setup failed ($e); benching uncached")
+    }
     bench.foreach { case (_, fn) =>
       try runOnce(fn) catch { case _: Throwable => () }
     }

@@ -61,41 +61,91 @@ object Tables {
     "orders" -> "o_orderkey",
     "events" -> "user_id")
 
+  /** Per-table fault isolation: one unreadable table must not abort the
+    * loop and leave the REMAINING tables uncached — that failure mode is
+    * silent (queries still run, just 2-5× slower on cold single-partition
+    * scans) and poisoned a whole bench round. Failures are logged loudly
+    * to stderr and the table falls back to its plain scan.
+    */
   def cacheAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>
-      val key = (System.identityHashCode(spark), sfDir, n)
-      if (!cached.containsKey(key)) {
-        val raw = load(spark, sfDir, n)
-        val par = spark.sparkContext.defaultParallelism
-        val parts =
-          if (n == "documents") math.max(1, par / 4)
-          else if (n == "lineitem" || n == "orders") math.max(1, par / 4)
-          else math.max(1, math.min(par / 2, (raw.count() / 75000L).toInt))
-        val df = clusterKey.get(n) match {
-          case Some(k) =>
-            raw.repartition(parts, org.apache.spark.sql.functions.col(k))
-          case None => raw.repartition(parts)
-        }
-        val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-        persisted.count()
-        cached.put(key, persisted)
+      try cacheOne(spark, sfDir, n)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] cacheAll: table '$n' failed to cache ($e); " +
+              "queries against it will run uncached")
       }
     }
 
-  /** `events.ts` is TIMESTAMP(NANOS) in the driver parquet, which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf), expose:
-    *   - `ts`    TimestampType at microsecond precision (for buckets/dates —
-    *     all uses truncate further, so the ns→µs truncation is lossless
-    *     w.r.t. query results), and
-    *   - `ts_ns` LongType exact nanos (for total ordering, so tie-breaks
-    *     match an oracle that orders by the full-precision value).
+  private def cacheOne(spark: SparkSession, sfDir: String, n: String): Unit = {
+    val key = (System.identityHashCode(spark), sfDir, n)
+    if (!cached.containsKey(key)) {
+      val raw = load(spark, sfDir, n)
+      val par = spark.sparkContext.defaultParallelism
+      val parts =
+        if (n == "documents") math.max(1, par / 4)
+        else if (n == "lineitem" || n == "orders") math.max(1, par / 4)
+        else math.max(1, math.min(par / 2, (raw.count() / 75000L).toInt))
+      val df = clusterKey.get(n) match {
+        case Some(k) =>
+          raw.repartition(parts, org.apache.spark.sql.functions.col(k))
+        case None => raw.repartition(parts)
+      }
+      val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      persisted.count()
+      cached.put(key, persisted)
+    }
+  }
+
+  /** `events.ts` arrives in either of two physical encodings depending on
+    * the testdata generation (the driver has shipped both), so the loader
+    * probes the footer schema and branches. Both branches expose the same
+    * canonical pair:
+    *   - `ts`    TimestampType at microsecond precision (for buckets /
+    *     dates / streaming windows), and
+    *   - `ts_ns` LongType in nanosecond units (for total ordering and
+    *     exact integer arithmetic — long comparisons have none of the
+    *     double/timestamp equality subtleties).
+    *
+    * Encodings:
+    *   1. TIMESTAMP(µs) (isAdjustedToUTC=false → Spark reads
+    *      TIMESTAMP_NTZ): cast to TimestampType (lossless — the session
+    *      timezone is pinned to UTC in build.sbt / Bench / tests) and
+    *      derive `ts_ns = unix_micros(ts) * 1000` — µs-precision scaled
+    *      to ns units so every downstream `ts_ns div 1000` and the DuckDB
+    *      `epoch_us(ts)` oracles agree exactly.
+    *   2. TIMESTAMP(NANOS), which Spark's reader rejects outright: re-read
+    *      with the legacy nanos-as-long conf, keep exact nanos in `ts_ns`,
+    *      truncate to µs for `ts`.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+    import org.apache.spark.sql.types._
+    val path = s"$sfDir/events.parquet"
+    val raw =
+      try {
+        val df = spark.read.parquet(path)
+        df.schema // footer schema resolves → supported encoding
+        df
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // TIMESTAMP(NANOS) footer: only readable as raw long nanos
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long file
+        raw.withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts",
+            timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+      case _: TimestampType | _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other in $path")
+    }
   }
 
   private val registered =
@@ -104,11 +154,18 @@ object Tables {
   /** Register every table as a temp view named after the table — the
     * analogue of the reference's RegisterViews (views.go:129-145).
     * Idempotent AND memoized per (session, dir): re-registration would
-    * re-read ten parquet footers per call for identical views.
+    * re-read ten parquet footers per call for identical views. The
+    * memo is recorded only AFTER all views register: marking up-front
+    * would turn a mid-loop failure into a permanent silent no-op (later
+    * calls would skip registration and queries would fail with
+    * missing-view errors that mask the real cause).
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    if (registered.add((System.identityHashCode(spark), sfDir)))
+    val key = (System.identityHashCode(spark), sfDir)
+    if (!registered.contains(key)) {
       names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registered.add(key)
+    }
   }
 
   /** Spread a DataFrame across the cluster's cores when its current

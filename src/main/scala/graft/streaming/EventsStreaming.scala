@@ -12,6 +12,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStreaming {
 
+  /** Streaming twin of [[graft.sources.Tables]]' events loader: probe the
+    * directory's `ts` encoding from a batch footer read (streaming sources
+    * need an explicit schema anyway) and normalize to a canonical
+    * TimestampType `ts` — TIMESTAMP(µs)/NTZ files cast losslessly (UTC
+    * session), legacy TIMESTAMP(NANOS) files read as long nanos and
+    * truncate to µs. Keeps every streaming entry point agnostic to which
+    * generation of testdata it's fed.
+    */
+  private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema =
+      try spark.read.parquet(eventsDir).schema
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(eventsDir).schema
+      }
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   /** Batch-equivalent tumbling window counts (same plan the streaming
     * variant runs per micro-batch).
     */
@@ -38,11 +65,7 @@ object EventsStreaming {
     */
   def runTumblingAvailableNow(spark: SparkSession, eventsDir: String,
       checkpoint: String, queryName: String = "graft_events_tumbling"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+    val stream = eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 hour")
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -67,11 +90,7 @@ object EventsStreaming {
   def runSessionsAvailableNow(spark: SparkSession, eventsDir: String,
       checkpoint: String, gap: String = "30 minutes",
       queryName: String = "graft_events_sessions"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+    val stream = eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 hour")
     val agg = stream
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
@@ -100,11 +119,7 @@ object EventsStreaming {
     */
   def runDedupAvailableNow(spark: SparkSession, eventsDir: String,
       checkpoint: String, queryName: String = "graft_events_dedup"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+    val stream = eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val q = stream.writeStream
@@ -145,11 +160,7 @@ object EventsStreaming {
   def runAttributionJoinAvailableNow(spark: SparkSession, eventsDir: String,
       checkpoint: String,
       queryName: String = "graft_events_attribution"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
-    def branch(): DataFrame = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+    def branch(): DataFrame = eventsStream(spark, eventsDir)
     val purchases = branch().filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
