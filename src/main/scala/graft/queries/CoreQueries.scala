@@ -592,8 +592,12 @@ object CoreQueries {
       .withColumn("year", year(col("o_orderdate")))
       // co-locate rows with their output partition before the write:
       // without this every task writes a file into every year= dir —
-      // tasks × years small files, the classic large-scale sink mistake
-      .repartition(col("year"))
+      // tasks × years small files, the classic large-scale sink mistake.
+      // The low-cardinality salt bounds files-per-dir at 4 while keeping
+      // the write parallel — repartition(year) alone caps writer tasks at
+      // the year count (7 tasks on 32 cores here; one giant file per
+      // partition at 100 TB), the opposite sink failure mode
+      .repartition(col("year"), pmod(col("o_orderkey"), lit(4)))
       .write.mode("overwrite")
       .partitionBy("year")
       .option("compression", "zstd")

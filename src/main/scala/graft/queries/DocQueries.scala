@@ -723,10 +723,29 @@ object DocQueries {
     * feature map — not just the verdicts — is gated. Rounded to 6 dp like
     * the other score oracles (double fold order is engine-identical; the
     * round pins the textual boundary).
+    *
+    * Deployment shape: weights are read from a `(bucket, weight)` parquet
+    * via [[graft.functions.ClassifierWeights]] — the file holds the
+    * placeholder ramp here (no trained model in the sandbox), so the
+    * score is bit-identical to the inline arithmetic the oracle replays,
+    * while the plumbing a real deployment swaps its trained weights into
+    * (write → load → literal-lookup scoring) is the path actually gated.
+    * Write+load runs once per session (memoized); scoring is one scan.
     */
+  private val weightsBySession =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val score = round(TextFunctions.classifierScore(
-      TextFunctions.wsTokens(col("text"))), 6)
+    val weights = weightsBySession.computeIfAbsent(
+      System.identityHashCode(s), _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_clf_weights").resolve("w").toString
+        graft.functions.ClassifierWeights.write(
+          s, path, graft.functions.ClassifierWeights.placeholder())
+        graft.functions.ClassifierWeights.load(s, path)
+      })
+    val score = round(graft.functions.ClassifierWeights.score(
+      TextFunctions.wsTokens(col("text")), weights), 6)
     orderedViaShuffle(
       t(s, dir, "documents")
         .select(col("doc_id"), score.as("score"))
