@@ -37,6 +37,21 @@ object Mime {
 
   val inflateUdf: UserDefinedFunction = udf(inflate _)
 
+  /** zlib-compress a blob — the ingest-side twin of [[inflate]] (the
+    * reference stores message_raw zlib-compressed, schema.sql
+    * compression column); also builds compressed fixtures for the dedup
+    * pipeline's oracled queries. Null in → null out.
+    */
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    if (data == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    val d = new java.util.zip.DeflaterOutputStream(out)
+    d.write(data); d.close()
+    out.toByteArray
+  }
+
+  val deflateUdf: UserDefinedFunction = udf(deflate _)
+
   /** Transport/export headers that vary across otherwise-identical copies
     * (reference dedup.go:674-694, canonical-case keys).
     */

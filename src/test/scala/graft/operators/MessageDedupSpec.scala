@@ -39,6 +39,15 @@ class MessageDedupSpec extends SparkTestBase {
     assert(Mime.inflate(null) == null)
   }
 
+  test("deflate is inflate's inverse (and matches an external zlib stream)") {
+    val payload = "raw mime é bytes"
+    assert(new String(Mime.inflate(Mime.deflate(
+      payload.getBytes("ISO-8859-1"))), "ISO-8859-1") == payload)
+    // external DeflaterOutputStream blob inflates the same way
+    assert(new String(Mime.inflate(zlib(payload)), "ISO-8859-1") == payload)
+    assert(Mime.deflate(null) == null)
+  }
+
   test("extractMessageId finds the header incl. folded/missing cases") {
     assert(Mime.extractMessageId(mimeA.getBytes("ISO-8859-1")) == "<dup@x>")
     assert(Mime.extractMessageId("From: x\r\n\r\nbody".getBytes("ISO-8859-1")) == null)
