@@ -148,12 +148,17 @@ object MessageDedupQueries {
   private def scannedMemo(s: SparkSession, dir: String): (MsgVault, DataFrame) =
     memoizedIndex[(MsgVault, DataFrame)](s, dir, "msg_dedup_scan") {
       val (v, raw) = star(s, dir)
+      // localCheckpoint (not persist): materializes AND truncates the
+      // logical lineage — the scan subtree is deep (joins + windows ×2
+      // passes), and with plain persist every derived query re-pays its
+      // full analysis/optimization walk per execution
       val sc = MessageDedup.scan(v,
         MessageDedup.Config(contentHashFallback = true),
         identities = None, raw = Some(raw))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sc.count()
-      (v, sc)
+        .localCheckpoint(true)
+      // label transfers re-reads the junction twice (loser labels,
+      // winner anti-join) — checkpoint it too, same small-artifact logic
+      (v.copy(messageLabels = v.messageLabels.localCheckpoint(true)), sc)
     }
 
   def dedupScan(s: SparkSession, dir: String): DataFrame =
