@@ -190,6 +190,20 @@ object TextFunctions {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
 
+  /** Adjacent word triples: ["a b c", "b c d", ...]; empty below 3
+    * tokens. Same two-slice zip_with shape as [[bigrams]], folded once
+    * more — three aligned slices of one projected array, no index math.
+    */
+  def trigrams(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(zip_with(
+        zip_with(
+          slice(toks, lit(1), size(toks) - 2),
+          slice(toks, lit(2), size(toks) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(toks, lit(3), size(toks) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+
   /** Duplicate-fraction repetition signals (Gopher-style repetition
     * filters): 1 − distinct/total over words and over adjacent bigrams.
     * High values flag boilerplate/spam for the curation gate.

@@ -217,7 +217,17 @@ object Similarity {
     * KMeans without touching the pair stage.
     */
   def semanticDedup(emb: DataFrame, id: Column, vec: Column,
-      nList: Int, eps: Double): DataFrame = {
+      nList: Int, eps: Double): DataFrame =
+    semanticDupes(semanticAssign(emb, id, vec, nList), eps)
+
+  /** The build-once half of [[semanticDedup]]: centroid pick + cluster
+    * assignment → a (cluster, vec_id, embedding) relation. This is the
+    * persistent artifact of the pipeline (the paper's k-means pass) —
+    * callers memoize/persist it and run [[semanticDupes]] per snapshot,
+    * the same build-once/probe-many split as the LSH and IVF indexes.
+    */
+  def semanticAssign(emb: DataFrame, id: Column, vec: Column,
+      nList: Int): DataFrame = {
     val base = emb.select(id.as("vec_id"), vec.as("embedding"))
     val n = base.count()
     require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
@@ -231,7 +241,13 @@ object Similarity {
       .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
       .toSeq
     require(centroids.nonEmpty, "id stride produced no centroids")
-    val assigned = IvfIndex.assign(base, centroids)
+    IvfIndex.assign(base, centroids)
+  }
+
+  /** The recurring half of [[semanticDedup]]: within-cluster ε-ball pair
+    * report over an assignment relation (fresh or reopened/persisted).
+    */
+  def semanticDupes(assigned: DataFrame, eps: Double): DataFrame = {
     val keep = assigned.select(col("cluster"), col("vec_id").as("kept_id"),
       col("embedding").as("__ea"))
     val dup = assigned.select(col("cluster"), col("vec_id").as("dup_id"),

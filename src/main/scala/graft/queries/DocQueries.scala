@@ -553,11 +553,21 @@ object DocQueries {
     * hash-matches bit-for-bit, so the cluster structure, not just the
     * final ids, is what the gate proves.
     */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    // the cluster assignment is the build-once artifact (the k-means pass
+    // of SemDeDup) — memoized+persisted like the LSH/IVF indexes; only
+    // the within-cluster pair stage is the recurring per-snapshot cost
+    val assigned = memoizedIndex(s, dir, "semdedup_assign_16") {
+      val a = Similarity.semanticAssign(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), nList = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      a
+    }
     orderedViaShuffle(
-      Similarity.semanticDedup(t(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), nList = 16, eps = 0.33),
+      Similarity.semanticDupes(assigned, eps = 0.33),
       col("dup_id").asc)
+  }
 
   val dedupSemanticSql: String =
     """WITH n AS (SELECT count(*) AS cnt FROM embeddings),

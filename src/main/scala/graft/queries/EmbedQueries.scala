@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Embed, VectorIndex}
+
+/** Embedding-lifecycle queries: the reference's find-similar API and
+  * enqueue/delta selection (previously spec-only), plus an embedding
+  * outlier report — the distance-to-prototype quality gate a curation
+  * pipeline runs before training on a labeled corpus.
+  *
+  * Determinism discipline matches DocQueries: cosine scores are
+  * index-order double folds (bit-identical in Spark and DuckDB), and
+  * centroid/distance arithmetic is exact fixed-point integer math so no
+  * float-addition-order dependence exists anywhere.
+  */
+object EmbedQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** find_similar_messages (reference internal/mcp/server.go:342-358,
+    * internal/vector/sqlitevec/backend.go:606-626): the stored vector of a
+    * seed row becomes the query; the seed is excluded from results. Runs
+    * the REAL API operator ([[VectorIndex.findSimilar]]) — a point lookup
+    * for the seed vector (pushed-down vec_id predicate), then one corpus
+    * scan + TakeOrderedAndProject; no shuffle at any corpus size.
+    */
+  def similarToDoc(s: SparkSession, dir: String): DataFrame =
+    VectorIndex.findSimilar(
+      t(s, dir, "embeddings")
+        .select(col("vec_id").as("message_id"), col("embedding")),
+      seedId = 42L, k = 10)
+
+  // seed vector resolved by self-join inside the oracle; same index-order
+  // double fold as vector_knn_brute → bit-identical scores
+  val similarToDocSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+      |scored AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_transform(list_zip(embedding, qv),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b) /
+      |    (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)) *
+      |     sqrt(list_reduce(list_transform(list_zip(qv, qv),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)))
+      |    AS score
+      |  FROM embeddings, q WHERE vec_id <> 42)
+      |SELECT vec_id, score FROM scored
+      |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Enqueue/delta selection (reference internal/vector/enqueue.go:29-34;
+    * queue drain at sqlitevec/queue.go): corpus rows with no stored vector
+    * in the current generation still need embedding. Exercises the REAL
+    * [[Embed.pendingEmbeddings]] anti-join; the "partially embedded
+    * generation" is simulated by retiring every 7th vector (the corpus and
+    * vector tables ship fully aligned, so an unscoped delta is empty — the
+    * same synthetic-scope trick as MessageDedupQueries). At 100 TB the
+    * anti-join output is the daily increment; the embedded side is only
+    * semi-joined, never re-embedded.
+    */
+  def embedDelta(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("n_chars"))
+    val embedded = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("message_id"))
+    orderedViaShuffle(
+      Embed.pendingEmbeddings(corpus, embedded)
+        .select(col("id").as("doc_id"), col("n_chars")),
+      col("doc_id").asc)
+  }
+
+  val embedDeltaSql: String =
+    """SELECT d.doc_id, d.n_chars FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM embeddings e
+      |  WHERE e.vec_id = d.doc_id AND e.vec_id % 7 <> 0)
+      |ORDER BY d.doc_id ASC""".stripMargin
+
+  /** Embedding outliers: top-3 vectors per label by distance to their
+    * label centroid — the "farthest from its class prototype" audit that
+    * surfaces mislabeled or degenerate rows before a corpus trains a
+    * classifier (the embedding-space twin of the text-quality quartile
+    * report).
+    *
+    * All arithmetic is EXACT fixed point (the embed_centroid recipe):
+    * components scale by 2²⁰ and round to longs, the centroid is the
+    * rounded integer mean per position, and the distance is the integer
+    * sum of squared long differences (dim 64, |v|<1 ⇒ each square < 2⁴²,
+    * the sum < 2⁴⁸ — no overflow, no float folds anywhere).
+    *
+    * Plan shape: one posexplode+two-level agg builds |labels| centroid
+    * arrays (shuffle is |labels|×dims rows after map-side combine); the
+    * centroid table BROADCASTS back onto the corpus (labels ≪ corpus at
+    * any scale), distances are per-row zip_with arithmetic, and the
+    * per-label top-3 is a bounded window — corpus shuffled once, by label.
+    */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val fixed = sum(round(col("v").cast("double") * 1048576.0).cast("long"))
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(fixed.as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        x => round(x.getField("s").cast("double") /
+          x.getField("n").cast("double")).cast("long")).as("centroid_fp"))
+    val vfp = transform(col("embedding"),
+      x => round(x.cast("double") * 1048576.0).cast("long"))
+    val scored = emb.select(col("vec_id"), col("label"), vfp.as("v_fp"))
+      .join(broadcast(cent), "label")
+      .withColumn("dist2_fp",
+        aggregate(
+          zip_with(col("v_fp"), col("centroid_fp"), (a, c) => (a - c) * (a - c)),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2_fp").desc, col("vec_id").asc)
+    orderedAtTail(
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("label"), col("rnk"), col("vec_id"), col("dist2_fp")),
+      col("label").asc, col("rnk").asc)
+  }
+
+  val embedOutliersSql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT label, pos,
+      |         SUM(CAST(round(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+      |         COUNT(*) AS n
+      |  FROM e GROUP BY label, pos),
+      |c AS (SELECT label, pos,
+      |        CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS cfp FROM a),
+      |d AS (
+  -- SUM(BIGINT) widens to HUGEINT (read back as double) — cast back
+      |  SELECT e.label, e.vec_id,
+      |    CAST(SUM((CAST(round(CAST(e.v AS DOUBLE) * 1048576.0) AS BIGINT) - c.cfp)
+      |      * (CAST(round(CAST(e.v AS DOUBLE) * 1048576.0) AS BIGINT) - c.cfp))
+      |      AS BIGINT) AS dist2_fp
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY e.label, e.vec_id),
+      |r AS (
+      |  SELECT label, vec_id, dist2_fp,
+      |    row_number() OVER (PARTITION BY label
+      |                       ORDER BY dist2_fp DESC, vec_id ASC) AS rnk
+      |  FROM d)
+      |SELECT label, rnk, vec_id, dist2_fp FROM r WHERE rnk <= 3
+      |ORDER BY label ASC, rnk ASC""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "similar_to_doc" -> (similarToDoc _, Some(similarToDocSql)),
+    "embed_delta" -> (embedDelta _, Some(embedDeltaSql)),
+    "embed_outliers" -> (embedOutliers _, Some(embedOutliersSql)))
+}

@@ -305,6 +305,74 @@ object PipelineQueries {
       |                      / CAST(len(big) AS DOUBLE), 6) END AS dup_bigram_frac
       |FROM b ORDER BY doc_id ASC""".stripMargin
 
+  /** Corpus-level boilerplate detection (the C4 "deduplicate at span
+    * level" rule re-expressed for unsegmented text): a trigram occurring
+    * in ≥ 1% of documents is boilerplate (navigation chrome, license
+    * headers, templated spans); per flagged doc report the occurrence
+    * count and the fraction of token POSITIONS covered by at least one
+    * boilerplate trigram — the interval-union coverage a stripping pass
+    * would remove.
+    *
+    * Scale shape: pass 1 is one explode+distinct+agg over (doc, trigram)
+    * — the DF table a single shuffle builds. The flagged set is
+    * broadcast-safe BY CONSTRUCTION at any corpus size: at DF ≥ p·N its
+    * cardinality is ≤ total_positions/(p·N) = avg_doc_len/p, independent
+    * of N (100 rows/doc at p=0.01). Pass 2 joins occurrences against the
+    * broadcast set and aggregates per doc; coverage is array arithmetic
+    * on the collected (bounded, ≤ doc length) position list. The corpus
+    * is never shuffled — only its matched positions are.
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+    val tris = docs.select(col("doc_id"), size(col("toks")).as("n_toks"),
+      posexplode(TextFunctions.trigrams(col("toks"))).as(Seq("pos", "tg")))
+    val nDocs = docs.select(count(lit(1)).as("__nd"))
+    val boiler = tris.select(col("doc_id"), col("tg")).distinct()
+      .groupBy(col("tg")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= ceil(col("__nd") * lit(0.01)))
+      .select(col("tg"))
+    orderedAtTail(
+      tris.join(broadcast(boiler), "tg")
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_toks")).as("n_toks"),
+          count(lit(1)).as("n_occ"),
+          size(array_distinct(flatten(collect_list(
+            array(col("pos"), col("pos") + 1, col("pos") + 2)))))
+            .cast("long").as("covered"))
+        .withColumn("boiler_frac",
+          round(col("covered").cast("double") / col("n_toks"), 6))
+        .select(col("doc_id"), col("n_occ"), col("covered"),
+          col("boiler_frac")),
+      col("doc_id").asc)
+  }
+
+  val boilerplateNgramsSql: String =
+    """WITH tks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tg AS (
+      |  SELECT doc_id, len(toks) AS n_toks,
+      |    list_transform(range(len(toks) - 2),
+      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS tgs
+      |  FROM tks),
+      |occ AS (
+      |  SELECT doc_id, n_toks, generate_subscripts(tgs, 1) - 1 AS pos,
+      |         unnest(tgs) AS t
+      |  FROM tg),
+      |boiler AS (
+      |  SELECT t FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY t)
+      |  WHERE df >= ceil((SELECT COUNT(*) FROM tks) * 0.01)),
+      |hit AS (SELECT o.* FROM occ o JOIN boiler b ON o.t = b.t),
+      |agg AS (
+      |  SELECT doc_id, MAX(n_toks) AS n_toks, COUNT(*) AS n_occ,
+      |    CAST(len(list_distinct(flatten(
+      |      list(ARRAY[pos, pos + 1, pos + 2])))) AS BIGINT) AS covered
+      |  FROM hit GROUP BY doc_id)
+      |SELECT doc_id, n_occ, covered,
+      |       round(CAST(covered AS DOUBLE) / n_toks, 6) AS boiler_frac
+      |FROM agg ORDER BY doc_id ASC""".stripMargin
+
   /** Sequence packing: per-source shards, docs in id order accumulate
     * into ~512-token chunks; one row per chunk with doc/token accounting.
     * Windows partition by shard — no global order, packs in parallel.
@@ -595,6 +663,7 @@ object PipelineQueries {
     "mix_temperature" -> (mixTemperature _, Some(mixTemperatureSql)),
     "text_pii_redact" -> (textPiiRedact _, Some(textPiiRedactSql)),
     "text_repetition" -> (textRepetition _, Some(textRepetitionSql)),
+    "boilerplate_ngrams" -> (boilerplateNgrams _, Some(boilerplateNgramsSql)),
     "pack_chunks" -> (packChunks _, Some(packChunksSql)),
     "chunk_sliding" -> (chunkSliding _, Some(chunkSlidingSql)))
 }

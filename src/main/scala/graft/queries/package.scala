@@ -44,7 +44,22 @@ package object queries {
     * decides what to persist/materialize.
     */
   private[queries] def memoizedIndex[T <: AnyRef](s: SparkSession, dir: String,
-      key: String)(build: => T): T =
-    memo.computeIfAbsent((System.identityHashCode(s), dir, key),
-      _ => build).asInstanceOf[T]
+      key: String)(build: => T): T = {
+    val k = (System.identityHashCode(s), dir, key)
+    val hit = memo.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      // The build runs OUTSIDE computeIfAbsent on purpose: builds nest
+      // (cluster labels build from the memoized pair table), and a nested
+      // computeIfAbsent on the SAME map throws "Recursive update" whenever
+      // the inner entry happens to land in the outer entry's bin — a
+      // hash-layout-dependent landmine that only fires when unrelated
+      // keys shift the table. The cost is a possible duplicate build under
+      // a concurrent race (builds are idempotent; putIfAbsent keeps the
+      // first winner) — correct, where the locked form is crash-prone.
+      val v = build
+      val prev = memo.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 }
