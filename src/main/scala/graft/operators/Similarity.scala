@@ -263,6 +263,51 @@ object Similarity {
         max(col("cosine")).as("max_cosine"))
   }
 
+  /** Embedding outlier audit: the top-k vectors per label by distance to
+    * their label centroid — the distance-to-prototype gate that surfaces
+    * mislabeled or degenerate rows before training on a labeled corpus.
+    *
+    * Arithmetic is EXACT fixed point end-to-end (components ×2²⁰ rounded
+    * to longs; centroid = rounded integer mean per position; distance =
+    * integer sum of squared long differences), so results carry no
+    * float-addition-order dependence on any engine or partitioning.
+    *
+    * Plan shape at scale: one posexplode+two-level agg builds |labels|
+    * centroid arrays (the shuffle is |labels|×dims after map-side
+    * combine); centroids BROADCAST back onto the corpus; distances are
+    * per-row zip_with arithmetic; the per-label top-k is a bounded
+    * window. The corpus is hash-shuffled once, on the label.
+    */
+  def labelOutliers(emb: DataFrame, id: Column, vec: Column, label: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(id.as("vec_id"), vec.as("embedding"),
+      label.as("label"))
+    val fixedSum = sum(round(col("v").cast("double") * 1048576.0).cast("long"))
+    val cent = base
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(fixedSum.as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        x => round(x.getField("s").cast("double") /
+          x.getField("n").cast("double")).cast("long")).as("centroid_fp"))
+    val vfp = transform(col("embedding"),
+      x => round(x.cast("double") * 1048576.0).cast("long"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2_fp").desc, col("vec_id").asc)
+    base.select(col("vec_id"), col("label"), vfp.as("v_fp"))
+      .join(broadcast(cent), "label")
+      .withColumn("dist2_fp",
+        aggregate(
+          zip_with(col("v_fp"), col("centroid_fp"), (a, c) => (a - c) * (a - c)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("rnk"), col("vec_id"), col("dist2_fp"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (reference rrf.go:24-76;
     * SQL form sqlitevec/fused.go:176-190): full outer join on id,
     * score = Σ 1/(K + rank), deterministic (score DESC, id ASC) order.

@@ -1,10 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Embed, VectorIndex}
+import graft.operators.{Embed, Similarity, VectorIndex}
 
 /** Embedding-lifecycle queries: the reference's find-similar API and
   * enqueue/delta selection (previously spec-only), plus an embedding
@@ -97,34 +96,11 @@ object EmbedQueries {
     * any scale), distances are per-row zip_with arithmetic, and the
     * per-label top-3 is a bounded window — corpus shuffled once, by label.
     */
-  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val fixed = sum(round(col("v").cast("double") * 1048576.0).cast("long"))
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(fixed.as("s"), count(lit(1)).as("n"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-        x => round(x.getField("s").cast("double") /
-          x.getField("n").cast("double")).cast("long")).as("centroid_fp"))
-    val vfp = transform(col("embedding"),
-      x => round(x.cast("double") * 1048576.0).cast("long"))
-    val scored = emb.select(col("vec_id"), col("label"), vfp.as("v_fp"))
-      .join(broadcast(cent), "label")
-      .withColumn("dist2_fp",
-        aggregate(
-          zip_with(col("v_fp"), col("centroid_fp"), (a, c) => (a - c) * (a - c)),
-          lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("dist2_fp").desc, col("vec_id").asc)
+  def embedOutliers(s: SparkSession, dir: String): DataFrame =
     orderedAtTail(
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("label"), col("rnk"), col("vec_id"), col("dist2_fp")),
+      Similarity.labelOutliers(t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), col("label"), k = 3),
       col("label").asc, col("rnk").asc)
-  }
 
   val embedOutliersSql: String =
     """WITH e AS (

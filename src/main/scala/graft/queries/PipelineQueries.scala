@@ -327,12 +327,21 @@ object PipelineQueries {
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
     val tris = docs.select(col("doc_id"), size(col("toks")).as("n_toks"),
       posexplode(TextFunctions.trigrams(col("toks"))).as(Seq("pos", "tg")))
-    val nDocs = docs.select(count(lit(1)).as("__nd"))
-    val boiler = tris.select(col("doc_id"), col("tg")).distinct()
-      .groupBy(col("tg")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") >= ceil(col("__nd") * lit(0.01)))
-      .select(col("tg"))
+    // the flagged lexicon is a snapshot-level artifact (like the bigram
+    // LM): built once per corpus, reused by every coverage/stripping
+    // pass — and bounded (≤ avg_doc_len/threshold rows), so persisting
+    // it is cheap at any corpus size
+    val boiler = memoizedIndex(s, dir, "boilerplate_trigrams_1pct") {
+      val nDocs = docs.select(count(lit(1)).as("__nd"))
+      val b = tris.select(col("doc_id"), col("tg")).distinct()
+        .groupBy(col("tg")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= ceil(col("__nd") * lit(0.01)))
+        .select(col("tg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      b
+    }
     orderedAtTail(
       tris.join(broadcast(boiler), "tg")
         .groupBy(col("doc_id"))

@@ -232,6 +232,31 @@ object ScaleProbe {
     profile(docs1) // warm
     time("profile columns 1x")(profile(docs1))
     time(s"profile columns ${factor}x")(profile(docsN))
+
+    // --- round-6 additions: boilerplate coverage, embedding outliers ---
+    def boiler(d: org.apache.spark.sql.DataFrame): Long = {
+      val docs = d.select(col("doc_id"), toks(col("text")).as("toks"))
+      val tris = docs.select(col("doc_id"), size(col("toks")).as("n_toks"),
+        posexplode(TextFunctions.trigrams(col("toks"))).as(Seq("pos", "tg")))
+      val nd = docs.select(count(lit(1)).as("__nd"))
+      val set = tris.select(col("doc_id"), col("tg")).distinct()
+        .groupBy(col("tg")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") >= ceil(col("__nd") * lit(0.01)))
+        .select(col("tg"))
+      tris.join(broadcast(set), "tg").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occ")).count()
+    }
+    boiler(docs1) // warm
+    time("boilerplate coverage 1x")(boiler(docs1))
+    time(s"boilerplate coverage ${factor}x")(boiler(docsN))
+
+    def outliers(e: org.apache.spark.sql.DataFrame): Long =
+      Similarity.labelOutliers(e, col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(10)).cast("int"), k = 3).count()
+    outliers(emb1) // warm
+    time("embedding outliers 1x")(outliers(emb1))
+    time(s"embedding outliers ${factor}x")(outliers(embN))
     spark.stop()
   }
 }

@@ -354,6 +354,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"self-join crept back:\n$plan")
   }
 
+  test("boilerplate coverage: flagged set broadcasts, corpus never hash-shuffled") {
+    val df = graft.queries.PipelineQueries.boilerplateNgrams(spark, sf)
+    val plan = executed(df).toString
+    // the flagged set is bounded by avg_doc_len/threshold regardless of
+    // corpus size — it must reach the occurrence stream as a broadcast,
+    // not drag the exploded corpus through a sort-merge join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate set did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"exploded corpus shuffled into an SMJ:\n$plan")
+  }
+
+  test("embed_outliers: centroids broadcast, corpus aggregated on one key") {
+    val df = graft.queries.EmbedQueries.embedOutliers(spark, sf)
+    val plan = executed(df).toString
+    // |labels| centroid arrays join back by broadcast at any corpus size
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled into the centroid join:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a global sort crept into the outlier report:\n$plan")
+  }
+
   test("as-of join is one shuffle per side + one window, no join operator") {
     import spark.implicits._
     val l = (0 until 100).map(i => (i.toLong % 7, i.toLong, s"e$i"))
