@@ -40,7 +40,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // emit oracles only for the queries actually dumped — a subset run
+    // otherwise produces a json whose undumped entries read as failures
+    // to any consumer that iterates the oracle keys
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => queries.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * ([[TextFunctions.classifierScore]]) — the piece that turns the
   * placeholder classifier into a deployable one: train weights offline
   * (fastText-style logistic regression over hashed token buckets), write
-  * them as a `(bucket, weight)` parquet, and every scoring query loads
-  * them back into a literal array lookup.
+  * them as a `(bucket, weight, dim)` parquet, and every scoring query
+  * loads them back into a literal array lookup.
   *
   * Scale shape: the weight table is `dim` rows (1k-1M) — driver-side by
   * construction, exactly like IVF centroids (IvfIndex.scala). Scoring
@@ -28,31 +28,45 @@ object ClassifierWeights {
   def placeholder(dim: Int = 1024): Array[Double] =
     Array.tabulate(dim)(b => ((b % 201) - 100).toDouble / 100.0)
 
-  /** Persist a weight table as `(bucket INT, weight DOUBLE)` parquet. */
+  /** Persist a weight table as `(bucket INT, weight DOUBLE, dim INT)`
+    * parquet. `dim` is the declared hashing modulus, constant across
+    * rows — self-describing, so a TRUNCATED copy is detectable (without
+    * it, a file cut to a dense bucket prefix would pass a density check
+    * and silently rehash every token at the wrong modulus).
+    */
   def write(spark: SparkSession, path: String, weights: Array[Double]): Unit = {
     import spark.implicits._
-    weights.zipWithIndex.map { case (w, b) => (b, w) }
-      .toSeq.toDF("bucket", "weight")
+    weights.zipWithIndex.map { case (w, b) => (b, w, weights.length) }
+      .toSeq.toDF("bucket", "weight", "dim")
       .coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
   /** Load a weight table written by [[write]] (or by an offline trainer
     * honoring the same schema) into a dense array. Bounded driver collect:
-    * `dim` rows by construction. Validates density — a sparse or
-    * duplicated bucket column means the file is not a hashed-feature
-    * weight table and scoring against it would silently misattribute
+    * `dim` rows by construction. Validates the row count against the
+    * DECLARED dim plus density/nullability — truncation, sparsity,
+    * duplicated buckets, or null weights all mean the file is not the
+    * trained table and scoring against it would silently misattribute
     * buckets.
     */
   def load(spark: SparkSession, path: String): Array[Double] = {
     val rows = spark.read.parquet(path)
-      .select(col("bucket").cast("int"), col("weight").cast("double"))
+      .select(col("bucket").cast("int"), col("weight").cast("double"),
+        col("dim").cast("int"))
       .collect()
-    val dim = rows.length
-    require(dim > 0, s"empty classifier weight table at $path")
+    require(rows.nonEmpty, s"empty classifier weight table at $path")
+    val dim = rows.head.getInt(2)
+    require(dim > 0 && rows.forall(r => !r.isNullAt(2) && r.getInt(2) == dim),
+      s"weight table at $path declares inconsistent dim values")
+    require(rows.length == dim,
+      s"weight table at $path has ${rows.length} rows but declares " +
+        s"dim=$dim — truncated or padded copy")
     val out = new Array[Double](dim)
     val seen = new Array[Boolean](dim)
     rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"weight table at $path has a null bucket/weight row")
       val b = r.getInt(0)
       require(b >= 0 && b < dim && !seen(b),
         s"weight table at $path is not dense over [0, $dim): bucket $b")

@@ -734,7 +734,7 @@ object DocQueries {
     * the other score oracles (double fold order is engine-identical; the
     * round pins the textual boundary).
     *
-    * Deployment shape: weights are read from a `(bucket, weight)` parquet
+    * Deployment shape: weights are read from a `(bucket, weight, dim)` parquet
     * via [[graft.functions.ClassifierWeights]] — the file holds the
     * placeholder ramp here (no trained model in the sandbox), so the
     * score is bit-identical to the inline arithmetic the oracle replays,
@@ -748,8 +748,17 @@ object DocQueries {
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val weights = weightsBySession.computeIfAbsent(
       System.identityHashCode(s), _ => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_clf_weights").resolve("w").toString
+        // shutdown-hook cleanup: a long-lived JVM cycling sessions would
+        // otherwise accrete one orphan weights dir per session forever
+        val dirP = java.nio.file.Files.createTempDirectory("graft_clf_weights")
+        sys.addShutdownHook {
+          import java.nio.file._
+          try {
+            Files.walk(dirP).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val path = dirP.resolve("w").toString
         graft.functions.ClassifierWeights.write(
           s, path, graft.functions.ClassifierWeights.placeholder())
         graft.functions.ClassifierWeights.load(s, path)

@@ -59,7 +59,16 @@ package object queries {
       // first winner) — correct, where the locked form is crash-prone.
       val v = build
       val prev = memo.putIfAbsent(k, v)
-      (if (prev != null) prev else v).asInstanceOf[T]
+      if (prev != null) {
+        // race loser: release its persisted blocks before discarding —
+        // builds typically persist+count, and a dropped-but-persisted
+        // DataFrame would pin executor memory for the session's lifetime
+        v match {
+          case df: DataFrame => df.unpersist(false)
+          case _ => ()
+        }
+        prev.asInstanceOf[T]
+      } else v.asInstanceOf[T]
     }
   }
 }

@@ -20,15 +20,22 @@ object EventsStreaming {
     * truncate to µs. Keeps every streaming entry point agnostic to which
     * generation of testdata it's fed.
     */
+  private val probedSchemas = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.types.StructType]()
+
   private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema =
-      try spark.read.parquet(eventsDir).schema
-      catch {
-        case scala.util.control.NonFatal(_) =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(eventsDir).schema
-      }
+    // one footer probe per (session, dir): the attribution join builds
+    // TWO branches of the same directory, and on a legacy NANOS dir each
+    // un-memoized probe would first throw and re-read
+    val schema = probedSchemas.computeIfAbsent(
+      (System.identityHashCode(spark), eventsDir), _ =>
+        try spark.read.parquet(eventsDir).schema
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(eventsDir).schema
+        })
     val raw = spark.readStream.schema(schema).parquet(eventsDir)
     schema("ts").dataType match {
       case LongType =>

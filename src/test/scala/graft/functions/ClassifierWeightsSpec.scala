@@ -18,12 +18,24 @@ class ClassifierWeightsSpec extends SparkTestBase {
 
   test("load rejects a sparse (non-dense-bucket) weight table") {
     val path = tmp()
-    // buckets 0 and 5 in a 2-row table: not dense over [0, 2)
-    Seq((0, 1.0), (5, 2.0)).toDF("bucket", "weight")
+    // buckets 0 and 5 in a declared dim-2 table: not dense over [0, 2)
+    Seq((0, 1.0, 2), (5, 2.0, 2)).toDF("bucket", "weight", "dim")
       .write.mode("overwrite").parquet(path)
     val e = intercept[IllegalArgumentException](
       ClassifierWeights.load(spark, path))
     assert(e.getMessage.contains("not dense"))
+  }
+
+  test("load rejects a truncated copy (dense prefix, wrong declared dim)") {
+    val path = tmp()
+    // a 1024-weight table cut to its first 3 rows stays bucket-dense —
+    // only the declared dim exposes the truncation
+    Seq((0, 1.0, 1024), (1, 2.0, 1024), (2, 3.0, 1024))
+      .toDF("bucket", "weight", "dim")
+      .write.mode("overwrite").parquet(path)
+    val e = intercept[IllegalArgumentException](
+      ClassifierWeights.load(spark, path))
+    assert(e.getMessage.contains("truncated"))
   }
 
   test("file-loaded placeholder weights score identically to the inline classifier") {

@@ -129,14 +129,20 @@ class TestdataSchemaSpec extends SparkTestBase {
     val row = Tables.load(spark, sf, "events")
       .agg(min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi"),
-        // loader contract: ts_ns is exactly ts scaled to ns units
-        max(abs(col("ts_ns") - unix_micros(col("ts")) * 1000L)).as("drift"))
+        // loader contract: ts is ts_ns truncated to µs — so the residue
+        // sits in [0, 1000) ns. A µs-encoded file gives exactly 0; a
+        // legacy TIMESTAMP(NANOS) file keeps its sub-µs nanos in ts_ns
+        // (deliberately — exact total ordering), which is in-contract.
+        min(col("ts_ns") - unix_micros(col("ts")) * 1000L).as("lo_drift"),
+        max(col("ts_ns") - unix_micros(col("ts")) * 1000L).as("hi_drift"))
       .head()
-    val (lo, hi, drift) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val (loDrift, hiDrift) = (row.getLong(2), row.getLong(3))
     // events span plausible recent epochs (2000..2100) — a unit mixup
     // (s vs ms vs µs) lands orders of magnitude outside this window
     assert(lo > 946684800000000L && hi < 4102444800000000L,
       s"events.ts outside plausible epoch-µs range: [$lo, $hi]")
-    assert(drift == 0L, s"ts_ns disagrees with ts by up to $drift ns")
+    assert(loDrift >= 0L && hiDrift < 1000L,
+      s"ts_ns disagrees with ts beyond sub-µs residue: [$loDrift, $hiDrift] ns")
   }
 }
