@@ -49,6 +49,22 @@ object Sampling {
     df.filter(hashBucket(id, buckets) < threshold)
   }
 
+  /** Quality-weighted deterministic sampling — the SOFT filter of a
+    * CCNet/FineWeb-style pipeline (hard thresholds discard the
+    * mid-quality mass entirely; weighting by the continuous score keeps
+    * it at proportional rates): each row's keep probability is its own
+    * quality score clamped to [floor, ceil] (junk keeps a trace for
+    * audit, gold is never certain), decided by the same stable md5 draw
+    * as [[sampleByHash]] — so the SAME doc survives on every engine and
+    * every re-run. Stateless per-row filter: no shuffle at any scale.
+    */
+  def qualityWeightedSample(df: DataFrame, id: Column, score: Column,
+      floor: Double = 0.1, ceil: Double = 0.9,
+      buckets: Int = 1000): DataFrame = {
+    val p = least(lit(ceil), greatest(lit(floor), score))
+    df.filter(hashBucket(id, buckets) < round(p * buckets))
+  }
+
   /** Deterministic train/valid/test assignment: cumulative fraction
     * cut-points over the same id-hash draw as [[sampleByHash]]. Fractions
     * are applied in the given order; anything past the last cut falls in

@@ -486,7 +486,14 @@ object DocQueries {
       a.count()
       i.copy(assigned = a)
     }
-    val ivf = IvfIndex.search(idx, qv, k = 10, nProbe = 8)
+    // nProbe=12 of 16: this corpus is near-random (ANN-hostile — top
+    // cosine ≈ 0.37), so expected recall ≈ nProbe/nList and 8/16 fell to
+    // 0.5 at sf0.1. Measured (tools/IvfRecallProbe): 12/16 gives
+    // recall@10 of 1.0 / 0.9 / 1.0 at sf0.001/0.01/0.1 — the honest
+    // probe budget for data with no cluster structure; real embedding
+    // corpora cluster, which is what lets production IVF probe far fewer
+    // lists at the same recall.
+    val ivf = IvfIndex.search(idx, qv, k = 10, nProbe = 12)
       .select(col("vec_id"))
     val exact = Similarity.bruteForceKnn(emb, col("vec_id"),
       col("embedding"), qv, k = 10).select(col("vec_id"))

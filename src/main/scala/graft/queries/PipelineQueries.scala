@@ -211,6 +211,40 @@ object PipelineQueries {
       |      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
       |ORDER BY doc_id ASC""".stripMargin
 
+  /** Quality-weighted (soft) sampling: keep probability = the doc's own
+    * heuristic quality score, clamped to [0.1, 0.9] — the importance-
+    * sampling pass between "keep everything" and a hard threshold. Same
+    * md5 draw as every other sampler, so the survivor set is stable
+    * across engines and re-runs. The oracle replays score, clamp, and
+    * draw; the 6-dp score round pins the textual boundary and both
+    * engines round the identical double, so the kept sets match exactly.
+    */
+  def sampleQualityWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    orderedViaShuffle(
+      Sampling.qualityWeightedSample(docs, col("doc_id"), col("quality")),
+      col("doc_id").asc)
+  }
+
+  val sampleQualityWeightedSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, round((
+      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) +
+      |    least(CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
+      |    (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
+      |  ) / 4.0, 6) AS quality
+      |  FROM documents)
+      |SELECT doc_id, quality FROM q
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      |      < round(least(0.9, greatest(0.1, quality)) * 1000)
+      |ORDER BY doc_id ASC""".stripMargin
+
   /** Dataset mixture weighting: per-lang token share vs a uniform target,
     * emitting the sampling weight a mixing job applies per stratum.
     */
@@ -667,6 +701,8 @@ object PipelineQueries {
     "split_leakage_safe" -> (splitLeakageSafe _, Some(splitLeakageSafeSql)),
     "sample_shuffle" -> (sampleShuffle _, Some(sampleShuffleSql)),
     "sample_group_topk" -> (sampleGroupTopk _, Some(sampleGroupTopkSql)),
+    "sample_quality_weighted" ->
+      (sampleQualityWeighted _, Some(sampleQualityWeightedSql)),
     "url_dedup" -> (urlDedup _, Some(urlDedupSql)),
     "mix_weights" -> (mixWeights _, Some(mixWeightsSql)),
     "mix_temperature" -> (mixTemperature _, Some(mixTemperatureSql)),

@@ -10,6 +10,32 @@ import graft.functions.TextFunctions
 class SamplingSpec extends SparkTestBase {
   import spark.implicits._
 
+  // --- qualityWeightedSample ------------------------------------------------
+
+  test("qualityWeightedSample: keep rate tracks the score, clamped at both ends") {
+    val n = 4000L
+    val ids = spark.range(n).toDF("id")
+    def keptAt(score: Double): Long =
+      Sampling.qualityWeightedSample(
+        ids.withColumn("q", lit(score)), col("id"), col("q")).count()
+    // clamp floor: score 0 still keeps ~10%; ceiling: score 1 keeps ~90%
+    val atZero = keptAt(0.0); val atOne = keptAt(1.0)
+    assert(math.abs(atZero - n * 0.1) < n * 0.03, s"floor keep=$atZero")
+    assert(math.abs(atOne - n * 0.9) < n * 0.03, s"ceil keep=$atOne")
+    // monotone in between, and deterministic across invocations
+    val mid = keptAt(0.5)
+    assert(atZero < mid && mid < atOne)
+    assert(mid == keptAt(0.5))
+    // a kept id stays kept when its score rises (same draw, higher bar)
+    val kept03 = Sampling.qualityWeightedSample(
+      ids.withColumn("q", lit(0.3)), col("id"), col("q"))
+      .collect().map(_.getLong(0)).toSet
+    val kept07 = Sampling.qualityWeightedSample(
+      ids.withColumn("q", lit(0.7)), col("id"), col("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept03.subsetOf(kept07))
+  }
+
   // --- duplicateClusters ----------------------------------------------------
 
   test("duplicateClusters groups transitively, labels by min id") {
