@@ -65,6 +65,60 @@ object Sampling {
     df.filter(hashBucket(id, buckets) < round(p * buckets))
   }
 
+  /** DSIR-style importance scores (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): rank raw-corpus
+    * documents by how target-like their token distribution is. Each
+    * doc's importance is the mean over its token positions of the
+    * unigram likelihood ratio p_target(tok)/p_raw(tok) — the
+    * feature-space importance weight the paper resamples by (a mean of
+    * ratios instead of the paper's summed log-ratio keeps the arithmetic
+    * libm-free: ln() is not IEEE-correctly-rounded and would tie the
+    * result to one libm build). Tokens absent from the target slice get
+    * ratio 0, dragging the doc's score toward 0 exactly as the −∞ log
+    * weight would. Feed the result to [[qualityWeightedSample]] to
+    * complete the resample step with the same stable md5 draw as every
+    * other sampler here.
+    *
+    * Determinism by construction: each ratio is ONE correctly-rounded
+    * double division of exact long products —
+    * (c_target·n_raw)/(c_raw·n_target) — and the per-doc mean folds the
+    * POSITION-SORTED ratio array (the [[temperatureWeights]] trick), so
+    * no float-addition-order dependence exists on any engine or
+    * partitioning. The long products stay below 2⁵³ (double-exact) up to
+    * ~10⁸ target × 10⁸ corpus tokens; beyond that, bucket the counts
+    * (the paper's hashed-feature variant) before ratioing.
+    *
+    * `tok` relation: (doc_id, pos, tok, is_target) — one exploded corpus
+    * feeding both the |vocab|-row count table (map-side combined: the
+    * shuffle is vocab-sized, not corpus-sized) and the scoring join; the
+    * ratio table rides back on an AQE broadcast while the vocabulary is
+    * small. At web scale, prune to top-K features first — same effect as
+    * the paper's feature hashing.
+    */
+  def importanceScores(tok: DataFrame): DataFrame = {
+    val totals = tok.agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("n_t"))
+    val counts = tok.groupBy(col("tok")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        ((col("c_t") * col("n_r")).cast("double") /
+          (col("c_r") * col("n_t")).cast("double")).as("ratio"))
+    // the broadcast is PINNED to the vocab-sized ratio table: left to AQE,
+    // the test-scale stats pick the exploded corpus as the build side —
+    // right locally, impossible at 100 TB where the token stream is the
+    // corpus × mean doc length
+    tok.join(broadcast(ratio), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (aggregate(
+          array_sort(collect_list(struct(col("pos"), col("ratio")))),
+          lit(0.0), (acc, x) => acc + x.getField("ratio")) /
+          count(lit(1)).cast("double")).as("importance"))
+  }
+
   /** Deterministic train/valid/test assignment: cumulative fraction
     * cut-points over the same id-hash draw as [[sampleByHash]]. Fractions
     * are applied in the given order; anything past the last cut falls in

@@ -170,6 +170,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Quantized ANN scan (ADC — asymmetric distance computation): rank the
+    * corpus by cosine between the FULL-precision query and each vector's
+    * int8 codes ([[Embed.quantizeInt8]] output), keep the top
+    * `candidates`, then exact-re-rank only those against the float
+    * vectors. The int8 scale factor cancels out of cosine (it is a
+    * non-negative per-row scalar), so the approximate score needs codes
+    * only — the probe artifact is a (vec_id, codes) relation whose
+    * TINYINT-backed parquet form scans at a quarter of the float32
+    * bandwidth, which is the whole point at 100 TB: the wide float
+    * vectors are touched for exactly `candidates` rows per query.
+    *
+    * Plan shape: one narrow codes scan + TakeOrderedAndProject (no
+    * shuffle), the candidate page BROADCAST onto the corpus for the
+    * re-rank point lookups, one more TakeOrderedAndProject. Arithmetic
+    * is index-order double folds on both stages (codes widen to double
+    * per element), so candidate selection and final scores are
+    * bit-reproducible against an engine replaying the same folds; a
+    * zero-norm code row scores −2.0 (below any real similarity) rather
+    * than NULL, whose sort position is engine-dependent.
+    */
+  def adcKnn(codes: DataFrame, emb: DataFrame, id: Column, vec: Column,
+      query: Seq[Float], k: Int, candidates: Int): DataFrame = {
+    val q = typedLit(query)
+    val nc = norm(col("codes"))
+    val approx = codes.select(col("vec_id"),
+      when(nc === 0.0, lit(-2.0))
+        .otherwise(dot(col("codes"), q) / (nc * norm(q)))
+        .as("approx_score"))
+      .orderBy(col("approx_score").desc, col("vec_id").asc)
+      .limit(candidates)
+    val full = emb.select(id.as("vec_id"), vec.as("__v"))
+    // cosine() is NULL on a zero-norm side; pin that to −2.0 so degenerate
+    // rows rank LAST on every engine (NULL sort position is not portable:
+    // Spark desc puts nulls last, DuckDB first)
+    broadcast(approx).join(full, "vec_id")
+      .select(col("vec_id"),
+        coalesce(cosine(col("__v"), q), lit(-2.0)).as("score"),
+        col("approx_score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs at corpus scale: bucket by
     * sign-LSH signature (one shuffle), generate pairs only within buckets
     * (bounded by `maxBucket`, like [[Dedup.minhashCandidates]]), exact
@@ -261,6 +303,42 @@ object Similarity {
       .agg(min(col("cluster")).cast("long").as("cluster"),
         min(col("kept_id")).as("kept_id"),
         max(col("cosine")).as("max_cosine"))
+  }
+
+  /** Batch top-k KNN graph — one row per (vector, neighbor rank ≤ k) —
+    * the all-rows twin of the single-query KNN operators and the
+    * primitive behind hard-negative mining for contrastive training and
+    * graph-based corpus clustering. A naive build is an O(n²) self-join;
+    * here candidates are SAME-CLUSTER pairs over a coarse assignment
+    * relation ([[semanticAssign]] / [[IvfIndex.build]] output), so pair
+    * fan-out is bounded by the mean list size (≈ n/nList — grow nList
+    * with the corpus, the SemDeDup knob), and recall is the standard IVF
+    * trade: neighbors split across cluster boundaries are missed; raise
+    * recall by multi-assigning each row to its p nearest centroids.
+    *
+    * Plan shape: the assignment shuffles once on `cluster`; within-
+    * cluster pairs are generated in place; the per-vector top-k is a
+    * rank-limited window on `vec_id` whose WindowGroupLimit pre-prunes
+    * each map partition to k rows per vector BEFORE the window exchange
+    * — and since a vector's candidates are all in its cluster's single
+    * partition, the exchange carries at most k·n rows, never the
+    * quadratic pair stream.
+    */
+  def knnGraph(assigned: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = assigned.select(col("cluster"), col("vec_id"),
+      col("embedding").as("__ea"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("__eb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(b, "cluster")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("__ea"), col("__eb")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
   /** Embedding outlier audit: the top-k vectors per label by distance to

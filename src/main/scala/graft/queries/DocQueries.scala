@@ -560,21 +560,24 @@ object DocQueries {
     * hash-matches bit-for-bit, so the cluster structure, not just the
     * final ids, is what the gate proves.
     */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    // the cluster assignment is the build-once artifact (the k-means pass
-    // of SemDeDup) — memoized+persisted like the LSH/IVF indexes; only
-    // the within-cluster pair stage is the recurring per-snapshot cost
-    val assigned = memoizedIndex(s, dir, "semdedup_assign_16") {
+  // the cluster assignment is the build-once artifact (the k-means pass
+  // of SemDeDup) — memoized+persisted like the LSH/IVF indexes; only the
+  // per-snapshot stage on top varies: dedup_semantic runs the
+  // within-cluster ε-ball pair report, knn_graph (EmbedQueries) the
+  // within-cluster top-k neighbor ranking, off the SAME artifact
+  private[queries] def semdedupAssigned(s: SparkSession, dir: String): DataFrame =
+    memoizedIndex(s, dir, "semdedup_assign_16") {
       val a = Similarity.semanticAssign(t(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), nList = 16)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       a.count()
       a
     }
+
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     orderedViaShuffle(
-      Similarity.semanticDupes(assigned, eps = 0.33),
+      Similarity.semanticDupes(semdedupAssigned(s, dir), eps = 0.33),
       col("dup_id").asc)
-  }
 
   val dedupSemanticSql: String =
     """WITH n AS (SELECT count(*) AS cnt FROM embeddings),

@@ -130,8 +130,113 @@ object EmbedQueries {
       |SELECT label, rnk, vec_id, dist2_fp FROM r WHERE rnk <= 3
       |ORDER BY label ASC, rnk ASC""".stripMargin
 
+  // DuckDB twins of [[Similarity.dot]]/[[Similarity.cosine]] — the same
+  // index-order double folds, composed into the larger oracles below
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)"
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Batch top-k KNN graph over the SemDeDup cluster assignment — the
+    * hard-negative-mining / corpus-graph primitive
+    * ([[Similarity.knnGraph]]): each vector's 5 nearest same-cluster
+    * neighbors by exact cosine. Shares the memoized `semdedup_assign_16`
+    * artifact with `dedup_semantic` (build once, probe from both
+    * pipelines). The oracle replays the WHOLE pipeline — mod-stride
+    * centroid pick, argmax assignment with the (score, cid) tie-break,
+    * within-cluster ranking — so the graph structure, not just the ids,
+    * is what the gate proves.
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      Similarity.knnGraph(DocQueries.semdedupAssigned(s, dir), k = 5),
+      col("vec_id").asc, col("rnk").asc)
+
+  val knnGraphSql: String =
+    s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+       |  FROM embeddings, n
+       |  WHERE vec_id % greatest(1, cnt // 16) = 0
+       |  ORDER BY vec_id LIMIT 16),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${duckCos("e.embedding", "c.cvec")} AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    ${duckCos("a.embedding", "b.embedding")} AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM pairs)
+       |SELECT vec_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 5
+       |ORDER BY vec_id ASC, rnk ASC""".stripMargin
+
+  /** Quantized ANN (ADC): approximate cosine over the int8 codes picks 50
+    * candidates from a scan that touches a quarter of the float32 bytes;
+    * the wide vectors are read for those 50 rows only
+    * ([[Similarity.adcKnn]]). The codes relation is the memoized
+    * compressed-index artifact ([[Embed.quantizeInt8]], whose
+    * construction `vector_quantize_int8` oracles bit-exactly); the
+    * oracle here replays quantization + both ranking stages, so the
+    * candidate SET — not just the final page — must agree.
+    */
+  def vectorKnnAdc(s: SparkSession, dir: String): DataFrame = {
+    val codes = memoizedIndex(s, dir, "int8_codes") {
+      val c = Embed.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"))
+        .select(col("id").as("vec_id"), col("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
+    Similarity.adcKnn(codes, t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), DocQueries.queryVector(s, dir), k = 10,
+      candidates = 50)
+  }
+
+  val vectorKnnAdcSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, embedding,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |sc AS (SELECT vec_id, embedding, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |       FROM e),
+       |c AS (SELECT vec_id, embedding,
+       |        list_transform(v, x -> CAST(floor(x /
+       |          (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5) AS BIGINT))
+       |          AS codes
+       |      FROM sc),
+       |a AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN sqrt(${duckDot("codes", "codes")}) = 0 THEN -2.0
+       |         ELSE ${duckDot("codes", "qv")} /
+       |              (sqrt(${duckDot("codes", "codes")}) * sqrt(${duckDot("qv", "qv")}))
+       |    END AS approx_score
+       |  FROM c, q
+       |  ORDER BY approx_score DESC, vec_id ASC LIMIT 50)
+       |SELECT a.vec_id,
+       |  CASE WHEN sqrt(${duckDot("a.embedding", "a.embedding")}) = 0 THEN -2.0
+       |       ELSE ${duckCos("a.embedding", "qv")} END AS score,
+       |  a.approx_score
+       |FROM a, q
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "similar_to_doc" -> (similarToDoc _, Some(similarToDocSql)),
     "embed_delta" -> (embedDelta _, Some(embedDeltaSql)),
-    "embed_outliers" -> (embedOutliers _, Some(embedOutliersSql)))
+    "embed_outliers" -> (embedOutliers _, Some(embedOutliersSql)),
+    "knn_graph" -> (knnGraph _, Some(knnGraphSql)),
+    "vector_knn_adc" -> (vectorKnnAdc _, Some(vectorKnnAdcSql)))
 }

@@ -245,6 +245,55 @@ object PipelineQueries {
       |      < round(least(0.9, greatest(0.1, quality)) * 1000)
       |ORDER BY doc_id ASC""".stripMargin
 
+  /** DSIR importance resampling ([[Sampling.importanceScores]]): the
+    * English slice stands in for the target distribution; every doc gets
+    * the mean unigram likelihood-ratio score p_en(tok)/p_corpus(tok),
+    * and the resample keeps it with probability clamp(importance) over
+    * the same stable md5 draw as every other sampler — so target-like
+    * docs (in any language) survive at up to 9× the rate of
+    * target-alien ones, deterministically. The oracle replays the whole
+    * pipeline: both unigram LMs, the exact-long-product ratios, the
+    * position-sorted mean fold, and the draw.
+    */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents").select(col("doc_id"),
+      (col("lang") === "en").as("is_target"),
+      posexplode(TextFunctions.wsTokens(col("text"))).as(Seq("pos", "tok")))
+    orderedAtTail(
+      Sampling.qualityWeightedSample(
+        Sampling.importanceScores(tok), col("doc_id"), col("importance")),
+      col("doc_id").asc)
+  }
+
+  val sampleImportanceSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang = 'en' AS is_target,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, is_target,
+      |         unnest(range(len(toks))) AS pos,
+      |         unnest(toks) AS tok
+      |  FROM tk),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+      |               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      |        FROM g),
+      |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_r,
+      |             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+      |      FROM g GROUP BY tok),
+      |r AS (SELECT tok, CAST(c_t * n_r AS DOUBLE) / CAST(c_r * n_t AS DOUBLE) AS ratio
+      |      FROM c, tot),
+      |p AS (SELECT g.doc_id, g.pos, r.ratio FROM g JOIN r USING (tok)),
+      |d AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |         list_reduce(list(ratio ORDER BY pos), (a, x) -> a + x) / COUNT(*)
+      |           AS importance
+      |  FROM p GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, importance FROM d
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      |      < round(least(0.9, greatest(0.1, importance)) * 1000)
+      |ORDER BY doc_id ASC""".stripMargin
+
   /** Dataset mixture weighting: per-lang token share vs a uniform target,
     * emitting the sampling weight a mixing job applies per stratum.
     */
@@ -703,6 +752,7 @@ object PipelineQueries {
     "sample_group_topk" -> (sampleGroupTopk _, Some(sampleGroupTopkSql)),
     "sample_quality_weighted" ->
       (sampleQualityWeighted _, Some(sampleQualityWeightedSql)),
+    "sample_importance" -> (sampleImportance _, Some(sampleImportanceSql)),
     "url_dedup" -> (urlDedup _, Some(urlDedupSql)),
     "mix_weights" -> (mixWeights _, Some(mixWeightsSql)),
     "mix_temperature" -> (mixTemperature _, Some(mixTemperatureSql)),

@@ -196,6 +196,73 @@ class OperatorsSpec extends SparkTestBase {
       nList = 2, eps = 1.01).isEmpty)
   }
 
+  test("knnGraph: within-cluster top-k matches local brute force, no self/cross pairs") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.3f, 0.0f, 0.0f)),
+      (2L, Seq(0.8f, -0.4f, 0.2f, 0.0f)),
+      (3L, Seq(0.9001f, 0.2999f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.05f)),
+      (5L, Seq(0.0f, 0.3f, 0.9f, 0.0f)),
+      (6L, Seq(0.2f, 0.0f, 0.8f, -0.4f)),
+      (7L, Seq(0.0f, 0.0f, 0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.semanticAssign(emb, col("vec_id"),
+      col("embedding"), nList = 2)
+    val got = Similarity.knnGraph(assigned, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // local replay: same cluster, cosineLocal ranking, same tie-breaks
+    val rows = assigned.collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq,
+        r.getInt(2)))
+    val want = rows.flatMap { case (id, v, cl) =>
+      rows.filter(o => o._3 == cl && o._1 != id)
+        .map(o => (o._1, Similarity.cosineLocal(v, o._2.toSeq)))
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(2).zipWithIndex
+        .map { case ((nid, c), i) => (id, i + 1, nid, c) }
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.forall { case (a, _, b, _) => a != b })
+    assert(got.groupBy(_._1).values.forall(_.length <= 2))
+    // the planted near-copy (1,3) is each other's rank-1 neighbor
+    assert(got.contains((1L, 1, 3L, got.find(r => r._1 == 1L && r._2 == 1).get._4)))
+  }
+
+  test("adcKnn: int8 candidate scan recovers the brute-force top-k on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    val codes = Embed.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .select(col("id").as("vec_id"), col("codes"))
+    val brute = Similarity.bruteForceKnn(emb, col("vec_id"), col("embedding"),
+      q, k = 10).collect().map(_.getLong(0)).toSet
+    val adc = Similarity.adcKnn(codes, emb, col("vec_id"), col("embedding"),
+      q, k = 10, candidates = 50).collect()
+    assert(adc.head.getLong(0) == 0L) // the query row itself ranks first
+    val recall = adc.map(_.getLong(0)).count(brute.contains) / 10.0
+    assert(recall >= 0.9, s"ADC recall $recall below 0.9")
+    // exact re-rank scores are true cosines, approx stays within int8 error
+    adc.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.02,
+        s"approx drifted: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("adcKnn: zero-code rows score -2.0, never NULL") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)), // zero vector → zero codes
+      (3L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val codes = Embed.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .select(col("id").as("vec_id"), col("codes"))
+    val out = Similarity.adcKnn(codes, emb, col("vec_id"), col("embedding"),
+      Seq(1.0f, 0.0f), k = 3, candidates = 3).collect()
+    val zeroRow = out.find(_.getLong(0) == 2L).get
+    assert(zeroRow.getDouble(2) == -2.0)
+    assert(out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+  }
+
   test("rrf fusion ranks an item present in both lists first") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")

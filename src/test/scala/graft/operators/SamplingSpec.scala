@@ -199,6 +199,34 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("importanceScores: hand-computed likelihood ratios and means") {
+    // target doc 1: "a b"; raw doc 2: "a c"
+    // totals: n_r=4, n_t=2; counts: a(2,1) b(1,1) c(1,0)
+    // ratios: a = (1·4)/(2·2) = 1.0, b = (1·4)/(1·2) = 2.0, c = 0.0
+    // doc 1 mean(1.0, 2.0) = 1.5; doc 2 mean(1.0, 0.0) = 0.5
+    val tok = Seq(
+      (1L, true, 0, "a"), (1L, true, 1, "b"),
+      (2L, false, 0, "a"), (2L, false, 1, "c"))
+      .toDF("doc_id", "is_target", "pos", "tok")
+    val got = Sampling.importanceScores(tok).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2L, 1.5)))
+    assert(got(2L) == ((2L, 0.5)))
+    // target-like docs outrank target-alien ones; exact doubles, no fuzz
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("importanceScores: target-absent vocabulary drives the score to zero") {
+    val tok = Seq(
+      (1L, true, 0, "x"),
+      (2L, false, 0, "y"), (2L, false, 1, "z"))
+      .toDF("doc_id", "is_target", "pos", "tok")
+    val got = Sampling.importanceScores(tok).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(2L) == 0.0) // y,z never occur in the target slice
+    assert(got(1L) == 3.0) // x: (1·3)/(1·1) = 3 — sole target token
+  }
+
   test("splitAssign on a group key co-assigns every group member (leakage-safe)") {
     // 300 docs in 100 near-dup clusters of 3: the draw hashes the CLUSTER
     // label, so members can never straddle train and the eval holdout
