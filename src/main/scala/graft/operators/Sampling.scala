@@ -95,21 +95,34 @@ object Sampling {
     * small. At web scale, prune to top-K features first — same effect as
     * the paper's feature hashing.
     */
-  def importanceScores(tok: DataFrame): DataFrame = {
+  def importanceScores(tok: DataFrame): DataFrame =
+    scoreWithRatios(tok, importanceRatios(tok))
+
+  /** The trained-model half of [[importanceScores]]: the (tok, ratio)
+    * likelihood-ratio table — a per-corpus-snapshot artifact (like the
+    * bigram LM and the LSH/IVF indexes): build and persist once, score
+    * any number of shards/queries against it.
+    */
+  def importanceRatios(tok: DataFrame): DataFrame = {
     val totals = tok.agg(
       count(lit(1)).as("n_r"),
       sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("n_t"))
     val counts = tok.groupBy(col("tok")).agg(
       count(lit(1)).as("c_r"),
       sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
-    val ratio = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("tok"),
         ((col("c_t") * col("n_r")).cast("double") /
           (col("c_r") * col("n_t")).cast("double")).as("ratio"))
-    // the broadcast is PINNED to the vocab-sized ratio table: left to AQE,
-    // the test-scale stats pick the exploded corpus as the build side —
-    // right locally, impossible at 100 TB where the token stream is the
-    // corpus × mean doc length
+  }
+
+  /** The recurring half of [[importanceScores]]: per-doc mean ratio over
+    * a (fresh or reopened) ratio table. The broadcast is PINNED to the
+    * vocab-sized ratio table: left to AQE, the test-scale stats pick the
+    * exploded corpus as the build side — right locally, impossible at
+    * 100 TB where the token stream is the corpus × mean doc length.
+    */
+  def scoreWithRatios(tok: DataFrame, ratio: DataFrame): DataFrame =
     tok.join(broadcast(ratio), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -117,7 +130,6 @@ object Sampling {
           array_sort(collect_list(struct(col("pos"), col("ratio")))),
           lit(0.0), (acc, x) => acc + x.getField("ratio")) /
           count(lit(1)).cast("double")).as("importance"))
-  }
 
   /** Deterministic train/valid/test assignment: cumulative fraction
     * cut-points over the same id-hash draw as [[sampleByHash]]. Fractions

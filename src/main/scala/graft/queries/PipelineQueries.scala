@@ -259,9 +259,19 @@ object PipelineQueries {
     val tok = t(s, dir, "documents").select(col("doc_id"),
       (col("lang") === "en").as("is_target"),
       posexplode(TextFunctions.wsTokens(col("text"))).as(Seq("pos", "tok")))
+    // the likelihood-ratio table is the trained MODEL artifact (the DSIR
+    // importance estimator) — memoized per corpus snapshot like the
+    // bigram LM; scoring probes it, it does not re-train per query
+    val ratio = memoizedIndex(s, dir, "dsir_ratio") {
+      val r = Sampling.importanceRatios(tok)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
     orderedAtTail(
       Sampling.qualityWeightedSample(
-        Sampling.importanceScores(tok), col("doc_id"), col("importance")),
+        Sampling.scoreWithRatios(tok, ratio), col("doc_id"),
+        col("importance")),
       col("doc_id").asc)
   }
 

@@ -378,6 +378,47 @@ class PlanAuditSpec extends SparkTestBase {
       s"a global sort crept into the outlier report:\n$plan")
   }
 
+  test("knn_graph: WindowGroupLimit prunes the pair stream before the rank window") {
+    val df = graft.queries.EmbedQueries.knnGraph(spark, sf)
+    val plan = executed(df).toString
+    // without the group-limit pushdown, the window exchange would carry
+    // the full quadratic within-cluster pair stream instead of ≤ k·n rows
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the window:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a global sort crept into the graph build:\n$plan")
+  }
+
+  test("vector_knn_adc: two top-k stages, candidates broadcast, no hash shuffle") {
+    val df = graft.queries.EmbedQueries.vectorKnnAdc(spark, sf)
+    val plan = executed(df).toString
+    // codes scan → top-C and re-rank → top-k both compile to
+    // TakeOrderedAndProject; the candidate page rides a broadcast onto
+    // the corpus — nothing ever hash-shuffles at any corpus size
+    val topk = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(topk >= 2, s"expected 2 top-k stages, got $topk:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate page did not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"ADC search must not shuffle the corpus:\n$plan")
+  }
+
+  test("sample_importance: ratio table broadcasts, exploded corpus never does") {
+    val df = graft.queries.PipelineQueries.sampleImportance(spark, sf)
+    val plan = executed(df).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio table did not broadcast:\n$plan")
+    // AQE's test-scale stats would happily broadcast the exploded token
+    // stream (Generate side) — right locally, impossible at 100 TB; the
+    // build side must stay the vocab-sized ratio table
+    val broadcastSubtrees = executed(df).collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcastSubtrees.forall(b =>
+      b.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty),
+      s"exploded corpus landed on the broadcast side:\n$plan")
+  }
+
   test("as-of join is one shuffle per side + one window, no join operator") {
     import spark.implicits._
     val l = (0 until 100).map(i => (i.toLong % 7, i.toLong, s"e$i"))
