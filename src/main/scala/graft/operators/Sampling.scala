@@ -110,10 +110,15 @@ object Sampling {
     val counts = tok.groupBy(col("tok")).agg(
       count(lit(1)).as("c_r"),
       sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    // an EMPTY target slice makes every ratio 0/0 — silent NaN scores
+    // that would poison the whole resample; fail loudly instead (the
+    // check rides the vocab-sized table, one branch per distinct token)
     counts.crossJoin(broadcast(totals))
       .select(col("tok"),
-        ((col("c_t") * col("n_r")).cast("double") /
-          (col("c_r") * col("n_t")).cast("double")).as("ratio"))
+        when(col("n_t") === 0L, raise_error(lit(
+          "importanceRatios: target slice is empty — no is_target tokens")))
+          .otherwise((col("c_t") * col("n_r")).cast("double") /
+            (col("c_r") * col("n_t")).cast("double")).as("ratio"))
   }
 
   /** The recurring half of [[importanceScores]]: per-doc mean ratio over

@@ -253,29 +253,54 @@ object Similarity {
     * ([[IvfIndex.assign]]); the pair stage shuffles on `cluster` once and
     * is quadratic only WITHIN a cluster, so `nList` must grow with the
     * corpus to hold the mean cluster size (≈ n/nList) at the budget — the
-    * same knob as the paper's k. Centroids here are a mod-stride sample
-    * over the dense ids (cross-engine reproducible, hence oracle-able);
-    * a deployment swaps in [[IvfIndex.build]]'s hash stride or MLlib
-    * KMeans without touching the pair stage.
+    * same knob as the paper's k. Centroids here are an md5-stride sample
+    * over the ids (id-structure-immune AND cross-engine reproducible,
+    * hence oracle-able — see [[semanticAssign]]); a deployment can swap
+    * in MLlib KMeans without touching the pair stage.
     */
   def semanticDedup(emb: DataFrame, id: Column, vec: Column,
-      nList: Int, eps: Double): DataFrame =
-    semanticDupes(semanticAssign(emb, id, vec, nList), eps)
+      nList: Int, eps: Double, hashStride: Boolean = true): DataFrame =
+    semanticDupes(semanticAssign(emb, id, vec, nList, hashStride), eps)
 
   /** The build-once half of [[semanticDedup]]: centroid pick + cluster
     * assignment → a (cluster, vec_id, embedding) relation. This is the
     * persistent artifact of the pipeline (the paper's k-means pass) —
     * callers memoize/persist it and run [[semanticDupes]] per snapshot,
     * the same build-once/probe-many split as the LSH and IVF indexes.
+    *
+    * `hashStride` (default): centroid candidates are rows whose md5 id
+    * draw ([[Sampling.hashBucket]]'s recipe — cross-engine replayable,
+    * unlike xxhash64) lands on the stride. A plain `id % stride` pick is
+    * NOT structure-immune: production ids carry block structure (shard
+    * offsets, snowflake epochs), and any common factor between the block
+    * size and the stride collapses the centroid set — measured on the
+    * 20× ScaleProbe corpus (ids shifted by 1 M per copy, stride 125):
+    * 16 distinct centroids out of 320, mean cluster 2 500 instead of
+    * 125, and the quadratic within-cluster pair stage blew up 20×.
+    * `hashStride = false` keeps the dense-id mod pick for hand-built
+    * fixtures where WHICH rows seed the clusters must be predictable.
     */
   def semanticAssign(emb: DataFrame, id: Column, vec: Column,
-      nList: Int): DataFrame = {
+      nList: Int, hashStride: Boolean = true): DataFrame = {
     val base = emb.select(id.as("vec_id"), vec.as("embedding"))
+    IvfIndex.assign(base, strideCentroids(base, nList, hashStride))
+  }
+
+  /** Deterministic ~`nList`-centroid sample shared by [[semanticAssign]]
+    * and [[semanticAssignMulti]]; ≤ nList rows reach the driver.
+    */
+  private def strideCentroids(base: DataFrame, nList: Int,
+      hashStride: Boolean): Seq[Seq[Float]] = {
     val n = base.count()
     require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
     val stride = math.max(1L, n / nList)
+    val draw =
+      if (hashStride)
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % stride
+      else pmod(col("vec_id"), lit(stride))
     val centroids = base
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .filter(draw === 0)
       .orderBy(col("vec_id").asc)
       .limit(nList)
       .select(col("embedding"))
@@ -283,7 +308,32 @@ object Similarity {
       .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
       .toSeq
     require(centroids.nonEmpty, "id stride produced no centroids")
-    IvfIndex.assign(base, centroids)
+    centroids
+  }
+
+  /** Top-p centroid multi-assignment — the recall lever for cluster-
+    * bucketed pair generation ([[knnGraph]], [[semanticDupes]]): each
+    * vector lands in its p highest-cosine centroid lists instead of one,
+    * so neighbors split across a single-assignment boundary still meet
+    * in some shared list. Classic IVF build-side multi-probe: storage
+    * and pair fan-out scale by p, recall loss shrinks roughly
+    * geometrically. Ranking and tie-breaks ([s desc, then HIGHER
+    * centroid id] — `reverse(array_sort)` over (s, i) structs) match
+    * [[semanticAssign]]'s `greatest(struct)` exactly, so p=1 reproduces
+    * the single-assignment relation bit-for-bit.
+    */
+  def semanticAssignMulti(emb: DataFrame, id: Column, vec: Column,
+      nList: Int, p: Int, hashStride: Boolean = true): DataFrame = {
+    require(p >= 1 && p <= nList, s"p ($p) must be in [1, nList=$nList]")
+    val base = emb.select(id.as("vec_id"), vec.as("embedding"))
+    val centroids = strideCentroids(base, nList, hashStride)
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("embedding"), typedLit(c)).as("s"), lit(i).as("i"))
+    }: _*)
+    base.withColumn("__sc", reverse(array_sort(scored)))
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(col("__sc"), 1, p)).as("__c"))
+      .select(col("vec_id"), col("embedding"), col("__c.i").as("cluster"))
   }
 
   /** The recurring half of [[semanticDedup]]: within-cluster ε-ball pair
@@ -324,7 +374,8 @@ object Similarity {
     * partition, the exchange carries at most k·n rows, never the
     * quadratic pair stream.
     */
-  def knnGraph(assigned: DataFrame, k: Int): DataFrame = {
+  def knnGraph(assigned: DataFrame, k: Int,
+      dedupCandidates: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = assigned.select(col("cluster"), col("vec_id"),
       col("embedding").as("__ea"))
@@ -332,10 +383,21 @@ object Similarity {
       col("embedding").as("__eb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    a.join(b, "cluster")
+    val pairs = a.join(b, "cluster")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("__ea"), col("__eb")).as("cosine"))
+    // a multi-assigned relation ([[semanticAssignMulti]]) generates the
+    // same pair once per shared list — without the dedup a neighbor
+    // would occupy several of the k rank slots. The groupBy replaces the
+    // window's exchange (same key prefix), not adds one; single-assigned
+    // callers skip it and keep the map-side-only path.
+    val uniq =
+      if (dedupCandidates)
+        pairs.groupBy(col("vec_id"), col("neighbor_id"))
+          .agg(max(col("cosine")).as("cosine"))
+      else pairs
+    uniq
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cosine"))

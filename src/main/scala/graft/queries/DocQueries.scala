@@ -555,7 +555,7 @@ object DocQueries {
   /** SemDeDup over the embeddings corpus: 16 clusters, ε tuned to this
     * synthetic corpus's cosine mass (pairwise max ≈ 0.51, p999 ≈ 0.38 —
     * ε = 0.33 prunes ~17% at sf0.01). The oracle replays the WHOLE
-    * pipeline in SQL — mod-stride centroid pick, argmax assignment with
+    * pipeline in SQL — md5-stride centroid pick, argmax assignment with
     * the same (score, cid) tie-break, within-cluster pair threshold — and
     * hash-matches bit-for-bit, so the cluster structure, not just the
     * final ids, is what the gate proves.
@@ -584,7 +584,8 @@ object DocQueries {
       |cents AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
       |  FROM embeddings, n
-      |  WHERE vec_id % greatest(1, cnt // 16) = 0
+      |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |        % greatest(1, cnt // 16) = 0
       |  ORDER BY vec_id LIMIT 16),
       |scored AS (
       |  SELECT e.vec_id, e.embedding, c.cid,

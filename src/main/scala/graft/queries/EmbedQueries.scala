@@ -143,7 +143,7 @@ object EmbedQueries {
     * ([[Similarity.knnGraph]]): each vector's 5 nearest same-cluster
     * neighbors by exact cosine. Shares the memoized `semdedup_assign_16`
     * artifact with `dedup_semantic` (build once, probe from both
-    * pipelines). The oracle replays the WHOLE pipeline — mod-stride
+    * pipelines). The oracle replays the WHOLE pipeline — md5-stride
     * centroid pick, argmax assignment with the (score, cid) tie-break,
     * within-cluster ranking — so the graph structure, not just the ids,
     * is what the gate proves.
@@ -158,7 +158,8 @@ object EmbedQueries {
        |cents AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
        |  FROM embeddings, n
-       |  WHERE vec_id % greatest(1, cnt // 16) = 0
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % greatest(1, cnt // 16) = 0
        |  ORDER BY vec_id LIMIT 16),
        |scored AS (
        |  SELECT e.vec_id, e.embedding, c.cid,

@@ -257,6 +257,40 @@ object ScaleProbe {
     outliers(emb1) // warm
     time("embedding outliers 1x")(outliers(emb1))
     time(s"embedding outliers ${factor}x")(outliers(embN))
+
+    // --- late round-6 additions: knn graph, ADC, importance resampling ---
+    // nList scales with the corpus (mean list size held ≈ n/nList) — the
+    // same knob as semantic dedup; that is what keeps the within-cluster
+    // pair stage, and hence the whole graph build, linear overall
+    def graph(e: org.apache.spark.sql.DataFrame, nList: Int): Long =
+      Similarity.knnGraph(
+        Similarity.semanticAssign(e, col("vec_id"), col("embedding"), nList),
+        k = 5).count()
+    graph(emb1, 16) // warm
+    time("knn graph 1x nList=16")(graph(emb1, 16))
+    time(s"knn graph ${factor}x nList=${16 * factor}")(
+      graph(embN, 16 * factor))
+
+    import graft.operators.Embed
+    def adc(e: org.apache.spark.sql.DataFrame): Long = {
+      val codes = Embed.quantizeInt8(e, col("vec_id"), col("embedding"))
+        .select(col("id").as("vec_id"), col("codes"))
+      Similarity.adcKnn(codes, e, col("vec_id"), col("embedding"), q,
+        k = 10, candidates = 50).count()
+    }
+    adc(emb1) // warm
+    time("adc knn (quantize+search) 1x")(adc(emb1))
+    time(s"adc knn (quantize+search) ${factor}x")(adc(embN))
+
+    def importance(d: org.apache.spark.sql.DataFrame): Long = {
+      val tok = d.select(col("doc_id"),
+        (pmod(col("doc_id"), lit(3)) === 0).as("is_target"),
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      Sampling.importanceScores(tok).count()
+    }
+    importance(docs1) // warm
+    time("importance scores 1x")(importance(docs1))
+    time(s"importance scores ${factor}x")(importance(docsN))
     spark.stop()
   }
 }

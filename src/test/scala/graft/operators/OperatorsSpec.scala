@@ -184,8 +184,9 @@ class OperatorsSpec extends SparkTestBase {
       (5L, Seq(0.0f, 0.3f, 0.9f, 0.0f)),
       (6L, Seq(0.2f, 0.0f, 0.8f, -0.4f)),
       (7L, Seq(0.0f, 0.0f, 0.7f, 0.7f))).toDF("vec_id", "embedding")
+    // hashStride=false: the fixture PLANTS which ids seed the clusters
     val pruned = Similarity.semanticDedup(emb, col("vec_id"),
-      col("embedding"), nList = 2, eps = 0.99).collect()
+      col("embedding"), nList = 2, eps = 0.99, hashStride = false).collect()
     assert(pruned.length == 1)
     assert(pruned.head.getAs[Long]("dup_id") == 3L)
     assert(pruned.head.getAs[Long]("kept_id") == 1L)
@@ -193,7 +194,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(pruned.head.getAs[Double]("max_cosine") > 0.999)
     // a threshold no cosine can exceed prunes nothing
     assert(Similarity.semanticDedup(emb, col("vec_id"), col("embedding"),
-      nList = 2, eps = 1.01).isEmpty)
+      nList = 2, eps = 1.01, hashStride = false).isEmpty)
   }
 
   test("knnGraph: within-cluster top-k matches local brute force, no self/cross pairs") {
@@ -207,7 +208,7 @@ class OperatorsSpec extends SparkTestBase {
       (6L, Seq(0.2f, 0.0f, 0.8f, -0.4f)),
       (7L, Seq(0.0f, 0.0f, 0.7f, 0.7f))).toDF("vec_id", "embedding")
     val assigned = Similarity.semanticAssign(emb, col("vec_id"),
-      col("embedding"), nList = 2)
+      col("embedding"), nList = 2, hashStride = false)
     val got = Similarity.knnGraph(assigned, k = 2).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     // local replay: same cluster, cosineLocal ranking, same tie-breaks
@@ -226,6 +227,79 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.groupBy(_._1).values.forall(_.length <= 2))
     // the planted near-copy (1,3) is each other's rank-1 neighbor
     assert(got.contains((1L, 1, 3L, got.find(r => r._1 == 1L && r._2 == 1).get._4)))
+  }
+
+  test("semanticAssign hash stride is immune to block-structured ids") {
+    // ids with a 1 M block offset per shard copy — the ScaleProbe shape
+    // that collapsed the dense-id mod pick (when the stride divides the
+    // block size, every block re-picks the SAME originals; identical
+    // centroids then tie and only the distinct few win the argmax).
+    // 4 copies × 500 rows, nList 16 → stride 125, and 125 | 1 M.
+    val emb1 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val embN = spark.range(4).crossJoin(emb1)
+      .select((col("id") * 1000000 + col("vec_id")).as("vec_id"),
+        col("embedding"))
+    def distinctClusters(hashStride: Boolean): Long =
+      Similarity.semanticAssign(embN, col("vec_id"), col("embedding"),
+        nList = 16, hashStride = hashStride)
+        .select(col("cluster")).distinct().count()
+    val dense = distinctClusters(false)
+    val hashed = distinctClusters(true)
+    assert(dense <= 6, s"fixture no longer triggers the collapse ($dense)")
+    assert(hashed >= 10, s"hash stride still collapsed: $hashed clusters")
+  }
+
+  test("semanticAssignMulti: p=1 bit-matches single assignment; p=2 lifts graph recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val single = Similarity.semanticAssign(emb, col("vec_id"),
+      col("embedding"), nList = 16)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val multi1 = Similarity.semanticAssignMulti(emb, col("vec_id"),
+      col("embedding"), nList = 16, p = 1)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(multi1 == single) // same ranking + tie-breaks by construction
+    // p=2 emits exactly two DISTINCT lists per vector
+    val multi2 = Similarity.semanticAssignMulti(emb, col("vec_id"),
+      col("embedding"), nList = 16, p = 2)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(multi2.groupBy(_._1).values.forall(_.toSet.size == 2))
+    // graph recall vs the exact local top-5 graph rises with p
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+    val exact = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map(o => (o._1, Similarity.cosineLocal(v, o._2)))
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(p: Int): Double = {
+      val assigned = Similarity.semanticAssignMulti(emb, col("vec_id"),
+        col("embedding"), nList = 16, p = p)
+      val got = Similarity.knnGraph(assigned, k = 5, dedupCandidates = true)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+      vecs.map { case (id, _) =>
+        (got.getOrElse(id, Set.empty[Long]) & exact(id)).size / 5.0
+      }.sum / vecs.length
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 > r1, s"p=2 recall $r2 did not improve on p=1 recall $r1")
+  }
+
+  test("knnGraph dedupCandidates: a twice-shared neighbor takes ONE rank slot") {
+    // both vectors assigned to both clusters → every pair generated twice
+    val assigned = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(0.9f, 0.1f), 0), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.0f, 1.0f), 0), (3L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "cluster")
+    val got = Similarity.knnGraph(assigned, k = 2, dedupCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // without the dedup, vec 1's two slots would BOTH be neighbor 2
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq.sorted == Seq(2L, 3L))
+    assert(got.groupBy(r => (r._1, r._3)).values.forall(_.length == 1))
   }
 
   test("adcKnn: int8 candidate scan recovers the brute-force top-k on real embeddings") {

@@ -227,6 +227,18 @@ class SamplingSpec extends SparkTestBase {
     assert(got(1L) == 3.0) // x: (1·3)/(1·1) = 3 — sole target token
   }
 
+  test("importanceScores: empty target slice fails loudly instead of NaN-ing") {
+    val tok = Seq((1L, false, 0, "a"), (2L, false, 0, "b"))
+      .toDF("doc_id", "is_target", "pos", "tok")
+    val e = intercept[Throwable] {
+      Sampling.importanceScores(tok).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("target slice is empty")),
+      s"wrong failure: $e")
+  }
+
   test("splitAssign on a group key co-assigns every group member (leakage-safe)") {
     // 300 docs in 100 near-dup clusters of 3: the draw hashes the CLUSTER
     // label, so members can never straddle train and the eval holdout
