@@ -287,10 +287,14 @@ object Similarity {
   }
 
   /** Deterministic ~`nList`-centroid sample shared by [[semanticAssign]]
-    * and [[semanticAssignMulti]]; ≤ nList rows reach the driver.
+    * and [[semanticAssignMulti]]; ≤ nList rows reach the driver. Public
+    * because the centroid set is the FROZEN half of an incremental
+    * index: build it from the indexed corpus once, then [[assignTo]]
+    * each fresh shard against it without touching the existing lists.
+    * `base` must carry (vec_id, embedding) columns.
     */
-  private def strideCentroids(base: DataFrame, nList: Int,
-      hashStride: Boolean): Seq[Seq[Float]] = {
+  def strideCentroids(base: DataFrame, nList: Int,
+      hashStride: Boolean = true): Seq[Seq[Float]] = {
     val n = base.count()
     require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
     val stride = math.max(1L, n / nList)
@@ -310,6 +314,18 @@ object Similarity {
     require(centroids.nonEmpty, "id stride produced no centroids")
     centroids
   }
+
+  /** Nearest-centroid assignment against a FROZEN centroid set — the
+    * incremental-maintenance half of the coarse index: a daily shard of
+    * fresh vectors is one narrow scan (no shuffle, no index rebuild,
+    * existing lists untouched), appended to its lists' partitions. Same
+    * argmax + tie-break as [[semanticAssign]], so incremental and
+    * from-scratch assignment agree row-for-row given the same centroids.
+    */
+  def assignTo(emb: DataFrame, id: Column, vec: Column,
+      centroids: Seq[Seq[Float]]): DataFrame =
+    IvfIndex.assign(emb.select(id.as("vec_id"), vec.as("embedding")),
+      centroids)
 
   /** Top-p centroid multi-assignment — the recall lever for cluster-
     * bucketed pair generation ([[knnGraph]], [[semanticDupes]]): each

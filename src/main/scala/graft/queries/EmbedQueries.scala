@@ -234,10 +234,56 @@ object EmbedQueries {
        |FROM a, q
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Incremental coarse-index maintenance: fresh vectors (the delta —
+    * same synthetic 1-in-7 scope as `embed_delta`, which selects the
+    * TEXT rows still needing vectors; this is the next lifecycle step,
+    * placing the newly arrived vectors) are assigned against the ACTIVE
+    * generation's FROZEN centroids ([[Similarity.strideCentroids]] over
+    * the indexed slice, memoized) — one narrow scan of the delta, no
+    * shuffle, no rebuild, existing inverted lists untouched. At 100 TB
+    * the delta append goes straight into the lists' hive partitions
+    * ([[graft.operators.IvfIndex.writeLists]] layout); a generation
+    * rotate ([[graft.operators.VectorIndex]]) re-derives centroids only
+    * when drift warrants it.
+    */
+  def vectorIndexDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = memoizedIndex(s, dir, "ivf_delta_centroids_16") {
+      Similarity.strideCentroids(
+        emb.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding")), nList = 16)
+    }
+    orderedViaShuffle(
+      Similarity.assignTo(emb.filter(col("vec_id") % 7 === 0),
+        col("vec_id"), col("embedding"), cents)
+        .select(col("vec_id"), col("cluster")),
+      col("vec_id").asc)
+  }
+
+  val vectorIndexDeltaSql: String =
+    s"""WITH idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+       |n AS (SELECT count(*) AS cnt FROM idx),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+       |  FROM idx, n
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % greatest(1, cnt // 16) = 0
+       |  ORDER BY vec_id LIMIT 16),
+       |delta AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+       |scored AS (
+       |  SELECT d.vec_id, c.cid,
+       |    ${duckCos("d.embedding", "c.cvec")} AS s
+       |  FROM delta d CROSS JOIN cents c)
+       |SELECT vec_id, cid AS cluster
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY s DESC, cid DESC) AS rn FROM scored)
+       |WHERE rn = 1 ORDER BY vec_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "similar_to_doc" -> (similarToDoc _, Some(similarToDocSql)),
     "embed_delta" -> (embedDelta _, Some(embedDeltaSql)),
     "embed_outliers" -> (embedOutliers _, Some(embedOutliersSql)),
     "knn_graph" -> (knnGraph _, Some(knnGraphSql)),
-    "vector_knn_adc" -> (vectorKnnAdc _, Some(vectorKnnAdcSql)))
+    "vector_knn_adc" -> (vectorKnnAdc _, Some(vectorKnnAdcSql)),
+    "vector_index_delta" -> (vectorIndexDelta _, Some(vectorIndexDeltaSql)))
 }

@@ -249,6 +249,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(hashed >= 10, s"hash stride still collapsed: $hashed clusters")
   }
 
+  test("assignTo frozen centroids reproduces from-scratch assignment row-for-row") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.strideCentroids(
+      emb.select(col("vec_id"), col("embedding")), nList = 16)
+    val inc = Similarity.assignTo(emb, col("vec_id"), col("embedding"), cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val scratch = Similarity.semanticAssign(emb, col("vec_id"),
+      col("embedding"), nList = 16)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(inc == scratch) // incremental ≡ rebuild given the same centroids
+  }
+
   test("semanticAssignMulti: p=1 bit-matches single assignment; p=2 lifts graph recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val single = Similarity.semanticAssign(emb, col("vec_id"),

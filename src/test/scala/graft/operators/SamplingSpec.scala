@@ -227,6 +227,29 @@ class SamplingSpec extends SparkTestBase {
     assert(got(1L) == 3.0) // x: (1·3)/(1·1) = 3 — sole target token
   }
 
+  test("importanceScores: invariant under corpus duplication (distribution, not size)") {
+    // doubling every doc doubles all counts AND both totals, so every
+    // ratio (c_t·n_r)/(c_r·n_t) — and hence every original doc's score —
+    // is bit-identical: the weight measures the distribution, not the
+    // corpus size. A seeded random corpus, exact equality, no fuzz.
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val tok = (0L until 40L).flatMap { doc =>
+      val target = rng.nextBoolean()
+      (0 until (3 + rng.nextInt(5))).map(p =>
+        (doc, target, p, vocab(rng.nextInt(vocab.size))))
+    }.toDF("doc_id", "is_target", "pos", "tok")
+    val doubled = tok.unionAll(
+      tok.withColumn("doc_id", col("doc_id") + 1000L))
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      Sampling.importanceScores(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val base = scores(tok)
+    val dup = scores(doubled)
+    assert(base.forall { case (id, v) => dup(id) == v })
+    assert(base.forall { case (id, v) => dup(id + 1000L) == v })
+  }
+
   test("importanceScores: empty target slice fails loudly instead of NaN-ing") {
     val tok = Seq((1L, false, 0, "a"), (2L, false, 0, "b"))
       .toDF("doc_id", "is_target", "pos", "tok")
