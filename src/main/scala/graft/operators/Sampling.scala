@@ -104,12 +104,14 @@ object Sampling {
     * any number of shards/queries against it.
     */
   def importanceRatios(tok: DataFrame): DataFrame = {
-    val totals = tok.agg(
-      count(lit(1)).as("n_r"),
-      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("n_t"))
     val counts = tok.groupBy(col("tok")).agg(
       count(lit(1)).as("c_r"),
       sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    // totals fold off the vocab-sized counts table — n_r = Σc_r and
+    // n_t = Σc_t exactly (integer sums), so the corpus is exploded and
+    // scanned ONCE, not once for counts and again for totals
+    val totals = counts.agg(
+      sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
     // an EMPTY target slice makes every ratio 0/0 — silent NaN scores
     // that would poison the whole resample; fail loudly instead (the
     // check rides the vocab-sized table, one branch per distinct token)
@@ -126,9 +128,18 @@ object Sampling {
     * vocab-sized ratio table: left to AQE, the test-scale stats pick the
     * exploded corpus as the build side — right locally, impossible at
     * 100 TB where the token stream is the corpus × mean doc length.
+    *
+    * LEFT join + ratio-0 fill: a fresh shard scored against a reopened
+    * snapshot table carries tokens the snapshot never saw; an inner join
+    * would silently DROP them — inflating a mostly-novel doc's mean
+    * (scored only on its known tokens) and erasing an all-novel doc from
+    * the output entirely, so the downstream draw never even rejects it.
+    * Out-of-vocabulary means "never seen in the target" ⇒ ratio 0, the
+    * same semantics target-absent in-vocab tokens get.
     */
   def scoreWithRatios(tok: DataFrame, ratio: DataFrame): DataFrame =
-    tok.join(broadcast(ratio), Seq("tok"))
+    tok.join(broadcast(ratio), Seq("tok"), "left")
+      .withColumn("ratio", coalesce(col("ratio"), lit(0.0)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         (aggregate(

@@ -182,10 +182,14 @@ object Similarity {
     * vectors are touched for exactly `candidates` rows per query.
     *
     * Plan shape: one narrow codes scan + TakeOrderedAndProject (no
-    * shuffle), the candidate page BROADCAST onto the corpus for the
-    * re-rank point lookups, one more TakeOrderedAndProject. Arithmetic
-    * is index-order double folds on both stages (codes widen to double
-    * per element), so candidate selection and final scores are
+    * shuffle) yields the candidate page; its ≤`candidates` ids come back
+    * to the driver and re-enter the float-corpus scan as a pushed-down
+    * IN filter — TRUE point lookups (row-group/partition pruning at the
+    * parquet reader), not a stream of the whole wide corpus past a
+    * broadcast probe. A broadcast-join re-rank would read every float32
+    * row and forfeit exactly the bandwidth the codes scan saved.
+    * Arithmetic is index-order double folds on both stages (codes widen
+    * to double per element), so candidate selection and final scores are
     * bit-reproducible against an engine replaying the same folds; a
     * zero-norm code row scores −2.0 (below any real similarity) rather
     * than NULL, whose sort position is engine-dependent.
@@ -194,20 +198,24 @@ object Similarity {
       query: Seq[Float], k: Int, candidates: Int): DataFrame = {
     val q = typedLit(query)
     val nc = norm(col("codes"))
-    val approx = codes.select(col("vec_id"),
+    val approxPage: Array[(Long, Double)] = codes.select(col("vec_id"),
       when(nc === 0.0, lit(-2.0))
         .otherwise(dot(col("codes"), q) / (nc * norm(q)))
         .as("approx_score"))
       .orderBy(col("approx_score").desc, col("vec_id").asc)
       .limit(candidates)
-    val full = emb.select(id.as("vec_id"), vec.as("__v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = approxPage.map(_._1)
+    val approxCol = element_at(typedLit(approxPage.toMap), col("vec_id"))
     // cosine() is NULL on a zero-norm side; pin that to −2.0 so degenerate
     // rows rank LAST on every engine (NULL sort position is not portable:
     // Spark desc puts nulls last, DuckDB first)
-    broadcast(approx).join(full, "vec_id")
+    emb.select(id.as("vec_id"), vec.as("__v"))
+      .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id"),
         coalesce(cosine(col("__v"), q), lit(-2.0)).as("score"),
-        col("approx_score"))
+        approxCol.as("approx_score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -405,12 +413,17 @@ object Similarity {
         cosine(col("__ea"), col("__eb")).as("cosine"))
     // a multi-assigned relation ([[semanticAssignMulti]]) generates the
     // same pair once per shared list — without the dedup a neighbor
-    // would occupy several of the k rank slots. The groupBy replaces the
-    // window's exchange (same key prefix), not adds one; single-assigned
-    // callers skip it and keep the map-side-only path.
+    // would occupy several of the k rank slots. The explicit
+    // repartition(vec_id) makes the dedup and the rank window share ONE
+    // exchange: hashpartitioning(vec_id) satisfies both the aggregate's
+    // clustering on (vec_id, neighbor_id) — a superset of the hash keys —
+    // and the window's on (vec_id). Letting the aggregate pick its own
+    // hashpartitioning(vec_id, neighbor_id) would NOT satisfy the window
+    // (no prefix property) and the pair stream would shuffle twice.
     val uniq =
       if (dedupCandidates)
-        pairs.groupBy(col("vec_id"), col("neighbor_id"))
+        pairs.repartition(col("vec_id"))
+          .groupBy(col("vec_id"), col("neighbor_id"))
           .agg(max(col("cosine")).as("cosine"))
       else pairs
     uniq

@@ -580,35 +580,10 @@ object DocQueries {
       col("dup_id").asc)
 
   val dedupSemanticSql: String =
-    """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-      |cents AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-      |  FROM embeddings, n
-      |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-      |        % greatest(1, cnt // 16) = 0
-      |  ORDER BY vec_id LIMIT 16),
-      |scored AS (
-      |  SELECT e.vec_id, e.embedding, c.cid,
-      |    list_reduce(list_transform(list_zip(e.embedding, c.cvec),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q) /
-      |    (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)) *
-      |     sqrt(list_reduce(list_transform(list_zip(c.cvec, c.cvec),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q))) AS s
-      |  FROM embeddings e CROSS JOIN cents c),
-      |assigned AS (
-      |  SELECT vec_id, embedding, cid AS cluster
-      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-      |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
-      |  WHERE rn = 1),
+    s"""WITH ${duckAssignedCtes("embeddings")},
       |pairs AS (
       |  SELECT b.vec_id AS dup_id, a.cluster, a.vec_id AS kept_id,
-      |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q) /
-      |    (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)) *
-      |     sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q))) AS cosine
+      |    ${duckCos("a.embedding", "b.embedding")} AS cosine
       |  FROM assigned a JOIN assigned b
       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
       |SELECT dup_id, min(cluster) AS cluster, min(kept_id) AS kept_id,

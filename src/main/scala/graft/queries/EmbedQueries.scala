@@ -130,14 +130,6 @@ object EmbedQueries {
       |SELECT label, rnk, vec_id, dist2_fp FROM r WHERE rnk <= 3
       |ORDER BY label ASC, rnk ASC""".stripMargin
 
-  // DuckDB twins of [[Similarity.dot]]/[[Similarity.cosine]] — the same
-  // index-order double folds, composed into the larger oracles below
-  private def duckDot(a: String, b: String): String =
-    s"list_reduce(list_transform(list_zip($a, $b), " +
-      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)"
-  private def duckCos(a: String, b: String): String =
-    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
-
   /** Batch top-k KNN graph over the SemDeDup cluster assignment — the
     * hard-negative-mining / corpus-graph primitive
     * ([[Similarity.knnGraph]]): each vector's 5 nearest same-cluster
@@ -154,22 +146,7 @@ object EmbedQueries {
       col("vec_id").asc, col("rnk").asc)
 
   val knnGraphSql: String =
-    s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-       |cents AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-       |  FROM embeddings, n
-       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-       |        % greatest(1, cnt // 16) = 0
-       |  ORDER BY vec_id LIMIT 16),
-       |scored AS (
-       |  SELECT e.vec_id, e.embedding, c.cid,
-       |    ${duckCos("e.embedding", "c.cvec")} AS s
-       |  FROM embeddings e CROSS JOIN cents c),
-       |assigned AS (
-       |  SELECT vec_id, embedding, cid AS cluster
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-       |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
-       |  WHERE rn = 1),
+    s"""WITH ${duckAssignedCtes("embeddings")},
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    ${duckCos("a.embedding", "b.embedding")} AS cosine
@@ -194,9 +171,13 @@ object EmbedQueries {
     */
   def vectorKnnAdc(s: SparkSession, dir: String): DataFrame = {
     val codes = memoizedIndex(s, dir, "int8_codes") {
+      // the artifact stores TINYINT codes — values are in [−127, 127] by
+      // construction, and a long-typed cache would be 8 B/element, twice
+      // the float32 it replaces instead of a quarter of it
       val c = Embed.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"))
-        .select(col("id").as("vec_id"), col("codes"))
+        .select(col("id").as("vec_id"),
+          transform(col("codes"), _.cast("byte")).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
       c
@@ -262,13 +243,7 @@ object EmbedQueries {
 
   val vectorIndexDeltaSql: String =
     s"""WITH idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
-       |n AS (SELECT count(*) AS cnt FROM idx),
-       |cents AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-       |  FROM idx, n
-       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-       |        % greatest(1, cnt // 16) = 0
-       |  ORDER BY vec_id LIMIT 16),
+       |${duckCentsCtes("idx")},
        |delta AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
        |scored AS (
        |  SELECT d.vec_id, c.cid,

@@ -33,6 +33,48 @@ package object queries {
   private[queries] def orderedAtTail(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
 
+  /** DuckDB twins of [[graft.operators.Similarity.dot]]/`cosine` — the
+    * same index-order double folds, composed into larger oracle strings.
+    */
+  private[queries] def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)"
+
+  private[queries] def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Shared oracle fragment (`n` + `cents` CTEs): replays
+    * [[graft.operators.Similarity.strideCentroids]] — md5-stride pick,
+    * nList 16 — over `src`. ONE definition for every oracle that probes
+    * the shared assignment artifact: three hand-maintained copies of
+    * this block already drifted once (the md5-stride fix touched each
+    * separately).
+    */
+  private[queries] def duckCentsCtes(src: String): String =
+    s"""n AS (SELECT count(*) AS cnt FROM $src),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+       |  FROM $src, n
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % greatest(1, cnt // 16) = 0
+       |  ORDER BY vec_id LIMIT 16)""".stripMargin
+
+  /** [[duckCentsCtes]] + the argmax assignment replay of
+    * [[graft.operators.Similarity.semanticAssign]] (ties → higher cid,
+    * matching `greatest(struct)`), ending in an `assigned` CTE.
+    */
+  private[queries] def duckAssignedCtes(src: String): String =
+    s"""${duckCentsCtes(src)},
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${duckCos("e.embedding", "c.cvec")} AS s
+       |  FROM $src e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
+       |  WHERE rn = 1)""".stripMargin
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
 

@@ -389,16 +389,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"a global sort crept into the graph build:\n$plan")
   }
 
-  test("vector_knn_adc: two top-k stages, candidates broadcast, no hash shuffle") {
+  test("vector_knn_adc: re-rank is a pushed-down IN point lookup, no join, no shuffle") {
     val df = graft.queries.EmbedQueries.vectorKnnAdc(spark, sf)
-    val plan = executed(df).toString
-    // codes scan → top-C and re-rank → top-k both compile to
-    // TakeOrderedAndProject; the candidate page rides a broadcast onto
-    // the corpus — nothing ever hash-shuffles at any corpus size
-    val topk = "TakeOrderedAndProject".r.findAllIn(plan).size
-    assert(topk >= 2, s"expected 2 top-k stages, got $topk:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"candidate page did not broadcast:\n$plan")
+    val exec = executed(df)
+    val plan = exec.toString
+    // the candidate ids re-enter the float scan as a pushed-down IN
+    // filter — true point lookups; a broadcast-join re-rank would stream
+    // the ENTIRE wide corpus past the probe and forfeit the bandwidth
+    // the codes scan saved
+    val pushed = scans(exec).map(_.metadata.getOrElse("PushedFilters", ""))
+    assert(pushed.exists(_.contains("In(vec_id")),
+      s"candidate ids not pushed into the scan: $pushed\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"re-rank not a top-k stage:\n$plan")
+    assert(!plan.contains("Join"), s"ADC re-rank must not join:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"ADC search must not shuffle the corpus:\n$plan")
   }

@@ -250,6 +250,27 @@ class SamplingSpec extends SparkTestBase {
     assert(base.forall { case (id, v) => dup(id + 1000L) == v })
   }
 
+  test("scoreWithRatios: out-of-vocabulary tokens score 0, not dropped") {
+    // ratio table trained on a snapshot ("a" target-heavy); a FRESH shard
+    // carries tokens the snapshot never saw — they must drag the mean
+    // toward 0 (ratio 0 like any target-absent token), and an all-novel
+    // doc must still appear (score 0) so the downstream draw can REJECT
+    // it rather than never see it
+    val snapshot = Seq(
+      (1L, true, 0, "a"), (2L, false, 0, "a"), (2L, false, 1, "b"))
+      .toDF("doc_id", "is_target", "pos", "tok")
+    val ratio = Sampling.importanceRatios(snapshot)
+    val fresh = Seq(
+      (10L, false, 0, "a"), (10L, false, 1, "zz"), // half known, half novel
+      (11L, false, 0, "qq"), (11L, false, 1, "ww")) // all novel
+      .toDF("doc_id", "is_target", "pos", "tok")
+    val got = Sampling.scoreWithRatios(fresh, ratio).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // a: c_t=1 c_r=2, n_t=1 n_r=3 → ratio = 3/2 = 1.5; zz → 0
+    assert(got(10L) == ((2L, 0.75))) // mean(1.5, 0) over ALL tokens
+    assert(got(11L) == ((2L, 0.0))) // present, scored 0 — not vanished
+  }
+
   test("importanceScores: empty target slice fails loudly instead of NaN-ing") {
     val tok = Seq((1L, false, 0, "a"), (2L, false, 0, "b"))
       .toDF("doc_id", "is_target", "pos", "tok")
