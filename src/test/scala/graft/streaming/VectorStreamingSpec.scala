@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Streaming index ingestion: drains shard drops into cluster-partitioned
+  * inverted lists, equals the batch assignment, and re-runs add nothing
+  * (checkpointed exactly-once).
+  */
+class VectorStreamingSpec extends SparkTestBase {
+
+  test("streamed shard drains equal batch assignment; re-run is a no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vstream").toString
+    val src = s"$tmp/drop"; val lists = s"$tmp/lists"; val ckpt = s"$tmp/ckpt"
+
+    // the frozen quantizer comes from the initially-indexed slice
+    val shard1 = emb.filter(col("vec_id") < 250)
+    val shard2 = emb.filter(col("vec_id") >= 250)
+    val cents = Similarity.strideCentroids(
+      shard1.select(col("vec_id"), col("embedding")), nList = 8)
+
+    shard1.write.parquet(src) // first drop
+    VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
+    shard2.write.mode("append").parquet(src) // second drop, later drain
+    VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
+
+    val streamed = spark.read.parquet(lists)
+      .select(col("vec_id"), col("cluster").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = Similarity.assignTo(emb, col("vec_id"), col("embedding"), cents)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch) // incremental drains ≡ one batch assignment
+
+    // third drain with no new files: checkpoint makes it a no-op
+    VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
+    assert(spark.read.parquet(lists).count() == emb.count())
+
+    // the hive layout keeps probes prunable: one directory per list
+    val dirs = new java.io.File(lists).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(dirs.nonEmpty && dirs.length <= 8)
+  }
+}
