@@ -197,10 +197,12 @@ object Similarity {
   def adcKnn(codes: DataFrame, emb: DataFrame, id: Column, vec: Column,
       query: Seq[Float], k: Int, candidates: Int): DataFrame = {
     val q = typedLit(query)
-    val nc = norm(col("codes"))
+    // the codes scan is the bandwidth-bound hot loop — the codegen'd
+    // Expression keeps it inside WholeStageCodegen (the HOF form runs
+    // interpreted with per-element lambda dispatch); bit-identical folds,
+    // zero-norm null pinned to −2.0 exactly like the exact stage below
     val approxPage: Array[(Long, Double)] = codes.select(col("vec_id"),
-      when(nc === 0.0, lit(-2.0))
-        .otherwise(dot(col("codes"), q) / (nc * norm(q)))
+      coalesce(cosine(col("codes"), q), lit(-2.0))
         .as("approx_score"))
       .orderBy(col("approx_score").desc, col("vec_id").asc)
       .limit(candidates)

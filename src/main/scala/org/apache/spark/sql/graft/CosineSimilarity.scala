@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
-/** Codegen'd cosine similarity over two float/double arrays — the one
+/** Codegen'd cosine similarity over two numeric arrays (float/double for
+  * embeddings; byte/short/int/long for quantized codes) — the one
   * custom Catalyst `Expression` the rebuild needs (SURVEY §4: every other
   * operator is built-ins + plan shaping; the higher-order-function form of
   * this arithmetic runs interpreted with per-element boxing).
@@ -35,8 +36,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // integer element types serve the quantized (ADC) scan: int8 codes
+    // widen per-element to double exactly (|code| ≤ 127 ≪ 2⁵³), the same
+    // c.cast("double") the HOF formulation performs
     def elem(t: DataType): Option[DataType] = t match {
-      case ArrayType(e @ (FloatType | DoubleType), _) => Some(e)
+      case ArrayType(e @ (FloatType | DoubleType | ByteType | ShortType |
+          IntegerType | LongType), _) => Some(e)
       case _ => None
     }
     (elem(left.dataType), elem(right.dataType)) match {
@@ -44,7 +49,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cosine_similarity requires array<float|double> inputs, got " +
+          s"cosine_similarity requires array<numeric> inputs, got " +
             s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
   }
@@ -66,10 +71,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = lt match {
         case FloatType => xs.getFloat(i).toDouble
+        case ByteType => xs.getByte(i).toDouble
+        case ShortType => xs.getShort(i).toDouble
+        case IntegerType => xs.getInt(i).toDouble
+        case LongType => xs.getLong(i).toDouble
         case _ => xs.getDouble(i)
       }
       val y = rt match {
         case FloatType => ys.getFloat(i).toDouble
+        case ByteType => ys.getByte(i).toDouble
+        case ShortType => ys.getShort(i).toDouble
+        case IntegerType => ys.getInt(i).toDouble
+        case LongType => ys.getLong(i).toDouble
         case _ => ys.getDouble(i)
       }
       dot += x * y; na += x * x; nb += y * y
@@ -84,6 +97,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(e: Expression, arr: String, i: String): String = elemType(e) match {
       case FloatType => s"(double) $arr.getFloat($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case ShortType => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
       case _ => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {

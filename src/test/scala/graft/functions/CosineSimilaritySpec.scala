@@ -27,6 +27,25 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(bad == 0, s"$bad rows differ from the HOF fold")
   }
 
+  test("bit-identical to the HOF fold on integer code arrays (byte and long)") {
+    // the quantized-scan path: int8 codes vs a float query vector
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(64)((rng.nextInt(255) - 127).toByte),
+        Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "codes", "q")
+    def check(codesCol: org.apache.spark.sql.Column): Unit = {
+      val bad = df.select(
+        CosineSimilarity(codesCol, col("q")).as("fast"),
+        (Similarity.dot(codesCol, col("q")) /
+          (Similarity.norm(codesCol) * Similarity.norm(col("q")))).as("hof"))
+        .filter(col("fast") =!= col("hof")).count()
+      assert(bad == 0, s"$bad rows differ from the HOF fold")
+    }
+    check(col("codes")) // array<byte>
+    check(transform(col("codes"), _.cast("long"))) // array<long>
+  }
+
   test("null propagation: null array, null element, length mismatch") {
     val df = Seq(
       (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
