@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *   - messages hive-partitioned by year, zstd (build_cache.go:289-315),
   *     with derived year/month columns (build_cache.go:305-306);
   *     dedup losers (deleted_at) excluded at export (build_cache.go:308)
-  *   - junction tables written as incremental shards `incr_<watermark>`
-  *     (build_cache.go:258-263, 326-383); dimensions fully rewritten
+  *   - every build writes under its own `batch=` partition and overwrites
+  *     it — the idempotent-retry equivalent of the reference's
+  *     `incr_<watermark>` junction shards (build_cache.go:258-263,
+  *     326-383); dimensions fully rewritten
   *   - id-watermark incremental builds via `_last_sync.json`
   *     {last_message_id, schema_version}; schema-version mismatch forces a
   *     full rebuild (build_cache.go:118-263, 127-143)
@@ -24,7 +26,9 @@ import org.apache.spark.sql.functions._
   * id makes the watermark filter a row-group skip, not a scan.
   */
 object CacheBuilder {
-  val SchemaVersion = 1
+  // v2: batch-partitioned layout (batch=full / batch=w<watermark> dirs) —
+  // the idempotent-retry shard scheme; v1 caches force a full rebuild
+  val SchemaVersion = 2
 
   final case class SyncState(lastMessageId: Long, schemaVersion: Int)
 
@@ -43,12 +47,24 @@ object CacheBuilder {
     }
   }
 
+  /** Test seam: rewind the watermark to replay an increment (the
+    * crashed-before-state-write scenario CacheBuilderSpec simulates).
+    */
+  private[engine] def writeStateForTest(dir: String, lastId: Long): Unit =
+    writeState(dir, SyncState(lastId, SchemaVersion))
+
   private def writeState(dir: String, st: SyncState): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(statePath(dir),
       s"""{"last_message_id":${st.lastMessageId},"schema_version":${st.schemaVersion}}"""
         .getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Max id over the input, None when empty (Row.getLong would NPE). */
@@ -65,38 +81,78 @@ object CacheBuilder {
     val watermark = prior.map(_.lastMessageId).getOrElse(Long.MinValue)
     val fullRebuild = prior.isEmpty
 
+    // ONE persisted snapshot of the input's new slice: the watermark and
+    // the export both derive from it. Computing the watermark from a
+    // SECOND input scan (the old shape) silently loses rows inserted into
+    // a live source between the two scans — the state would advance past
+    // ids this build never exported. Persisted because the frame is read
+    // five times (stats, messages write, three junction semi-joins).
+    val newRows = input.messages
+      .filter(col("id") > watermark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = newRows.agg(max(col("id")).as("mx"),
+      sum(when(col("deleted_at").isNull, 1L).otherwise(0L)).as("live")).head()
+    val newWatermark = if (stats.isNullAt(0)) watermark else stats.getLong(0)
+    val newCount = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+
+    if (newCount == 0 && !fullRebuild) {
+      // an all-deleted (dedup-loser) tail still ADVANCES the watermark:
+      // needsBuild keys on max id over ALL rows, so leaving the state
+      // behind would re-trigger a full-scan no-op build forever
+      if (newWatermark > watermark)
+        writeState(outDir, SyncState(newWatermark, SchemaVersion))
+      newRows.unpersist()
+      return 0L
+    }
+    // fail BEFORE any write: an empty full rebuild would otherwise emit a
+    // zero-file dataset whose read-back dies in schema inference instead
+    // of this message (reference requires >0 exported rows,
+    // build_cache.go:467-476)
+    require(newCount > 0,
+      s"cache build found 0 live messages in the input for $outDir")
+
     // dedup losers excluded at export; later source-deletions stay visible
-    // until next build (reference duckdb.go:31-34). Persisted: the frame
-    // is read five times (count, messages write, three junction
-    // semi-joins) — without the persist each is a full input re-scan.
-    val liveNew = input.messages
-      .filter(col("deleted_at").isNull && col("id") > watermark)
+    // until next build (reference duckdb.go:31-34)
+    val liveNew = newRows
+      .filter(col("deleted_at").isNull)
       .withColumn("year", year(col("sent_at")))
       .withColumn("month", month(col("sent_at")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val newCount = liveNew.count()
-    if (newCount == 0 && !fullRebuild) { liveNew.unpersist(); return 0L }
-
-    val msgMode = if (fullRebuild) SaveMode.Overwrite else SaveMode.Append
+    // idempotent-retry shards — a build that crashed mid-write and is
+    // re-run REPLACES its own partial output instead of appending a
+    // duplicate copy (the Spark equivalent of the reference's
+    // overwrite-on-retry incr_<watermark> shard naming,
+    // build_cache.go:258-263):
+    //   - messages carry a batch=<tag> PARTITION: incrementals overwrite
+    //     only their own partitions (dynamic mode); liveNew is non-empty
+    //     by the guard above, so the partitioned write always emits
+    //     files. Readers ([[MsgVault.open]]) drop the column.
+    //   - junctions write into an explicit batch_<tag> SUBDIRECTORY with
+    //     plain overwrite: a junction increment CAN be empty (messages
+    //     without labels/attachments), and a partitioned write of zero
+    //     rows emits no files at all — an unpartitioned empty write
+    //     still emits a schema-bearing file, keeping the glob readable.
+    val batchTag = if (fullRebuild) "full" else s"w$watermark"
     // repartition on the partition column first: otherwise every task
     // writes into every year= dir (tasks × years small files at scale)
-    liveNew.repartition(col("year"))
-      .write.mode(msgMode).partitionBy("year")
-      .option("compression", "zstd").parquet(s"$outDir/messages")
+    val msgWriter = liveNew.withColumn("batch", lit(batchTag))
+      .repartition(col("year"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch", "year")
+      .option("compression", "zstd")
+    (if (fullRebuild) msgWriter
+     else msgWriter.option("partitionOverwriteMode", "dynamic"))
+      .parquet(s"$outDir/messages")
 
-    // junction tables: full on rebuild; incremental runs append shard files
-    // into the same directory (the reference drops sibling incr_<id>.parquet
-    // files, build_cache.go:258-263 — append-mode part files are the Spark
-    // equivalent, read back transparently by one directory scan)
-    val newWatermark = maxId(input).getOrElse(watermark)
     def junction(name: String, df: DataFrame): Unit = {
+      if (fullRebuild) // clear any prior layout; Overwrite below only
+        deleteDir(spark, s"$outDir/$name") // replaces this batch's subdir
       val rows = if (fullRebuild) df
         else df.join(liveNew.select(col("id").as("__mid")),
           df("message_id") === col("__mid"), "left_semi")
-      val mode = if (fullRebuild) SaveMode.Overwrite else SaveMode.Append
-      rows.write.mode(mode)
-        .option("compression", "zstd").parquet(s"$outDir/$name")
+      rows.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(s"$outDir/$name/batch_$batchTag")
     }
     junction("message_recipients", input.recipients)
     junction("message_labels", input.messageLabels)
@@ -110,12 +166,22 @@ object CacheBuilder {
           .option("compression", "zstd").parquet(s"$outDir/$n")
       }
 
-    // post-write verification (build_cache.go:467-476)
-    val written = spark.read.parquet(s"$outDir/messages").count()
-    require(written > 0, s"cache build wrote 0 message rows to $outDir")
+    // post-write verification (build_cache.go:467-476). A full COUNT(*)
+    // of the star per incremental sync is a full-metadata job at 100 TB;
+    // the incremental proof reads back only THIS batch's partitions
+    // (pruned on the batch column) and needs one row.
+    if (fullRebuild) {
+      val written = spark.read.parquet(s"$outDir/messages").count()
+      require(written > 0, s"cache build wrote 0 message rows to $outDir")
+    } else {
+      val shard = spark.read.parquet(s"$outDir/messages")
+        .filter(col("batch") === batchTag)
+      require(shard.head(1).nonEmpty,
+        s"cache build wrote 0 message rows to $outDir (batch $batchTag)")
+    }
 
     writeState(outDir, SyncState(newWatermark, SchemaVersion))
-    liveNew.unpersist()
+    newRows.unpersist()
     newCount
   }
 
@@ -296,9 +362,16 @@ object CacheBuilder {
       .withColumn("year", year(col("sent_at")))
       .withColumn("month", month(col("sent_at")))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.repartition(col("year"))
-          .write.mode(SaveMode.Append).partitionBy("year")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent per micro-batch: a batch replayed after a crash
+        // between the write and the checkpoint commit OVERWRITES its own
+        // batch=b<id> partitions (dynamic mode) instead of appending a
+        // second copy — the foreachBatch exactly-once contract
+        batch.withColumn("batch", lit(s"b$batchId"))
+          .repartition(col("year"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "year")
           .option("compression", "zstd").parquet(s"$outDir/messages")
         ()
       }

@@ -119,11 +119,20 @@ final class FilterCompiler(v: MsgVault) {
         p("phone_number") === filter.sender)
       msg = orOfPaths(msg, viaMr, viaSender)
     } else if (filter.matchesEmpty(ViewType.Senders)) {
-      val nonEmptyFrom = fromIds(
+      // empty bucket = in NO sender bucket: anti-join BOTH dual paths by
+      // the same addressable-attribute predicate the bucket keys use. A
+      // bare `sender_id IS NULL` filter would drop a message whose
+      // sender participant exists but has neither email nor phone — that
+      // message is in no bucket, and bucket counts + empty-bucket count
+      // must sum to the total (the SenderNames sibling below already
+      // anti-joins the attribute path this way)
+      val addressable =
         (p("email_address").isNotNull && p("email_address") =!= "") ||
-          (p("phone_number").isNotNull && p("phone_number") =!= ""))
+          (p("phone_number").isNotNull && p("phone_number") =!= "")
+      val nonEmptyFrom = fromIds(addressable)
+      val attrSenders = participantIds(addressable)
       msg = msg.join(nonEmptyFrom, msg("id") === nonEmptyFrom("message_id"), "left_anti")
-        .filter(col("sender_id").isNull)
+      msg = msg.join(attrSenders, msg("sender_id") === attrSenders("__pid"), "left_anti")
     }
 
     if (filter.senderName.nonEmpty) {

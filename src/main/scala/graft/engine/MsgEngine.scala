@@ -221,10 +221,25 @@ final class MsgEngine(val vault: MsgVault) {
       case SortDirection.Desc => Seq(sortCol.desc, col("id").desc)
       case SortDirection.Asc => Seq(sortCol.asc, col("id").asc)
     }
-    var page = filters.compile(filter).orderBy(ordered: _*)
-    if (filter.pagination.offset > 0) page = page.offset(filter.pagination.offset)
-    page = page.limit(if (filter.pagination.limit > 0) filter.pagination.limit else 500)
-    enrich(page).orderBy(ordered: _*)
+    pageThenEnrich(filters.compile(filter), ordered,
+      filter.pagination.limit, filter.pagination.offset, defaultLimit = 500)
+  }
+
+  /** The shared LIMIT/OFFSET page cut: order → offset → limit → (drop) →
+    * enrich → re-order. Enrichment joins do not preserve order, so the
+    * page is cut FIRST — only the page rows ride through the joins — and
+    * the ordering re-applies at the result edge. Default page sizes
+    * differ BY DESIGN per surface (reference: messages 500, search 100,
+    * text search 50 — duckdb.go:776/1238/1850, duckdb_text.go:409), so
+    * the default is a parameter with one point of truth per call site.
+    */
+  private[engine] def pageThenEnrich(df: DataFrame, ordering: Seq[Column],
+      limit: Int, offset: Int, defaultLimit: Int,
+      dropBeforeEnrich: Seq[String] = Nil): DataFrame = {
+    val ordered = df.orderBy(ordering: _*)
+    val off = if (offset > 0) ordered.offset(offset) else ordered
+    val page = off.limit(if (limit > 0) limit else defaultLimit)
+    enrich(page.drop(dropBeforeEnrich: _*)).orderBy(ordering: _*)
   }
 
   /** Keyset ("cursor") pagination — the 100 TB replacement for
@@ -338,7 +353,12 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def messageSummariesByIds(ids: Seq[Long]): DataFrame = {
     if (ids.isEmpty) return enrich(vault.messages.limit(0))
-    val rankDf = spark.createDataFrame(ids.zipWithIndex).toDF("__rid", "__rank")
+    // dedup to the FIRST occurrence's slot: the rank frame joins twice
+    // (page cut, then rank re-attach after enrichment), so a repeated id
+    // — e.g. the same message surfacing from two un-deduped retrieval
+    // legs — would otherwise fan out quadratically (4 rows for 2 copies)
+    val rankDf = spark.createDataFrame(ids.zipWithIndex.distinctBy(_._1))
+      .toDF("__rid", "__rank")
     val page = vault.messages
       .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
     enrich(page.drop("__rid"))
@@ -356,10 +376,8 @@ final class MsgEngine(val vault: MsgVault) {
   def searchFast(query: String, filter: MessageFilter = MessageFilter()): DataFrame = {
     val q = SearchParser.parse(query)
     val msg = filters.compileSearch(emailSearchBase(filter), q)
-    val page0 = msg.orderBy(col("sent_at").desc, col("id").desc)
-    val page1 = if (filter.pagination.offset > 0) page0.offset(filter.pagination.offset) else page0
-    val page = page1.limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
-    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+    pageThenEnrich(msg, Seq(col("sent_at").desc, col("id").desc),
+      filter.pagination.limit, filter.pagination.offset, defaultLimit = 100)
   }
 
   /** Keyset twin of [[searchFast]] (SURVEY §7 hard-item 4): the cursor is
@@ -436,14 +454,10 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def searchDeep(query: String, bodies: DataFrame,
       filter: MessageFilter = MessageFilter()): DataFrame = {
-    val matched = deepMatches(query, bodies, filter)
-      .orderBy(col("sent_at").desc, col("id").desc)
-    val offset = if (filter.pagination.offset > 0) matched.offset(filter.pagination.offset)
-      else matched
-    val page = offset
-      .limit(if (filter.pagination.limit > 0) filter.pagination.limit else 100)
-      .drop("__b_mid", "tokens")
-    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+    pageThenEnrich(deepMatches(query, bodies, filter),
+      Seq(col("sent_at").desc, col("id").desc),
+      filter.pagination.limit, filter.pagination.offset, defaultLimit = 100,
+      dropBeforeEnrich = Seq("__b_mid", "tokens"))
   }
 
   /** Keyset twin of [[searchDeep]]: same matching and ordering, cursor
@@ -896,12 +910,11 @@ final class MsgEngine(val vault: MsgVault) {
     // not the raw string, so " " (or an operator-only query, which FTS5
     // would mangle as column-filter syntax) yields nothing rather than
     // the newest 50 chats via the vacuous-true term reduce
-    val matched = (if (q.textTerms.nonEmpty) matched0 else matched0.filter(lit(false)))
-      .orderBy(col("sent_at").desc, col("id").desc)
-    val off = if (offset > 0) matched.offset(offset) else matched
-    val page = off.limit(if (limit > 0) limit else 50)
-      .drop("__b_mid", "tokens")
-    enrich(page).orderBy(col("sent_at").desc, col("id").desc)
+    val matched = if (q.textTerms.nonEmpty) matched0
+      else matched0.filter(lit(false))
+    pageThenEnrich(matched, Seq(col("sent_at").desc, col("id").desc),
+      limit, offset, defaultLimit = 50,
+      dropBeforeEnrich = Seq("__b_mid", "tokens"))
   }
 
   /** Texts-mode totals (reference GetTextStats duckdb_text.go:453-520):
@@ -935,12 +948,9 @@ final class MsgEngine(val vault: MsgVault) {
 final case class SearchWithStats(matches: DataFrame, engine: MsgEngine) {
   def totalCount: Long = matches.count()
 
-  def page(limit: Int, offset: Int): DataFrame = {
-    val sorted = matches.orderBy(col("sent_at").desc, col("id").desc)
-    val off = if (offset > 0) sorted.offset(offset) else sorted
-    engine.enrich(off.limit(if (limit > 0) limit else 100))
-      .orderBy(col("sent_at").desc, col("id").desc)
-  }
+  def page(limit: Int, offset: Int): DataFrame =
+    engine.pageThenEnrich(matches, Seq(col("sent_at").desc, col("id").desc),
+      limit, offset, defaultLimit = 100)
 
   /** Keyset page over the SAME persisted match set — deep paging through
     * a large result without re-sorting every match per page.

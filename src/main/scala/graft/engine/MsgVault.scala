@@ -89,15 +89,24 @@ object MsgVault {
     * `union_by_name=true` (duckdb.go:310).
     */
   def open(spark: SparkSession, dir: String): MsgVault = {
+    // `batch` is the writer's idempotent-retry shard key
+    // ([[CacheBuilder.build]]) — physical layout, not part of the star:
+    // messages carry it as a partition column (dropped here); junctions
+    // live in batch_<tag> subdirectories (globbed here)
     def read(name: String): DataFrame =
-      backfill(name, spark.read.option("mergeSchema", "true").parquet(s"$dir/$name"))
+      backfill(name,
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/$name")
+          .drop("batch"))
+    def readShards(name: String): DataFrame =
+      backfill(name,
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/$name/*"))
     MsgVault(spark,
       messages = withYearMonth(read("messages")),
-      recipients = read("message_recipients"),
+      recipients = readShards("message_recipients"),
       participants = read("participants"),
       labels = read("labels"),
-      messageLabels = read("message_labels"),
-      attachments = read("attachments"),
+      messageLabels = readShards("message_labels"),
+      attachments = readShards("attachments"),
       conversations = read("conversations"),
       sources = read("sources"))
   }

@@ -51,7 +51,13 @@ object Fts {
     val words =
       phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
     words match {
-      case Seq() => lit(true)
+      // a phrase with NO surviving tokens ("!!!", "...") matches NOTHING:
+      // FTS5's tokenizer reduces it to an empty phrase, which never
+      // matches. `lit(true)` here would make a punctuation-only term
+      // vacuous-true and return the entire archive — any match-all
+      // semantics for an absent query belongs to the caller's guard, not
+      // the term compiler
+      case Seq() => lit(false)
       case Seq(w) => exists(tokens, t => t.startsWith(w))
       case ws =>
         // an n-word prefix phrase matches iff some n-shingle STARTS WITH

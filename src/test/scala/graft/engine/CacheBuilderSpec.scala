@@ -53,6 +53,63 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(!CacheBuilder.needsBuild(sourceVault(9), out))
   }
 
+  test("all-deleted tail advances the watermark — no eternal rebuild loop") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_wd").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+    // ids 7..8 arrive but are dedup losers (deleted) — nothing to export,
+    // yet the watermark MUST advance: needsBuild keys on max id over ALL
+    // rows, so a stale watermark would re-trigger a full-scan no-op build
+    // on every scheduled cycle forever
+    val withDeletedTail = Fixtures.vault(spark,
+      messages = (1 to 6).map(i =>
+        msg(i.toLong, s"subject $i", "2024-01-10 10:00:00")) ++
+        Seq(msg(7L, "loser 7", "2024-02-10 10:00:00",
+          deletedAt = Some("2024-02-11 10:00:00")),
+          msg(8L, "loser 8", "2024-02-10 10:00:00",
+            deletedAt = Some("2024-02-11 10:00:00"))),
+      recipients = (1 to 8).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    assert(CacheBuilder.needsBuild(withDeletedTail, out))
+    assert(CacheBuilder.build(spark, withDeletedTail, out) == 0L)
+    assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(8L))
+    assert(!CacheBuilder.needsBuild(withDeletedTail, out)) // converged
+    // the star itself is unchanged
+    assert(MsgVault.open(spark, out).messages.count() == 6)
+  }
+
+  test("re-running a crashed incremental overwrites its own shard (idempotent retry)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_retry").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+    CacheBuilder.build(spark, sourceVault(9), out) // increment w6: ids 7-9
+    val once = MsgVault.open(spark, out)
+    assert(once.messages.count() == 9 && once.recipients.count() == 18)
+    // simulate "crashed before the state write, operator re-runs": rewind
+    // the state to the pre-increment watermark and build again — the
+    // batch=w6 shard must be REPLACED, not appended a second time
+    CacheBuilder.writeStateForTest(out, 6L)
+    CacheBuilder.build(spark, sourceVault(9), out)
+    val twice = MsgVault.open(spark, out)
+    assert(twice.messages.count() == 9, "retried increment duplicated messages")
+    assert(twice.recipients.count() == 18, "retried increment duplicated junction rows")
+    assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(9L))
+  }
+
+  test("empty full rebuild fails before writing, with a clear message") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_empty").toString
+    val allDeleted = Fixtures.vault(spark,
+      messages = Seq(msg(1L, "gone", "2024-01-10 10:00:00",
+        deletedAt = Some("2024-01-11 10:00:00"))),
+      recipients = Seq(MrRow(1L, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val e = intercept[IllegalArgumentException] {
+      CacheBuilder.build(spark, allDeleted, out)
+    }
+    assert(e.getMessage.contains("0 live messages"))
+    // nothing half-written, no state
+    assert(!new java.io.File(s"$out/messages").exists())
+    assert(CacheBuilder.readState(out).isEmpty)
+  }
+
   test("engine over a built cache answers the flagship aggregate") {
     val out = java.nio.file.Files.createTempDirectory("graft_cache2").toString
     CacheBuilder.build(spark, sourceVault(6), out)

@@ -89,6 +89,21 @@ class DeepSearchSpec extends SparkTestBase {
     // never contains punctuation
     assert(ids("quarterly-revenue") == Set(1L, 4L))
     assert(ids("quarterly.revenue!") == Set(1L, 4L))
+    // a phrase that tokenizes to NOTHING matches NOTHING — FTS5's empty
+    // phrase semantics; lit(true) here once returned the whole archive
+    // for a punctuation-only term
+    assert(ids("!!!") == Set.empty)
+    assert(ids("...") == Set.empty)
+  }
+
+  test("punctuation-only terms return no FTS hits, only subject matches") {
+    val bodies = spark.read.parquet(s"$bodiesDir/message_bodies")
+    val engine = new MsgEngine(v)
+    // "!!!" survives the parser as a text term but tokenizes to an empty
+    // phrase: the FTS side must contribute NOTHING (not everything); no
+    // fixture subject contains "!!!" so the result is empty
+    assert(engine.searchDeep("!!!", bodies).collect().isEmpty)
+    assert(engine.searchDeep("...", bodies).collect().isEmpty)
   }
 
   test("searchDeep: quoted phrase matches adjacent body tokens, prefix on last word") {

@@ -91,8 +91,12 @@ class JdbcBridgeSpec extends SparkTestBase {
     val n = CacheBuilder.fromJdbc(spark, url, out, numPartitions = 3)
     assert(n == 5, s"expected 5 live messages exported, got $n") // #5 deleted
 
-    // hive partitioning by year materialized on disk
-    val years = new java.io.File(s"$out/messages").listFiles()
+    // hive partitioning materialized on disk: the idempotent-retry batch
+    // level, then year dirs inside it
+    val batches = new java.io.File(s"$out/messages").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batches == Set("batch=full"))
+    val years = new java.io.File(s"$out/messages/batch=full").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(years == Set("year=2023", "year=2024"))
 

@@ -329,6 +329,33 @@ class MsgEngineSpec extends SparkTestBase {
     assert(engine.messageSummariesByIds(Nil).collect().isEmpty)
   }
 
+  test("messageSummariesByIds: a duplicated id yields ONE row at its first slot") {
+    // the same message surfacing from two un-deduped retrieval legs must
+    // not fan out quadratically through the double rank join
+    val out = engine.messageSummariesByIds(Seq(3L, 3L, 1L)).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 1L))
+  }
+
+  test("empty-Senders bucket includes a message whose sender has NO address attributes") {
+    // participant 9 exists but has neither email nor phone: message 1 is
+    // in NO sender bucket (both dual paths key on email/phone), so the
+    // empty-bucket drilldown must include it — bucket counts plus the
+    // empty bucket must sum to the total
+    val v2 = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1, "attributeless sender", "2024-01-10 10:00:00", senderId = Some(9)),
+        msg(2, "normal", "2024-01-11 10:00:00")),
+      recipients = Seq(MrRow(2, 1, "from", None)),
+      participants = Seq(
+        PRow(1, Some("alice@a.com"), Some("Alice"), None, Some("a.com")),
+        PRow(9, None, Some("Ghost"), None, None)))
+    val eng2 = new MsgEngine(v2)
+    val out = eng2.filters.compile(
+      MessageFilter(emptyValueTargets = Set(ViewType.Senders)))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(out == Seq(1L))
+  }
+
   test("typed surface: Dataset[AggregateRow]/[MessageSummary]/TotalStats") {
     val agg = engine.aggregateTyped(ViewType.Senders).collect()
     assert(agg.map(_.key).toSet == Set("alice@a.com", "bob@b.org", "dave@a.com"))
