@@ -61,7 +61,10 @@ object Curation {
       .select(col("id_b").as("doc_id")) // keep the lower id of each pair
       .distinct()
     kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("quality"))
+      // n_tokens rides through: the mixture/packing stages downstream
+      // need it, and dropping it here would force a second text scan to
+      // re-derive what curate's one-pass stats already paid for
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
   }
 
   /** Corpus boilerplate report: the top-k word n-grams by DOCUMENT

@@ -25,7 +25,11 @@ object Dedup {
     * One shuffle on the 256-bit key; map-side partial agg applies.
     */
   def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.groupBy(sha2(text, 256).as("content_hash"))
+    // NULL text must not form a group: sha2(NULL) is NULL and groupBy
+    // groups nulls together, so unrelated null-text rows would prune
+    // each other as "duplicates"
+    df.filter(text.isNotNull)
+      .groupBy(sha2(text, 256).as("content_hash"))
       .agg(count(lit(1)).as("dup_count"),
         min(id).as("winner_id"),
         array_sort(collect_list(id)).as("member_ids"))

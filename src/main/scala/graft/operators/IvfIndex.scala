@@ -36,18 +36,8 @@ object IvfIndex {
     */
   def build(emb: DataFrame, id: Column, vec: Column, nList: Int): Index = {
     val base = emb.select(id.as("vec_id"), vec.as("embedding"))
-    val n = base.count()
-    require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
-    val stride = math.max(1L, n / nList)
-    val centroids = base
-      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-      .orderBy(col("vec_id").asc)
-      .limit(nList)
-      .select(col("embedding"))
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
-      .toSeq
-    require(centroids.nonEmpty, "hash stride produced no centroids")
+    val centroids = Similarity.centroidSampleBy(base, nList)(stride =>
+      pmod(xxhash64(col("vec_id")), lit(stride)))
     Index(centroids, assign(base, centroids))
   }
 
@@ -81,8 +71,12 @@ object IvfIndex {
     */
   def searchAssigned(assigned: DataFrame, centroids: Seq[Seq[Float]],
       query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    // tie-break must MATCH assignment: greatest(struct) sends an exact
+    // cosine tie to the HIGHER centroid index, so the probe ranking
+    // prefers -i too — ranking the lower duplicate first would probe an
+    // EMPTY list and miss every tied vector at small nProbe
     val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-Similarity.cosineLocal(c, query), i) }
+      .sortBy { case (c, i) => (-Similarity.cosineLocal(c, query), -i) }
       .take(nProbe).map(_._2)
     assigned
       .filter(col("cluster").isin(probes: _*))

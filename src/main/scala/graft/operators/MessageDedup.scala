@@ -197,7 +197,13 @@ object MessageDedup {
           .select(col("__r_mid"),
             Mime.extractMessageIdUdf(col("__r_raw")).as("__r_extracted"))
         base.join(backfill, base("id") === col("__r_mid"), "left")
-          .withColumn("mid", coalesce(col("rfc822_message_id"), col("__r_extracted")))
+          // the `needing` set includes EMPTY-STRING ids, so the fill must
+          // too — a bare coalesce only fills NULLs, leaving a "" row to
+          // pay the inflate+extract cost and then discard the result
+          .withColumn("mid",
+            when(col("rfc822_message_id").isNull ||
+              col("rfc822_message_id") === "", col("__r_extracted"))
+              .otherwise(col("rfc822_message_id")))
           .drop("__r_mid", "__r_extracted")
       case None => base.withColumn("mid", col("rfc822_message_id"))
     }

@@ -95,7 +95,10 @@ object Multimodal {
     * the explode is the plan-level shape real frame extraction needs.
     */
   def sampleFrames(media: DataFrame, framesPerDoc: Int): DataFrame =
-    media.filter(col("mime") === "video/mp4")
+    // any video/* container: [[ingestBinaryFiles]] itself emits
+    // video/x-matroska for .mkv — an mp4-only equality filter would
+    // silently skip every mkv document's frames
+    media.filter(col("mime").startsWith("video/"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(framesPerDoc - 1)),
           i => substring(col("media"), (i * 16 + 1).cast("int"), lit(16)))))

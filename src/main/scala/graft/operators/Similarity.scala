@@ -45,6 +45,28 @@ object Similarity {
       if (dotLocal(query, h) > 0) acc | (1L << i) else acc
     }
 
+  /** One table's probe buckets: the query's bucket plus (multi-probe)
+    * its Hamming-1 neighbors — shared by the inline, multi-table, and
+    * prebuilt-index ANN forms so probe policy has one definition.
+    */
+  private def probeSet(query: Seq[Float], planes: Seq[Seq[Float]],
+      multiProbe: Boolean): Seq[Long] = {
+    val qSig = querySignature(query, planes)
+    if (multiProbe) qSig +: planes.indices.map(b => qSig ^ (1L << b))
+    else Seq(qSig)
+  }
+
+  /** The shared exact-re-rank tail of every KNN operator: cosine against
+    * the literal query over a (vec_id, __v) candidate set, deterministic
+    * (score DESC, id ASC) top-k.
+    */
+  private def rerank(candidates: DataFrame, query: Seq[Float],
+      k: Int): DataFrame =
+    candidates.select(col("vec_id"),
+      cosine(col("__v"), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity ∈ [-1, 1] — the codegen'd custom Expression
@@ -61,12 +83,8 @@ object Similarity {
     * at any scale, O(corpus) per query.
     */
   def bruteForceKnn(emb: DataFrame, id: Column, vec: Column,
-      query: Seq[Float], k: Int): DataFrame = {
-    val q = typedLit(query)
-    emb.select(id.as("vec_id"), cosine(vec, q).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(k)
-  }
+      query: Seq[Float], k: Int): DataFrame =
+    rerank(emb.select(id.as("vec_id"), vec.as("__v")), query, k)
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
@@ -90,19 +108,11 @@ object Similarity {
   def lshKnn(emb: DataFrame, id: Column, vec: Column, query: Seq[Float],
       k: Int, nBits: Int = 12, multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
-    val dim = query.length
-    val planes = hyperplanes(dim, nBits, seed)
-    val qSig = querySignature(query, planes)
-    val probes: Seq[Long] =
-      if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
-      else Seq(qSig)
+    val planes = hyperplanes(query.length, nBits, seed)
+    val probes = probeSet(query, planes, multiProbe)
     val bucketed = emb.select(id.as("vec_id"), vec.as("__v"),
       lshSignature(vec, planes).as("__sig"))
-    bucketed
-      .filter(col("__sig").isin(probes: _*))
-      .select(col("vec_id"), cosine(col("__v"), typedLit(query)).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(k)
+    rerank(bucketed.filter(col("__sig").isin(probes: _*)), query, k)
   }
 
   /** Multi-table sign-LSH ANN (the standard E2LSH recall lever): L
@@ -120,17 +130,10 @@ object Similarity {
     val dim = query.length
     val cond = (0 until tables).map { t =>
       val planes = hyperplanes(dim, nBits, seedBase + t)
-      val qSig = querySignature(query, planes)
-      val probes: Seq[Long] =
-        if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
-        else Seq(qSig)
-      lshSignature(vec, planes).isin(probes: _*)
+      lshSignature(vec, planes)
+        .isin(probeSet(query, planes, multiProbe): _*)
     }.reduce(_ || _)
-    emb.select(id.as("vec_id"), vec.as("__v"))
-      .filter(cond)
-      .select(col("vec_id"), cosine(col("__v"), typedLit(query)).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(k)
+    rerank(emb.select(id.as("vec_id"), vec.as("__v")).filter(cond), query, k)
   }
 
   /** Precomputed multi-table signature index behind [[lshKnnMultiTable]]:
@@ -158,16 +161,9 @@ object Similarity {
     val dim = query.length
     val cond = (0 until tables).map { t =>
       val planes = hyperplanes(dim, nBits, seedBase + t)
-      val qSig = querySignature(query, planes)
-      val probes: Seq[Long] =
-        if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
-        else Seq(qSig)
-      col(s"__sig_$t").isin(probes: _*)
+      col(s"__sig_$t").isin(probeSet(query, planes, multiProbe): _*)
     }.reduce(_ || _)
-    idx.filter(cond)
-      .select(col("vec_id"), cosine(col("__v"), typedLit(query)).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(k)
+    rerank(idx.filter(cond), query, k)
   }
 
   /** Quantized ANN scan (ADC — asymmetric distance computation): rank the
@@ -233,7 +229,14 @@ object Similarity {
   def embeddingNearDupPairs(emb: DataFrame, id: Column, vec: Column,
       threshold: Double, nBits: Int = 8, maxBucket: Int = 2000,
       seed: Long = 42L): DataFrame = {
-    val dim = emb.select(size(vec).as("d")).head().getInt(0)
+    // an empty corpus (upstream filter removed everything) yields an
+    // empty PAIR set, not a head()-on-empty crash at plan construction
+    val dimRow = emb.select(size(vec).as("d")).head(1)
+    if (dimRow.isEmpty)
+      return emb.select(id.as("__id")).limit(0)
+        .select(col("__id").as("id_a"), col("__id").as("id_b"),
+          lit(0.0).as("cosine"))
+    val dim = dimRow.head.getInt(0)
     val planes = hyperplanes(dim, nBits, seed)
     val bucketed = emb.select(id.as("__id"), vec.as("__v"),
       lshSignature(vec, planes).as("__sig"))
@@ -304,17 +307,26 @@ object Similarity {
     * `base` must carry (vec_id, embedding) columns.
     */
   def strideCentroids(base: DataFrame, nList: Int,
-      hashStride: Boolean = true): Seq[Seq[Float]] = {
-    val n = base.count()
-    require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
-    val stride = math.max(1L, n / nList)
-    val draw =
+      hashStride: Boolean = true): Seq[Seq[Float]] =
+    centroidSampleBy(base, nList) { stride =>
       if (hashStride)
         conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % stride
       else pmod(col("vec_id"), lit(stride))
+    }
+
+  /** The one stride-sample pipeline behind every centroid pick
+    * ([[strideCentroids]]'s md5/dense draws, [[IvfIndex.build]]'s
+    * xxhash64 draw): filter on the caller's stride draw, stabilize order
+    * by id, bound the driver collect at nList rows.
+    */
+  private[operators] def centroidSampleBy(base: DataFrame, nList: Int)(
+      drawOf: Long => Column): Seq[Seq[Float]] = {
+    val n = base.count()
+    require(n >= nList, s"corpus ($n) smaller than nList ($nList)")
+    val stride = math.max(1L, n / nList)
     val centroids = base
-      .filter(draw === 0)
+      .filter(drawOf(stride) === 0)
       .orderBy(col("vec_id").asc)
       .limit(nList)
       .select(col("embedding"))

@@ -46,6 +46,11 @@ object TemporalJoins {
       "as-of timestamps must be exact longs (ns)")
     require(payload.forall(p => !left.columns.contains(p)),
       "payload column names must not collide with left columns")
+    // the output's computed columns would silently OVERWRITE same-named
+    // left data columns (withColumn replaces)
+    require(!left.columns.contains("asof_ts") &&
+      Seq("__t", "__side").forall(r => !left.columns.contains(r)),
+      "left columns must not be named asof_ts/__t/__side (reserved)")
     val lOnly = left.columns.toSeq.filterNot(c => c == key || c == leftTs)
     val rProj = right.select(
       (Seq(col(key), col(rightTs).as("__t")) ++ payload.map(col)): _*)

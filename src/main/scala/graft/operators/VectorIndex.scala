@@ -32,8 +32,42 @@ object VectorIndex {
   private def metaPath(dir: String) = Paths.get(dir, "_index.json")
   private def buildingPath(dir: String) = Paths.get(dir, "_building.json")
 
+  // string fields round-trip through escape/unescape: a quote or
+  // backslash in a caller-supplied fingerprint/model would otherwise
+  // corrupt the concatenated JSON and shift the reader's parse — a
+  // needsRebuild that never converges
+  private def jsonEscape(v: String): String = v.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def jsonUnescape(v: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '\\' && i + 1 < v.length) {
+        v(i + 1) match {
+          case '"' => out += '"'; i += 2
+          case '\\' => out += '\\'; i += 2
+          case 'n' => out += '\n'; i += 2
+          case 'r' => out += '\r'; i += 2
+          case 't' => out += '\t'; i += 2
+          case 'u' if i + 6 <= v.length =>
+            out += Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => out += other; i += 2
+        }
+      } else { out += v(i); i += 1 }
+    }
+    out.toString
+  }
   private def strField(s: String, key: String): Option[String] =
-    (""""""" + key + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
+    (""""""" + key + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r
+      .findFirstMatchIn(s).map(m => jsonUnescape(m.group(1)))
   private def numField(s: String, key: String): Option[Long] =
     (""""""" + key + """"\s*:\s*(\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong)
 
@@ -66,9 +100,9 @@ object VectorIndex {
   private def writeState(dir: String, st: IndexState): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
-      (s"""{"active":${st.active},"fingerprint":"${st.fingerprint}",""" +
-        s""""model":"${st.model}","dimension":${st.dimension},""" +
-        s""""activated_at":"${st.activatedAt}"}""").getBytes("UTF-8"),
+      (s"""{"active":${st.active},"fingerprint":"${jsonEscape(st.fingerprint)}",""" +
+        s""""model":"${jsonEscape(st.model)}","dimension":${st.dimension},""" +
+        s""""activated_at":"${jsonEscape(st.activatedAt)}"}""").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
@@ -86,7 +120,7 @@ object VectorIndex {
     val next = readState(dir).map(_.active + 1).getOrElse(0L)
     Files.createDirectories(Paths.get(dir))
     Files.write(buildingPath(dir),
-      (s"""{"id":$next,"model":"$model","dimension":$dimension,""" +
+      (s"""{"id":$next,"model":"${jsonEscape(model)}","dimension":$dimension,""" +
         s""""started_at":"${nowUtc()}"}""").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     next

@@ -20,9 +20,11 @@ class CurationSpec extends SparkTestBase {
       (4L, "zz")) // low quality (2 chars, no stopwords)
       .toDF("doc_id", "text")
     val out = Curation.curateFull(docs, col("doc_id"), col("text"),
-      minQuality = 0.5, langs = Set("en"))
-      .collect().map(_.getAs[Long]("doc_id")).toSeq
-    assert(out == Seq(1L))
+      minQuality = 0.5, langs = Set("en")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    // the token accounting curate already computed rides through — the
+    // mixture/packing stages need it without a second text scan
+    assert(out.head.getAs[Long]("n_tokens") == 18L)
   }
 
   test("cosine_similarity/simhash64/minhash_signature callable from SQL") {

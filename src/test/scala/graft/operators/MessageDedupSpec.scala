@@ -139,6 +139,27 @@ class MessageDedupSpec extends SparkTestBase {
     assert(!byType.contains("normalized-hash"))
   }
 
+  test("backfill fills EMPTY-STRING Message-IDs, not just NULLs") {
+    // 8 carries mid = "" (not NULL): it is in the `needing` set, and the
+    // extracted <dup@x> must actually be USED — a bare coalesce would
+    // keep the "" and the pair would never group in pass 1
+    val messages = Seq(
+      msg(8, "hello", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("")),
+      msg(9, "hello", "2024-01-01 10:00:00").copy(rfc822_message_id = None))
+    val v = Fixtures.vault(spark, messages,
+      recipients = Seq(MrRow(8, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    val raw = Seq(
+      (8L, mimeA.getBytes("ISO-8859-1"), ""),
+      (9L, zlib(mimeA2), "zlib"))
+      .toDF("message_id", "raw_data", "compression")
+    val scanned = MessageDedup.scan(v,
+      MessageDedup.Config(sourceIds = Seq(1L), contentHashFallback = true),
+      raw = Some(raw)).collect()
+    assert(scanned.map(_.getAs[Long]("id")).toSet == Set(8L, 9L))
+    assert(scanned.forall(_.getAs[String]("key_type") == "message-id"))
+  }
+
   test("content-hash fallback without extractable Message-ID") {
     val noMid = "From: a@x.com\r\nSubject: s\r\n\r\nsame body"
     val noMid2 = "Received: r\r\nFrom: a@x.com\r\nSubject: s\r\n\r\nsame body"

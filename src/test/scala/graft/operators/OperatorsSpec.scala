@@ -25,6 +25,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(g(0).getAs[Long]("winner_id") == 1)
   }
 
+  test("exactGroups: NULL-text rows never form a duplicate group") {
+    val weird = Seq[(Long, String)]((1L, null), (2L, null), (3L, "real text"))
+      .toDF("doc_id", "text")
+    // sha2(NULL) is NULL and groupBy groups nulls together — without the
+    // guard, unrelated null-text rows would prune each other as dups
+    assert(Dedup.exactGroups(weird, col("doc_id"), col("text")).isEmpty)
+  }
+
   test("survivor pairs: loser points at min-id winner") {
     val pairs = Dedup.survivorPairs(docs, col("doc_id"), md5(col("text")), Nil)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -157,6 +165,30 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(brute.head == 7L)
     assert(lsh.contains(7L)) // the query's own bucket always probes itself
+  }
+
+  test("embeddingNearDupPairs: empty corpus yields empty pairs, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDupPairs(empty, col("vec_id"),
+      col("embedding"), threshold = 0.9)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+  }
+
+  test("IVF probe tie-break matches assignment on duplicate centroids") {
+    // two IDENTICAL centroids: assignment (greatest struct) sends every
+    // tied vector to the HIGHER index list; the probe ranking must agree
+    // or nProbe=1 would probe the empty low-index list and return nothing
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))
+    val emb = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.assignTo(emb, col("vec_id"), col("embedding"), cents)
+    assert(assigned.select(col("cluster")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    val hits = IvfIndex.searchAssigned(assigned, cents,
+      query = Seq(1.0f, 0.0f), k = 2, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
   }
 
   test("embedding near-dup pairs: LSH buckets surface the near-identical pair") {
