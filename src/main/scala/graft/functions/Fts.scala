@@ -134,7 +134,10 @@ object Fts {
     // a supplied stats object MUST describe `docs` as passed (i.e. the
     // same corpus and filtering)
     val stats = statsOpt.getOrElse(corpusStats(docs, tokens, terms))
-    docs.filter(terms.map(t => array_contains(tokens, t.toLowerCase)).reduce(_ || _))
+    // empty/punctuation-only term lists match NOTHING (reduceOption, like
+    // every sibling combinator here) — a bare reduce throws on Nil
+    docs.filter(terms.map(t => array_contains(tokens, t.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false)))
       .select(id.as("doc_id"), bm25(tokens, terms, stats).as("bm25_score"))
       .orderBy(col("bm25_score").desc, col("doc_id").asc)
       .limit(limit)

@@ -27,7 +27,12 @@ object Mime {
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated")
+        // needsDictionary: FDICT streams stall at n == 0 with
+        // needsInput() == false — without this check the loop spins
+        // forever (no exception, so the corrupt→null contract never
+        // fires) and the executor task hangs
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new java.io.EOFException("truncated or dictionary-compressed")
         out.write(buf, 0, n)
       }
       inf.end()

@@ -16,7 +16,9 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
   private def cell(v: Any): String = v match {
     case null => ""
     case s: String => s
-    case a: Seq[_] => a.map(cell).mkString("[", ",", "]")
+    // scala.collection.Seq: nested arrays arrive as mutable.ArraySeq,
+    // which the bare (immutable) Seq pattern misses on 2.13
+    case a: scala.collection.Seq[_] => a.map(cell).mkString("[", ",", "]")
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
     case other => other.toString
   }
@@ -40,7 +42,11 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
     case n: Float => jsonValue(n.toDouble)
     case b: Boolean => b.toString
     case n: java.math.BigDecimal => n.toPlainString
-    case a: Seq[_] => a.map(jsonValue).mkString("[", ",", "]")
+    // scala.collection.Seq, NOT bare Seq (= immutable.Seq on 2.13):
+    // nested array elements come back as mutable.ArraySeq, which the
+    // immutable pattern misses — they would render as "ArraySeq(...)"
+    case a: scala.collection.Seq[_] =>
+      a.map(jsonValue).mkString("[", ",", "]")
     case other => "\"" + jsonEscape(cell(other)) + "\""
   }
 

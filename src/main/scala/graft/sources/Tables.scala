@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{floor, lit}
 
 /** Table loaders for the driver-generated TPC-H-ish star at
   * /root/testdata/sf*. Mirrors the reference's per-table Parquet scan +
@@ -137,8 +138,7 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => // legacy nanos-as-long file
         raw.withColumn("ts_ns", col("ts").cast("long"))
-          .withColumn("ts",
-            timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(nsToMicros(col("ts"))))
       case _: TimestampType | _: TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
@@ -147,6 +147,17 @@ object Tables {
           s"events.ts has unsupported type $other in $path")
     }
   }
+
+  /** EXACT epoch-ns → epoch-µs for long columns: decimal division, not
+    * floor(double/1000) — an epoch-ns value needs ~61 bits and a double
+    * carries 53, so the double path rounds to the nearest ~256 ns and
+    * floors into the ADJACENT microsecond for values within ~128 ns of a
+    * boundary, breaking `unix_micros(ts) == ts_ns div 1000`. Shared by
+    * the batch loader and the streaming source so the conversion cannot
+    * drift between them.
+    */
+  private[graft] def nsToMicros(c: Column): Column =
+    floor(c.cast("long").cast("decimal(20,0)") / lit(1000)).cast("long")
 
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()

@@ -40,7 +40,7 @@ object EventsStreaming {
     schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts",
-          timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+          timestamp_micros(graft.sources.Tables.nsToMicros(col("ts"))))
       case _ =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -19,31 +19,47 @@ import graft.operators.Similarity
   * layout, so probe queries keep pruning to nProbe/nList of the data as
   * the index grows). Existing list files are never rewritten.
   *
-  * Exactly-once: the checkpoint tracks consumed source files, so a
-  * crashed or re-triggered drain adds nothing on re-run —
-  * `Trigger.AvailableNow` + checkpoint is the Spark-native equivalent of
-  * the reference's transactional queue claim/ack cycle. Centroids stay
-  * frozen across drains; a generation rotate
+  * Effectively-once: the checkpoint tracks consumed source files (a
+  * completed drain re-run adds nothing), and because `foreachBatch` is
+  * only AT-least-once — a crash between the write and the checkpoint
+  * commit replays the batch — each micro-batch writes its own batch=
+  * partitions with dynamic overwrite, so a replay REPLACES its partial
+  * output instead of duplicating vectors. The Spark-native equivalent
+  * of the reference's transactional queue claim/ack cycle. Centroids
+  * stay frozen across drains; a generation rotate
   * ([[graft.operators.VectorIndex]]) re-derives them only when drift
   * warrants a rebuild.
   */
 object VectorStreaming {
 
   /** Drain every unconsumed shard in `srcDir` into the `listsDir` index:
-    * assign → cluster-partitioned append. Returns when the backlog is
-    * consumed.
+    * assign → cluster-partitioned write under the micro-batch's own
+    * batch= partition. Returns when the backlog is consumed; a drain
+    * against an empty drop directory is a no-op.
     */
   def runAssignAvailableNow(spark: SparkSession, srcDir: String,
       centroids: Seq[Seq[Float]], listsDir: String,
       checkpoint: String): Unit = {
-    val schema = spark.read.parquet(srcDir).schema
+    // an empty/not-yet-created drop dir is the steady state between
+    // shard deliveries — a no-op drain, not a schema-inference crash
+    val schema =
+      try spark.read.parquet(srcDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is AT-LEAST-once: a batch replayed after a crash
+        // between the write and the checkpoint commit must land on its
+        // own batch=b<id> partitions and OVERWRITE them (dynamic mode),
+        // or the lists would accumulate duplicate vectors; cluster stays
+        // a partition column below it, so probes still prune
         Similarity.assignTo(batch, col("vec_id"), col("embedding"),
           centroids)
+          .withColumn("batch", lit(s"b$batchId"))
           .repartition(col("cluster")) // one writer per list, no small files
-          .write.mode(SaveMode.Append).partitionBy("cluster")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "cluster")
           .parquet(listsDir)
         ()
       }

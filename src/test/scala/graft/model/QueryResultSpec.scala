@@ -41,4 +41,17 @@ class QueryResultSpec extends SparkTestBase {
       Seq(Seq(Seq(1L, 2L), Array[Byte](0x0a, 0x1f))))
     assert(r.toCsv == "xs,bin\n\"[1,2]\",0a1f")
   }
+
+  test("NESTED arrays render as arrays, incl. the mutable Seqs Spark rows carry") {
+    // inner elements of an array<array<T>> cell arrive as
+    // mutable.ArraySeq — a bare (immutable) Seq pattern misses them on
+    // 2.13 and they would stringify as "ArraySeq(a, b)"
+    val nested: Seq[Any] = Seq(
+      scala.collection.mutable.ArraySeq.make(Array("a", "b")),
+      scala.collection.mutable.ArraySeq.make(Array("c")))
+    val r = QueryResult(Seq("xss"), Seq(Seq(nested)))
+    assert(r.toJson ==
+      """{"columns":["xss"],"rows":[[[["a","b"],["c"]]]],"row_count":1}""")
+    assert(r.toCsv == "xss\n\"[[a,b],[c]]\"")
+  }
 }

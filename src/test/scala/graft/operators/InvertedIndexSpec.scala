@@ -38,6 +38,13 @@ class InvertedIndexSpec extends SparkTestBase {
       .collect().isEmpty) // "spar" is not a token
   }
 
+  test("bm25Search with no terms returns empty, not an empty.reduce crash") {
+    // the punctuation-only query class: compiled terms are Nil
+    assert(Fts.bm25Search(
+      docs.select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks")),
+      col("doc_id"), col("toks"), Nil).isEmpty)
+  }
+
   test("BM25 through the index matches the scan-path scorer") {
     val terms = Seq("spark", "join")
     val (ranked, doclens) = InvertedIndex.buildRanked(

@@ -39,6 +39,17 @@ class MessageDedupSpec extends SparkTestBase {
     assert(Mime.inflate(null) == null)
   }
 
+  test("inflate returns null on a preset-dictionary (FDICT) stream, no hang") {
+    // an FDICT stream stalls Inflater.inflate at 0 bytes with
+    // needsDictionary() — without the loop guard this spun forever
+    val d = new java.util.zip.Deflater()
+    d.setDictionary("shared-dict".getBytes("ISO-8859-1"))
+    d.setInput("payload".getBytes("ISO-8859-1")); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf); d.end()
+    assert(Mime.inflate(buf.take(n)) == null)
+  }
+
   test("deflate is inflate's inverse (and matches an external zlib stream)") {
     val payload = "raw mime é bytes"
     assert(new String(Mime.inflate(Mime.deflate(

@@ -36,6 +36,27 @@ class SearchParserSpec extends AnyFunSuite {
     assert(q.fromAddrs == Seq("a@x.com"))
   }
 
+  test("absurd relative-date counts degrade gracefully, never crash the parse") {
+    // >19 digits → NumberFormatException; huge years → DateTimeException
+    // past LocalDateTime's range; both must leave the token a text term
+    // unparseable date values are IGNORED (the before:/after: policy) —
+    // the point here is the parse completes instead of throwing
+    val q1 = SearchParser.parse("older_than:99999999999999999999d hello")
+    assert(q1.beforeDate.isEmpty)
+    assert(q1.textTerms == Seq("hello"))
+    val q2 = SearchParser.parse("newer_than:99999999999y")
+    assert(q2.afterDate.isEmpty)
+  }
+
+  test("empty operator values are ignored, not compiled to match-nothing filters") {
+    // "from: alice@x.com" tokenizes "from:" alone — the empty value must
+    // not become an '' address filter that empties the whole result set
+    val q = SearchParser.parse("from: alice@x.com")
+    assert(q.fromAddrs.isEmpty)
+    assert(q.textTerms.contains("alice@x.com"))
+    assert(SearchParser.parse("subject: to: cc: bcc:").subjectTerms.isEmpty)
+  }
+
   test("label: and l: collect; blank labels dropped") {
     val q = SearchParser.parse("label:Work l:urgent label: ")
     assert(q.labels == Seq("Work", "urgent"))

@@ -92,6 +92,20 @@ class TestdataSchemaSpec extends SparkTestBase {
       "value" -> Exact(DoubleType), "props" -> Exact(StringType)))
   }
 
+  test("nsToMicros is exact past double precision (61-bit epoch nanos)") {
+    import org.apache.spark.sql.functions._
+    // 1723622400000000999 ns: the double path rounds 1723622400000000.999
+    // up to ...001.0 and floors into the WRONG microsecond; the decimal
+    // path must truncate to ...000 exactly
+    val out = spark.range(1).select(
+      Tables.nsToMicros(lit(1723622400000000999L)).as("us"),
+      Tables.nsToMicros(lit(1723622400000000001L)).as("us2"),
+      Tables.nsToMicros(lit(999L)).as("us3")).head()
+    assert(out.getLong(0) == 1723622400000000L)
+    assert(out.getLong(1) == 1723622400000000L)
+    assert(out.getLong(2) == 0L)
+  }
+
   test("documents / embeddings keep their canonical schema") {
     check("documents", Seq(
       "doc_id" -> Exact(LongType), "text" -> Exact(StringType),

@@ -38,9 +38,20 @@ class VectorStreamingSpec extends SparkTestBase {
     VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
     assert(spark.read.parquet(lists).count() == emb.count())
 
-    // the hive layout keeps probes prunable: one directory per list
-    val dirs = new java.io.File(lists).listFiles
+    // the hive layout keeps probes prunable: per-micro-batch idempotency
+    // dirs on top, one directory per list inside
+    val batchDirs = new java.io.File(lists).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.nonEmpty)
+    val clusterDirs = batchDirs.head.listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
-    assert(dirs.nonEmpty && dirs.length <= 8)
+    assert(clusterDirs.nonEmpty && clusterDirs.length <= 8)
+  }
+
+  test("drain against an empty or absent drop directory is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vstream_e").toString
+    VectorStreaming.runAssignAvailableNow(spark, s"$tmp/nowhere",
+      Seq(Seq(1.0f, 0.0f)), s"$tmp/lists", s"$tmp/ckpt")
+    assert(!new java.io.File(s"$tmp/lists").exists())
   }
 }
