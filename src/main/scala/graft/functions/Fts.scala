@@ -133,11 +133,16 @@ object Fts {
     // snapshot precompute them once (corpusStats is a blocking agg pass);
     // a supplied stats object MUST describe `docs` as passed (i.e. the
     // same corpus and filtering)
+    // empty/punctuation-only term lists match NOTHING — and must return
+    // BEFORE corpusStats, which is a full blocking corpus aggregation
+    // that would be paid just to filter everything out
+    if (terms.isEmpty)
+      return docs.select(id.as("doc_id"), lit(0.0).as("bm25_score"))
+        .limit(0)
+        .withColumn("rank", lit(1))
     val stats = statsOpt.getOrElse(corpusStats(docs, tokens, terms))
-    // empty/punctuation-only term lists match NOTHING (reduceOption, like
-    // every sibling combinator here) — a bare reduce throws on Nil
     docs.filter(terms.map(t => array_contains(tokens, t.toLowerCase))
-      .reduceOption(_ || _).getOrElse(lit(false)))
+      .reduce(_ || _))
       .select(id.as("doc_id"), bm25(tokens, terms, stats).as("bm25_score"))
       .orderBy(col("bm25_score").desc, col("doc_id").asc)
       .limit(limit)

@@ -20,8 +20,12 @@ object Mime {
     */
   def inflate(data: Array[Byte]): Array[Byte] = {
     if (data == null) return null
+    // end() in finally: the corrupt→null exits are EXPECTED per-blob
+    // outcomes, and an abandoned Inflater holds native zlib buffers
+    // until GC — a corpus with many bad blobs would balloon off-heap
+    // memory while the heap looks healthy
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
@@ -35,9 +39,9 @@ object Mime {
           throw new java.io.EOFException("truncated or dictionary-compressed")
         out.write(buf, 0, n)
       }
-      inf.end()
       out.toByteArray
     } catch { case _: Exception => null }
+    finally inf.end()
   }
 
   val inflateUdf: UserDefinedFunction = udf(inflate _)

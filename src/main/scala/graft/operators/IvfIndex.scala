@@ -90,9 +90,17 @@ object IvfIndex {
     * deployment shape: one directory per list, co-located rows). A probe
     * query over the reopened table reads nProbe/nList of the data —
     * partition pruning, no shuffle, verified in PlanAuditSpec.
+    *
+    * The `batch=full` level on top matches
+    * [[graft.streaming.VectorStreaming]]'s per-micro-batch idempotency
+    * partitions, so a bootstrapped directory and its later streamed
+    * delta drains share ONE discoverable layout — mixing a bare
+    * cluster= tree with batch=/cluster= subtrees would fail partition
+    * discovery ("conflicting directory structures").
     */
   def writeLists(index: Index, path: String): Unit =
     index.assigned
+      .withColumn("batch", lit("full"))
       .repartition(col("cluster")) // one writer per list, no small files
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite").partitionBy("batch", "cluster").parquet(path)
 }

@@ -148,13 +148,15 @@ object Tables {
     }
   }
 
-  /** EXACT epoch-ns → epoch-µs for long columns: decimal division, not
-    * floor(double/1000) — an epoch-ns value needs ~61 bits and a double
-    * carries 53, so the double path rounds to the nearest ~256 ns and
-    * floors into the ADJACENT microsecond for values within ~128 ns of a
-    * boundary, breaking `unix_micros(ts) == ts_ns div 1000`. Shared by
-    * the batch loader and the streaming source so the conversion cannot
-    * drift between them.
+  /** EXACT epoch-ns → epoch-µs for long columns: decimal FLOOR division,
+    * not floor(double/1000) — an epoch-ns value needs ~61 bits and a
+    * double carries 53, so the double path rounds to the nearest ~256 ns
+    * and floors into the ADJACENT microsecond for values within ~128 ns
+    * of a boundary. Floor (not truncate-toward-zero like SQL `div`) is
+    * the timestamp-correct choice: for a pre-1970 value −1500 ns the
+    * containing microsecond is −2, not −1; on non-negative epochs the
+    * two agree. Shared by the batch loader and the streaming source so
+    * the conversion cannot drift between them.
     */
   private[graft] def nsToMicros(c: Column): Column =
     floor(c.cast("long").cast("decimal(20,0)") / lit(1000)).cast("long")

@@ -17,7 +17,8 @@ import graft.operators.Similarity
   * beyond the per-list write clustering) and appended into the inverted
   * lists' hive partitions ([[graft.operators.IvfIndex.writeLists]]
   * layout, so probe queries keep pruning to nProbe/nList of the data as
-  * the index grows). Existing list files are never rewritten.
+  * the index grows). Prior batches' files are never touched; only a
+  * REPLAYED micro-batch rewrites (exactly) its own partitions.
   *
   * Effectively-once: the checkpoint tracks consumed source files (a
   * completed drain re-run adds nothing), and because `foreachBatch` is
@@ -41,10 +42,19 @@ object VectorStreaming {
       centroids: Seq[Seq[Float]], listsDir: String,
       checkpoint: String): Unit = {
     // an empty/not-yet-created drop dir is the steady state between
-    // shard deliveries — a no-op drain, not a schema-inference crash
+    // shard deliveries — a no-op drain, not a schema-inference crash.
+    // Only THOSE error classes are swallowed: a misconfigured path would
+    // otherwise be indistinguishable from "nothing to do" and the index
+    // would silently stop growing
     val schema =
       try spark.read.parquet(srcDir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.contains("UNABLE_TO_INFER_SCHEMA") ||
+                c.contains("PATH_NOT_FOUND")) =>
+          return
+      }
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

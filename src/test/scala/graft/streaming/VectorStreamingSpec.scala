@@ -48,6 +48,25 @@ class VectorStreamingSpec extends SparkTestBase {
     assert(clusterDirs.nonEmpty && clusterDirs.length <= 8)
   }
 
+  test("streamed drains compose with a writeLists-bootstrapped directory") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vboot").toString
+    // bootstrap: batch index build over the first slice, lists persisted
+    val boot = emb.filter(col("vec_id") < 250)
+    val idx = IvfIndex.build(boot, col("vec_id"), col("embedding"), nList = 8)
+    IvfIndex.writeLists(idx, s"$tmp/lists")
+    // stream the remaining slice into the SAME directory — one layout,
+    // one partition-discoverable tree (the bare cluster= vs
+    // batch=/cluster= mix used to fail discovery outright)
+    emb.filter(col("vec_id") >= 250).write.parquet(s"$tmp/drop")
+    VectorStreaming.runAssignAvailableNow(spark, s"$tmp/drop",
+      idx.centroids, s"$tmp/lists", s"$tmp/ckpt")
+    val all = spark.read.parquet(s"$tmp/lists")
+    assert(all.count() == emb.count())
+    assert(all.select(col("vec_id")).distinct().count() == emb.count())
+  }
+
   test("drain against an empty or absent drop directory is a no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_vstream_e").toString
     VectorStreaming.runAssignAvailableNow(spark, s"$tmp/nowhere",
