@@ -38,10 +38,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     // integer element types serve the quantized (ADC) scan: int8 codes
     // widen per-element to double exactly (|code| ≤ 127 ≪ 2⁵³), the same
-    // c.cast("double") the HOF formulation performs
+    // c.cast("double") the HOF formulation performs. Bare NULL and
+    // array<null> literals are accepted (always-null result) to match
+    // the zip_with+aggregate form's null propagation.
     def elem(t: DataType): Option[DataType] = t match {
       case ArrayType(e @ (FloatType | DoubleType | ByteType | ShortType |
           IntegerType | LongType), _) => Some(e)
+      case org.apache.spark.sql.types.NullType => Some(DoubleType)
+      case ArrayType(org.apache.spark.sql.types.NullType, _) => Some(DoubleType)
       case _ => None
     }
     (elem(left.dataType), elem(right.dataType)) match {
@@ -54,37 +58,43 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   }
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  // DoubleType stand-in for NULL/array<null> children: their rows are
+  // always null, so the element loop never executes — but codegen still
+  // instantiates a getter for it
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => DoubleType
+  }
 
   override def nullable: Boolean = true
+
+  // per-side getter chosen ONCE per expression instance, not
+  // re-pattern-matched twice per element in the hot loop (the
+  // interpreted path is exactly the boxing-sensitive one)
+  @transient private lazy val getLeft: (ArrayData, Int) => Double =
+    getterFor(elemType(left))
+  @transient private lazy val getRight: (ArrayData, Int) => Double =
+    getterFor(elemType(right))
+  private def getterFor(t: DataType): (ArrayData, Int) => Double = t match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case ByteType => (a, i) => a.getByte(i).toDouble
+    case ShortType => (a, i) => a.getShort(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType => (a, i) => a.getLong(i).toDouble
+    case _ => (a, i) => a.getDouble(i)
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (ys.numElements() != n) return null
-    val lt = elemType(left); val rt = elemType(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      val x = lt match {
-        case FloatType => xs.getFloat(i).toDouble
-        case ByteType => xs.getByte(i).toDouble
-        case ShortType => xs.getShort(i).toDouble
-        case IntegerType => xs.getInt(i).toDouble
-        case LongType => xs.getLong(i).toDouble
-        case _ => xs.getDouble(i)
-      }
-      val y = rt match {
-        case FloatType => ys.getFloat(i).toDouble
-        case ByteType => ys.getByte(i).toDouble
-        case ShortType => ys.getShort(i).toDouble
-        case IntegerType => ys.getInt(i).toDouble
-        case LongType => ys.getLong(i).toDouble
-        case _ => ys.getDouble(i)
-      }
+      val x = getLeft(xs, i)
+      val y = getRight(ys, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -95,6 +105,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // a bare NULL child has no ArrayData-typed codegen value — the
+    // expression is constant null, so emit exactly that
+    if (left.dataType == org.apache.spark.sql.types.NullType ||
+        right.dataType == org.apache.spark.sql.types.NullType)
+      return ExprCode.forNullValue(dataType)
     def getter(e: Expression, arr: String, i: String): String = elemType(e) match {
       case FloatType => s"(double) $arr.getFloat($i)"
       case ByteType => s"(double) $arr.getByte($i)"
@@ -109,6 +124,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      // x/y via freshName like every other local: a bare `x` could
+      // collide with an enclosing generated scope and fail compilation
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -117,9 +136,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double x = ${getter(left, a, i)};
-         |    final double y = ${getter(right, b, i)};
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    final double $x = ${getter(left, a, i)};
+         |    final double $y = ${getter(right, b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
          |    if ($na == 0.0 || $nb == 0.0) {

@@ -53,13 +53,16 @@ case class SimHash64(child: Expression)
     while (i < n) {
       // null/empty tokens skipped here so callers can pass a raw
       // codegen'd `split` without an interpreted filter() HOF pass
-      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
-        seen = true
-        val h = tokenHash(arr.getUTF8String(i))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i) // bind once: each getter allocates
+        if (t.numBytes > 0) {
+          seen = true
+          val h = tokenHash(t)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
         }
       }
       i += 1
@@ -97,8 +100,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
     var m = 0
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
-        th(m) = tokenHash(arr.getUTF8String(i)); m += 1
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i) // bind once: each getter allocates
+        if (t.numBytes > 0) { th(m) = tokenHash(t); m += 1 }
       }
       i += 1
     }
@@ -157,8 +161,9 @@ case class WordShingles(child: Expression, n: Int, shortFallback: Boolean)
     var m = 0
     var i = 0
     while (i < total) {
-      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
-        toks(m) = arr.getUTF8String(i); m += 1
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i) // bind once: each getter allocates
+        if (t.numBytes > 0) { toks(m) = t; m += 1 }
       }
       i += 1
     }

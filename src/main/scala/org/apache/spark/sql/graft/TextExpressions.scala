@@ -35,8 +35,6 @@ case class SimHash60Md5(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "simhash60_md5"
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](60)
@@ -44,19 +42,16 @@ case class SimHash60Md5(child: Expression)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0) {
-        seen = true
-        md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
-        // first 15 hex chars = first 8 bytes big-endian >>> 4 (60 bits)
-        var acc = 0L
-        var j = 0
-        while (j < 8) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
-        val h = acc >>> 4
-        var b = 0
-        while (b < 60) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i) // bind once: each getter allocates a view
+        if (t.numBytes > 0) {
+          seen = true
+          val h = Md5Bits60(t.getBytes)
+          var b = 0
+          while (b < 60) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
         }
       }
       i += 1
@@ -70,6 +65,28 @@ case class SimHash60Md5(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60Md5 =
     copy(child = newChild)
+}
+
+/** First 60 bits of md5(bytes) — bit-identical to
+  * `conv(substring(md5(t),1,15),16,10)` (first 15 hex chars = first 8
+  * bytes big-endian `>>> 4`). ONE definition for [[SimHash60Md5]] and
+  * [[WinnowFingerprints]], whose portable-recipe contracts require the
+  * same bits; the digest is per-THREAD — the previous per-expression
+  * mutable MessageDigest silently corrupted hashes if one expression
+  * instance was ever evaluated from two threads.
+  */
+private[graft] object Md5Bits60 {
+  private val tl = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  def apply(bytes: Array[Byte]): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var acc = 0L
+    var j = 0
+    while (j < 8) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
+    acc >>> 4
+  }
 }
 
 /** Stopword-profile language ID over a token array, one pass. Semantics
@@ -160,16 +177,8 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "winnow_fingerprints"
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
-
-  private def hash60(s: String): Long = {
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var acc = 0L
-    var j = 0
-    while (j < 8) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
-    acc >>> 4
-  }
+  private def hash60(s: String): Long =
+    Md5Bits60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -177,8 +186,10 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      if (!arr.isNullAt(i) && arr.getUTF8String(i).numBytes > 0)
-        toks += arr.getUTF8String(i).toString
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i) // bind once: each getter allocates
+        if (t.numBytes > 0) toks += t.toString
+      }
       i += 1
     }
     if (toks.isEmpty) return null
@@ -202,19 +213,17 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
         }
         out
       }
+    // one loop covers both regimes: when hs.length <= w the single
+    // window spans the whole array (lastStart 0, end clamped)
     val sel = new java.util.TreeSet[java.lang.Long]()
-    if (hs.length <= w) {
-      var m = hs(0); var j = 1
-      while (j < hs.length) { if (hs(j) < m) m = hs(j); j += 1 }
+    val lastStart = math.max(0, hs.length - w)
+    var s = 0
+    while (s <= lastStart) {
+      val end = math.min(hs.length, s + w)
+      var m = hs(s); var j = s + 1
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
       sel.add(m)
-    } else {
-      var s = 0
-      while (s <= hs.length - w) {
-        var m = hs(s); var j = 1
-        while (j < w) { if (hs(s + j) < m) m = hs(s + j); j += 1 }
-        sel.add(m)
-        s += 1
-      }
+      s += 1
     }
     val out = new Array[Any](sel.size)
     val it = sel.iterator()

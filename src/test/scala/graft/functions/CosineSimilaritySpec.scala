@@ -46,6 +46,16 @@ class CosineSimilaritySpec extends SparkTestBase {
     check(transform(col("codes"), _.cast("long"))) // array<long>
   }
 
+  test("bare NULL and array() literals analyze and yield null (HOF parity)") {
+    // the zip_with+aggregate form returns NULL per row for these; the
+    // Expression must not fail ANALYSIS on them
+    val df = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("a")
+    assert(df.select(CosineSimilarity(lit(null), col("a")).as("c"))
+      .head().isNullAt(0))
+    assert(df.select(CosineSimilarity(array(), col("a")).as("c"))
+      .head().isNullAt(0)) // zero-length vs 2 → length mismatch → null
+  }
+
   test("null propagation: null array, null element, length mismatch") {
     val df = Seq(
       (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
