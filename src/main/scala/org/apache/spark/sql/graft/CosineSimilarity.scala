@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NullType, ShortType}
 
 /** Codegen'd cosine similarity over two numeric arrays (float/double for
   * embeddings; byte/short/int/long for quantized codes) — the one
@@ -44,8 +44,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     def elem(t: DataType): Option[DataType] = t match {
       case ArrayType(e @ (FloatType | DoubleType | ByteType | ShortType |
           IntegerType | LongType), _) => Some(e)
-      case org.apache.spark.sql.types.NullType => Some(DoubleType)
-      case ArrayType(org.apache.spark.sql.types.NullType, _) => Some(DoubleType)
+      case NullType => Some(DoubleType)
+      case ArrayType(NullType, _) => Some(DoubleType)
       case _ => None
     }
     (elem(left.dataType), elem(right.dataType)) match {
@@ -70,19 +70,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   // per-side getter chosen ONCE per expression instance, not
   // re-pattern-matched twice per element in the hot loop (the
-  // interpreted path is exactly the boxing-sensitive one)
-  @transient private lazy val getLeft: (ArrayData, Int) => Double =
-    getterFor(elemType(left))
-  @transient private lazy val getRight: (ArrayData, Int) => Double =
-    getterFor(elemType(right))
-  private def getterFor(t: DataType): (ArrayData, Int) => Double = t match {
-    case FloatType => (a, i) => a.getFloat(i).toDouble
-    case ByteType => (a, i) => a.getByte(i).toDouble
-    case ShortType => (a, i) => a.getShort(i).toDouble
-    case IntegerType => (a, i) => a.getInt(i).toDouble
-    case LongType => (a, i) => a.getLong(i).toDouble
-    case _ => (a, i) => a.getDouble(i)
-  }
+  // interpreted path is exactly the boxing-sensitive one). A sealed
+  // class with a primitive-signature method, NOT a Function2 lambda —
+  // (ArrayData, Int) => Double has no specialized variant on 2.13, so a
+  // lambda would box the index and the result on every element access
+  @transient private lazy val getLeft: CosineSimilarity.Getter =
+    CosineSimilarity.getterFor(elemType(left))
+  @transient private lazy val getRight: CosineSimilarity.Getter =
+    CosineSimilarity.getterFor(elemType(right))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -93,8 +88,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      val x = getLeft(xs, i)
-      val y = getRight(ys, i)
+      val x = getLeft.get(xs, i)
+      val y = getRight.get(ys, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -107,8 +102,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // a bare NULL child has no ArrayData-typed codegen value — the
     // expression is constant null, so emit exactly that
-    if (left.dataType == org.apache.spark.sql.types.NullType ||
-        right.dataType == org.apache.spark.sql.types.NullType)
+    if (left.dataType == NullType || right.dataType == NullType)
       return ExprCode.forNullValue(dataType)
     def getter(e: Expression, arr: String, i: String): String = elemType(e) match {
       case FloatType => s"(double) $arr.getFloat($i)"
@@ -164,4 +158,17 @@ object CosineSimilarity {
   def apply(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Primitive-signature element accessor (monomorphic per side). */
+  private[graft] sealed abstract class Getter {
+    def get(a: ArrayData, i: Int): Double
+  }
+  private[graft] def getterFor(t: DataType): Getter = t match {
+    case FloatType => new Getter { def get(a: ArrayData, i: Int) = a.getFloat(i).toDouble }
+    case ByteType => new Getter { def get(a: ArrayData, i: Int) = a.getByte(i).toDouble }
+    case ShortType => new Getter { def get(a: ArrayData, i: Int) = a.getShort(i).toDouble }
+    case IntegerType => new Getter { def get(a: ArrayData, i: Int) = a.getInt(i).toDouble }
+    case LongType => new Getter { def get(a: ArrayData, i: Int) = a.getLong(i).toDouble }
+    case _ => new Getter { def get(a: ArrayData, i: Int) = a.getDouble(i) }
+  }
 }
