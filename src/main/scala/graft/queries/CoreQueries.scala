@@ -23,6 +23,14 @@ import graft.sources.Tables
   * TakeOrderedAndProject (no full sort).
   */
 object CoreQueries {
+  /** Session+snapshot-scoped temp sink path for the ETL roundtrip
+    * queries — concurrent gates/benches on one host must not overwrite
+    * each other's sink mid-read.
+    */
+  private def etlTmpPath(s: SparkSession, dir: String, name: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/${name}_" +
+      s"${System.identityHashCode(s)}_${math.abs(dir.hashCode)}"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -373,7 +381,7 @@ object CoreQueries {
 
   val scalarJsonSql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS cnt
-      |FROM events GROUP BY k ORDER BY k ASC""".stripMargin
+      |FROM events GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin
 
   // --- §2.8 sha256 content hashing (reference dedup.go:755-758) ---
   def scalarSha256(s: SparkSession, dir: String): DataFrame =
@@ -587,7 +595,10 @@ object CoreQueries {
   // Writes orders hive-partitioned by year with zstd, reads back, verifies
   // per-partition counts — the driver oracle recomputes them from the source.
   def etlSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_etl_orders"
+    // keyed per (session, sfDir) like every other artifact: a fixed
+    // global path races across concurrent gates/benches on one host —
+    // run A's lazy read-back would aggregate run B's overwrite
+    val out = etlTmpPath(s, dir, "graft_etl_orders")
     t(s, dir, "orders")
       .withColumn("year", year(col("o_orderdate")))
       // co-locate rows with their output partition before the write:
@@ -629,7 +640,7 @@ object CoreQueries {
     * sane contract for web-scale JSONL.
     */
   def etlJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_etl_docs_jsonl"
+    val out = etlTmpPath(s, dir, "graft_etl_docs_jsonl") // see etlSinkRoundtrip
     t(s, dir, "documents")
       .repartition(8)
       .write.mode("overwrite")

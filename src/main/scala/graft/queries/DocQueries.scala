@@ -143,7 +143,8 @@ object DocQueries {
     """SELECT sha256(text) AS content_hash, COUNT(*) AS dup_count,
       |       MIN(doc_id) AS winner_id,
       |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
-      |FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
+      |FROM documents WHERE text IS NOT NULL
+      |GROUP BY sha256(text) HAVING COUNT(*) > 1
       |ORDER BY content_hash ASC""".stripMargin
 
   def dedupSurvivor(s: SparkSession, dir: String): DataFrame =
@@ -426,16 +427,9 @@ object DocQueries {
 
   // double-precision left-fold on both sides → bit-identical scores
   val vectorKnnBruteSql: String =
-    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       |scored AS (
-      |  SELECT vec_id,
-      |    list_reduce(list_transform(list_zip(embedding, qv),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b) /
-      |    (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)) *
-      |     sqrt(list_reduce(list_transform(list_zip(qv, qv),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)))
-      |    AS score
+      |  SELECT vec_id, ${duckCos("embedding", "qv")} AS score
       |  FROM embeddings, q)
       |SELECT vec_id, score FROM scored
       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
@@ -541,14 +535,8 @@ object DocQueries {
   }
 
   val dedupEmbeddingPairsSql: String =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q) /
-      |  (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
-      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)) *
-      |   sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
-      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)))
-      |  AS cosine
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ${duckCos("a.embedding", "b.embedding")} AS cosine
       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       |ORDER BY cosine DESC, id_a ASC LIMIT 100""".stripMargin
 
@@ -728,27 +716,26 @@ object DocQueries {
     * (write → load → literal-lookup scoring) is the path actually gated.
     * Write+load runs once per session (memoized); scoring is one scan.
     */
-  private val weightsBySession =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
-
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val weights = weightsBySession.computeIfAbsent(
-      System.identityHashCode(s), _ => {
-        // shutdown-hook cleanup: a long-lived JVM cycling sessions would
-        // otherwise accrete one orphan weights dir per session forever
-        val dirP = java.nio.file.Files.createTempDirectory("graft_clf_weights")
-        sys.addShutdownHook {
-          import java.nio.file._
-          try {
-            Files.walk(dirP).sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
-          } catch { case scala.util.control.NonFatal(_) => () }
-        }
-        val path = dirP.resolve("w").toString
-        graft.functions.ClassifierWeights.write(
-          s, path, graft.functions.ClassifierWeights.placeholder())
-        graft.functions.ClassifierWeights.load(s, path)
-      })
+    // weights through the SAME memo mechanism as every other snapshot
+    // artifact (a parallel hand-rolled session map would dodge any future
+    // fix to memoizedIndex's race/cleanup behavior)
+    val weights = memoizedIndex(s, dir, "clf_weights") {
+      // shutdown-hook cleanup: a long-lived JVM cycling sessions would
+      // otherwise accrete one orphan weights dir per session forever
+      val dirP = java.nio.file.Files.createTempDirectory("graft_clf_weights")
+      sys.addShutdownHook {
+        import java.nio.file._
+        try {
+          Files.walk(dirP).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val path = dirP.resolve("w").toString
+      graft.functions.ClassifierWeights.write(
+        s, path, graft.functions.ClassifierWeights.placeholder())
+      graft.functions.ClassifierWeights.load(s, path)
+    }
     val score = round(graft.functions.ClassifierWeights.score(
       TextFunctions.wsTokens(col("text")), weights), 6)
     orderedViaShuffle(

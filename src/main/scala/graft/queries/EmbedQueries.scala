@@ -35,16 +35,9 @@ object EmbedQueries {
   // seed vector resolved by self-join inside the oracle; same index-order
   // double fold as vector_knn_brute → bit-identical scores
   val similarToDocSql: String =
-    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
       |scored AS (
-      |  SELECT vec_id,
-      |    list_reduce(list_transform(list_zip(embedding, qv),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b) /
-      |    (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)) *
-      |     sqrt(list_reduce(list_transform(list_zip(qv, qv),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)))
-      |    AS score
+      |  SELECT vec_id, ${duckCos("embedding", "qv")} AS score
       |  FROM embeddings, q WHERE vec_id <> 42)
       |SELECT vec_id, score FROM scored
       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin

@@ -227,18 +227,11 @@ object PipelineQueries {
       col("doc_id").asc)
   }
 
+  // quality formula composed from the ONE shared definition — an inline
+  // copy here drifted-by-construction from qualityScoreSql's next change
   val sampleQualityWeightedSql: String =
-    """WITH q AS (
-      |  SELECT doc_id, round((
-      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |      CAST(len(string_split(text, ' ')) AS DOUBLE) +
-      |    least(CAST(len(list_filter(string_split(text, ' '),
-      |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
-      |    (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
-      |      / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
-      |  ) / 4.0, 6) AS quality
+    s"""WITH q AS (
+      |  SELECT doc_id, $qualityScoreSql AS quality
       |  FROM documents)
       |SELECT doc_id, quality FROM q
       |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000

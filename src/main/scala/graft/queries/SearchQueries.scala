@@ -133,7 +133,7 @@ object SearchQueries {
   }
 
   val hybridRrfSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |stats AS (
       |  SELECT COUNT(*) AS n, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl,
       |         SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
@@ -159,12 +159,7 @@ object SearchQueries {
       |ann AS (
       |  SELECT vec_id AS doc_id,
       |         ROW_NUMBER() OVER (ORDER BY
-      |           list_reduce(list_transform(list_zip(embedding, qv),
-      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b) /
-      |           (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)) *
-      |            sqrt(list_reduce(list_transform(list_zip(qv, qv),
-      |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)))
+      |           ${duckCos("embedding", "qv")}
       |           DESC, vec_id ASC) AS rank
       |  FROM embeddings, q
       |  QUALIFY rank <= 20)

@@ -104,11 +104,15 @@ package object queries {
       if (prev != null) {
         // race loser: release its persisted blocks before discarding —
         // builds typically persist+count, and a dropped-but-persisted
-        // DataFrame would pin executor memory for the session's lifetime
-        v match {
-          case df: DataFrame => df.unpersist(false)
+        // DataFrame would pin executor memory for the session's lifetime.
+        // Composite artifacts (IvfIndex.Index, tuples of frames) hold
+        // their persisted frames one wrapper deep, so walk Products too.
+        def release(x: Any): Unit = x match {
+          case df: DataFrame => df.unpersist(false); ()
+          case p: Product => p.productIterator.foreach(release)
           case _ => ()
         }
+        release(v)
         prev.asInstanceOf[T]
       } else v.asInstanceOf[T]
     }
