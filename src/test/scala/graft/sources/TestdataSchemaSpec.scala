@@ -92,6 +92,25 @@ class TestdataSchemaSpec extends SparkTestBase {
       "value" -> Exact(DoubleType), "props" -> Exact(StringType)))
   }
 
+  test("legacy TIMESTAMP(NANOS) events load through the fallback branch exactly") {
+    import org.apache.spark.sql.functions._
+    // a REAL nanos parquet fixture (src/test/resources/events_nanos) —
+    // the driver has shipped this encoding before; the values sit within
+    // 128 ns of microsecond boundaries, the double-division failure class
+    val dir = new java.io.File("src/test/resources/events_nanos").getAbsolutePath
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.schema("ts_ns").dataType.typeName == "long")
+    val m = df.select(col("event_id"), col("ts_ns"),
+      unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == ((1723622400000000999L, 1723622400000000L)))
+    assert(m(2L) == ((1723622400000000001L, 1723622400000000L)))
+    assert(m(3L) == ((1723622401999999999L, 1723622401999999L)))
+    assert(m(4L) == ((1700000000123456789L, 1700000000123456L)))
+    assert(m(5L) == ((1600000000000000000L, 1600000000000000L)))
+  }
+
   test("nsToMicros is exact past double precision (61-bit epoch nanos)") {
     import org.apache.spark.sql.functions._
     // 1723622400000000999 ns: the double path rounds 1723622400000000.999
