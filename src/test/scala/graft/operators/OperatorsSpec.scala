@@ -368,6 +368,47 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("adcKnn with candidates >= corpus equals brute-force KNN exactly") {
+    // the approximate stage only SELECTS candidates; with the budget at
+    // corpus size nothing is pruned, so the exact re-rank must reproduce
+    // brute force bit-for-bit — scores included
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding"))
+      .head().getAs[scala.collection.Seq[Float]](0).toSeq
+    val codes = Embed.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .select(col("id").as("vec_id"), col("codes"))
+    val adc = Similarity.adcKnn(codes, emb, col("vec_id"), col("embedding"),
+      q, k = 10, candidates = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceKnn(emb, col("vec_id"),
+      col("embedding"), q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adc == brute)
+  }
+
+  test("knnGraph with full multi-assignment equals the exact graph") {
+    // p = nList puts every vector in every list: candidates = all pairs,
+    // so the dedup'd graph must equal the local brute-force top-k graph
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.05f, 0.0f)), (1L, Seq(0.9f, 0.3f, 0.1f)),
+      (2L, Seq(0.1f, -0.4f, 0.9f)), (3L, Seq(0.0f, 0.8f, 0.6f)),
+      (4L, Seq(-0.7f, 0.1f, 0.7f)), (5L, Seq(0.3f, 0.3f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.semanticAssignMulti(emb, col("vec_id"),
+      col("embedding"), nList = 2, p = 2, hashStride = false)
+    val got = Similarity.knnGraph(assigned, k = 3, dedupCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val vecs = emb.collect().map(r =>
+      (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+    val want = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map(o => (o._1, Similarity.cosineLocal(v, o._2)))
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3).zipWithIndex.map { case ((nid, _), i) => (id, i + 1, nid) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("adcKnn: zero-code rows score -2.0, never NULL") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)),
