@@ -365,6 +365,13 @@ object Similarity {
     require(p >= 1 && p <= nList, s"p ($p) must be in [1, nList=$nList]")
     val base = emb.select(id.as("vec_id"), vec.as("embedding"))
     val centroids = strideCentroids(base, nList, hashStride)
+    // strideCentroids may return FEWER than nList centroids (corpus
+    // smaller than the stride allows); with p > the actual count, slice()
+    // would silently emit fewer than p assignments per vector — degrade
+    // loudly instead of quietly breaking the stated contract
+    require(p <= centroids.length,
+      s"p ($p) exceeds the ${centroids.length} centroids actually " +
+        s"derived (requested nList=$nList; corpus too small?)")
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col("embedding"), typedLit(c)).as("s"), lit(i).as("i"))
     }: _*)

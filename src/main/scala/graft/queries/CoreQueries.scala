@@ -25,10 +25,14 @@ import graft.sources.Tables
 object CoreQueries {
   /** Session+snapshot-scoped temp sink path for the ETL roundtrip
     * queries — concurrent gates/benches on one host must not overwrite
-    * each other's sink mid-read.
+    * each other's sink mid-read. The pid component is what actually
+    * de-races concurrent JVMs: identityHashCode only disambiguates
+    * sessions WITHIN one JVM, and two gate/bench processes on the same
+    * host can easily mint the same identity hash.
     */
   private def etlTmpPath(s: SparkSession, dir: String, name: String): String =
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/${name}_" +
+      s"${ProcessHandle.current().pid()}_" +
       s"${System.identityHashCode(s)}_${math.abs(dir.hashCode)}"
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =

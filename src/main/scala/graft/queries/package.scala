@@ -106,9 +106,16 @@ package object queries {
         // builds typically persist+count, and a dropped-but-persisted
         // DataFrame would pin executor memory for the session's lifetime.
         // Composite artifacts (IvfIndex.Index, tuples of frames) hold
-        // their persisted frames one wrapper deep, so walk Products too.
+        // their persisted frames one wrapper deep, so walk Products —
+        // but NOT collections: scala List is itself a Product (`::`),
+        // so element-wise recursion over a long memoized list (centroid
+        // seqs, weight tables) would take one stack frame per element
+        // and can StackOverflowError right here in the loser path.
+        // Collections in artifacts carry plain data, never persisted
+        // frames; only tuple/case-class wrappers are walked.
         def release(x: Any): Unit = x match {
           case df: DataFrame => df.unpersist(false); ()
+          case _: Iterable[_] => ()
           case p: Product => p.productIterator.foreach(release)
           case _ => ()
         }

@@ -117,8 +117,8 @@ object Tables {
     *      to ns units so every downstream `ts_ns div 1000` and the DuckDB
     *      `epoch_us(ts)` oracles agree exactly.
     *   2. TIMESTAMP(NANOS), which Spark's reader rejects outright: re-read
-    *      with the legacy nanos-as-long conf, keep exact nanos in `ts_ns`,
-    *      truncate to µs for `ts`.
+    *      with the legacy nanos-as-long conf — SCOPED, see below — keep
+    *      exact nanos in `ts_ns`, truncate to µs for `ts`.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -130,10 +130,7 @@ object Tables {
         df.schema // footer schema resolves → supported encoding
         df
       } catch {
-        case scala.util.control.NonFatal(_) =>
-          // TIMESTAMP(NANOS) footer: only readable as raw long nanos
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
+        case scala.util.control.NonFatal(_) => legacyNanosRead(spark, path)
       }
     raw.schema("ts").dataType match {
       case LongType => // legacy nanos-as-long file
@@ -146,6 +143,44 @@ object Tables {
         throw new IllegalStateException(
           s"events.ts has unsupported type $other in $path")
     }
+  }
+
+  private val legacyNanos =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Read a TIMESTAMP(NANOS) parquet under the legacy nanos-as-long conf
+    * WITHOUT leaking the conf into the session. The conf is consulted at
+    * two points — driver-side schema inference AND reader construction at
+    * first execution (ParquetFileFormat propagates
+    * `spark.sql.legacy.parquet.nanosAsLong` into the scan's hadoopConf
+    * lazily, and there is no per-read DataFrameReader option for it) — so
+    * a plain set→read→restore would blow up at action time. Instead the
+    * frame is EAGERLY materialized (`localCheckpoint`) while the conf is
+    * set, severing the plan from the conf-dependent scan, and the conf is
+    * restored in a finally. Memoized per (session, path): the checkpoint
+    * job must run once, not per `load` call.
+    *
+    * The eager read is a deliberate compatibility-shim cost: the legacy
+    * NANOS encoding only appears in driver-regenerated testdata, never on
+    * the scale path (µs-encoded events keep the plain lazy scan with full
+    * pushdown). Any OTHER nanos parquet in the session reads exactly as
+    * before — the session conf is provably restored (TestdataSchemaSpec).
+    */
+  private def legacyNanosRead(spark: SparkSession, path: String): DataFrame = {
+    val key = (System.identityHashCode(spark), path)
+    val hit = legacyNanos.get(key)
+    if (hit != null) return hit
+    val conf = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(conf)
+    spark.conf.set(conf, "true")
+    val df =
+      try spark.read.parquet(path).localCheckpoint(true)
+      finally prior match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    val prev = legacyNanos.putIfAbsent(key, df)
+    if (prev != null) prev else df
   }
 
   /** EXACT epoch-ns → epoch-µs for long columns: decimal FLOOR division,

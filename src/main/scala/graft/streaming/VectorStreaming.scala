@@ -41,31 +41,54 @@ object VectorStreaming {
   def runAssignAvailableNow(spark: SparkSession, srcDir: String,
       centroids: Seq[Seq[Float]], listsDir: String,
       checkpoint: String): Unit = {
-    // an empty/not-yet-created drop dir is the steady state between
-    // shard deliveries — a no-op drain, not a schema-inference crash.
-    // Only THOSE error classes are swallowed: a misconfigured path would
-    // otherwise be indistinguishable from "nothing to do" and the index
-    // would silently stop growing
+    // an empty drop dir is the steady state between shard deliveries — a
+    // no-op drain, not a schema-inference crash, so UNABLE_TO_INFER_SCHEMA
+    // is swallowed silently. A MISSING dir is ambiguous: legitimately
+    // not-yet-created before the first delivery, but also exactly what a
+    // permanently typo'd srcDir raises — and a silent return there means
+    // the index stops growing with no signal. So PATH_NOT_FOUND still
+    // no-ops (the pre-first-delivery drain must not crash) but logs
+    // loudly, giving the misconfiguration a trail in the drain logs.
     val schema =
       try spark.read.parquet(srcDir).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getCondition).exists(c =>
-              c.contains("UNABLE_TO_INFER_SCHEMA") ||
-                c.contains("PATH_NOT_FOUND")) =>
+            if Option(e.getCondition).exists(
+              _.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          return
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.contains("PATH_NOT_FOUND")) =>
+          System.err.println(
+            s"[graft] vector-stream drain: source dir '$srcDir' does not " +
+              "exist — treating as empty (no shards delivered yet). If " +
+              "this repeats across drains, the path is misconfigured.")
           return
       }
+    // Batch partitions are namespaced by a STREAM identity, not the bare
+    // batchId: batch ids restart at 0 whenever the checkpoint is deleted
+    // (and collide outright if a second stream ever shares this
+    // listsDir), and a bare batch=b0 overwrite would then silently
+    // replace another incarnation's partitions while its stale
+    // higher-numbered batches survive. The identity is a UUID minted once
+    // per checkpoint lifetime and stored IN the checkpoint dir, so (a)
+    // replays of the same stream keep the same namespace (idempotent
+    // overwrite still works), and (b) a fresh checkpoint gets a fresh
+    // namespace — it can never clobber a previous incarnation's data,
+    // and leftover foreign namespaces in listsDir are detectable (and
+    // mean the index needs a rebuild, which losing the checkpoint
+    // implies anyway).
+    val streamTag = streamIdentity(spark, checkpoint)
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // foreachBatch is AT-LEAST-once: a batch replayed after a crash
         // between the write and the checkpoint commit must land on its
-        // own batch=b<id> partitions and OVERWRITE them (dynamic mode),
-        // or the lists would accumulate duplicate vectors; cluster stays
-        // a partition column below it, so probes still prune
+        // own batch=<tag>-b<id> partitions and OVERWRITE them (dynamic
+        // mode), or the lists would accumulate duplicate vectors;
+        // cluster stays a partition column below it, so probes still prune
         Similarity.assignTo(batch, col("vec_id"), col("embedding"),
           centroids)
-          .withColumn("batch", lit(s"b$batchId"))
+          .withColumn("batch", lit(s"$streamTag-b$batchId"))
           .repartition(col("cluster")) // one writer per list, no small files
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -77,5 +100,31 @@ object VectorStreaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The stream's partition-namespace identity: a UUID minted on first
+    * use of a checkpoint dir and persisted inside it (`graft_stream_id`),
+    * so the identity lives and dies with the checkpoint. Uses the Hadoop
+    * FS API — checkpoints may be on any supported filesystem.
+    */
+  private def streamIdentity(spark: SparkSession, checkpoint: String): String = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(checkpoint, "graft_stream_id")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8").trim
+      } finally in.close()
+    } else {
+      // 8 hex chars is plenty: the namespace only needs to be unique
+      // among incarnations that ever shared one listsDir
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val out = fs.create(marker, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
   }
 }

@@ -111,6 +111,33 @@ class TestdataSchemaSpec extends SparkTestBase {
     assert(m(5L) == ((1600000000000000000L, 1600000000000000L)))
   }
 
+  test("legacy nanos load does NOT leak the nanosAsLong conf into the session") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("src/test/resources/events_nanos").getAbsolutePath
+    // force the legacy branch (idempotent — memoized per session+path)
+    Tables.load(spark, dir, "events").count()
+    // 1. the session conf is restored: not set (or explicitly false)
+    val leaked = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong")
+    assert(!leaked.contains("true"),
+      s"nanosAsLong leaked into the session after a legacy load: $leaked")
+    // 2. a µs-encoded parquet read AFTER the legacy load is unaffected —
+    // normal timestamp family, values intact
+    val micro = spark.read.parquet(s"$sf/events.parquet")
+    val tsType = micro.schema("ts").dataType
+    assert(tsType == TimestampType || tsType == TimestampNTZType,
+      s"µs events read after legacy load got $tsType")
+    assert(micro.agg(count(lit(1))).head().getLong(0) > 0)
+    // 3. the PROOF the conf is truly off: a direct read of the nanos file
+    // without the loader must fail again, exactly as before the load
+    intercept[Exception] {
+      spark.read.parquet(s"$dir/events.parquet").collect()
+    }
+    // 4. and the memoized legacy frame still serves reads (severed from
+    // the conf-dependent scan by the eager checkpoint)
+    assert(Tables.load(spark, dir, "events").count() == 5L)
+  }
+
   test("nsToMicros is exact past double precision (61-bit epoch nanos)") {
     import org.apache.spark.sql.functions._
     // 1723622400000000999 ns: the double path rounds 1723622400000000.999
