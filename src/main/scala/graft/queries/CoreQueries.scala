@@ -149,47 +149,47 @@ object CoreQueries {
 
   // --- §2.2 ILIKE substring, case-insensitive, literal (duckdb.go:447-467) ---
   def filterIlike(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "part")
         .filter(lower(col("p_name")).contains("re"))
         .select(col("p_partkey"), col("p_name"), col("p_brand")),
-      col("p_partkey").asc)
+      col("p_partkey"))
 
   val filterIlikeSql: String =
-    """SELECT p_partkey, p_name, p_brand FROM part
+    s"""SELECT p_partkey, p_name, p_brand FROM part
       |WHERE contains(lower(p_name), 're')
-      |ORDER BY p_partkey ASC""".stripMargin
+      |ORDER BY ${duckBucket("p_partkey")}, p_partkey ASC""".stripMargin
 
   // --- §2.3 semi-join (EXISTS; reference duckdb.go:844-846) ---
   def joinSemi(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
-    orderedViaShuffle(
+    bucketOrdered(
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name")),
-      col("c_custkey").asc)
+      col("c_custkey"))
   }
 
   val joinSemiSql: String =
-    """SELECT c_custkey, c_name FROM customer
+    s"""SELECT c_custkey, c_name FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-      |ORDER BY c_custkey ASC""".stripMargin
+      |ORDER BY ${duckBucket("c_custkey")}, c_custkey ASC""".stripMargin
 
   // --- §2.3 anti-join (NOT EXISTS; empty-bucket drilldowns duckdb.go:888) ---
   def joinAnti(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
-    orderedViaShuffle(
+    bucketOrdered(
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-      col("c_custkey").asc)
+      col("c_custkey"))
   }
 
   val joinAntiSql: String =
-    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+    s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      |ORDER BY c_custkey ASC""".stripMargin
+      |ORDER BY ${duckBucket("c_custkey")}, c_custkey ASC""".stripMargin
 
   // --- §2.3 dual-path resolution via COALESCE of two left joins
   // (reference sender resolution duckdb.go:1254-1296) ---

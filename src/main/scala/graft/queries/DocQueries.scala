@@ -25,22 +25,22 @@ object DocQueries {
   // --- §2.13 text analysis ------------------------------------------------
 
   def textTokenCount(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars_measured")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val textTokenCountSql: String =
-    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
       |       CAST(length(text) AS BIGINT) AS n_chars_measured
-      |FROM documents ORDER BY doc_id ASC""".stripMargin
+      |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   // one-pass TextStats scalar expression; counts are the same integers the
   // size/array_distinct/filter-isin walks produced
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.textStats(col("text")).as("__st"))
         .select(col("doc_id"),
@@ -49,26 +49,27 @@ object DocQueries {
           col("__st.n_stopwords").cast("long").as("n_stopwords"),
           (col("__st.n_distinct").cast("double") /
             col("__st.n_tokens").cast("double")).as("distinct_ratio")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val textQualitySql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |       len(string_split(text, ' ')) AS n_tokens,
       |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
       |       len(list_filter(string_split(text, ' '),
       |           t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stopwords,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
-      |FROM documents ORDER BY doc_id ASC""".stripMargin
+      |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val textFingerprintSql: String =
-    "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id ASC"
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents " +
+      s"ORDER BY ${duckBucket("doc_id")}, doc_id ASC"
 
   /** Heuristic language ID — stopword-profile scoring with the greatest-
     * (hits, lang) tie-break; the oracle replicates the full heuristic
@@ -78,11 +79,11 @@ object DocQueries {
     * otherwise run it on one core).
     */
   def textLangId(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextFunctions.langId(col("text")).as("lang_pred")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   // `greatest(struct(hits, lang))` picks max hits, then max lang string —
   // hence the fr→es→en→de CASE order (reverse-lexicographic).
@@ -90,7 +91,7 @@ object DocQueries {
   // fail the > 0 gate) and the oracle path (empty toks → all-zero hits →
   // 'und') in agreement
   val textLangIdSql: String =
-    """WITH tok AS (
+    raw"""WITH tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')),
       |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
       |  FROM documents),
@@ -107,7 +108,7 @@ object DocQueries {
       |       WHEN es = GREATEST(en,es,de,fr) THEN 'es'
       |       WHEN en = GREATEST(en,es,de,fr) THEN 'en'
       |       ELSE 'de' END AS lang_pred
-      |FROM hits ORDER BY doc_id ASC""".stripMargin
+      |FROM hits ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   // --- §2.9 search over documents (SearchParser-compiled terms) -----------
 
@@ -116,17 +117,17 @@ object DocQueries {
     val pred = q.textTerms
       .map(term => lower(col("text")).contains(term.toLowerCase))
       .reduce(_ && _) // AND across dimensions (reference sqlite.go:1466-1469)
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .filter(pred)
         .select(col("doc_id"), col("lang"), col("source")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   val searchDocsSql: String =
-    """SELECT doc_id, lang, source FROM documents
+    s"""SELECT doc_id, lang, source FROM documents
       |WHERE contains(lower(text), 'spark') AND contains(lower(text), 'window')
-      |ORDER BY doc_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   // --- §2.11 dedup ----------------------------------------------------------
 
@@ -219,10 +220,10 @@ object DocQueries {
     * on an md5-derived hash both engines can compute.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Dedup.simhashSignatures(t(s, dir, "documents"), col("doc_id"),
         TextFunctions.rawTokens(col("text"))),
-      col("doc_id").asc)
+      col("doc_id"))
 
   /** Oracle-expressible SimHash twin: token hash = first 60 bits of
     * md5(token) (15 hex chars — fits a signed long on both engines),
@@ -234,13 +235,13 @@ object DocQueries {
     * is the throughput path.
     */
   def dedupSimhashMd5(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           org.apache.spark.sql.graft.TextExpressions.simhash60Md5(
             TextFunctions.rawTokens(col("text"))).as("simhash"))
         .filter(col("simhash").isNotNull),
-      col("doc_id").asc)
+      col("doc_id"))
 
   /** The md5-simhash construction as a DuckDB CTE chain ending in
     * `s(doc_id, simhash)` — shared by the signature query and the
@@ -271,7 +272,8 @@ object DocQueries {
 
   val dedupSimhashMd5Sql: String =
     s"""$simhashMd5Cte
-       |SELECT doc_id, simhash FROM s ORDER BY doc_id ASC""".stripMargin
+       |SELECT doc_id, simhash FROM s
+       |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** SimHash near-dup PAIRS: exact band blocking (4 × 15-bit bands ⇒
     * recall 1.0 for Hamming ≤ 3 by pigeonhole — see
@@ -392,23 +394,23 @@ object DocQueries {
       array_distinct(TextFunctions.wsTokens(col("text"))).as("__sa"))
     val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
       array_distinct(TextFunctions.wsTokens(col("text"))).as("__sb"))
-    orderedViaShuffle(
+    bucketOrdered(
       a.join(b, "id_a")
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
             size(array_union(col("__sa"), col("__sb"))).cast("double"))
             .as("jaccard")),
-      col("id_a").asc)
+      col("id_a"))
   }
 
   val dedupJaccardPairsSql: String =
-    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |       CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),
       |                               list_distinct(string_split(b.text,' ')))) AS DOUBLE) /
       |       CAST(len(list_distinct(list_concat(list_distinct(string_split(a.text,' ')),
       |                               list_distinct(string_split(b.text,' '))))) AS DOUBLE) AS jaccard
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-      |ORDER BY id_a ASC""".stripMargin
+      |ORDER BY ${duckBucket("a.doc_id")}, id_a ASC""".stripMargin
 
   // --- §2.10 vector similarity ---------------------------------------------
 
@@ -563,9 +565,9 @@ object DocQueries {
     }
 
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Similarity.semanticDupes(semdedupAssigned(s, dir), eps = 0.33),
-      col("dup_id").asc)
+      col("dup_id"))
 
   val dedupSemanticSql: String =
     s"""WITH ${duckAssignedCtes("embeddings")},
@@ -577,7 +579,8 @@ object DocQueries {
       |SELECT dup_id, min(cluster) AS cluster, min(kept_id) AS kept_id,
       |       max(cosine) AS max_cosine
       |FROM pairs WHERE cosine > 0.33
-      |GROUP BY dup_id ORDER BY dup_id ASC""".stripMargin
+      |GROUP BY dup_id
+      |ORDER BY ${duckBucket("dup_id")}, dup_id ASC""".stripMargin
 
   // --- §2.10 RRF fusion (on orders: price-rank × recency-rank) ------------
 
@@ -681,14 +684,14 @@ object DocQueries {
     * text-analysis metric with full arithmetic mirrored in the oracle.
     */
   def textQualityScore(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val textQualityScoreSql: String =
-    """SELECT doc_id, round((
+    raw"""SELECT doc_id, round((
       |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
       |    CAST(len(string_split(text, ' ')) AS DOUBLE) +
@@ -698,7 +701,7 @@ object DocQueries {
       |  (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
       |    / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
       |) / 4.0, 6) AS quality
-      |FROM documents ORDER BY doc_id ASC""".stripMargin
+      |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Classifier-based quality filter (the fastText-style companion to the
     * heuristic `text_quality_score`): hashed token features → linear
@@ -738,15 +741,15 @@ object DocQueries {
     }
     val score = round(graft.functions.ClassifierWeights.score(
       TextFunctions.wsTokens(col("text")), weights), 6)
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"), score.as("score"))
         .withColumn("keep", col("score") >= 0.5),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   val qualityClassifierSql: String =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT doc_id, round(1.0 / (1.0 + exp(-(
       |    list_reduce(list_transform(string_split(text, ' '), t ->
       |      (CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
@@ -755,7 +758,7 @@ object DocQueries {
       |    6) AS score
       |  FROM documents)
       |SELECT doc_id, score, score >= 0.5 AS keep
-      |FROM s ORDER BY doc_id ASC""".stripMargin
+      |FROM s ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Composed curation pipeline, deterministic core: quality gate + exact
     * dedup (min-id winner) + token accounting in one pass + one window
@@ -792,17 +795,17 @@ object DocQueries {
     * the oracle's double arithmetic ([[graft.operators.Embed]]).
     */
   def vectorQuantizeInt8(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       graft.operators.Embed.quantizeInt8(t(s, dir, "embeddings"),
         col("vec_id"), col("embedding"))
         .select(col("id").as("vec_id"), round(col("scale"), 9).as("scale"),
           array_join(transform(col("codes"), _.cast("string")), ",")
             .as("codes_csv"),
           col("code_checksum"), round(col("mse"), 12).as("mse")),
-      col("vec_id").asc)
+      col("vec_id"))
 
   val vectorQuantizeInt8Sql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |           FROM embeddings),
       |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
       |      FROM e),
@@ -813,7 +816,7 @@ object DocQueries {
       |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_checksum,
       |       round(list_aggregate(list_transform(list_zip(v, codes),
       |             p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)), 'sum') / len(v), 12) AS mse
-      |FROM c ORDER BY vec_id ASC""".stripMargin
+      |FROM c ORDER BY ${duckBucket("vec_id")}, vec_id ASC""".stripMargin
 
   /** Per-label embedding centroid — the class-prototype / cluster-seed
     * aggregation of a similarity pipeline. Element-wise mean via
@@ -964,21 +967,21 @@ object DocQueries {
   // --- multimodal plumbing -------------------------------------------------
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Multimodal.withFakeMedia(t(s, dir, "documents"))
         .select(col("doc_id"), col("mime"),
           col("meta.n_bytes").as("n_bytes"),
           col("meta.content_hash").as("content_hash")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val multimodalMetaSql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |       CASE CAST(doc_id % 3 AS INT)
       |         WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
       |         ELSE 'video/mp4' END AS mime,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       md5(text) AS content_hash
-      |FROM documents ORDER BY doc_id ASC""".stripMargin
+      |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Partition-wise media feature extraction (stubbed decode). The decoder
     * emits a normalized float32 byte-bucket histogram; the result edge
@@ -994,17 +997,17 @@ object DocQueries {
     val counts = (0 until 8).map(b =>
       round(element_at(col("features"), b + 1) *
         greatest(col("n_bytes"), lit(1L))).cast("long").as(s"h$b"))
-    orderedViaShuffle(
+    bucketOrdered(
       Multimodal.extractFeatures(media).toDF()
         .select(Seq(col("doc_id"), col("mime"), col("n_bytes")) ++ counts: _*),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   // the oracle re-derives the media bytes (hex-pair decode of the UTF-8
   // text, same fixture construction as withFakeMedia) and counts each
   // 32-wide bucket directly
   val multimodalFeaturesSql: String =
-    """WITH raw AS (
+    s"""WITH raw AS (
       |  SELECT doc_id,
       |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
       |           WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
@@ -1022,26 +1025,26 @@ object DocQueries {
       |       CAST(len(list_filter(bytes, x -> x // 32 = 5)) AS BIGINT) AS h5,
       |       CAST(len(list_filter(bytes, x -> x // 32 = 6)) AS BIGINT) AS h6,
       |       CAST(len(list_filter(bytes, x -> x // 32 = 7)) AS BIGINT) AS h7
-      |FROM raw ORDER BY doc_id ASC""".stripMargin
+      |FROM raw ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Video frame-sampling fan-out — generator plumbing; the oracle
     * recomputes each frame's byte length arithmetically (16-byte strides
     * over the media blob, truncated at the end).
     */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Multimodal.sampleFrames(
         Multimodal.withFakeMedia(t(s, dir, "documents")), framesPerDoc = 4)
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame_bytes")).as("n")),
-      col("doc_id").asc, col("frame_idx").asc)
+      col("doc_id"), col("frame_idx").asc)
 
   val multimodalFramesSql: String =
-    """SELECT doc_id, CAST(o.o AS INT) AS frame_idx,
+    s"""SELECT doc_id, CAST(o.o AS INT) AS frame_idx,
       |       CAST(GREATEST(LEAST(octet_length(encode(text)) - o.o*16, 16), 0) AS INT) AS n
       |FROM documents, (SELECT unnest(range(4)) AS o) o
       |WHERE doc_id % 3 = 2
-      |ORDER BY doc_id ASC, frame_idx ASC""".stripMargin
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC, frame_idx ASC""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "multimodal_frames" -> (multimodalFrames _, Some(multimodalFramesSql)),

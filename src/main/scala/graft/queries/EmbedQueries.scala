@@ -58,18 +58,18 @@ object EmbedQueries {
     val embedded = t(s, dir, "embeddings")
       .filter(col("vec_id") % 7 =!= 0)
       .select(col("vec_id").as("message_id"))
-    orderedViaShuffle(
+    bucketOrdered(
       Embed.pendingEmbeddings(corpus, embedded)
         .select(col("id").as("doc_id"), col("n_chars")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   val embedDeltaSql: String =
-    """SELECT d.doc_id, d.n_chars FROM documents d
+    s"""SELECT d.doc_id, d.n_chars FROM documents d
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM embeddings e
       |  WHERE e.vec_id = d.doc_id AND e.vec_id % 7 <> 0)
-      |ORDER BY d.doc_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("d.doc_id")}, d.doc_id ASC""".stripMargin
 
   /** Embedding outliers: top-3 vectors per label by distance to their
     * label centroid — the "farthest from its class prototype" audit that
@@ -227,11 +227,11 @@ object EmbedQueries {
         emb.filter(col("vec_id") % 7 =!= 0)
           .select(col("vec_id"), col("embedding")), nList = 16)
     }
-    orderedViaShuffle(
+    bucketOrdered(
       Similarity.assignTo(emb.filter(col("vec_id") % 7 === 0),
         col("vec_id"), col("embedding"), cents)
         .select(col("vec_id"), col("cluster")),
-      col("vec_id").asc)
+      col("vec_id"))
   }
 
   val vectorIndexDeltaSql: String =
@@ -245,7 +245,7 @@ object EmbedQueries {
        |SELECT vec_id, cid AS cluster
        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
        |                ORDER BY s DESC, cid DESC) AS rn FROM scored)
-       |WHERE rn = 1 ORDER BY vec_id ASC""".stripMargin
+       |WHERE rn = 1 ORDER BY ${duckBucket("vec_id")}, vec_id ASC""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "similar_to_doc" -> (similarToDoc _, Some(similarToDocSql)),

@@ -162,26 +162,26 @@ object MessageDedupQueries {
     }
 
   def dedupScan(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       scannedMemo(s, dir)._2.select(col("id"), col("source_id"),
         col("source_type"), col("group_key"), col("key_type"),
         col("winner_id")),
-      col("id").asc)
+      col("id"))
 
   def dedupLosers(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(MessageDedup.losers(scannedMemo(s, dir)._2),
-      col("loser_id").asc)
+    bucketOrdered(MessageDedup.losers(scannedMemo(s, dir)._2),
+      col("loser_id"))
 
   def dedupLabelTransfers(s: SparkSession, dir: String): DataFrame = {
     val (v, sc) = scannedMemo(s, dir)
-    orderedViaShuffle(MessageDedup.labelTransfers(v, sc),
-      col("winner_id").asc, col("label_id").asc)
+    bucketOrdered(MessageDedup.labelTransfers(v, sc),
+      col("winner_id"), col("label_id").asc)
   }
 
   def dedupRemote(s: SparkSession, dir: String): DataFrame = {
     val (v, sc) = scannedMemo(s, dir)
-    orderedViaShuffle(MessageDedup.remoteDeletionCandidates(v, sc),
-      col("loser_id").asc)
+    bucketOrdered(MessageDedup.remoteDeletionCandidates(v, sc),
+      col("loser_id"))
   }
 
   /** Shared oracle CTEs: reconstruct the star arithmetically, replay both
@@ -272,12 +272,13 @@ object MessageDedupQueries {
   val dedupScanSql: String =
     s"""$starCte
        |SELECT id, source_id, source_type, group_key, key_type, winner_id
-       |FROM scan ORDER BY id ASC""".stripMargin
+       |FROM scan ORDER BY ${duckBucket("id")}, id ASC""".stripMargin
 
   val dedupLosersSql: String =
     s"""$starCte
        |SELECT id AS loser_id, winner_id, key_type
-       |FROM scan WHERE id <> winner_id ORDER BY loser_id ASC""".stripMargin
+       |FROM scan WHERE id <> winner_id
+       |ORDER BY ${duckBucket("id")}, loser_id ASC""".stripMargin
 
   val dedupLabelTransfersSql: String =
     s"""$starCte,
@@ -287,12 +288,13 @@ object MessageDedupQueries {
        |  UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 3 = 0
        |  UNION ALL SELECT doc_id, 3 FROM documents WHERE doc_id % 7 = 0
        |  UNION ALL SELECT doc_id, 4 FROM documents WHERE doc_id % 2 = 0)
-       |SELECT DISTINCT s.winner_id, ml.label_id
-       |FROM scan s JOIN mlab ml ON ml.message_id = s.id
-       |WHERE s.id <> s.winner_id
-       |  AND NOT EXISTS (SELECT 1 FROM mlab w
-       |    WHERE w.message_id = s.winner_id AND w.label_id = ml.label_id)
-       |ORDER BY winner_id ASC, label_id ASC""".stripMargin
+       |SELECT * FROM (
+       |  SELECT DISTINCT s.winner_id, ml.label_id
+       |  FROM scan s JOIN mlab ml ON ml.message_id = s.id
+       |  WHERE s.id <> s.winner_id
+       |    AND NOT EXISTS (SELECT 1 FROM mlab w
+       |      WHERE w.message_id = s.winner_id AND w.label_id = ml.label_id))
+       |ORDER BY ${duckBucket("winner_id")}, winner_id ASC, label_id ASC""".stripMargin
 
   val dedupRemoteSql: String =
     s"""$starCte,
@@ -303,7 +305,7 @@ object MessageDedupQueries {
        |FROM scan l JOIN winners w
        |  ON l.winner_id = w.w_id AND l.source_id = w.w_src
        |WHERE l.id <> l.winner_id AND l.source_type = 'gmail'
-       |ORDER BY loser_id ASC""".stripMargin
+       |ORDER BY ${duckBucket("l.id")}, loser_id ASC""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "msg_dedup_scan" -> (dedupScan _, Some(dedupScanSql)),

@@ -196,20 +196,20 @@ object PipelineQueries {
     * md5 id-draw on both engines — selects the identical subset anywhere.
     */
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
         col("lang"), Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select(col("doc_id"), col("lang"),
           Sampling.hashBucket(col("doc_id")).as("bucket")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val sampleStratifiedSql: String =
-    """SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
       |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
       |FROM documents
       |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
       |      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
-      |ORDER BY doc_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Quality-weighted (soft) sampling: keep probability = the doc's own
     * heuristic quality score, clamped to [0.1, 0.9] — the importance-
@@ -222,9 +222,9 @@ object PipelineQueries {
   def sampleQualityWeighted(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-    orderedViaShuffle(
+    bucketOrdered(
       Sampling.qualityWeightedSample(docs, col("doc_id"), col("quality")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   // quality formula composed from the ONE shared definition — an inline
@@ -236,7 +236,7 @@ object PipelineQueries {
       |SELECT doc_id, quality FROM q
       |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
       |      < round(least(0.9, greatest(0.1, quality)) * 1000)
-      |ORDER BY doc_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** DSIR importance resampling ([[Sampling.importanceScores]]): the
     * English slice stands in for the target distribution; every doc gets
@@ -334,18 +334,18 @@ object PipelineQueries {
     // '<EMAIL>'/'<IP>'; see piiMarkerCounts)
     val redacted = TextFunctions.redactPiiFast(pii)
     val (nEmails, nIps) = TextFunctions.piiMarkerCounts(col("__red"))
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"), redacted.as("__red"))
         .select(col("doc_id"),
           nEmails.cast("long").as("n_emails"),
           nIps.cast("long").as("n_ips"),
           md5(col("__red")).as("redacted_fp")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   val textPiiRedactSql: String =
-    """WITH p AS (
+    raw"""WITH p AS (
       |  SELECT doc_id,
       |         text || ' contact user' || CAST(doc_id AS VARCHAR)
       |           || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
@@ -355,14 +355,14 @@ object PipelineQueries {
       |  SELECT doc_id,
       |         regexp_replace(regexp_replace(regexp_replace(pii,
       |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g'),
-      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$)', '\1<IP>\3', 'g') AS red
+      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$$)', '\1<IP>\3', 'g'),
+      |           '(^|[^0-9.])((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3})([^0-9.]|$$)', '\1<IP>\3', 'g') AS red
       |  FROM p)
       |SELECT doc_id,
       |  CAST((length(red) - length(replace(red, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails,
       |  CAST((length(red) - length(replace(red, '<IP>', ''))) / 4 AS BIGINT) AS n_ips,
       |  md5(red) AS redacted_fp
-      |FROM r ORDER BY doc_id ASC""".stripMargin
+      |FROM r ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Gopher-style repetition signals: duplicate-word and duplicate-bigram
     * fractions — the boilerplate/spam gate of a curation pipeline.
@@ -370,15 +370,15 @@ object PipelineQueries {
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("__toks"))
-    orderedViaShuffle(
+    bucketOrdered(
       docs.select(col("doc_id"),
         TextFunctions.dupWordFraction(col("__toks")).as("dup_word_frac"),
         TextFunctions.dupBigramFraction(col("__toks")).as("dup_bigram_frac")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   val textRepetitionSql: String =
-    """WITH tks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH tks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |b AS (SELECT doc_id, toks,
       |        list_transform(range(len(toks) - 1),
       |          i -> toks[i+1] || ' ' || toks[i+2]) AS big
@@ -389,7 +389,7 @@ object PipelineQueries {
       |  CASE WHEN len(big) < 1 THEN 0.0
       |       ELSE round(1.0 - CAST(len(list_distinct(big)) AS DOUBLE)
       |                      / CAST(len(big) AS DOUBLE), 6) END AS dup_bigram_frac
-      |FROM b ORDER BY doc_id ASC""".stripMargin
+      |FROM b ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Corpus-level boilerplate detection (the C4 "deduplicate at span
     * level" rule re-expressed for unsegmented text): a trigram occurring
@@ -634,15 +634,15 @@ object PipelineQueries {
     * implementation avoids, so the gate proves the two are identical.
     */
   def sampleShuffle(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       Sampling.shufflePositions(t(s, dir, "documents"), col("doc_id")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val sampleShuffleSql: String =
-    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+    s"""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
       |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
       |            - 1 AS BIGINT) AS shuffle_pos
-      |FROM documents ORDER BY doc_id ASC""".stripMargin
+      |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Fixed-SIZE per-stratum subsample (vs [[sampleStratified]]'s fixed
     * RATE): the k lexicographically-smallest md5 draws per lang — a

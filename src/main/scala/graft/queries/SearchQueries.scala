@@ -36,19 +36,19 @@ object SearchQueries {
   def ftsPrefixSearch(s: SparkSession, dir: String): DataFrame =
     // tokens projected once, then the AND-of-prefix predicate over the
     // column — an inline filter would tokenize once per query term
-    orderedViaShuffle(
+    bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextFunctions.wsTokens(col("text")).as("__toks"))
         .filter(Fts.prefixMatch(col("__toks"), Seq("spar", "win")))
         .select(col("doc_id"), col("lang")),
-      col("doc_id").asc)
+      col("doc_id"))
 
   val ftsPrefixSearchSql: String =
-    """SELECT doc_id, lang FROM documents
+    s"""SELECT doc_id, lang FROM documents
       |WHERE len(list_filter(string_split(text, ' '), t -> t LIKE 'spar%')) > 0
       |  AND len(list_filter(string_split(text, ' '), t -> t LIKE 'win%')) > 0
-      |ORDER BY doc_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Same semantics (and SAME oracle) as [[ftsPrefixSearch]], answered
     * through the inverted index instead of a corpus scan — at archive
@@ -68,10 +68,10 @@ object SearchQueries {
     }
     val ids = graft.operators.InvertedIndex.matchingIds(
       index, Seq("spar", "win"), prefix = true)
-    orderedViaShuffle(
+    bucketOrdered(
       docs.join(ids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   // --- BM25 ranking ---------------------------------------------------------
@@ -187,15 +187,15 @@ object SearchQueries {
       .filter(array_contains(
         org.apache.spark.sql.graft.HashingExpressions.wordShingles(
           col("__toks"), 2), phrase))
-    orderedViaShuffle(
+    bucketOrdered(
       hits.select(col("doc_id"),
         size(filter(TextFunctions.bigrams(col("__toks")),
           x => x === lit(phrase))).cast("long").as("n_occurrences")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   val ftsPhraseSql: String =
-    """WITH tok AS (
+    raw"""WITH tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
       |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
       |  FROM documents),
@@ -207,7 +207,7 @@ object SearchQueries {
       |       CAST(len(list_filter(big, g -> g = 'table hash')) AS BIGINT)
       |         AS n_occurrences
       |FROM b WHERE len(list_filter(big, g -> g = 'table hash')) > 0
-      |ORDER BY doc_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** FTS5 prefix-PHRASE search (`"table ha"*` — the form EVERY reference
     * search term compiles to, sqlite.go:1326-1333): adjacent in-order
@@ -221,17 +221,17 @@ object SearchQueries {
     val hits = t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.rawTokens(col("text")).as("__toks"))
       .filter(graft.functions.Fts.prefixPhraseMatch(col("__toks"), "table ha"))
-    orderedViaShuffle(
+    bucketOrdered(
       hits.select(col("doc_id"),
         size(filter(sequence(lit(0), size(col("__toks")) - 2),
           i => element_at(col("__toks"), i + 1) === "table" &&
             element_at(col("__toks"), i + 2).startsWith("ha")))
           .cast("long").as("n_positions")),
-      col("doc_id").asc)
+      col("doc_id"))
   }
 
   val ftsPrefixPhraseSql: String =
-    """WITH tok AS (
+    raw"""WITH tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
       |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
       |  FROM documents),
@@ -242,7 +242,7 @@ object SearchQueries {
       |           AS BIGINT) AS n_positions
       |  FROM tok WHERE len(toks) >= 2)
       |SELECT doc_id, n_positions FROM p WHERE n_positions > 0
-      |ORDER BY doc_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "fts_prefix_search" -> (ftsPrefixSearch _, Some(ftsPrefixSearchSql)),

@@ -32,18 +32,18 @@ object TemporalQueries {
     val ref = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts_us").as("ref_ts"))
       .agg(max(col("value")).as("click_value"))
-    orderedViaShuffle(
+    bucketOrdered(
       TemporalJoins.asofJoinBackward(probe, ref, "user_id",
         leftTs = "ts_us", rightTs = "ref_ts", payload = Seq("click_value"))
         .select(col("event_id"), col("user_id"),
           col("asof_ts").as("click_t"),
           (col("ts_us") - col("asof_ts")).as("gap_us"),
           col("click_value")),
-      col("event_id").asc)
+      col("event_id"))
   }
 
   val joinAsofSql: String =
-    """WITH probe AS (
+    s"""WITH probe AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS t
       |  FROM events WHERE event_type = 'purchase'),
       |ref AS (
@@ -53,7 +53,7 @@ object TemporalQueries {
       |       r.click_value
       |FROM probe p ASOF LEFT JOIN ref r
       |  ON p.user_id = r.user_id AND p.t >= r.t
-      |ORDER BY p.event_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("p.event_id")}, p.event_id ASC""".stripMargin
 
   /** Events bucketed into overlapping value bands (one band per nation
     * row — a pure range predicate, no equi-key): per-band event count and
@@ -90,12 +90,12 @@ object TemporalQueries {
     * with same-user clicks from the preceding hour.
     */
   def streamJoinPairs(s: SparkSession, dir: String): DataFrame =
-    orderedViaShuffle(
+    bucketOrdered(
       graft.streaming.EventsStreaming.attributionPairs(t(s, dir, "events")),
-      col("purchase_id").asc, col("click_id").asc)
+      col("purchase_id"), col("click_id").asc)
 
   val streamJoinPairsSql: String =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT user_id AS u, event_id AS pid, ts AS pt
       |  FROM events WHERE event_type = 'purchase'),
       |c AS (
@@ -104,7 +104,7 @@ object TemporalQueries {
       |SELECT p.pid AS purchase_id, c.cid AS click_id, p.u AS user_id
       |FROM p JOIN c ON p.u = c.u
       |  AND c.ct BETWEEN p.pt - INTERVAL 1 HOUR AND p.pt
-      |ORDER BY purchase_id ASC, click_id ASC""".stripMargin
+      |ORDER BY ${duckBucket("p.pid")}, purchase_id ASC, click_id ASC""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "join_asof" -> (joinAsof _, Some(joinAsofSql)),

@@ -16,14 +16,79 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 package object queries {
 
-  /** Total order for a small result of a MAP-ONLY pipeline: one
-    * round-robin shuffle of the already-computed result rows (upstream
-    * stays parallel, nothing re-executes), then an in-partition sort.
-    * `coalesce(1)` would be wrong here — with no shuffle boundary above,
-    * it collapses the whole scan+compute stage to one task.
+  import org.apache.spark.sql.functions._
+
+  /** Number of order buckets for [[bucketOrdered]]. 32 matches the local
+    * test rig; at cluster scale size it so corpus/nBuckets fits one
+    * task's sort budget (the construction works for any n — the oracle
+    * side only needs the same modulus in its ORDER BY).
     */
-  private[queries] def orderedViaShuffle(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+  private[queries] val OrderBuckets = 32
+
+  /** Fixed points of Spark's hash partitioner: label(i) is the smallest
+    * non-negative int with `pmod(murmur3(label(i), seed=42), n) == i`, so
+    * `repartition(n, labelCol)` places rows labeled `label(i)` in
+    * partition i EXACTLY — hash partitioning steered to behave like
+    * direct partition indexing. Murmur3_x86_32.hashInt with seed 42 is
+    * precisely what HashPartitioning evaluates for an int column; the
+    * equivalence is asserted by spec (BucketOrderSpec), so a Spark
+    * upgrade that changed the hash would fail loudly, not scramble row
+    * order silently.
+    */
+  private[queries] def hashFixedPoints(n: Int): Array[Int] = {
+    val labels = Array.fill(n)(-1)
+    var cand = 0
+    var found = 0
+    while (found < n) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(cand, 42)
+      val p = ((h % n) + n) % n
+      if (labels(p) < 0) { labels(p) = cand; found += 1 }
+      cand += 1
+    }
+    labels
+  }
+
+  private lazy val orderLabels: Array[Int] = hashFixedPoints(OrderBuckets)
+
+  /** Total order for an O(input)-row ("per-doc") result WITHOUT a
+    * single-partition exchange. The old result edge here was
+    * `repartition(1)+sort` — invisible at sf0.1, but at 100× it funnels
+    * the whole corpus through ONE task. A bare `orderBy` is no better: a
+    * range exchange's partitioner sampling job re-executes the child —
+    * 2× the real work for a map-heavy pipeline.
+    *
+    * Instead the total-order CONTRACT becomes (bucket, id), where
+    * bucket = md5-draw of the unique id modulo [[OrderBuckets]] — an
+    * expression any engine can replay. Rows are hash-repartitioned on a
+    * [[hashFixedPoints]] label so partition i holds exactly bucket i,
+    * then sorted in place: one n-way-parallel shuffle of already-computed
+    * rows, nothing re-executes, no partition ever holds more than
+    * ~input/n rows. Because partition index == bucket, the concatenation
+    * of partitions in order (what a parquet write + filename-ordered
+    * read, or a coalesce(1), produces) IS the total order
+    * `ORDER BY md5bucket(id), id` — which is exactly what the DuckDB
+    * oracles declare via [[duckBucketOrder]]. The bucket column is
+    * internal; the visible schema is unchanged.
+    */
+  private[queries] def bucketOrdered(df: DataFrame, id: Column,
+      tail: Column*): DataFrame = {
+    val bkt =
+      conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") %
+        OrderBuckets
+    val labelArr = array(orderLabels.map(lit(_)).toIndexedSeq: _*)
+    df.withColumn("__obkt", bkt)
+      .withColumn("__olabel", element_at(labelArr, col("__obkt").cast("int") + 1))
+      .repartition(OrderBuckets, col("__olabel"))
+      .sortWithinPartitions((col("__obkt").asc +: id.asc +: tail): _*)
+      .drop("__obkt", "__olabel")
+  }
+
+  /** The DuckDB half of [[bucketOrdered]]'s contract: the ORDER BY
+    * prefix expression for the same id. Compose as
+    * `ORDER BY ${duckBucket("doc_id")}, doc_id ASC`.
+    */
+  private[queries] def duckBucket(id: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 4)) AS BIGINT) % $OrderBuckets"
 
   /** Total order for a small result ABOVE a shuffle (agg/join/window):
     * coalesce the reduce side to one task and sort in place — no extra

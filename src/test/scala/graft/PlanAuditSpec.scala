@@ -438,4 +438,43 @@ class PlanAuditSpec extends SparkTestBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 2, s"as-of shuffled more than the two inputs:\n$plan")
   }
+
+  test("per-doc query results carry NO single-partition exchange (100× gate)") {
+    // The old result edge (`repartition(1)+sort`) funneled every
+    // O(corpus)-row output through ONE task — invisible at sf0.1, the
+    // plan you wouldn't want at 100×. These queries now end in the
+    // bucketOrdered contract (32-way hash repartition steered by
+    // fixed-point labels + in-partition sort; see BucketOrderSpec), so
+    // their executed plans must contain neither a SinglePartition
+    // exchange nor a 1-way coalesce.
+    val perDoc: Seq[(String, DataFrame)] = Seq(
+      "text_token_count" -> queries.DocQueries.textTokenCount(spark, sf),
+      "text_quality" -> queries.DocQueries.textQuality(spark, sf),
+      "text_lang_id" -> queries.DocQueries.textLangId(spark, sf),
+      "dedup_simhash_md5" -> queries.DocQueries.dedupSimhashMd5(spark, sf),
+      "vector_quantize_int8" -> queries.DocQueries.vectorQuantizeInt8(spark, sf),
+      "multimodal_meta" -> queries.DocQueries.multimodalMeta(spark, sf),
+      "quality_classifier" -> queries.DocQueries.qualityClassifier(spark, sf),
+      "text_pii_redact" -> queries.PipelineQueries.textPiiRedact(spark, sf),
+      "join_semi" -> CoreQueries.joinSemi(spark, sf),
+      "join_asof" -> queries.TemporalQueries.joinAsof(spark, sf),
+      "msg_dedup_scan" -> queries.MessageDedupQueries.dedupScan(spark, sf))
+    perDoc.foreach { case (name, df) =>
+      val plan = executed(df).toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name funnels its per-doc output through one task:\n$plan")
+      assert(!"Coalesce 1\\b".r.findFirstIn(plan).isDefined,
+        s"$name coalesces its per-doc output to one partition:\n$plan")
+      assert(df.rdd.getNumPartitions > 1,
+        s"$name result is single-partition")
+    }
+    // sample_shuffle is the one per-doc query with a LEGITIMATE
+    // SinglePartition exchange: its offsets branch windows a 4,096-row
+    // bucket-count aggregate (bounded by construction — see the
+    // shufflePositions plan test above). Its RESULT edge must still be
+    // bucket-parallel:
+    val ss = queries.PipelineQueries.sampleShuffle(spark, sf)
+    ss.collect()
+    assert(ss.rdd.getNumPartitions > 1, "sample_shuffle result edge is single-partition")
+  }
 }

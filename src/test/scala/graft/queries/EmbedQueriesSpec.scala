@@ -30,7 +30,13 @@ class EmbedQueriesSpec extends SparkTestBase {
     val ids = EmbedQueries.embedDelta(spark, dir).collect()
       .map(_.getAs[Long]("doc_id"))
     assert(ids.nonEmpty && ids.forall(_ % 7 == 0))
-    assert(ids.sameElements(ids.sorted))
+    // result edge follows the bucketOrdered contract: (md5-bucket, id)
+    def bkt(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(d.take(2).map(b => f"$b%02x").mkString, 16) % 32
+    }
+    assert(ids.sameElements(ids.sortBy(i => (bkt(i), i))))
   }
 
   test("embed_outliers: 3 per label, distance descending within label") {
