@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staged deletion lifecycle — reference internal/deletion/ (manifest.go
+  * + executor.go) re-expressed as append-only Spark tables instead of
+  * per-manifest JSON files:
+  *
+  *  - a manifest HEADER table (one row per staged batch, with the
+  *    Summary aggregates of manifest.go:48-61: message count, total
+  *    size, date range, account count),
+  *  - a MEMBERS table partitioned by manifest_id (the reference inlines
+  *    `gmail_ids` in the JSON — a million-id manifest does not fit a
+  *    JSON array; a partitioned table prunes to one manifest per probe),
+  *  - a STATUS EVENT LOG (manifest_id, seq, status): the reference
+  *    moves files between status directories (manifest.go:234-255);
+  *    concurrent movers race on rename, an append-only log with
+  *    max-seq-wins does not, and keeps the full audit trail the
+  *    reference loses on each move.
+  *
+  * Status machine (manifest.go:20-26 + executor.go:146-215):
+  * pending → in_progress | cancelled; in_progress → completed | failed;
+  * failed → in_progress (retry, executor.go resumable execution).
+  *
+  * Safety invariants enforced at STAGE time, not execute time:
+  *  - gmail-only candidates (GetGmailIDsByFilter scopes to gmail
+  *    sources — reference duckdb.go:1654-1788);
+  *  - hide-deleted always on (same reference path);
+  *  - dedup-remote candidates are same-source-only by construction
+  *    upstream ([[MessageDedup.remoteDeletionCandidates]]).
+  */
+object DeletionStaging {
+
+  val Pending = "pending"
+  val InProgress = "in_progress"
+  val Completed = "completed"
+  val Failed = "failed"
+  val Cancelled = "cancelled"
+
+  private val legal: Map[String, Set[String]] = Map(
+    Pending -> Set(InProgress, Cancelled),
+    InProgress -> Set(Completed, Failed),
+    Failed -> Set(InProgress),
+    Completed -> Set.empty,
+    Cancelled -> Set.empty)
+
+  private def membersDir(base: String) = s"$base/members"
+  private def headersDir(base: String) = s"$base/manifests"
+  private def statusDir(base: String) = s"$base/status"
+
+  /** Stage a candidate set as a new pending manifest. `candidates` must
+    * carry (gmail_id, source_type, size_estimate, sent_at, source_id);
+    * rows are persisted under members/manifest_id=<id>/ and the header
+    * aggregates in one pass. Refuses empty candidate sets (a zero-member
+    * manifest is always a bug upstream) and non-gmail members (remote
+    * deletion is a Gmail API operation — reference executor.go:107-132).
+    */
+  def stage(spark: SparkSession, baseDir: String, manifestId: String,
+      description: String, candidates: DataFrame): Unit = {
+    val member = candidates.select(
+      lit(manifestId).as("manifest_id"),
+      col("gmail_id").cast("string").as("gmail_id"),
+      col("source_id").cast("long").as("source_id"),
+      col("source_type").cast("string").as("source_type"),
+      col("size_estimate").cast("long").as("size_estimate"),
+      col("sent_at").cast("timestamp").as("sent_at"))
+    // ONE aggregation both validates and summarizes — no second scan
+    val s = member.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("source_type") =!= "gmail", 1L).otherwise(0L)).as("bad"),
+      coalesce(sum(col("size_estimate")), lit(0L)).as("sz"),
+      min(col("sent_at")).as("lo"), max(col("sent_at")).as("hi"),
+      countDistinct(col("source_id")).as("accts")).head()
+    require(s.getAs[Long]("n") > 0L,
+      s"manifest '$manifestId': empty candidate set")
+    require(s.getAs[Long]("bad") == 0L,
+      s"manifest '$manifestId': ${s.getAs[Long]("bad")} non-gmail " +
+        "candidates — remote deletion only operates on gmail sources")
+    member.drop("source_type")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("manifest_id") // idempotent re-stage of the same id
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(membersDir(baseDir))
+    import spark.implicits._
+    Seq((manifestId, description, s.getAs[Long]("n"), s.getAs[Long]("sz"),
+      s.getAs[java.sql.Timestamp]("lo"), s.getAs[java.sql.Timestamp]("hi"),
+      s.getAs[Long]("accts")))
+      .toDF("manifest_id", "description", "message_count",
+        "total_size_bytes", "date_lo", "date_hi", "n_accounts")
+      .write.mode(SaveMode.Append).parquet(headersDir(baseDir))
+    appendStatus(spark, baseDir, manifestId, 0L, Pending)
+  }
+
+  private def appendStatus(spark: SparkSession, baseDir: String,
+      manifestId: String, seq: Long, status: String): Unit = {
+    import spark.implicits._
+    Seq((manifestId, seq, status))
+      .toDF("manifest_id", "seq", "status")
+      .write.mode(SaveMode.Append).parquet(statusDir(baseDir))
+  }
+
+  /** Latest status per manifest: max-seq event wins. */
+  def currentStatus(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(statusDir(baseDir))
+      .groupBy(col("manifest_id"))
+      .agg(max_by(col("status"), col("seq")).as("status"),
+        max(col("seq")).as("seq"))
+
+  /** Transition a manifest to a new state; throws on an illegal edge
+    * (the review gate: execute must find the manifest in_progress, a
+    * cancelled batch can never run — manifest_test.go's state matrix).
+    */
+  def transition(spark: SparkSession, baseDir: String, manifestId: String,
+      to: String): Unit = {
+    require(legal.contains(to) || legal.values.exists(_.contains(to)),
+      s"unknown status '$to'")
+    val cur = currentStatus(spark, baseDir)
+      .filter(col("manifest_id") === manifestId).collect()
+    require(cur.nonEmpty, s"manifest '$manifestId' not found")
+    val from = cur.head.getAs[String]("status")
+    val seq = cur.head.getAs[Long]("seq")
+    require(legal.getOrElse(from, Set.empty).contains(to),
+      s"illegal transition $from -> $to for manifest '$manifestId'")
+    appendStatus(spark, baseDir, manifestId, seq + 1L, to)
+  }
+
+  /** Members of one manifest — partition-pruned point read. */
+  def members(spark: SparkSession, baseDir: String,
+      manifestId: String): DataFrame =
+    spark.read.parquet(membersDir(baseDir))
+      .filter(col("manifest_id") === manifestId)
+
+  def headers(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(headersDir(baseDir))
+
+  /** Archive-side execution effect: soft-delete the manifest's members
+    * in a message frame (the store half of executor.go — the Gmail API
+    * half is the upstream producer's). Left-semi keyed on
+    * source_message_id; returns (messages-with-deleted_at, stats row
+    * (succeeded, failed)) where failed counts members with no archive
+    * row (executor.go tracks them as FailedIDs).
+    */
+  def execute(messages: DataFrame, manifestMembers: DataFrame,
+      deletedAt: java.sql.Timestamp): (DataFrame, DataFrame) = {
+    val ids = manifestMembers.select(col("gmail_id"))
+    val marked = messages
+      .join(broadcast(ids.withColumn("__hit", lit(true))),
+        messages("source_message_id") === ids("gmail_id"), "left")
+      .withColumn("deleted_at",
+        when(col("__hit") && col("deleted_at").isNull, lit(deletedAt))
+          .otherwise(col("deleted_at")))
+      .drop("gmail_id", "__hit")
+    val stats = manifestMembers
+      .join(messages.select(col("source_message_id").as("gmail_id"))
+        .withColumn("__found", lit(true)), Seq("gmail_id"), "left")
+      .agg(sum(when(col("__found"), 1L).otherwise(0L)).as("succeeded"),
+        sum(when(col("__found").isNull, 1L).otherwise(0L)).as("failed"))
+    (marked, stats)
+  }
+}

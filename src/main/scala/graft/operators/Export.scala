@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Message/attachment export surface — the reference's "get my data back
+  * out of the archive" commands re-expressed as distributed sinks:
+  *
+  *  - eml export of raw MIME (reference cmd/export_eml.go:24-133): a
+  *    single message's stored MIME → .eml; at archive scale the Spark
+  *    form is a MANIFEST (filename, size, sha256) plus mbox shard files,
+  *    not millions of tiny per-message files.
+  *  - mbox shards: the bulk-export framing absent from the reference CLI
+  *    but implied by its mbox IMPORT path (internal/mbox/) — mboxrd
+  *    framing ("From " envelope line, ">"-quoting of From-lines, blank
+  *    separator), one shard per order bucket so export is written by 32
+  *    parallel tasks and the shard set concatenates to one valid mbox in
+  *    bucket order.
+  *  - attachment zip manifest (internal/export/attachments.go:53-187):
+  *    content-hash validation (64 lowercase hex — ValidateContentHash,
+  *    attachments.go:27-40), filename sanitization (SanitizeFilename,
+  *    attachments.go:189-201) and the used-names de-collision rule
+  *    (resolveUniqueFilename, attachments.go:169-187) as pure column
+  *    logic; the zip write itself is a driver-side finishing step over
+  *    the manifest, which IS the distributed artifact.
+  *
+  * Scale shape: framing/validation are per-row expressions; the only
+  * shuffles are the order-bucket exchange of the framed records and a
+  * per-filename window for the de-collision rank (keyed on the sanitized
+  * name — cardinality ≤ distinct filenames).
+  */
+object Export {
+
+  // --- mboxrd framing -------------------------------------------------------
+
+  /** One mboxrd record: envelope line + ">"-quoted payload + an explicit
+    * terminating newline, so that text-sink rows (which append one more
+    * '\n' each) concatenate into a valid mbox with a blank separator
+    * line after every message. Quoting is mboxrd ("From " AND already-
+    * quoted ">*From " lines gain one '>'), which makes [[readMbox]] an
+    * exact inverse — including payloads that end in newlines.
+    */
+  def mboxRecord(envelopeId: Column, sentAt: Column, mime: Column): Column =
+    concat(
+      lit("From "), envelopeId, lit(" "),
+      date_format(sentAt, "EEE MMM d HH:mm:ss yyyy"), lit("\n"),
+      regexp_replace(mime, "(?m)^(>*From )", ">$1"), lit("\n"))
+
+  /** Write a framed message set as mbox shard files: one shard per order
+    * bucket (md5 of the id — deterministic membership on any engine),
+    * messages sorted by id within a shard. 32-way parallel write; the
+    * filename-ordered concatenation of shards is itself a valid mbox in
+    * (bucket, id) order.
+    */
+  def writeMbox(messages: DataFrame, id: Column, record: Column,
+      outDir: String): Unit =
+    graft.queries.bucketOrdered(
+      messages.select(id.as("__id"), record.as("value")), col("__id"))
+      .select(col("value"))
+      .write.mode("overwrite").text(outDir)
+
+  /** Exact inverse of [[writeMbox]]: read the shard files and recover
+    * (envelope_id, mime) per message. Shards are whole-file rows (an
+    * mbox record spans lines), split on unquoted "From " line starts —
+    * unambiguous because payload From-lines are always quoted.
+    */
+  def readMbox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(dir).as[String]
+      .flatMap(parseMboxText)
+      .toDF("envelope_id", "mime")
+  }
+
+  /** Pure mboxrd parser for one shard's text — also the spec surface. */
+  private[operators] def parseMboxText(txt: String): Seq[(String, String)] = {
+    if (txt.isEmpty) return Nil
+    val all = txt.split("\n", -1)
+    // the file-final '\n' produces one trailing empty element
+    val lines = if (all.nonEmpty && all.last.isEmpty) all.dropRight(1) else all
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var env: String = null
+    var payload = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = if (env != null) {
+      // drop exactly the ONE separator blank line the record appended
+      val p = if (payload.nonEmpty && payload.last.isEmpty) payload.dropRight(1)
+              else payload
+      val unquoted = p.map { l =>
+        if (l.matches("^>+From .*")) l.substring(1) else l
+      }
+      val sp = env.indexOf(' ', 5)
+      val id = if (sp < 0) env.substring(5) else env.substring(5, sp)
+      out += ((id, unquoted.mkString("\n")))
+    }
+    lines.foreach { l =>
+      if (l.startsWith("From ")) {
+        flush(); env = l; payload = scala.collection.mutable.ArrayBuffer.empty
+      } else if (env != null) payload += l
+    }
+    flush()
+    out.toSeq
+  }
+
+  // --- eml manifest ---------------------------------------------------------
+
+  /** eml filename from a source message id — the sanitize semantics of
+    * cmd/export_eml.go:70-85: '/', '\' and NUL → '_', then the basename
+    * (guards IMAP mailbox names with separators / traversal sequences),
+    * empty or "." falls back to "message", then + ".eml".
+    */
+  def emlFilename(sourceMessageId: Column): Column = {
+    val replaced = translate(sourceMessageId, "/\\\u0000", "___")
+    // filepath.Base after the replacement is a no-op (no separators can
+    // remain), so only the "" and "." results take the fallback — ".."
+    // deliberately does NOT (export_eml.go:70-85 checks exactly those two)
+    val base = when(replaced.isNull || replaced === "" || replaced === ".",
+      lit("message")).otherwise(replaced)
+    concat(base, lit(".eml"))
+  }
+
+  // --- attachment manifest --------------------------------------------------
+
+  /** ValidateContentHash (attachments.go:27-40): exactly 64 hex chars.
+    * The reference lowercases before validating elsewhere
+    * (store_attachment.go:34); this predicate accepts both cases like
+    * Go's hex.DecodeString does.
+    */
+  def isValidSha256Hex(hash: Column): Column =
+    hash.isNotNull && hash.rlike("^[0-9a-fA-F]{64}$")
+
+  /** SanitizeFilename (attachments.go:189-201): the invalid set → '_'. */
+  def sanitizeFilename(filename: Column): Column =
+    translate(filename, "/\\:*?\"<>|\n\r\t", "____________")
+
+  /** The zip-entry naming of Attachments export (attachments.go:143-187)
+    * as one distributed pass: invalid content hashes are excluded from
+    * the zip (they never consume a name — reference `continue`s before
+    * resolveUniqueFilename), valid entries get the sanitized basename,
+    * empty/"." fall back to the content hash, and name collisions get
+    * `base_N<ext>` suffixes in id order (N = 2, 3, … — the reference's
+    * usedNames counter emits count+1 starting from the second use).
+    *
+    * Output: every input row, with `zip_name` NULL where hash_valid is
+    * false. The only shuffle is the per-name window, keyed on sanitized
+    * names.
+    */
+  def attachmentZipManifest(attachments: DataFrame, id: Column,
+      filename: Column, contentHash: Column, size: Column): DataFrame = {
+    val base = attachments.select(id.as("attachment_id"),
+      filename.as("__fn"), contentHash.as("content_hash"),
+      size.as("n_bytes"))
+      .withColumn("hash_valid", isValidSha256Hex(col("content_hash")))
+    val sanitized = {
+      val s = sanitizeFilename(col("__fn"))
+      when(s.isNull || s === "" || s === ".", col("content_hash")).otherwise(s)
+    }
+    val valid = base.filter(col("hash_valid"))
+      .withColumn("__name", sanitized)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__name")).orderBy(col("attachment_id").asc)))
+    val ext = regexp_extract(col("__name"), "(\\.[^.]*)$", 1)
+    val stem = regexp_replace(col("__name"), "(\\.[^.]*)$", "")
+    val named = valid.withColumn("zip_name",
+      when(col("__rn") === 1, col("__name"))
+        .otherwise(concat(stem, lit("_"), col("__rn").cast("string"), ext)))
+      .select(col("attachment_id"), col("content_hash"), col("n_bytes"),
+        col("hash_valid"), col("zip_name"))
+    val invalid = base.filter(!col("hash_valid"))
+      .select(col("attachment_id"), col("content_hash"), col("n_bytes"),
+        col("hash_valid"), lit(null).cast("string").as("zip_name"))
+    named.unionByName(invalid)
+  }
+
+  // --- output path guard ----------------------------------------------------
+
+  /** ValidateOutputPath (attachments.go:204-366 region): reject absolute,
+    * rooted, drive/UNC-prefixed and parent-traversing output paths —
+    * email-supplied filenames must not escape the working directory.
+    * Pure function (driver-side guard before any sink call).
+    */
+  def validateOutputPath(path: String): Either[String, String] = {
+    val cleaned = java.nio.file.Paths.get(path).normalize().toString
+    if (path.isEmpty) Left("output path is empty")
+    else if (cleaned.startsWith("/") || cleaned.startsWith("\\"))
+      Left(s"output path '$path' is rooted; use a relative path")
+    else if (cleaned.matches("^[A-Za-z]:.*") || path.startsWith("\\\\"))
+      Left(s"output path '$path' contains a drive or UNC prefix")
+    else if (cleaned == ".." || cleaned.startsWith("../") ||
+      cleaned.startsWith("..\\"))
+      Left(s"output path '$path' escapes the working directory")
+    else Right(cleaned)
+  }
+}

@@ -42,7 +42,7 @@ object MessageDedupQueries {
   private val epochUs = 1700000000000000L
 
   /** The synthetic star + raw-MIME frame, derived from `documents`. */
-  private def star(s: SparkSession, dir: String): (MsgVault, DataFrame) = {
+  private[queries] def star(s: SparkSession, dir: String): (MsgVault, DataFrame) = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id").cast("long").as("d"), col("text"))
     val d = col("d")
@@ -145,7 +145,7 @@ object MessageDedupQueries {
     * The persisted frame is group-members-only: bounded by the duplicate
     * count, not the corpus.
     */
-  private def scannedMemo(s: SparkSession, dir: String): (MsgVault, DataFrame) =
+  private[queries] def scannedMemo(s: SparkSession, dir: String): (MsgVault, DataFrame) =
     memoizedIndex[(MsgVault, DataFrame)](s, dir, "msg_dedup_scan") {
       val (v, raw) = star(s, dir)
       // localCheckpoint (not persist): materializes AND truncates the
@@ -191,6 +191,10 @@ object MessageDedupQueries {
     * `arch` keeps the archived_at ORDER as a small integer (d % 17) —
     * same comparisons as the timestamp it derives from.
     */
+  /** Oracle-composable accessor for the shared star CTE chain (ends in
+    * `scan`); ExportQueries' deletion_staging oracle builds on it. */
+  private[queries] def starCteForOracles: String = starCte
+
   private val starCte: String =
     """WITH m AS (
       |  SELECT doc_id AS id,

@@ -23,7 +23,7 @@ package object queries {
     * task's sort budget (the construction works for any n — the oracle
     * side only needs the same modulus in its ORDER BY).
     */
-  private[queries] val OrderBuckets = 32
+  private[graft] val OrderBuckets = 32
 
   /** Fixed points of Spark's hash partitioner: label(i) is the smallest
     * non-negative int with `pmod(murmur3(label(i), seed=42), n) == i`, so
@@ -35,7 +35,7 @@ package object queries {
     * upgrade that changed the hash would fail loudly, not scramble row
     * order silently.
     */
-  private[queries] def hashFixedPoints(n: Int): Array[Int] = {
+  private[graft] def hashFixedPoints(n: Int): Array[Int] = {
     val labels = Array.fill(n)(-1)
     var cand = 0
     var found = 0
@@ -70,7 +70,7 @@ package object queries {
     * oracles declare via [[duckBucketOrder]]. The bucket column is
     * internal; the visible schema is unchanged.
     */
-  private[queries] def bucketOrdered(df: DataFrame, id: Column,
+  private[graft] def bucketOrdered(df: DataFrame, id: Column,
       tail: Column*): DataFrame = {
     val bkt =
       conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") %
@@ -87,7 +87,7 @@ package object queries {
     * prefix expression for the same id. Compose as
     * `ORDER BY ${duckBucket("doc_id")}, doc_id ASC`.
     */
-  private[queries] def duckBucket(id: String): String =
+  private[graft] def duckBucket(id: String): String =
     s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 4)) AS BIGINT) % $OrderBuckets"
 
   /** Total order for a small result ABOVE a shuffle (agg/join/window):

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Export framing/sanitization (reference cmd/export_eml.go,
+  * internal/export/attachments.go) and the staged-deletion lifecycle
+  * (internal/deletion/manifest.go state machine + executor effects).
+  */
+class ExportDeletionSpec extends SparkTestBase {
+
+  // --- mboxrd framing -------------------------------------------------------
+
+  test("mbox write/read roundtrips payloads exactly, including From-lines") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "id-a", "Subject: a\n\nplain body"),
+      (2L, "id-b", "Subject: b\n\nFrom the start\n>From quoted\n>>From deep"),
+      (3L, "id-c", "Subject: c\n\nbody ending in newline\n"),
+      (4L, "id-d", ""), // empty payload
+      (5L, "id-e", "From immediately"))
+      .toDF("id", "src", "mime")
+      .withColumn("sent_at", to_timestamp(lit("2024-01-02 03:04:05")))
+    val out = java.nio.file.Files.createTempDirectory("graft_mbox_spec").toString
+    Export.writeMbox(rows, col("id"),
+      Export.mboxRecord(col("src"), col("sent_at"), col("mime")), out)
+    val back = Export.readMbox(spark, out)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.collect().foreach { r =>
+      assert(back(r.getAs[String]("src")) == r.getAs[String]("mime"),
+        s"payload for ${r.getAs[String]("src")} did not roundtrip")
+    }
+  }
+
+  test("parseMboxText: quoting depth reduces by exactly one level") {
+    val txt = "From a 2024\nbody\n>From was-quoted\n>>From deeper\n\n"
+    val Seq((id, mime)) = Export.parseMboxText(txt)
+    assert(id == "a")
+    assert(mime == "body\nFrom was-quoted\n>From deeper")
+  }
+
+  test("parseMboxText: empty input and no-final-newline tolerance") {
+    assert(Export.parseMboxText("") == Nil)
+    assert(Export.parseMboxText("From x 1\npayload\n\n") ==
+      Seq(("x", "payload")))
+  }
+
+  // --- eml filename (export_eml.go:70-85) ----------------------------------
+
+  test("emlFilename sanitizes separators, falls back on empty and dot") {
+    import spark.implicits._
+    val out = Seq("a/b", "a\\b", "INBOX/Sent", "", ".", "..", "plain")
+      .toDF("s")
+      .select(Export.emlFilename(col("s"))).as[String].collect()
+    assert(out.toSeq == Seq("a_b.eml", "a_b.eml", "INBOX_Sent.eml",
+      "message.eml", "message.eml", "...eml", "plain.eml"))
+  }
+
+  // --- content-hash validation + zip naming (attachments.go) ----------------
+
+  test("isValidSha256Hex accepts 64 hex of either case, rejects the rest") {
+    import spark.implicits._
+    val ok = "a" * 64
+    val cases = Seq(ok, ok.toUpperCase, "z" * 64, "a" * 63, "a" * 65, "")
+    val got = cases.toDF("h").select(Export.isValidSha256Hex(col("h")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, true, false, false, false, false))
+  }
+
+  test("attachmentZipManifest: suffixes in id order, invalid rows keep no name") {
+    import spark.implicits._
+    val h = "b" * 64
+    val att = Seq(
+      (10L, "r:1.pdf", h, 5L), // -> r_1.pdf
+      (20L, "r:1.pdf", h, 5L), // collision -> r_1_2.pdf
+      (30L, "r:1.pdf", "bad", 5L), // invalid: no name, no slot consumed
+      (40L, "r:1.pdf", h, 5L), // -> r_1_3.pdf (30 did not take a slot)
+      (50L, "", h, 5L), // empty name -> content hash
+      (60L, "noext", h, 5L))
+      .toDF("id", "fn", "hash", "sz")
+    val got = Export.attachmentZipManifest(att, col("id"), col("fn"),
+      col("hash"), col("sz"))
+      .collect().map(r => r.getAs[Long]("attachment_id") ->
+        Option(r.getAs[String]("zip_name"))).toMap
+    assert(got(10L).contains("r_1.pdf"))
+    assert(got(20L).contains("r_1_2.pdf"))
+    assert(got(30L).isEmpty)
+    assert(got(40L).contains("r_1_3.pdf"))
+    assert(got(50L).contains(h))
+    assert(got(60L).contains("noext"))
+  }
+
+  // --- output path guard ----------------------------------------------------
+
+  test("validateOutputPath rejects absolute, traversal, drive paths") {
+    assert(Export.validateOutputPath("out/x.zip").isRight)
+    assert(Export.validateOutputPath("x.zip").isRight)
+    assert(Export.validateOutputPath("/etc/cron.d/evil").isLeft)
+    assert(Export.validateOutputPath("../../.ssh/authorized_keys").isLeft)
+    assert(Export.validateOutputPath("a/../../escape").isLeft)
+    assert(Export.validateOutputPath("C:stuff").isLeft)
+    assert(Export.validateOutputPath("\\\\server\\share").isLeft)
+    assert(Export.validateOutputPath("a/../inside").isRight) // normalizes to "inside"
+  }
+
+  // --- deletion staging lifecycle -------------------------------------------
+
+  private def mkCandidates(n: Int, sourceType: String = "gmail") = {
+    import spark.implicits._
+    (1 to n).map(i => (s"g-$i", i.toLong % 2, sourceType, 100L + i,
+      java.sql.Timestamp.valueOf(s"2024-01-0${i % 9 + 1} 00:00:00")))
+      .toDF("gmail_id", "source_id", "source_type", "size_estimate", "sent_at")
+  }
+
+  test("stage writes members + header summary + pending status") {
+    val base = java.nio.file.Files.createTempDirectory("graft_del1").toString
+    DeletionStaging.stage(spark, base, "m1", "test batch", mkCandidates(5))
+    val h = DeletionStaging.headers(spark, base).collect()
+    assert(h.length == 1)
+    assert(h.head.getAs[Long]("message_count") == 5L)
+    assert(h.head.getAs[Long]("total_size_bytes") == (101L to 105L).sum)
+    assert(h.head.getAs[Long]("n_accounts") == 2L)
+    val st = DeletionStaging.currentStatus(spark, base).collect()
+    assert(st.head.getAs[String]("status") == DeletionStaging.Pending)
+    assert(DeletionStaging.members(spark, base, "m1").count() == 5L)
+  }
+
+  test("stage refuses empty and non-gmail candidate sets") {
+    val base = java.nio.file.Files.createTempDirectory("graft_del2").toString
+    intercept[IllegalArgumentException] {
+      DeletionStaging.stage(spark, base, "m-empty", "x", mkCandidates(0))
+    }
+    intercept[IllegalArgumentException] {
+      DeletionStaging.stage(spark, base, "m-imap", "x",
+        mkCandidates(3, sourceType = "imap"))
+    }
+  }
+
+  test("status machine: legal path walks, illegal edges throw") {
+    val base = java.nio.file.Files.createTempDirectory("graft_del3").toString
+    DeletionStaging.stage(spark, base, "m1", "x", mkCandidates(2))
+    // pending -> completed is illegal (must pass through in_progress)
+    intercept[IllegalArgumentException] {
+      DeletionStaging.transition(spark, base, "m1", DeletionStaging.Completed)
+    }
+    DeletionStaging.transition(spark, base, "m1", DeletionStaging.InProgress)
+    DeletionStaging.transition(spark, base, "m1", DeletionStaging.Failed)
+    // failed -> in_progress is the resumable-execution retry edge
+    DeletionStaging.transition(spark, base, "m1", DeletionStaging.InProgress)
+    DeletionStaging.transition(spark, base, "m1", DeletionStaging.Completed)
+    // completed is terminal
+    intercept[IllegalArgumentException] {
+      DeletionStaging.transition(spark, base, "m1", DeletionStaging.InProgress)
+    }
+    val st = DeletionStaging.currentStatus(spark, base).collect()
+    assert(st.head.getAs[String]("status") == DeletionStaging.Completed)
+    // cancelled is terminal too
+    DeletionStaging.stage(spark, base, "m2", "x", mkCandidates(2))
+    DeletionStaging.transition(spark, base, "m2", DeletionStaging.Cancelled)
+    intercept[IllegalArgumentException] {
+      DeletionStaging.transition(spark, base, "m2", DeletionStaging.InProgress)
+    }
+    // unknown manifests are refused
+    intercept[IllegalArgumentException] {
+      DeletionStaging.transition(spark, base, "nope", DeletionStaging.Cancelled)
+    }
+  }
+
+  test("execute soft-deletes members, reports missing ids as failed") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_del4").toString
+    DeletionStaging.stage(spark, base, "m1", "x", mkCandidates(3))
+    // archive has g-1, g-2 (g-2 already deleted), not g-3
+    val messages = Seq(
+      ("g-1", null.asInstanceOf[java.sql.Timestamp]),
+      ("g-2", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
+      ("g-other", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("source_message_id", "deleted_at")
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val (marked, stats) = DeletionStaging.execute(messages,
+      DeletionStaging.members(spark, base, "m1"), ts)
+    val del = marked.collect()
+      .map(r => r.getString(0) -> Option(r.getAs[java.sql.Timestamp](1))).toMap
+    assert(del("g-1").contains(ts)) // newly soft-deleted
+    assert(del("g-2").exists(_.before(ts))) // already deleted: untouched
+    assert(del("g-other").isEmpty) // non-member: untouched
+    val st = stats.head()
+    assert(st.getAs[Long]("succeeded") == 2L) // g-1, g-2 found
+    assert(st.getAs[Long]("failed") == 1L) // g-3 missing from archive
+  }
+}
