@@ -1,0 +1,174 @@
+package graft.operators
+
+/** OpenAI-compatible /v1/embeddings HTTP client — the real network
+  * implementation behind [[Embed.EmbedClient]] (reference
+  * internal/vector/embed/client.go:1-265). Semantics mirrored exactly:
+  *
+  *  - POST {endpoint}/embeddings with {"input": [...], "model": m},
+  *    optional `Authorization: Bearer` (client.go:146-153).
+  *  - Empty input: no HTTP call, empty result (client.go:88-90).
+  *  - Transient = network failure, 5xx, 429, body decode error → retried
+  *    with exponential backoff 2^min(attempt,8)·100 ms (shift clamped —
+  *    client.go:108-117); a 429's Retry-After header, when parseable,
+  *    OVERRIDES the backoff for that attempt, including "Retry-After: 0"
+  *    = retry immediately (client.go:118-131).
+  *  - Other 4xx are permanent: fail without retrying (client.go:175-189).
+  *  - Response vectors arrive with explicit indexes and may be out of
+  *    order; they are placed by index, and dimension mismatches, bad
+  *    indexes, or missing slots are (non-retried) errors
+  *    (client.go:198-214).
+  *
+  * Serializable by configuration: each executor task constructs its own
+  * JDK HttpClient on first use (`@transient lazy`), matching the
+  * one-client-per-partition shape of [[Embed.embedAll]].
+  */
+final case class HttpEmbedClient(
+    endpoint: String,
+    model: String,
+    dimension: Int,
+    apiKey: String = "",
+    timeoutMs: Long = 30000L,
+    maxRetries: Int = 3,
+    backoffUnitMs: Long = 100L) extends Embed.EmbedClient {
+
+  import HttpEmbedClient._
+
+  @transient private lazy val http: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+
+  @transient private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(
+      com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    if (texts.isEmpty) return Nil
+    val body = mapper.writeValueAsString(
+      Map("input" -> texts, "model" -> model))
+    var attempt = 1
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      doOnce(body, texts.length) match {
+        case Right(vecs) => return vecs
+        case Left(Permanent(e)) => throw e
+        case Left(Transient(e, retryAfterMs)) =>
+          lastErr = e
+          if (attempt < maxRetries) {
+            val default = (1L << math.min(attempt, 8)) * backoffUnitMs
+            val wait = retryAfterMs.getOrElse(default)
+            if (wait > 0) Thread.sleep(wait)
+          }
+      }
+      attempt += 1
+    }
+    throw new RuntimeException(
+      s"embed: giving up after $maxRetries attempts", lastErr)
+  }
+
+  private def doOnce(body: String,
+      want: Int): Either[EmbedError, Seq[Array[Float]]] = {
+    val resp =
+      try {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"$endpoint/embeddings"))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("Content-Type", "application/json")
+        if (apiKey.nonEmpty) b.header("Authorization", s"Bearer $apiKey")
+        http.send(
+          b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          return Left(Transient(new RuntimeException(s"http do: $e", e), None))
+      }
+    val code = resp.statusCode()
+    if (code == 429)
+      Left(Transient(new RuntimeException("embed: HTTP 429 (rate limited)"),
+        parseRetryAfter(
+          resp.headers().firstValue("Retry-After").orElse(""))))
+    else if (code >= 500)
+      Left(Transient(new RuntimeException(s"embed: HTTP $code"), None))
+    else if (code >= 400) {
+      val msg = Option(resp.body()).map(_.trim.take(4096)).getOrElse("")
+      Left(Permanent(new RuntimeException(
+        if (msg.isEmpty) s"embed: HTTP $code (non-retryable)"
+        else s"embed: HTTP $code: $msg (non-retryable)")))
+    } else {
+      try {
+        val root = mapper.readTree(resp.body())
+        val data = root.get("data")
+        if (data == null || !data.isArray)
+          return Left(Transient(
+            new RuntimeException("decode response: missing data array"), None))
+        val vecs = new Array[Array[Float]](want)
+        val it = data.elements()
+        while (it.hasNext) {
+          val d = it.next()
+          val idx = if (d.has("index")) d.get("index").asInt(-1) else -1
+          if (idx < 0 || idx >= want)
+            return Left(Permanent(new RuntimeException(
+              s"embed: invalid index $idx (len=$want)")))
+          val emb = d.get("embedding")
+          if (emb == null || !emb.isArray || emb.size() != dimension)
+            return Left(Permanent(new RuntimeException(
+              s"embed: dimension mismatch: got " +
+                s"${if (emb == null) 0 else emb.size()}, configured $dimension")))
+          val arr = new Array[Float](dimension)
+          var i = 0
+          while (i < dimension) { arr(i) = emb.get(i).floatValue(); i += 1 }
+          vecs(idx) = arr
+        }
+        var i = 0
+        while (i < want) {
+          if (vecs(i) == null)
+            return Left(Permanent(new RuntimeException(
+              s"embed: missing embedding at index $i")))
+          i += 1
+        }
+        Right(vecs.toSeq)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // body read/decode failures usually mean the connection
+          // dropped mid-stream — transient (client.go:192-197)
+          Left(Transient(new RuntimeException(s"decode response: $e", e), None))
+      }
+    }
+  }
+}
+
+object HttpEmbedClient {
+  private sealed trait EmbedError
+  private final case class Transient(e: Throwable,
+      retryAfterMs: Option[Long]) extends EmbedError
+  private final case class Permanent(e: Throwable) extends EmbedError
+
+  /** Retry-After per RFC 7231 §7.1.3 (client.go:232-265): non-negative
+    * delta-seconds or an HTTP-date; both clamp to one hour (a misbehaving
+    * server must not stall a worker); an already-passed date means "retry
+    * now" (Some(0)); missing/unparseable → None (caller uses its default
+    * backoff). Some(0) ≠ None — an explicit immediate-retry hint beats
+    * the exponential backoff.
+    */
+  private[operators] def parseRetryAfter(v: String): Option[Long] = {
+    val s = Option(v).map(_.trim).getOrElse("")
+    if (s.isEmpty) return None
+    val maxWaitMs = 3600L * 1000L
+    s.toLongOption match {
+      case Some(secs) if secs >= 0 => Some(math.min(secs * 1000L, maxWaitMs))
+      case Some(_) => None
+      case None =>
+        try {
+          val t = java.time.ZonedDateTime.parse(s,
+            java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          val deltaMs = java.time.Duration
+            .between(java.time.ZonedDateTime.now(t.getZone), t).toMillis
+          Some(math.max(0L, math.min(deltaMs, maxWaitMs)))
+        } catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  }
+}
