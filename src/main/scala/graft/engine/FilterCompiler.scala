@@ -51,11 +51,19 @@ final class FilterCompiler(v: MsgVault) {
   // ---- message-id sets for semi/anti joins ------------------------------
 
   /** ids of messages whose from-participant matches `pred`. */
+  // Every id-set helper ALIASES its output column (`.as("message_id")`
+  // mints a fresh attribute id even under the same name): callers join
+  // these sets against frames that may have ALREADY joined the same
+  // mr/p/ml/lbl instances (the Labels aggregate view + `label:` search,
+  // the Senders view + `from:` search) — without the alias the join
+  // condition's column exists on BOTH sides of the self-join and Spark's
+  // DetectAmbiguousSelfJoin rejects the plan (found by the InjectionSpec
+  // twin of reference duckdb_test.go:2110-2140).
   private def fromIds(pred: Column): DataFrame =
     mr.filter(col("recipient_type") === "from")
       .join(p, p("id") === mr("participant_id"))
       .filter(pred)
-      .select(mr("message_id")).distinct()
+      .select(mr("message_id").as("message_id")).distinct()
 
   /** ids of messages with a participant of one of `types` matching `pred`.
     * The `to:` operator spans all three recipient types (reference
@@ -70,13 +78,13 @@ final class FilterCompiler(v: MsgVault) {
     mr.filter(col("recipient_type").isin(types: _*))
       .join(p, p("id") === mr("participant_id"))
       .filter(pred)
-      .select(mr("message_id")).distinct()
+      .select(mr("message_id").as("message_id")).distinct()
 
   /** ids of messages having a label matching `pred`. */
   private def labelIds(pred: Column): DataFrame =
     ml.join(lbl, lbl("id") === ml("label_id"))
       .filter(pred)
-      .select(ml("message_id")).distinct()
+      .select(ml("message_id").as("message_id")).distinct()
 
   /** participant ids matching `pred` (for the sender_id direct path). */
   private def participantIds(pred: Column): DataFrame =
@@ -222,7 +230,8 @@ final class FilterCompiler(v: MsgVault) {
     */
   def compileSearch(msgIn: DataFrame, q: SearchQuery,
       keyCols: Seq[Column] = Nil, idCol: Option[Column] = None,
-      senderFallback: Boolean = true): DataFrame = {
+      senderFallback: Boolean = true,
+      labelKeyCol: Option[Column] = None): DataFrame = {
     var msg = msgIn
     def mid: Column = idCol.getOrElse(msg("id"))
 
@@ -263,7 +272,7 @@ final class FilterCompiler(v: MsgVault) {
             .drop("__from_hit", "__tm_id")
     }
 
-    applyNonText(msg, q, idCol)
+    applyNonText(msg, q, idCol, labelKeyCol)
   }
 
   /** Non-text search conditions — identical across the fast, aggregate and
@@ -271,7 +280,7 @@ final class FilterCompiler(v: MsgVault) {
     * is shared the same way).
     */
   private def applyNonText(msgIn: DataFrame, q: SearchQuery,
-      idCol: Option[Column]): DataFrame = {
+      idCol: Option[Column], labelKeyCol: Option[Column] = None): DataFrame = {
     var msg = msgIn
     def mid: Column = idCol.getOrElse(msg("id"))
 
@@ -294,14 +303,26 @@ final class FilterCompiler(v: MsgVault) {
     addrDim(q.ccAddrs, from = false, types = Seq("cc"))
     addrDim(q.bccAddrs, from = false, types = Seq("bcc"))
 
-    // labels: AND across terms (each must match — sqlite.go:1466-1469
-    // "message must have all labels"), each term a case-insensitive
-    // SUBSTRING match (both engines wrap the escaped term in %...%:
-    // duckdb.go:2436-2444, sqlite.go:1274-1284) — one semi-join per term
-    // so different terms may match different label rows
-    for (l <- q.labels) {
-      val ids = labelIds(lower(lbl("name")).contains(l.toLowerCase))
-      msg = msg.join(ids, mid === ids("message_id"), "left_semi")
+    // labels — two view-dependent semantics (duckdb.go:521-551):
+    //  * Labels AGGREGATE view (labelKeyCol set): the terms filter the
+    //    GROUPED label column directly, OR'd across terms, so only the
+    //    matching labels appear as result rows — not every label carried
+    //    by the matching messages (duckdb_test.go:2110-2140).
+    //  * everywhere else: AND across terms (each must match —
+    //    sqlite.go:1466-1469 "message must have all labels"), each term a
+    //    case-insensitive SUBSTRING match (both engines wrap the escaped
+    //    term in %...%: duckdb.go:2436-2444, sqlite.go:1274-1284) — one
+    //    semi-join per term so different terms may match different rows.
+    labelKeyCol match {
+      case Some(k) if q.labels.nonEmpty =>
+        msg = msg.filter(q.labels
+          .map(l => lower(k).contains(l.toLowerCase))
+          .reduce(_ || _))
+      case _ =>
+        for (l <- q.labels) {
+          val ids = labelIds(lower(lbl("name")).contains(l.toLowerCase))
+          msg = msg.join(ids, mid === ids("message_id"), "left_semi")
+        }
     }
 
     q.hasAttachment.foreach(b => msg = msg.filter(col("has_attachments") === b))

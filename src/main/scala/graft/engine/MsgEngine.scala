@@ -92,7 +92,10 @@ final class MsgEngine(val vault: MsgVault) {
       joined0 = filters.compileSearch(joined0,
         SearchParser.parse(opts.searchQuery),
         keyCols = Seq(key), idCol = Some(msgIn("id")),
-        senderFallback = false)
+        senderFallback = false,
+        // Labels view: label: terms filter the grouping column itself
+        // (duckdb.go:521-541) — only matching labels become result rows
+        labelKeyCol = if (view == ViewType.Labels) Some(key) else None)
     val att = vault.attachmentRollup
     val joined = joined0
       .join(att, col("__att_mid") === msgIn("id"), "left")
