@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Cross-SF correctness sweep (Verify + DuckDB compare at sf0.001 and
+// sf0.01) as ONE command — run before every commit batch.
+addCommandAlias("sweep", "runMain graft.tools.Sweep")
 // Pass the forked JVM's stdout straight through: sbt's default logger
 // prefixes every line with [info]/[error], which breaks consumers that
 // parse Bench/Verify's single JSON output line from stdout.
