@@ -47,13 +47,17 @@ object IvfIndex {
     */
   private[operators] def assign(base: DataFrame,
       centroids: Seq[Seq[Float]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(Similarity.cosine(col("embedding"), typedLit(c)).as("s"),
-        lit(i).as("i"))
-    }
-    // greatest() requires ≥ 2 args; a single centroid means one list
+    // ONE expression evaluation per row (TopCentroids), not an
+    // nList-wide greatest(struct(cosine…)) tree: the flat tree exceeds
+    // the codegen/JIT method budget once nList grows with the corpus and
+    // drops the projection to interpreted tree-walking — measured 70×
+    // slower at nList=160 (see TopCentroids scaladoc). Ranking/tie
+    // semantics are bit-identical (s desc, centroid id desc).
     val cluster =
-      if (scored.length == 1) lit(0) else greatest(scored: _*).getField("i")
+      if (centroids.length == 1) lit(0)
+      else element_at(
+        org.apache.spark.sql.graft.TopCentroids(col("embedding"), centroids, 1),
+        1)
     base.withColumn("cluster", cluster)
   }
 

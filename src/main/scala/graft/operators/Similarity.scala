@@ -372,13 +372,13 @@ object Similarity {
     require(p <= centroids.length,
       s"p ($p) exceeds the ${centroids.length} centroids actually " +
         s"derived (requested nList=$nList; corpus too small?)")
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("embedding"), typedLit(c)).as("s"), lit(i).as("i"))
-    }: _*)
-    base.withColumn("__sc", reverse(array_sort(scored)))
-      .select(col("vec_id"), col("embedding"),
-        explode(slice(col("__sc"), 1, p)).as("__c"))
-      .select(col("vec_id"), col("embedding"), col("__c.i").as("cluster"))
+    // one TopCentroids evaluation per row (was: reverse(array_sort) over
+    // an nList-wide struct array — the same interpreted-fallback trap as
+    // the single-assignment greatest() form; identical ranking:
+    // [s desc, HIGHER centroid id on ties])
+    base.select(col("vec_id"), col("embedding"),
+      explode(org.apache.spark.sql.graft.TopCentroids(
+        col("embedding"), centroids, p)).as("cluster"))
   }
 
   /** The recurring half of [[semanticDedup]]: within-cluster ε-ball pair
