@@ -83,12 +83,19 @@ object DeletionStaging {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(membersDir(baseDir))
     import spark.implicits._
+    // header is partitioned + dynamically overwritten like members, so a
+    // crashed-and-retried stage() REPLACES its header row instead of
+    // appending a duplicate (an append here would double every join
+    // against headers after a retry)
     Seq((manifestId, description, s.getAs[Long]("n"), s.getAs[Long]("sz"),
       s.getAs[java.sql.Timestamp]("lo"), s.getAs[java.sql.Timestamp]("hi"),
       s.getAs[Long]("accts")))
       .toDF("manifest_id", "description", "message_count",
         "total_size_bytes", "date_lo", "date_hi", "n_accounts")
-      .write.mode(SaveMode.Append).parquet(headersDir(baseDir))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("manifest_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(headersDir(baseDir))
     appendStatus(spark, baseDir, manifestId, 0L, Pending)
   }
 

@@ -43,7 +43,10 @@ object Export {
     */
   def mboxRecord(envelopeId: Column, sentAt: Column, mime: Column): Column =
     concat(
-      lit("From "), envelopeId, lit(" "),
+      // whitespace inside an envelope id would truncate it at parse time
+      // (the id ends at the first space per mbox convention) — fold any
+      // run of whitespace to '_' like the eml filename sanitizer does
+      lit("From "), regexp_replace(envelopeId, "\\s+", "_"), lit(" "),
       date_format(sentAt, "EEE MMM d HH:mm:ss yyyy"), lit("\n"),
       regexp_replace(mime, "(?m)^(>*From )", ">$1"), lit("\n"))
 
@@ -151,7 +154,13 @@ object Export {
       size.as("n_bytes"))
       .withColumn("hash_valid", isValidSha256Hex(col("content_hash")))
     val sanitized = {
-      val s = sanitizeFilename(col("__fn"))
+      // filepath.Base FIRST, sanitize second — the reference's order
+      // (attachments.go:170: SanitizeFilename(filepath.Base(original))),
+      // so "dir/file.pdf" exports as "file.pdf", not "dir_file.pdf".
+      // Base: drop trailing slashes, keep the last path segment.
+      val baseName =
+        regexp_replace(regexp_replace(col("__fn"), "/+$", ""), "^.*/", "")
+      val s = sanitizeFilename(baseName)
       when(s.isNull || s === "" || s === ".", col("content_hash")).otherwise(s)
     }
     val valid = base.filter(col("hash_valid"))

@@ -32,6 +32,20 @@ class ExportDeletionSpec extends SparkTestBase {
     }
   }
 
+  test("envelope ids containing whitespace are folded, not truncated") {
+    import spark.implicits._
+    val rows = Seq((1L, "id with spaces", "Subject: s\n\nbody"))
+      .toDF("id", "src", "mime")
+      .withColumn("sent_at", to_timestamp(lit("2024-01-02 03:04:05")))
+    val out = java.nio.file.Files.createTempDirectory("graft_mbox_ws").toString
+    Export.writeMbox(rows, col("id"),
+      Export.mboxRecord(col("src"), col("sent_at"), col("mime")), out)
+    val back = Export.readMbox(spark, out).collect()
+    assert(back.length == 1)
+    assert(back.head.getString(0) == "id_with_spaces") // folded, complete
+    assert(back.head.getString(1) == "Subject: s\n\nbody")
+  }
+
   test("parseMboxText: quoting depth reduces by exactly one level") {
     val txt = "From a 2024\nbody\n>From was-quoted\n>>From deeper\n\n"
     val Seq((id, mime)) = Export.parseMboxText(txt)
@@ -90,6 +104,23 @@ class ExportDeletionSpec extends SparkTestBase {
     assert(got(60L).contains("noext"))
   }
 
+  test("attachment names take the basename BEFORE sanitizing (Go Base order)") {
+    import spark.implicits._
+    val h = "c" * 64
+    val att = Seq(
+      (1L, "dir/sub/file.pdf", h, 1L), // basename, not dir_sub_file.pdf
+      (2L, "trailing/slashes///", h, 1L), // Base drops trailing slashes
+      (3L, "mixed/dir/we:ird.pdf", h, 1L)) // base then ':' sanitized
+      .toDF("id", "fn", "hash", "sz")
+    val got = Export.attachmentZipManifest(att, col("id"), col("fn"),
+      col("hash"), col("sz"))
+      .collect().map(r => r.getAs[Long]("attachment_id") ->
+        r.getAs[String]("zip_name")).toMap
+    assert(got(1L) == "file.pdf")
+    assert(got(2L) == "slashes")
+    assert(got(3L) == "we_ird.pdf")
+  }
+
   // --- output path guard ----------------------------------------------------
 
   test("validateOutputPath rejects absolute, traversal, drive paths") {
@@ -123,6 +154,17 @@ class ExportDeletionSpec extends SparkTestBase {
     val st = DeletionStaging.currentStatus(spark, base).collect()
     assert(st.head.getAs[String]("status") == DeletionStaging.Pending)
     assert(DeletionStaging.members(spark, base, "m1").count() == 5L)
+  }
+
+  test("re-staging the same manifest id is idempotent (no duplicate header)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_del_re").toString
+    DeletionStaging.stage(spark, base, "m1", "first", mkCandidates(3))
+    // crashed-and-retried stage: same id, fresh candidate set
+    DeletionStaging.stage(spark, base, "m1", "retry", mkCandidates(4))
+    val h = DeletionStaging.headers(spark, base).collect()
+    assert(h.length == 1, s"duplicate headers after re-stage: ${h.length}")
+    assert(h.head.getAs[Long]("message_count") == 4L) // the retry's truth
+    assert(DeletionStaging.members(spark, base, "m1").count() == 4L)
   }
 
   test("stage refuses empty and non-gmail candidate sets") {
