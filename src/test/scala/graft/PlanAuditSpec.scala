@@ -477,4 +477,36 @@ class PlanAuditSpec extends SparkTestBase {
     ss.collect()
     assert(ss.rdd.getNumPartitions > 1, "sample_shuffle result edge is single-partition")
   }
+
+  test("deletion-staging member lookup prunes to one manifest partition") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_plan_del").toString
+    def cand(n: Int) = (1 to n).map(i => (s"g-$i", i.toLong % 2, "gmail",
+      100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("gmail_id", "source_id", "source_type", "size_estimate", "sent_at")
+    graft.operators.DeletionStaging.stage(spark, base, "m1", "a", cand(5))
+    graft.operators.DeletionStaging.stage(spark, base, "m2", "b", cand(7))
+    val df = graft.operators.DeletionStaging.members(spark, base, "m1")
+    val scan = scans(executed(df)).head
+    // partition filter on manifest_id → only m1's files are read
+    assert(scan.relation.location.inputFiles
+      .forall(_.contains("manifest_id=m1")) ||
+      scan.metadata.getOrElse("PartitionFilters", "").contains("manifest_id"),
+      s"member read not partition-pruned: ${scan.metadata}")
+    assert(df.count() == 5)
+  }
+
+  test("attachment zip manifest shuffles only on the filename window") {
+    import spark.implicits._
+    val h = "d" * 64
+    val att = (1 to 200).map(i => (i.toLong, s"f${i % 9}.pdf", h, 10L))
+      .toDF("id", "fn", "hash", "sz")
+    val df = graft.operators.Export.attachmentZipManifest(att, col("id"),
+      col("fn"), col("hash"), col("sz"))
+    val plan = executed(df).toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected exactly the per-name window shuffle, got $shuffles:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"single-task stage:\n$plan")
+  }
 }
