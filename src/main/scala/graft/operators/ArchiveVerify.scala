@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Mime
+
+/** Archive integrity audit — the analytics half of the reference's
+  * `msgvault verify` (cmd/verify.go:26-200): count live messages, count
+  * raw-MIME coverage, and prove the stored blobs actually decompress.
+  * The reference SAMPLES N random messages because it runs single-node
+  * against SQLite; the distributed form verifies EVERY blob — a full
+  * integrity scan is exactly the kind of embarrassingly parallel pass a
+  * cluster makes cheap (one scan, per-row inflate, one small rollup).
+  * (The Gmail-side count comparison is the sync connector's half —
+  * upstream per SURVEY §7.)
+  */
+object ArchiveVerify {
+
+  /** Per-source audit over live messages joined to the raw sidecar:
+    * n_messages, n_with_raw, n_raw_ok (stored bytes inflate cleanly —
+    * plain blobs count as ok when present), n_raw_corrupt, and the
+    * coverage percentage (2 dp, matching the report format of
+    * verify.go:141-150).
+    *
+    * Scale shape: one scan of each side, the inflate UDF touches only
+    * rows that HAVE raw bytes, and the rollup output is |sources| rows.
+    */
+  def auditRaw(messages: DataFrame, raw: DataFrame,
+      sources: DataFrame): DataFrame = {
+    val live = messages.filter(col("deleted_at").isNull)
+      .select(col("id"), col("source_id"))
+    val checked = raw.select(col("message_id"),
+      when(col("compression") === "zlib",
+        Mime.inflateUdf(col("raw_data")).isNotNull)
+        .otherwise(col("raw_data").isNotNull).as("__raw_ok"))
+    live.join(checked, live("id") === checked("message_id"), "left")
+      .groupBy(col("source_id"))
+      .agg(
+        count(lit(1)).as("n_messages"),
+        sum(when(col("__raw_ok").isNotNull, 1L).otherwise(0L))
+          .as("n_with_raw"),
+        sum(when(col("__raw_ok") === true, 1L).otherwise(0L)).as("n_raw_ok"),
+        sum(when(col("__raw_ok") === false, 1L).otherwise(0L))
+          .as("n_raw_corrupt"))
+      .join(broadcast(sources.select(col("id").as("source_id"),
+        col("source_type"))), Seq("source_id"))
+      .withColumn("raw_pct",
+        round(col("n_with_raw") * 100.0 / col("n_messages"), 2))
+  }
+}

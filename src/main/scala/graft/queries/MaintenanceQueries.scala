@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.ArchiveVerify
+import graft.functions.TextEncoding
+import graft.sources.Tables
+
+/** Archive-maintenance entries: the integrity audit (reference
+  * cmd/verify.go) and the encoding-repair pass
+  * (cmd/repair_encoding.go + internal/textutil/encoding.go), both over
+  * deterministic fixtures with PLANTED defects so the gate proves the
+  * operator actually catches what it claims to catch.
+  */
+object MaintenanceQueries {
+
+  /** Full-archive raw-MIME audit with planted corruption: the dedup
+    * star's raw sidecar, with every zlib blob of a doc where
+    * d % 31 == 2 truncated to its first 4 bytes (a deflate stream that
+    * cannot inflate). The audit must report EXACTLY those as corrupt —
+    * per source — while counting coverage over live messages. Oracle:
+    * pure arithmetic over the same residue classes.
+    */
+  def archiveVerify(s: SparkSession, dir: String): DataFrame = {
+    val (v, raw) = MessageDedupQueries.star(s, dir)
+    val planted = raw.withColumn("raw_data",
+      when(col("compression") === "zlib" && col("message_id") % 31 === 2,
+        expr("substring(raw_data, 1, 4)")).otherwise(col("raw_data")))
+    orderedAtTail(
+      ArchiveVerify.auditRaw(v.messages, planted, v.sources)
+        .select(col("source_id"), col("source_type"), col("n_messages"),
+          col("n_with_raw"), col("n_raw_ok"), col("n_raw_corrupt"),
+          col("raw_pct")),
+      col("source_id").asc)
+  }
+
+  // the star's residue classes, replayed: live = d%97<>0; has_raw =
+  // d%4 in (1,3) or d%6=0; zlib = d%8 in (1,3); corrupt plant =
+  // zlib and d%31=2; source_id per the star's member shuffle
+  val archiveVerifySql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 4 = 1 THEN (doc_id // 4 + 1) % 3
+      |              ELSE (doc_id // 4) % 3 END AS source_id,
+      |         (doc_id % 4 IN (1, 3)) OR (doc_id % 6 = 0) AS has_raw,
+      |         (doc_id % 8 IN (1, 3)) AND doc_id % 31 = 2 AS corrupt
+      |  FROM documents WHERE doc_id % 97 <> 0)
+      |SELECT source_id,
+      |       CASE source_id WHEN 0 THEN 'gmail' WHEN 1 THEN 'imap'
+      |            ELSE 'mbox' END AS source_type,
+      |       COUNT(*) AS n_messages,
+      |       CAST(SUM(CASE WHEN has_raw THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_with_raw,
+      |       CAST(SUM(CASE WHEN has_raw AND NOT corrupt THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_raw_ok,
+      |       CAST(SUM(CASE WHEN has_raw AND corrupt THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_raw_corrupt,
+      |       round(SUM(CASE WHEN has_raw THEN 1 ELSE 0 END) * 100.0
+      |         / COUNT(*), 2) AS raw_pct
+      |FROM m GROUP BY source_id ORDER BY source_id ASC""".stripMargin
+
+  /** Encoding repair over a fixture whose raw subject bytes are planted
+    * in two encodings: docs with d % 5 == 0 carry ISO-8859-1 bytes of a
+    * Latin-1 marker string (invalid as UTF-8 — the é/ü bytes are lone
+    * high bytes), everything else valid UTF-8. The repair must decode
+    * the planted rows through the Windows-1252 terminal branch (whose
+    * 0xA0-0xFF range equals Latin-1, so the text round-trips exactly),
+    * flag them changed, and mark reembed_needed — subject feeds the
+    * embedder (repair_encoding.go:279-287). The oracle reconstructs the
+    * expected repaired text arithmetically.
+    */
+  def textEncodingRepair(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val marker = lit(" résumé naïve")
+    val base = concat(lit("subj-"), col("doc_id").cast("string"), marker)
+    val subjectBytes = when(col("doc_id") % 5 === 0,
+      encode(base, "ISO-8859-1")).otherwise(encode(base, "UTF-8"))
+    val fixture = docs.select(col("doc_id"), subjectBytes.as("__subject_raw"))
+    bucketOrdered(
+      TextEncoding.repairEncoding(fixture,
+        Seq("subject" -> col("__subject_raw")),
+        embedderFields = Set("subject"))
+        .select(col("doc_id"), col("subject"), col("subject_changed"),
+          col("reembed_needed")),
+      col("doc_id"))
+  }
+
+  val textEncodingRepairSql: String =
+    s"""SELECT doc_id,
+      |       'subj-' || CAST(doc_id AS VARCHAR) || ' résumé naïve'
+      |         AS subject,
+      |       doc_id % 5 = 0 AS subject_changed,
+      |       doc_id % 5 = 0 AS reembed_needed
+      |FROM documents
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "archive_verify" -> (archiveVerify _, Some(archiveVerifySql)),
+    "text_encoding_repair" ->
+      (textEncodingRepair _, Some(textEncodingRepairSql)))
+}
