@@ -37,6 +37,35 @@ object DocQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars_measured
       |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
+  /** GPT-2-style pretokenizer regex count — the "how many BPE-ish units
+    * would the tokenizer see" estimate a data-mixing pipeline budgets
+    * with (whitespace counting undercounts punctuation-dense text badly).
+    * Pattern kept inside the RE2 ∩ java.util.regex common subset (no
+    * lookahead — the canonical GPT-2 `\s+(?!\S)` branch is RE2-
+    * inexpressible) so the oracle runs the IDENTICAL pattern: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs.
+    */
+  def textTokenCountBpe(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    bucketOrdered(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_ws_tokens")),
+      col("doc_id"))
+  }
+
+  val textTokenCountBpeSql: String =
+    raw"""SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text,
+      |         '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+      |         AS BIGINT) AS n_bpe_tokens,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+      |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
+
   // one-pass TextStats scalar expression; counts are the same integers the
   // size/array_distinct/filter-isin walks produced
   def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -1049,6 +1078,7 @@ object DocQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "multimodal_frames" -> (multimodalFrames _, Some(multimodalFramesSql)),
     "text_token_count" -> (textTokenCount _, Some(textTokenCountSql)),
+    "text_token_count_bpe" -> (textTokenCountBpe _, Some(textTokenCountBpeSql)),
     "text_quality" -> (textQuality _, Some(textQualitySql)),
     "text_fingerprint" -> (textFingerprint _, Some(textFingerprintSql)),
     "text_lang_id" -> (textLangId _, Some(textLangIdSql)),
