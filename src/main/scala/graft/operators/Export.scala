@@ -67,6 +67,11 @@ object Export {
     * (envelope_id, mime) per message. Shards are whole-file rows (an
     * mbox record spans lines), split on unquoted "From " line starts —
     * unambiguous because payload From-lines are always quoted.
+    *
+    * Memory shape: `wholetext` holds ONE shard per task — bounded by
+    * corpus/OrderBuckets. For exports where a shard would exceed task
+    * memory, raise the bucket count at write time; the parse itself is
+    * single-pass.
     */
   def readMbox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -67,8 +67,12 @@ package object queries {
     * of partitions in order (what a parquet write + filename-ordered
     * read, or a coalesce(1), produces) IS the total order
     * `ORDER BY md5bucket(id), id` — which is exactly what the DuckDB
-    * oracles declare via [[duckBucketOrder]]. The bucket column is
-    * internal; the visible schema is unchanged.
+    * oracles declare via [[duckBucket]]. The bucket column is internal;
+    * the visible schema is unchanged.
+    *
+    * `id` must be UNIQUE and NON-NULL (any total-order contract needs
+    * that anyway): a null id would bucket as null, and Spark sorts nulls
+    * first where DuckDB's ORDER BY puts them last.
     */
   private[graft] def bucketOrdered(df: DataFrame, id: Column,
       tail: Column*): DataFrame = {
