@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Staged deletion lifecycle — reference internal/deletion/ (manifest.go
@@ -58,6 +58,11 @@ object DeletionStaging {
     */
   def stage(spark: SparkSession, baseDir: String, manifestId: String,
       description: String, candidates: DataFrame): Unit = {
+    // SNAPSHOT the candidate set before anything reads it twice: the
+    // summary/validation aggregation and the member write are separate
+    // Spark jobs, and a nondeterministic candidate frame (live-directory
+    // re-read, sample) would otherwise persist members that disagree
+    // with the header counts — and possibly bypass the validation
     val member = candidates.select(
       lit(manifestId).as("manifest_id"),
       col("gmail_id").cast("string").as("gmail_id"),
@@ -65,6 +70,7 @@ object DeletionStaging {
       col("source_type").cast("string").as("source_type"),
       col("size_estimate").cast("long").as("size_estimate"),
       col("sent_at").cast("timestamp").as("sent_at"))
+      .localCheckpoint(true)
     // ONE aggregation both validates and summarizes — no second scan
     val s = member.agg(
       count(lit(1)).as("n"),
@@ -107,11 +113,28 @@ object DeletionStaging {
       .write.mode(SaveMode.Append).parquet(statusDir(baseDir))
   }
 
-  /** Latest status per manifest: max-seq event wins. */
+  /** Deterministic tie-break for racing appenders: the append-only log
+    * cannot serialize two movers that both read seq N and both append
+    * N+1 — so equal-seq events resolve by a SAFETY ranking where the
+    * more-terminal/conservative state wins (a cancel racing an
+    * execute-start resolves to cancelled, never to a run that ignores
+    * the cancellation). Ranks: cancelled > completed > failed >
+    * in_progress > pending.
+    */
+  private val statusRank: Column =
+    when(col("status") === Cancelled, 4)
+      .when(col("status") === Completed, 3)
+      .when(col("status") === Failed, 2)
+      .when(col("status") === InProgress, 1)
+      .otherwise(0)
+
+  /** Latest status per manifest: max-seq event wins; seq ties resolve by
+    * the conservative [[statusRank]] (see its scaladoc).
+    */
   def currentStatus(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(statusDir(baseDir))
       .groupBy(col("manifest_id"))
-      .agg(max_by(col("status"), col("seq")).as("status"),
+      .agg(max_by(col("status"), struct(col("seq"), statusRank)).as("status"),
         max(col("seq")).as("seq"))
 
   /** Transition a manifest to a new state; throws on an illegal edge
@@ -143,24 +166,34 @@ object DeletionStaging {
 
   /** Archive-side execution effect: soft-delete the manifest's members
     * in a message frame (the store half of executor.go — the Gmail API
-    * half is the upstream producer's). Left-semi keyed on
-    * source_message_id; returns (messages-with-deleted_at, stats row
+    * half is the upstream producer's). Keyed on (source_message_id,
+    * source_id) — NOT the id alone: remote deletion is per-account, and
+    * a same-id message in a different source must never be touched
+    * (that is exactly the same-source invariant the dedup-remote
+    * candidates enforce upstream). Member rows are deduped before the
+    * join so a repeated member can neither multiply message rows nor
+    * double-count stats. Returns (messages-with-deleted_at, stats row
     * (succeeded, failed)) where failed counts members with no archive
     * row (executor.go tracks them as FailedIDs).
     */
   def execute(messages: DataFrame, manifestMembers: DataFrame,
       deletedAt: java.sql.Timestamp): (DataFrame, DataFrame) = {
-    val ids = manifestMembers.select(col("gmail_id"))
+    val ids = manifestMembers
+      .select(col("gmail_id"), col("source_id").as("__m_src")).distinct()
     val marked = messages
       .join(broadcast(ids.withColumn("__hit", lit(true))),
-        messages("source_message_id") === ids("gmail_id"), "left")
+        messages("source_message_id") === ids("gmail_id") &&
+          messages("source_id") === ids("__m_src"), "left")
       .withColumn("deleted_at",
         when(col("__hit") && col("deleted_at").isNull, lit(deletedAt))
           .otherwise(col("deleted_at")))
-      .drop("gmail_id", "__hit")
-    val stats = manifestMembers
-      .join(messages.select(col("source_message_id").as("gmail_id"))
-        .withColumn("__found", lit(true)), Seq("gmail_id"), "left")
+      .drop("gmail_id", "__hit", "__m_src")
+    val archive = messages
+      .select(col("source_message_id").as("gmail_id"),
+        col("source_id").as("__m_src")).distinct()
+      .withColumn("__found", lit(true))
+    val stats = ids
+      .join(archive, Seq("gmail_id", "__m_src"), "left")
       .agg(sum(when(col("__found"), 1L).otherwise(0L)).as("succeeded"),
         sum(when(col("__found").isNull, 1L).otherwise(0L)).as("failed"))
     (marked, stats)

@@ -47,7 +47,12 @@ object Export {
       // (the id ends at the first space per mbox convention) — fold any
       // run of whitespace to '_' like the eml filename sanitizer does
       lit("From "), regexp_replace(envelopeId, "\\s+", "_"), lit(" "),
-      date_format(sentAt, "EEE MMM d HH:mm:ss yyyy"), lit("\n"),
+      // a message with an unparseable Date (null sent_at) must still
+      // export — concat is null-propagating and a null record would
+      // crash the text sink's write task; epoch is mbox's customary
+      // unknown-date envelope value
+      coalesce(date_format(sentAt, "EEE MMM d HH:mm:ss yyyy"),
+        lit("Thu Jan 1 00:00:00 1970")), lit("\n"),
       regexp_replace(mime, "(?m)^(>*From )", ">$1"), lit("\n"))
 
   /** Write a framed message set as mbox shard files: one shard per order
@@ -60,6 +65,11 @@ object Export {
       outDir: String): Unit =
     graft.queries.bucketOrdered(
       messages.select(id.as("__id"), record.as("value")), col("__id"))
+      // a null record (null id or null/corrupt mime) would abort the
+      // whole write task inside the text sink — skip such rows; callers
+      // account for corrupt blobs explicitly via ArchiveVerify.auditRaw
+      // rather than by crashing a bulk export
+      .filter(col("value").isNotNull)
       .select(col("value"))
       .write.mode("overwrite").text(outDir)
 
@@ -94,7 +104,12 @@ object Export {
       val p = if (payload.nonEmpty && payload.last.isEmpty) payload.dropRight(1)
               else payload
       val unquoted = p.map { l =>
-        if (l.matches("^>+From .*")) l.substring(1) else l
+        // prefix test, NOT a full-line regex match: raw MIME is
+        // canonically CRLF, and a full match (`.matches`) would refuse
+        // to consume the trailing '\r' ('.' excludes line terminators),
+        // leaving quoted From-lines quoted and breaking exactness
+        val depth = l.segmentLength(_ == '>')
+        if (depth > 0 && l.startsWith("From ", depth)) l.substring(1) else l
       }
       val sp = env.indexOf(' ', 5)
       val id = if (sp < 0) env.substring(5) else env.substring(5, sp)

@@ -28,9 +28,12 @@ object CoreQueries {
     * each other's sink mid-read. The pid component is what actually
     * de-races concurrent JVMs: identityHashCode only disambiguates
     * sessions WITHIN one JVM, and two gate/bench processes on the same
-    * host can easily mint the same identity hash.
+    * host can easily mint the same identity hash. ONE definition —
+    * ExportQueries' sinks share it so the de-racing recipe cannot
+    * drift between the two sink families.
     */
-  private def etlTmpPath(s: SparkSession, dir: String, name: String): String =
+  private[queries] def etlTmpPath(s: SparkSession, dir: String,
+      name: String): String =
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/${name}_" +
       s"${ProcessHandle.current().pid()}_" +
       s"${System.identityHashCode(s)}_${math.abs(dir.hashCode)}"

@@ -47,7 +47,11 @@ object DocQueries {
     * whitespace runs.
     */
   def textTokenCountBpe(s: SparkSession, dir: String): DataFrame = {
-    val pat = "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    // whitespace spelled as an EXPLICIT class, not \s: Java's \s
+    // includes U+000B (vertical tab) where RE2's does not, so the two
+    // engines would partition "$" differently (verified: Java 2
+    // tokens, DuckDB 1). [ \t\n\f\r] means the same thing to both.
+    val pat = "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
     bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -61,7 +65,7 @@ object DocQueries {
   val textTokenCountBpeSql: String =
     raw"""SELECT doc_id,
       |       CAST(len(regexp_extract_all(text,
-      |         '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+      |         '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
       |         AS BIGINT) AS n_bpe_tokens,
       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
       |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin

@@ -16,13 +16,12 @@ import graft.sources.Tables
   */
 object ExportQueries {
 
-  /** tmp sink root, pid+session+snapshot-scoped like CoreQueries' ETL
-    * sinks — concurrent gate/bench JVMs must not clobber each other.
+  /** tmp sink root — the ONE pid+session+snapshot-scoped recipe
+    * ([[CoreQueries.etlTmpPath]]); a second copy of the de-racing scheme
+    * would silently drift from the next fix to it.
     */
   private def tmpPath(s: SparkSession, dir: String, name: String): String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/${name}_" +
-      s"${ProcessHandle.current().pid()}_" +
-      s"${System.identityHashCode(s)}_${math.abs(dir.hashCode)}"
+    CoreQueries.etlTmpPath(s, dir, name)
 
   /** The exportable set: LIVE messages that have raw MIME, with the blob
     * inflated back to text — exactly what export-eml serves per id

@@ -111,20 +111,41 @@ object VectorStreaming {
     import org.apache.hadoop.fs.Path
     val marker = new Path(checkpoint, "graft_stream_id")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(marker)) {
+    def read(): String = {
       val in = fs.open(marker)
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
         buf.toString("UTF-8").trim
       } finally in.close()
-    } else {
+    }
+    // Write-then-RENAME, never create-in-place: a crash between a direct
+    // create and its write would leave a permanent zero-byte marker
+    // (identity "" forever — and shared by every other crashed
+    // checkpoint in the listsDir), and a concurrent second drain would
+    // crash on the create instead of adopting the existing id. The
+    // rename is atomic on HDFS/local; the loser of a rename race simply
+    // reads the winner's id.
+    var attempt = 0
+    while (attempt < 3) {
+      if (fs.exists(marker)) {
+        val id = read()
+        if (id.nonEmpty) return id
+        // legacy/corrupt empty marker: remove and mint a fresh identity
+        fs.delete(marker, false)
+      }
       // 8 hex chars is plenty: the namespace only needs to be unique
       // among incarnations that ever shared one listsDir
       val id = java.util.UUID.randomUUID().toString.take(8)
-      val out = fs.create(marker, false)
+      val tmp = new Path(checkpoint, s"graft_stream_id.tmp.$id")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes("UTF-8")) finally out.close()
-      id
+      if (fs.rename(tmp, marker)) return id
+      fs.delete(tmp, false) // rename race lost — adopt the winner's id
+      attempt += 1
     }
+    val id = read()
+    require(id.nonEmpty, s"could not establish a stream identity under $checkpoint")
+    id
   }
 }

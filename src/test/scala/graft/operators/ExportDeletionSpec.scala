@@ -32,6 +32,37 @@ class ExportDeletionSpec extends SparkTestBase {
     }
   }
 
+  test("CRLF payloads roundtrip exactly — quoted From-lines unquote despite \\r") {
+    import spark.implicits._
+    val mime = "Subject: crlf\r\n\r\nFrom the top\r\n>From quoted\r\nbody\r\n"
+    val rows = Seq((1L, "id-crlf", mime)).toDF("id", "src", "mime")
+      .withColumn("sent_at", to_timestamp(lit("2024-01-02 03:04:05")))
+    val out = java.nio.file.Files.createTempDirectory("graft_mbox_crlf").toString
+    Export.writeMbox(rows, col("id"),
+      Export.mboxRecord(col("src"), col("sent_at"), col("mime")), out)
+    val back = Export.readMbox(spark, out).collect()
+    assert(back.head.getString(1) == mime,
+      s"CRLF payload corrupted: ${back.head.getString(1).replace("\r", "\\r")}")
+  }
+
+  test("null sent_at exports with the epoch envelope; null mime rows are skipped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "id-nodate", Some("Subject: x\n\nbody")),
+      (2L, "id-nomime", Option.empty[String]))
+      .toDF("id", "src", "mime")
+      .withColumn("sent_at",
+        when(col("id") === 1L, lit(null).cast("timestamp")))
+    val out = java.nio.file.Files.createTempDirectory("graft_mbox_null").toString
+    // must not crash the write task
+    Export.writeMbox(rows, col("id"),
+      Export.mboxRecord(col("src"), col("sent_at"), col("mime")), out)
+    val back = Export.readMbox(spark, out).collect()
+    assert(back.length == 1) // the null-mime row is skipped, not fatal
+    assert(back.head.getString(0) == "id-nodate")
+    assert(back.head.getString(1) == "Subject: x\n\nbody")
+  }
+
   test("envelope ids containing whitespace are folded, not truncated") {
     import spark.implicits._
     val rows = Seq((1L, "id with spaces", "Subject: s\n\nbody"))
@@ -211,23 +242,44 @@ class ExportDeletionSpec extends SparkTestBase {
   test("execute soft-deletes members, reports missing ids as failed") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_del4").toString
+    // candidates: g-1 (source 1), g-2 (source 0), g-3 (source 1)
     DeletionStaging.stage(spark, base, "m1", "x", mkCandidates(3))
-    // archive has g-1, g-2 (g-2 already deleted), not g-3
+    // archive has g-1 in BOTH sources (only source 1 is staged),
+    // g-2 (already deleted), not g-3
     val messages = Seq(
-      ("g-1", null.asInstanceOf[java.sql.Timestamp]),
-      ("g-2", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
-      ("g-other", null.asInstanceOf[java.sql.Timestamp]))
-      .toDF("source_message_id", "deleted_at")
+      ("g-1", 1L, null.asInstanceOf[java.sql.Timestamp]),
+      ("g-1", 9L, null.asInstanceOf[java.sql.Timestamp]), // other source
+      ("g-2", 0L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
+      ("g-other", 1L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("source_message_id", "source_id", "deleted_at")
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     val (marked, stats) = DeletionStaging.execute(messages,
       DeletionStaging.members(spark, base, "m1"), ts)
-    val del = marked.collect()
-      .map(r => r.getString(0) -> Option(r.getAs[java.sql.Timestamp](1))).toMap
-    assert(del("g-1").contains(ts)) // newly soft-deleted
-    assert(del("g-2").exists(_.before(ts))) // already deleted: untouched
-    assert(del("g-other").isEmpty) // non-member: untouched
+    val del = marked.collect().map(r =>
+      (r.getString(0), r.getLong(1)) ->
+        Option(r.getAs[java.sql.Timestamp]("deleted_at"))).toMap
+    assert(del(("g-1", 1L)).contains(ts)) // newly soft-deleted
+    // SAME id, DIFFERENT source: must NOT be touched (per-account rule)
+    assert(del(("g-1", 9L)).isEmpty)
+    assert(del(("g-2", 0L)).exists(_.before(ts))) // already deleted: untouched
+    assert(del(("g-other", 1L)).isEmpty) // non-member: untouched
+    assert(marked.count() == 4) // no row multiplication
     val st = stats.head()
-    assert(st.getAs[Long]("succeeded") == 2L) // g-1, g-2 found
+    assert(st.getAs[Long]("succeeded") == 2L) // g-1@1, g-2@0 found
     assert(st.getAs[Long]("failed") == 1L) // g-3 missing from archive
+  }
+
+  test("racing same-seq status events resolve conservatively (cancel wins)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_del5").toString
+    DeletionStaging.stage(spark, base, "m1", "x", mkCandidates(2))
+    // simulate two movers that both read seq=0 and both appended seq=1
+    Seq(("m1", 1L, DeletionStaging.InProgress),
+      ("m1", 1L, DeletionStaging.Cancelled))
+      .toDF("manifest_id", "seq", "status")
+      .write.mode("append").parquet(s"$base/status")
+    val st = DeletionStaging.currentStatus(spark, base).collect()
+    assert(st.head.getAs[String]("status") == DeletionStaging.Cancelled,
+      "a cancel racing an execute-start must resolve to cancelled")
   }
 }

@@ -28,7 +28,12 @@ class MboxPropSpec extends AnyFunSuite {
     Gen.const(""),
     Gen.choose(0, 4).map(d => ">" * d + "From the start"),
     Gen.const("From x"),
-    Gen.asciiPrintableStr.map(s => "From " + s.take(20)))
+    Gen.asciiPrintableStr.map(s => "From " + s.take(20)),
+    // CRLF shapes: raw MIME is canonically \r\n — lines carry a
+    // trailing \r through the \n-based framing and must roundtrip
+    Gen.const("From crlf line\r"),
+    Gen.choose(1, 3).map(d => ">" * d + "From quoted crlf\r"),
+    Gen.asciiPrintableStr.map(s => s.take(30) + "\r"))
 
   private val payload: Gen[String] =
     Gen.listOf(payloadLine).map(_.mkString("\n"))
