@@ -107,7 +107,8 @@ object VectorStreaming {
     * so the identity lives and dies with the checkpoint. Uses the Hadoop
     * FS API — checkpoints may be on any supported filesystem.
     */
-  private def streamIdentity(spark: SparkSession, checkpoint: String): String = {
+  private[streaming] def streamIdentity(spark: SparkSession,
+      checkpoint: String): String = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(checkpoint, "graft_stream_id")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())

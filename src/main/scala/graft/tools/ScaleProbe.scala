@@ -291,6 +291,75 @@ object ScaleProbe {
     importance(docs1) // warm
     time("importance scores 1x")(importance(docs1))
     time(s"importance scores ${factor}x")(importance(docsN))
+
+    // --- round-7 additions: export, archive verify, deletion execute ---
+    // Synthetic archive at each scale: mime text from the doc text, 2/3
+    // of the blobs zlib-deflated, every 311th corrupted (truncated), so
+    // the verify pass has real positives to catch at scale.
+    import graft.functions.Mime
+    import graft.operators.{ArchiveVerify, DeletionStaging, Export}
+    def archiveOf(d: org.apache.spark.sql.DataFrame) = {
+      val base = d.select(col("doc_id").as("id"),
+        concat(lit("src-"), col("doc_id")).as("source_message_id"),
+        pmod(col("doc_id"), lit(5)).as("source_id"),
+        lit(null).cast("timestamp").as("deleted_at"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("sent_at"),
+        concat(lit("Subject: d"), col("doc_id"), lit("\n\n"), col("text"))
+          .as("mime"))
+      val deflated = Mime.deflateUdf(col("mime").cast("binary"))
+      val raw = base.select(col("id").as("message_id"),
+        when(pmod(col("id"), lit(3)) < 2, lit("zlib")).otherwise(lit("none"))
+          .as("compression"),
+        col("mime"))
+        .withColumn("raw_data",
+          when(col("compression") === "zlib",
+            // every 311th blob corrupted: first 4 bytes of the stream
+            when(pmod(col("message_id"), lit(311)) === 0,
+              substring(deflated, 1, 4)).otherwise(deflated))
+            .otherwise(col("mime").cast("binary")))
+        .select(col("message_id"), col("compression"), col("raw_data"))
+      (base, raw)
+    }
+    val (m1, r1) = archiveOf(docs1)
+    val (mN, rN) = archiveOf(docsN)
+    val srcs = spark.range(5).select(col("id"), lit("gmail").as("source_type"))
+    ArchiveVerify.auditRaw(m1, r1, srcs).count() // warm
+    time("archive verify 1x")(ArchiveVerify.auditRaw(m1, r1, srcs).count())
+    time(s"archive verify ${factor}x")(
+      ArchiveVerify.auditRaw(mN, rN, srcs).count())
+
+    def mboxRound(m: org.apache.spark.sql.DataFrame): Long = {
+      val out = java.nio.file.Files.createTempDirectory("graft_sp_mbox").toString
+      Export.writeMbox(m, col("id"),
+        Export.mboxRecord(col("source_message_id"), col("sent_at"),
+          col("mime")), out)
+      val n = Export.readMbox(spark, out).count()
+      // recursive tmp cleanup (probe writes ~the corpus size per call)
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(out)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      n
+    }
+    mboxRound(m1) // warm
+    time("mbox export+readback 1x")(mboxRound(m1))
+    time(s"mbox export+readback ${factor}x")(mboxRound(mN))
+
+    // deletion execute: 1% of the corpus staged as members; the scale
+    // question is the member broadcast against the full message scan
+    def delExec(m: org.apache.spark.sql.DataFrame): Long = {
+      val members = m.filter(pmod(col("id"), lit(100)) === 0)
+        .select(col("source_message_id").as("gmail_id"), col("source_id"))
+      val (marked, stats) = DeletionStaging.execute(
+        m.select(col("source_message_id"), col("source_id"),
+          col("deleted_at")),
+        members, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      stats.count()
+      marked.filter(col("deleted_at").isNotNull).count()
+    }
+    delExec(m1) // warm
+    time("deletion execute 1x")(delExec(m1))
+    time(s"deletion execute ${factor}x")(delExec(mN))
     spark.stop()
   }
 }
