@@ -173,6 +173,48 @@ class PlanAuditSpec extends SparkTestBase {
     assert(salted.count() == plainCount)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The runtime backstop behind the manual salting operators: when a
+    // key hot enough to dwarf its siblings reaches a sort-merge join,
+    // AQE's OptimizeSkewedJoin must split that partition instead of
+    // letting one task process it alone — the library ships with AQE on
+    // (MsgVault defaults), so this asserts the conf actually engages on
+    // a skewed shape, not just that the flag is set. Thresholds are
+    // lowered to make test-scale bytes qualify; the SHAPE under test
+    // (median-vs-hot partition imbalance) is the production one.
+    import spark.implicits._
+    val pad = "x" * 200
+    val skewed = spark.range(200000)
+      .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id"))
+        .as("k"), concat(lit(pad), col("id")).as("payload"))
+    val right = spark.range(50000)
+      .select(col("id").as("k"), lit("r").as("rv"))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = skewed.join(right, Seq("k"))
+      val n = joined.count()
+      // hot key 0: 198000 (id%100!=0) + id=0 itself; cold keys are the
+      // non-zero multiples of 100 under 50000: 499 — all matched 1:1
+      assert(n == 198001 + 499)
+      val plan = executed(joined).toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the SMJ (skew=true); plan:\n" +
+          plan.linesIterator.take(25).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("disk-backed inverted index: prefix lookup pushes down to the scan") {
     import graft.operators.InvertedIndex
     import graft.functions.TextFunctions
