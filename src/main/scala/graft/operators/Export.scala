@@ -57,14 +57,19 @@ object Export {
 
   /** Write a framed message set as mbox shard files: one shard per order
     * bucket (md5 of the id — deterministic membership on any engine),
-    * messages sorted by id within a shard. 32-way parallel write; the
-    * filename-ordered concatenation of shards is itself a valid mbox in
-    * (bucket, id) order.
+    * messages sorted by id within a shard. `shards`-way parallel write;
+    * the filename-ordered concatenation of shards is itself a valid mbox
+    * in (bucket, id) order.
+    *
+    * Size `shards` for the READER, not the writer: [[readMbox]] holds
+    * one whole shard per task (`wholetext`), so pick shards ≥
+    * corpus_bytes / reader_task_memory. The default matches the local
+    * rig; a 100 TB export wants tens of thousands.
     */
   def writeMbox(messages: DataFrame, id: Column, record: Column,
-      outDir: String): Unit =
-    graft.queries.bucketOrdered(
-      messages.select(id.as("__id"), record.as("value")), col("__id"))
+      outDir: String, shards: Int = graft.queries.OrderBuckets): Unit =
+    graft.queries.bucketOrderedN(
+      messages.select(id.as("__id"), record.as("value")), col("__id"), shards)
       // a null record (null id or null/corrupt mime) would abort the
       // whole write task inside the text sink — skip such rows; callers
       // account for corrupt blobs explicitly via ArchiveVerify.auditRaw

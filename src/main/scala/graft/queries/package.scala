@@ -48,7 +48,13 @@ package object queries {
     labels
   }
 
-  private lazy val orderLabels: Array[Int] = hashFixedPoints(OrderBuckets)
+  /** label tables memoized per bucket count — the oracle contract pins
+    * [[OrderBuckets]], but scale-sized sinks (mbox shards) pick their own
+    */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  private def orderLabels(n: Int): Array[Int] =
+    labelCache.computeIfAbsent(n, hashFixedPoints(_))
 
   /** Total order for an O(input)-row ("per-doc") result WITHOUT a
     * single-partition exchange. The old result edge here was
@@ -75,14 +81,24 @@ package object queries {
     * first where DuckDB's ORDER BY puts them last.
     */
   private[graft] def bucketOrdered(df: DataFrame, id: Column,
+      tail: Column*): DataFrame =
+    bucketOrderedN(df, id, OrderBuckets, tail: _*)
+
+  /** [[bucketOrdered]] with a caller-chosen bucket count — for sinks
+    * whose consumers bound memory by corpus/n (mbox shards): the QUERY
+    * contract stays pinned to [[OrderBuckets]] (the oracles' modulus),
+    * but an export sized for a 100 TB corpus picks n so one bucket fits
+    * a reader task.
+    */
+  private[graft] def bucketOrderedN(df: DataFrame, id: Column, n: Int,
       tail: Column*): DataFrame = {
+    require(n > 0, s"bucket count must be positive, got $n")
     val bkt =
-      conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") %
-        OrderBuckets
-    val labelArr = array(orderLabels.map(lit(_)).toIndexedSeq: _*)
+      conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % n
+    val labelArr = array(orderLabels(n).map(lit(_)).toIndexedSeq: _*)
     df.withColumn("__obkt", bkt)
       .withColumn("__olabel", element_at(labelArr, col("__obkt").cast("int") + 1))
-      .repartition(OrderBuckets, col("__olabel"))
+      .repartition(n, col("__olabel"))
       .sortWithinPartitions((col("__obkt").asc +: id.asc +: tail): _*)
       .drop("__obkt", "__olabel")
   }

@@ -63,6 +63,24 @@ class ExportDeletionSpec extends SparkTestBase {
     assert(back.head.getString(1) == "Subject: x\n\nbody")
   }
 
+  test("caller-sized shard count roundtrips exactly (reader memory knob)") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, s"id-$i", s"Subject: s$i\n\nbody $i"))
+      .toDF("id", "src", "mime")
+      .withColumn("sent_at", to_timestamp(lit("2024-01-02 03:04:05")))
+    val out = java.nio.file.Files.createTempDirectory("graft_mbox_sh").toString
+    Export.writeMbox(rows, col("id"),
+      Export.mboxRecord(col("src"), col("sent_at"), col("mime")), out,
+      shards = 5)
+    val parts = new java.io.File(out).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.length > 0)
+    assert(parts.length <= 5, s"expected ≤5 shards, got ${parts.length}")
+    val back = Export.readMbox(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == (1L to 40L).map(i =>
+      (s"id-$i", s"Subject: s$i\n\nbody $i")).toSet)
+  }
+
   test("envelope ids containing whitespace are folded, not truncated") {
     import spark.implicits._
     val rows = Seq((1L, "id with spaces", "Subject: s\n\nbody"))
