@@ -103,10 +103,10 @@ object DocStreaming {
     } finally bIdx.unpersist(blocking = false)
   }
 
-  /** One micro-batch of the curation pipeline; package-private so the
-    * spec can drive a single batch deterministically.
+  /** One micro-batch of the curation pipeline; graft-private so the spec
+    * and the scale probe can drive a single batch deterministically.
     */
-  private[streaming] def curateBatch(spark: SparkSession, batch: DataFrame,
+  private[graft] def curateBatch(spark: SparkSession, batch: DataFrame,
       indexed: DataFrame, bIdx: DataFrame, curatedDir: String,
       bandsDir: String, tag: String, minQuality: Double,
       threshold: Double): Unit = {

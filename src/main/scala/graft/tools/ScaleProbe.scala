@@ -360,6 +360,37 @@ object ScaleProbe {
     delExec(m1) // warm
     time("deletion execute 1x")(delExec(m1))
     time(s"deletion execute ${factor}x")(delExec(mN))
+
+    // --- streaming curation: per-delivery drain cost vs history size ---
+    // The claim under test: one micro-batch's cost is bounded by the
+    // BATCH (plus a columnar scan of history for candidate verify), not
+    // by re-shingling the curated corpus — so a fixed delta against a
+    // factor× history should grow far slower than factor×.
+    import graft.streaming.DocStreaming
+    val delta = docs1.select((col("doc_id") + 2000000000L).as("doc_id"),
+      concat(lit("delta "), col("text")).as("text"))
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("id bigint, text string"))
+    val emptyBIdx = Dedup.indexedBandTable(emptyIdx, col("id"), col("text"))
+    def drainAgainst(hist: org.apache.spark.sql.DataFrame,
+        label: String): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sp_cur").toString
+      val cur = s"$tmp/curated"; val bands = s"$tmp/bands"
+      // seed the stream's own history directly in its sink layout
+      hist.select(col("doc_id"), col("text"), lit("seed").as("batch"))
+        .write.partitionBy("batch").parquet(cur)
+      Dedup.indexedBandTable(hist, col("doc_id"), col("text"))
+        .withColumn("batch", lit("seed"))
+        .write.partitionBy("batch").parquet(bands)
+      time(label)(DocStreaming.curateBatch(spark, delta, emptyIdx,
+        emptyBIdx, cur, bands, "probe-b1", minQuality = 0.0,
+        threshold = 0.8))
+    }
+    drainAgainst(docs1, "curation drain, 1x delta vs 1x history (warm)")
+    drainAgainst(docs1, "curation drain, 1x delta vs 1x history")
+    drainAgainst(docsN, s"curation drain, 1x delta vs ${factor}x history")
     spark.stop()
   }
 }
