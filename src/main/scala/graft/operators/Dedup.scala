@@ -250,10 +250,42 @@ object Dedup {
   def incrementalProbe(bIdx: DataFrame, indexed: DataFrame, fresh: DataFrame,
       id: Column, text: Column, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, materializeCandidates: Boolean = false): DataFrame = {
-    val bNew = bandRows(fresh.select(id.as("doc_id"), text.as("doc_text")),
+      shingleSize: Int = 3, materializeCandidates: Boolean = false): DataFrame =
+    incrementalProbeWithBands(bIdx, indexed, fresh,
+      freshBandRows(fresh, id, text, numHashes, bands, shingleSize),
+      id, text, threshold, numHashes, bands, shingleSize,
+      materializeCandidates)
+
+  /** The probe frame's (band, band_hash, new_id) rows — the MinHash pass
+    * over `fresh`, factored out so a caller probing SEVERAL references
+    * with the same batch (e.g. streaming curation: frozen index + own
+    * history) computes the signatures once and feeds
+    * [[incrementalProbeWithBands]]/[[bandTableFromRows]].
+    */
+  def freshBandRows(fresh: DataFrame, id: Column, text: Column,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame =
+    bandRows(fresh.select(id.as("doc_id"), text.as("doc_text")),
       col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+
+  /** Group probe-shaped band rows into the [[indexedBandTable]] layout —
+    * ONE definition of the (band, band_hash) → members grouping, so a
+    * sidecar built from reused [[freshBandRows]] cannot drift from the
+    * table a fresh [[indexedBandTable]] call would build.
+    */
+  def bandTableFromRows(rows: DataFrame, maxBucket: Int = 1000): DataFrame =
+    rows.groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("new_id")).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+
+  /** [[incrementalProbe]] with the probe side's band rows precomputed
+    * ([[freshBandRows]] — same numHashes/bands/shingleSize, or the
+    * candidate generation silently degrades).
+    */
+  def incrementalProbeWithBands(bIdx: DataFrame, indexed: DataFrame,
+      fresh: DataFrame, bNew: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, materializeCandidates: Boolean = false): DataFrame = {
     val candLazy = bIdx.join(broadcast(bNew), Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("members")).as("indexed_id"))
       .distinct()

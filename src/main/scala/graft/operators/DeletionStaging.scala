@@ -115,11 +115,18 @@ object DeletionStaging {
 
   /** Deterministic tie-break for racing appenders: the append-only log
     * cannot serialize two movers that both read seq N and both append
-    * N+1 — so equal-seq events resolve by a SAFETY ranking where the
-    * more-terminal/conservative state wins (a cancel racing an
-    * execute-start resolves to cancelled, never to a run that ignores
-    * the cancellation). Ranks: cancelled > completed > failed >
-    * in_progress > pending.
+    * N+1 — so EQUAL-seq events resolve by a SAFETY ranking where the
+    * more-conservative state wins (a cancel and an execute-start landing
+    * on the same seq resolve to cancelled). Ranks: cancelled >
+    * completed > failed > in_progress > pending.
+    *
+    * This covers exact seq collisions ONLY — it is not a serialization
+    * point: a cancelled@N is still outranked by a completed@N+1 from an
+    * executor that read the log before the cancel landed. An executor
+    * honoring cancellation must re-read [[currentStatus]] immediately
+    * before its terminal transition (and ideally before each side
+    * effect), exactly as the reference's executor polls its context
+    * (internal/deletion/executor.go's ctx checks).
     */
   private val statusRank: Column =
     when(col("status") === Cancelled, 4)

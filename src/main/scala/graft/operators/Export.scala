@@ -53,7 +53,12 @@ object Export {
       // unknown-date envelope value
       coalesce(date_format(sentAt, "EEE MMM d HH:mm:ss yyyy"),
         lit("Thu Jan 1 00:00:00 1970")), lit("\n"),
-      regexp_replace(mime, "(?m)^(>*From )", ">$1"), lit("\n"))
+      // (?d) = UNIX_LINES: without it MULTILINE '^' also fires after a
+      // bare '\r' (and U+0085/U+2028/U+2029), quoting a mid-line "From "
+      // that the '\n'-framed parser can never see as a line start — the
+      // writer must share the parser's line model exactly or quoting is
+      // not invertible
+      regexp_replace(mime, "(?md)^(>*From )", ">$1"), lit("\n"))
 
   /** Write a framed message set as mbox shard files: one shard per order
     * bucket (md5 of the id — deterministic membership on any engine),

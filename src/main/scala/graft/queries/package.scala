@@ -93,8 +93,13 @@ package object queries {
   private[graft] def bucketOrderedN(df: DataFrame, id: Column, n: Int,
       tail: Column*): DataFrame = {
     require(n > 0, s"bucket count must be positive, got $n")
+    // 15 hex chars = 60 bits (the repo's md5-draw idiom): a 4-char draw
+    // would cap usable buckets at 2^16 — a 100 TB mbox export sized via
+    // `shards` wants far more, and buckets past the draw range would
+    // silently stay EMPTY while the populated ones blow the documented
+    // corpus/n reader-memory bound
     val bkt =
-      conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % n
+      conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % n
     val labelArr = array(orderLabels(n).map(lit(_)).toIndexedSeq: _*)
     df.withColumn("__obkt", bkt)
       .withColumn("__olabel", element_at(labelArr, col("__obkt").cast("int") + 1))
@@ -108,7 +113,7 @@ package object queries {
     * `ORDER BY ${duckBucket("doc_id")}, doc_id ASC`.
     */
   private[graft] def duckBucket(id: String): String =
-    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 4)) AS BIGINT) % $OrderBuckets"
+    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT) % $OrderBuckets"
 
   /** Total order for a small result ABOVE a shuffle (agg/join/window):
     * coalesce the reduce side to one task and sort in place — no extra

@@ -133,10 +133,16 @@ object DocStreaming {
     // sides — present the batch under the reference frames' column names
     val freshAsRef = fresh.select(col("doc_id").as("id"), col("text"))
 
+    // ONE MinHash pass over the batch feeds both probes AND the sidecar
+    // write below — without this the drain pays the batch's most
+    // expensive text pass three extra times per delivery
+    val freshBands = Dedup.freshBandRows(freshAsRef, col("id"), col("text"))
+      .localCheckpoint(true)
+
     // 3. near-dup vs the frozen index (batch band rows broadcast against
     //    the prebuilt table; corpus touched only for candidate members)
-    val vsIndex = Dedup.incrementalProbe(bIdx, indexed, freshAsRef,
-      col("id"), col("text"), threshold)
+    val vsIndex = Dedup.incrementalProbeWithBands(bIdx, indexed, freshAsRef,
+      freshBands, col("id"), col("text"), threshold)
       .select(col("new_id").as("doc_id")).distinct()
 
     // 4. near-dup vs PRIOR curated output via the stream's own band
@@ -150,8 +156,8 @@ object DocStreaming {
       "band int, band_hash bigint, members array<bigint>, batch string")
       .filter(col("batch") =!= tag)
       .select(col("band"), col("band_hash"), col("members"))
-    val vsPrior = Dedup.incrementalProbe(priorBands, prior, freshAsRef,
-      col("id"), col("text"), threshold)
+    val vsPrior = Dedup.incrementalProbeWithBands(priorBands, prior,
+      freshAsRef, freshBands, col("id"), col("text"), threshold)
       .select(col("new_id").as("doc_id")).distinct()
 
     val dropIds = within.union(vsIndex).union(vsPrior).distinct()
@@ -166,8 +172,12 @@ object DocStreaming {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(dir)
     overwriteOwn(kept, curatedDir)
+    // sidecar = the already-computed band rows filtered to survivors —
+    // no re-shingle of kept
     overwriteOwn(
-      Dedup.indexedBandTable(kept, col("doc_id"), col("text")), bandsDir)
+      Dedup.bandTableFromRows(
+        freshBands.join(kept.select(col("doc_id").as("new_id")),
+          Seq("new_id"), "left_semi")), bandsDir)
   }
 
   /** Read a partitioned sink that may not exist yet (first batch) —

@@ -123,10 +123,16 @@ object VectorStreaming {
     // Write-then-RENAME, never create-in-place: a crash between a direct
     // create and its write would leave a permanent zero-byte marker
     // (identity "" forever — and shared by every other crashed
-    // checkpoint in the listsDir), and a concurrent second drain would
-    // crash on the create instead of adopting the existing id. The
-    // rename is atomic on HDFS/local; the loser of a rename race simply
-    // reads the winner's id.
+    // checkpoint in the listsDir). After the rename the marker is
+    // re-READ and ITS content returned, never the locally-minted id:
+    // HDFS rename fails onto an existing destination, but POSIX
+    // rename(2) (RawLocalFileSystem) silently replaces it, so "my
+    // rename returned true" does not prove "the marker holds my id" —
+    // the read-back makes both racers converge on whichever write
+    // landed last. (True concurrent drains against ONE checkpoint are
+    // outside Structured Streaming's own checkpoint contract anyway;
+    // this keeps the failure mode 'both adopt the same id' instead of
+    // 'each adopts its own'.)
     var attempt = 0
     while (attempt < 3) {
       if (fs.exists(marker)) {
@@ -141,12 +147,15 @@ object VectorStreaming {
       val tmp = new Path(checkpoint, s"graft_stream_id.tmp.$id")
       val out = fs.create(tmp, true)
       try out.write(id.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, marker)) return id
-      fs.delete(tmp, false) // rename race lost — adopt the winner's id
+      val renamed = fs.rename(tmp, marker)
+      if (!renamed) fs.delete(tmp, false) // rename race lost
+      if (fs.exists(marker)) {
+        val settled = read() // the marker's content IS the identity
+        if (settled.nonEmpty) return settled
+      }
       attempt += 1
     }
-    val id = read()
-    require(id.nonEmpty, s"could not establish a stream identity under $checkpoint")
-    id
+    throw new IllegalStateException(
+      s"could not establish a stream identity under $checkpoint")
   }
 }

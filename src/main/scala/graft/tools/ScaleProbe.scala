@@ -42,6 +42,15 @@ object ScaleProbe {
       .persist()
     embN.count()
 
+    // recursive tmp cleanup — several probes below write ~the corpus
+    // size per call and a probe run must not fill the shared /tmp
+    def rmTree(dir: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+
     def time(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
@@ -334,11 +343,7 @@ object ScaleProbe {
         Export.mboxRecord(col("source_message_id"), col("sent_at"),
           col("mime")), out)
       val n = Export.readMbox(spark, out).count()
-      // recursive tmp cleanup (probe writes ~the corpus size per call)
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(out)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      rmTree(out) // probe writes ~the corpus size per call
       n
     }
     mboxRound(m1) // warm
@@ -387,6 +392,7 @@ object ScaleProbe {
       time(label)(DocStreaming.curateBatch(spark, delta, emptyIdx,
         emptyBIdx, cur, bands, "probe-b1", minQuality = 0.0,
         threshold = 0.8))
+      rmTree(tmp) // history + sidecar are corpus-sized per call
     }
     drainAgainst(docs1, "curation drain, 1x delta vs 1x history (warm)")
     drainAgainst(docs1, "curation drain, 1x delta vs 1x history")

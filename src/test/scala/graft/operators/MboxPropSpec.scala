@@ -16,10 +16,13 @@ class MboxPropSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  /** The pure twin of [[Export.mboxRecord]] + the text sink's newline. */
+  /** The pure twin of [[Export.mboxRecord]] + the text sink's newline.
+    * (?d) as in the real record expression: quoting must only fire at
+    * '\n' line starts — the parser's line model.
+    */
   private def frame(id: String, payload: String): String =
     s"From ${id.replaceAll("\\s+", "_")} Tue Jan 2 03:04:05 2024\n" +
-      payload.replaceAll("(?m)^(>*From )", ">$1") + "\n" + "\n"
+      payload.replaceAll("(?md)^(>*From )", ">$1") + "\n" + "\n"
 
   // payloads drawn from an alphabet that exercises the dangerous shapes:
   // From-lines, quote runs, blank lines, plain text
@@ -33,7 +36,12 @@ class MboxPropSpec extends AnyFunSuite {
     // trailing \r through the \n-based framing and must roundtrip
     Gen.const("From crlf line\r"),
     Gen.choose(1, 3).map(d => ">" * d + "From quoted crlf\r"),
-    Gen.asciiPrintableStr.map(s => s.take(30) + "\r"))
+    Gen.asciiPrintableStr.map(s => s.take(30) + "\r"),
+    // bare CR MID-line (malformed MIME): "From " after a \r is NOT a
+    // line start in the \n-framed parser, and the quoting regex must
+    // agree — (?m) without (?d) quotes it unrecoverably
+    Gen.const("a\rFrom bare-cr"),
+    Gen.const("\rFrom leading-cr"))
 
   private val payload: Gen[String] =
     Gen.listOf(payloadLine).map(_.mkString("\n"))

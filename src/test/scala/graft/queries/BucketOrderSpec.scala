@@ -23,8 +23,10 @@ class BucketOrderSpec extends SparkTestBase {
   private def md5Bucket(id: Long): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8"))
-    val hex = d.take(2).map(b => f"$b%02x").mkString // first 4 hex chars
-    Integer.parseInt(hex, 16) % OrderBuckets
+    // first 15 hex chars = 60 bits, the draw bucketOrderedN uses (wide
+    // enough that bucket counts beyond 2^16 stay uniformly populated)
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % OrderBuckets).toInt
   }
 
   test("hashFixedPoints labels land in their own partition index") {
@@ -72,11 +74,26 @@ class BucketOrderSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("the 60-bit draw populates bucket counts beyond 2^16") {
+    // a 4-hex (16-bit) draw would leave every bucket index above 65535
+    // permanently empty — exactly the shard counts a 100 TB mbox export
+    // sizes for. 20k uniform draws over 100k buckets land above 65535
+    // with probability 1 - 0.655^20000 ≈ 1.
+    import spark.implicits._
+    val n = 100000
+    val maxBkt = (0L until 20000L).toDF("id")
+      .select((conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % n).as("b"))
+      .agg(max(col("b"))).head().getLong(0)
+    assert(maxBkt > 65535L,
+      s"draw never exceeded 16 bits (max bucket $maxBkt of $n)")
+  }
+
   test("Spark-side bucket expression equals the oracle's md5 arithmetic") {
     import spark.implicits._
     val df = (0L until 500L).toDF("id")
       .select(col("id"),
-        (conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+        (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
           .cast("long") % OrderBuckets).as("b"))
     df.collect().foreach { r =>
       assert(r.getLong(1) == md5Bucket(r.getLong(0)),
