@@ -116,8 +116,17 @@ object Dedup {
 
   private[graft] def candidatesRaw(df: DataFrame, id: Column, text: Column,
       numHashes: Int, bands: Int, shingleSize: Int,
+      maxBucket: Int): DataFrame =
+    candidatesFromBands(
+      bandRows(df, id, text, numHashes, bands, shingleSize), maxBucket)
+
+  /** Bucket-capped pair fan-out from (band, band_hash, doc_id) rows —
+    * the candidate half of [[candidatesRaw]], split out so callers that
+    * already hold the band rows ([[freshBandRows]] reuse) skip the
+    * MinHash pass.
+    */
+  private[graft] def candidatesFromBands(banded: DataFrame,
       maxBucket: Int): DataFrame = {
-    val banded = bandRows(df, id, text, numHashes, bands, shingleSize)
     val buckets = banded
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("members"))
@@ -160,6 +169,18 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame =
+    nearDuplicatesWithBands(df, id, text,
+      bandRows(df.select(id.as("doc_id"), text.as("doc_text")),
+        col("doc_id"), col("doc_text"), numHashes, bands, shingleSize),
+      threshold, shingleSize)
+
+  /** [[nearDuplicates]] with the band rows precomputed (same banding
+    * parameters, (band, band_hash, doc_id)-shaped) — the reuse hook for
+    * callers that already paid the MinHash pass.
+    */
+  def nearDuplicatesWithBands(df: DataFrame, id: Column, text: Column,
+      banded: DataFrame, threshold: Double = 0.8,
       shingleSize: Int = 3): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
     // distinct BEFORE verification: a pair sharing j band buckets would
@@ -169,8 +190,7 @@ object Dedup {
     // bands=32). The distinct shuffles two longs per candidate — orders
     // of magnitude less data than the redundant verifications it removes
     // once documents are big enough for the intersection to cost.
-    val cand = candidatesRaw(docs, col("doc_id"), col("doc_text"),
-      numHashes, bands, shingleSize, maxBucket = 1000)
+    val cand = candidatesFromBands(banded, maxBucket = 1000)
       .distinct()
     // dup ids are fine too: left_semi doesn't multiply matches
     val candIds = cand.select(explode(array(col("id_a"), col("id_b")))

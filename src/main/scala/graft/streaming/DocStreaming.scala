@@ -123,21 +123,24 @@ object DocStreaming {
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
       .localCheckpoint(true)
 
-    // 2. WITHIN-batch near-dup: min-id wins. Greedy drop of every id
-    //    that loses at least one pair to a smaller id — matching
-    //    [[Dedup.nearDuplicates]]'s id_a < id_b pair orientation.
-    val within = Dedup.nearDuplicates(fresh, col("doc_id"), col("text"),
-      threshold).select(col("id_b").as("doc_id")).distinct()
-
     // incrementalProbe applies the same (id, text) column exprs to both
     // sides — present the batch under the reference frames' column names
     val freshAsRef = fresh.select(col("doc_id").as("id"), col("text"))
 
-    // ONE MinHash pass over the batch feeds both probes AND the sidecar
-    // write below — without this the drain pays the batch's most
-    // expensive text pass three extra times per delivery
+    // ONE MinHash pass over the batch feeds the within-batch dedup, both
+    // probes, AND the sidecar write below — without this the drain pays
+    // the batch's most expensive text pass three extra times per delivery
     val freshBands = Dedup.freshBandRows(freshAsRef, col("id"), col("text"))
       .localCheckpoint(true)
+
+    // 2. WITHIN-batch near-dup: min-id wins. Greedy drop of every id
+    //    that loses at least one pair to a smaller id — matching
+    //    [[Dedup.nearDuplicates]]'s id_a < id_b pair orientation.
+    val within = Dedup.nearDuplicatesWithBands(fresh, col("doc_id"),
+      col("text"),
+      freshBands.select(col("band"), col("band_hash"),
+        col("new_id").as("doc_id")),
+      threshold).select(col("id_b").as("doc_id")).distinct()
 
     // 3. near-dup vs the frozen index (batch band rows broadcast against
     //    the prebuilt table; corpus touched only for candidate members)
