@@ -189,7 +189,11 @@ object DocStreaming {
   private def readOrEmpty(spark: SparkSession, dir: String,
       ddl: String): DataFrame =
     try {
-      val df = spark.read.parquet(dir)
+      // compaction-aware: excludes batch partitions shadowed by a
+      // completed SinkCompaction pass (they may linger after a crash
+      // mid-delete, and double-reading prior history would inflate the
+      // candidate-verify work every drain)
+      val df = SinkCompaction.read(spark, dir)
       // first write may be in flight for OTHER partitions only; missing
       // columns (never-written sink discovered as empty) fall through
       if (df.columns.isEmpty) emptyOf(spark, ddl) else df

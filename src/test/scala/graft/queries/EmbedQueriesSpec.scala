@@ -30,11 +30,13 @@ class EmbedQueriesSpec extends SparkTestBase {
     val ids = EmbedQueries.embedDelta(spark, dir).collect()
       .map(_.getAs[Long]("doc_id"))
     assert(ids.nonEmpty && ids.forall(_ % 7 == 0))
-    // result edge follows the bucketOrdered contract: (md5-bucket, id)
+    // result edge follows the bucketOrdered contract: (md5-bucket, id) —
+    // 15-hex (60-bit) draw, same as BucketOrderSpec.md5Bucket
     def bkt(id: Long): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
-      Integer.parseInt(d.take(2).map(b => f"$b%02x").mkString, 16) % 32
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 32).toInt
     }
     assert(ids.sameElements(ids.sortBy(i => (bkt(i), i))))
   }
