@@ -107,4 +107,17 @@ object IvfIndex {
       .withColumn("batch", lit("full"))
       .repartition(col("cluster")) // one writer per list, no small files
       .write.mode("overwrite").partitionBy("batch", "cluster").parquet(path)
+
+  /** THE reader for an on-disk lists directory (batch-build
+    * [[writeLists]] output, [[graft.streaming.VectorStreaming]] drains,
+    * or both in one tree). Compaction-aware: batch partitions shadowed
+    * by a completed [[graft.streaming.SinkCompaction]] pass are
+    * excluded, so a maintenance crash mid-delete can never surface a
+    * vector twice. A probe filtering on `cluster` still prunes to
+    * nProbe/nList of the files — cluster stays a partition column
+    * through compaction.
+    */
+  def openLists(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.streaming.SinkCompaction.read(spark, path)
 }

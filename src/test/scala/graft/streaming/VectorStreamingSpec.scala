@@ -67,6 +67,36 @@ class VectorStreamingSpec extends SparkTestBase {
     assert(all.select(col("vec_id")).distinct().count() == emb.count())
   }
 
+  test("compacted lists equal the drained lists; cluster pruning survives") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vcomp").toString
+    val src = s"$tmp/drop"; val lists = s"$tmp/lists"; val ckpt = s"$tmp/ckpt"
+    val cents = Similarity.strideCentroids(
+      emb.select(col("vec_id"), col("embedding")), nList = 8)
+    emb.filter(col("vec_id") < 250).write.parquet(src)
+    VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
+    emb.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
+
+    val before = IvfIndex.openLists(spark, lists)
+      .select(col("vec_id"), col("cluster").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val n = SinkCompaction.compact(spark, lists,
+      innerPartitions = Seq("cluster"))
+    assert(n == 2, s"expected both drain partitions compacted, got $n")
+    val after = IvfIndex.openLists(spark, lists)
+      .select(col("vec_id"), col("cluster").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before)
+    // one batch dir, cluster= layout preserved beneath it
+    val batchDirs = new java.io.File(lists).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.length == 1)
+    assert(batchDirs.head.listFiles.count(f =>
+      f.isDirectory && f.getName.startsWith("cluster=")) <= 8)
+  }
+
   test("drain against an empty or absent drop directory is a no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_vstream_e").toString
     VectorStreaming.runAssignAvailableNow(spark, s"$tmp/nowhere",
