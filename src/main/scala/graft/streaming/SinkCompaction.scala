@@ -158,9 +158,16 @@ object SinkCompaction {
         val tag = s.getPath.getName.stripSuffix(".json")
         val partDir = new Path(root, s"batch=$tag")
         if (fs.exists(new Path(partDir, doneMarker))) {
-          // complete: finish the space reclamation a crash skipped
-          readManifest(fs, s.getPath)
-            .foreach(src => fs.delete(new Path(root, s"batch=$src"), true))
+          // complete: finish the space reclamation a crash skipped, then
+          // retire the manifest once every source is off disk — a
+          // manifest outliving its purpose would shadow any FUTURE
+          // batch that happened to mint a colliding tag, silently and
+          // forever
+          val sources = readManifest(fs, s.getPath)
+          sources.foreach(src =>
+            fs.delete(new Path(root, s"batch=$src"), true))
+          if (sources.forall(src => !fs.exists(new Path(root, s"batch=$src"))))
+            fs.delete(s.getPath, false)
         } else {
           // interrupted: sources are still authoritative — drop the
           // partial attempt entirely

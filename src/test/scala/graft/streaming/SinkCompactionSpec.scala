@@ -81,6 +81,11 @@ class SinkCompactionSpec extends SparkTestBase {
     SinkCompaction.compact(spark, dir, minSources = 999) // maintenance only
     assert(!batchDirs(dir).contains("batch=s-b0"),
       "finishInterrupted must delete the lingering dead source")
+    // ...and retires the fully-reclaimed manifest, so a future batch
+    // minting a colliding tag can never be shadowed
+    val manifests = new java.io.File(s"$dir/_graft_compactions").listFiles
+    assert(manifests == null || manifests.isEmpty,
+      s"fully-reclaimed manifest must be retired: ${manifests.toSeq}")
   }
 
   test("crash before the data write completes: sources stay authoritative") {
