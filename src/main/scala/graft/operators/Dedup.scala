@@ -245,11 +245,10 @@ object Dedup {
   def indexedBandTable(indexed: DataFrame, id: Column, text: Column,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       maxBucket: Int = 1000): DataFrame =
-    bandRows(indexed.select(id.as("doc_id"), text.as("doc_text")),
-      col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
-      .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("members"))
-      .filter(size(col("members")) <= maxBucket)
+    bandTableFromRows(
+      bandRows(indexed.select(id.as("doc_id"), text.as("doc_text")),
+        col("doc_id"), col("doc_text"), numHashes, bands, shingleSize),
+      maxBucket, idCol = "doc_id")
 
   /** Probe half of [[incrementalNearDuplicates]]: fresh docs against a
     * prebuilt [[indexedBandTable]]. `indexed` is still needed for the
@@ -273,8 +272,7 @@ object Dedup {
       shingleSize: Int = 3, materializeCandidates: Boolean = false): DataFrame =
     incrementalProbeWithBands(bIdx, indexed, fresh,
       freshBandRows(fresh, id, text, numHashes, bands, shingleSize),
-      id, text, threshold, numHashes, bands, shingleSize,
-      materializeCandidates)
+      id, text, threshold, shingleSize, materializeCandidates)
 
   /** The probe frame's (band, band_hash, new_id) rows — the MinHash pass
     * over `fresh`, factored out so a caller probing SEVERAL references
@@ -288,23 +286,26 @@ object Dedup {
       col("doc_id"), col("doc_text"), numHashes, bands, shingleSize)
       .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
 
-  /** Group probe-shaped band rows into the [[indexedBandTable]] layout —
-    * ONE definition of the (band, band_hash) → members grouping, so a
-    * sidecar built from reused [[freshBandRows]] cannot drift from the
-    * table a fresh [[indexedBandTable]] call would build.
+  /** Group band rows into the [[indexedBandTable]] layout — THE
+    * definition of the (band, band_hash) → members grouping
+    * ([[indexedBandTable]] delegates here), so a sidecar built from
+    * reused [[freshBandRows]] cannot drift from a fresh build.
     */
-  def bandTableFromRows(rows: DataFrame, maxBucket: Int = 1000): DataFrame =
+  def bandTableFromRows(rows: DataFrame, maxBucket: Int = 1000,
+      idCol: String = "new_id"): DataFrame =
     rows.groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("new_id")).as("members"))
+      .agg(collect_list(col(idCol)).as("members"))
       .filter(size(col("members")) <= maxBucket)
 
   /** [[incrementalProbe]] with the probe side's band rows precomputed
-    * ([[freshBandRows]] — same numHashes/bands/shingleSize, or the
-    * candidate generation silently degrades).
+    * ([[freshBandRows]], which bakes in the banding parameters — only
+    * the verify's `shingleSize` remains a knob here, so a banding
+    * mismatch between bNew and bIdx is impossible to express through
+    * this signature).
     */
   def incrementalProbeWithBands(bIdx: DataFrame, indexed: DataFrame,
       fresh: DataFrame, bNew: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8,
       shingleSize: Int = 3, materializeCandidates: Boolean = false): DataFrame = {
     val candLazy = bIdx.join(broadcast(bNew), Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("members")).as("indexed_id"))

@@ -72,7 +72,16 @@ object Export {
     * rig; a 100 TB export wants tens of thousands.
     */
   def writeMbox(messages: DataFrame, id: Column, record: Column,
-      outDir: String, shards: Int = graft.queries.OrderBuckets): Unit =
+      outDir: String, shards: Int = graft.queries.OrderBuckets): Unit = {
+    // the concatenation contract rides on Spark's part-%05d filenames
+    // sorting in partition order — at 100001+ partitions the index grows
+    // a digit and "part-100000" sorts BEFORE "part-10001", silently
+    // interleaving buckets. 100k shards already bounds a 100 TB corpus
+    // at ~1 GB per reader task; beyond that, split the export by a
+    // partition column (e.g. year) and shard within each.
+    require(shards >= 1 && shards <= 100000,
+      s"shards must be in [1, 100000] (filename-ordered concatenation " +
+        s"breaks past %05d), got $shards")
     graft.queries.bucketOrderedN(
       messages.select(id.as("__id"), record.as("value")), col("__id"), shards)
       // a null record (null id or null/corrupt mime) would abort the
@@ -82,6 +91,7 @@ object Export {
       .filter(col("value").isNotNull)
       .select(col("value"))
       .write.mode("overwrite").text(outDir)
+  }
 
   /** Exact inverse of [[writeMbox]]: read the shard files and recover
     * (envelope_id, mime) per message. Shards are whole-file rows (an

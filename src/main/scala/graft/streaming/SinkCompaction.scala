@@ -21,22 +21,26 @@ import org.apache.hadoop.fs.Path
   *   2. rewrite the sources' rows under `batch=<compact-tag>`, then drop
   *      an explicit completion marker inside that partition (parquet's
   *      own `_SUCCESS` lands at the sink root and cannot witness it);
-  *   3. delete the source partitions.
+  *   3. leave the dead sources on disk — reclamation is DEFERRED to the
+  *      next [[compact]]/[[reclaim]] pass, so a reader that captured its
+  *      file listing before this compaction still finds its files.
   *
   * A crash after (1) leaves a manifest whose tag has no marker:
   * [[read]] ignores it (sources still live) and the next [[compact]]
-  * clears the stale attempt. A crash after (2) leaves sources on disk
-  * but the manifest is COMPLETE: [[read]] excludes the listed sources
-  * (no duplicates) and the next [[compact]] finishes the deletes. So
-  * readers going through [[read]] see exactly-once data at every
-  * interruption point.
+  * clears the stale attempt. After (2) the manifest is COMPLETE:
+  * [[read]] excludes the listed sources (no duplicates) no matter when
+  * reclamation actually runs. So readers going through [[read]] see
+  * exactly-once data at every interruption point.
   *
-  * Invariants callers own: compaction must not run concurrently with a
-  * drain REPLAY of a source batch (run it while the stream is quiescent
-  * — the same discipline as any sink maintenance), and consumers of a
-  * compacted sink must read via [[read]] rather than a bare
-  * `spark.read.parquet` (which would double-count lingering sources
-  * after a crash-mid-delete).
+  * Replay safety is structural, not operational: each stream's LATEST
+  * batch partition is never eligible for compaction (see [[compact]]),
+  * because it is the one batch a crashed drain can replay — so running
+  * compaction against a crashed-but-restartable stream cannot corrupt
+  * the replay's own-partition overwrite or DocStreaming's own-tag
+  * exclusion. Invariants callers own: consumers must read via [[read]]
+  * (or a reader built on it, e.g. `IvfIndex.openLists`) rather than a
+  * bare `spark.read.parquet`, and [[reclaim]] should run only when
+  * queries planned before the previous compaction have drained.
   */
 object SinkCompaction {
 
@@ -64,7 +68,17 @@ object SinkCompaction {
     if (!fs.exists(root)) return 0
     finishInterrupted(fs, root)
 
-    val sources = liveBatchTags(fs, root)
+    // NEVER fold a stream's LATEST batch: foreachBatch is at-least-once,
+    // and the one batch a crashed drain can replay is its last
+    // uncommitted one. Folding it would (a) move its first attempt out
+    // from under the replay's own-tag dynamic overwrite (duplicates) and
+    // (b) for DocStreaming, out of the `batch =!= tag` own-exclusion, so
+    // the replay would self-dedup against its own first attempt and emit
+    // nothing. A crashed stream is indistinguishable from a quiescent
+    // one from the sink alone, so the latest batch per stream is simply
+    // never eligible — it becomes eligible when a newer batch commits.
+    val live = liveBatchTags(fs, root)
+    val sources = live -- latestPerStream(live)
     if (sources.size < minSources) return 0
     val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
 
@@ -95,10 +109,40 @@ object SinkCompaction {
     // a crash anywhere before this line leaves the sources authoritative
     fs.create(new Path(root, s"batch=$tag/$doneMarker"), true).close()
 
-    // (3) sources are now shadowed by the completed manifest — deletes
-    // are pure space reclamation and safe to lose
-    sources.foreach(s => fs.delete(new Path(root, s"batch=$s"), true))
+    // (3) DEFERRED reclamation: the dead sources stay on disk until the
+    // next compact/reclaim pass. A reader that captured its file listing
+    // before this compaction completed still holds paths into the
+    // sources — deleting them now would fail that query mid-flight (or,
+    // with ignoreMissingFiles, silently drop its rows). Readers planning
+    // from here on exclude the sources via the manifest, so the lingering
+    // files cost only space, reclaimed next maintenance.
     sources.size
+  }
+
+  /** Space reclamation for completed compactions (also runs at the start
+    * of every [[compact]]): deletes source partitions shadowed by a
+    * completed manifest, retiring the manifest once all are gone. Call
+    * only when queries planned before the PREVIOUS compaction have
+    * drained — their captured file listings reference the dead sources.
+    */
+  def reclaim(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) finishInterrupted(fs, root)
+  }
+
+  /** For tags of the drain form `<streamId>-b<batchId>`: the max-batchId
+    * tag per streamId (the only batch a crashed drain can replay).
+    * Tags without the suffix (batch builds' "full", compact tags) have
+    * no replay semantics and are always foldable.
+    */
+  private def latestPerStream(tags: Set[String]): Set[String] = {
+    val drainTag = "^(.*)-b(\\d+)$".r
+    tags.toSeq
+      .collect { case t @ drainTag(stream, n) => (stream, n.toLong, t) }
+      .groupBy(_._1)
+      .map { case (_, ts) => ts.maxBy(_._2)._3 }
+      .toSet
   }
 
   /** Read a batch-partitioned sink with compaction manifests applied:

@@ -4,8 +4,9 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 /** Crash-safe compaction of batch-partitioned streaming sinks: data is
-  * identical through every interruption point, files shrink, readers
-  * never double-count.
+  * identical through every interruption point, the latest batch per
+  * stream is never folded (replay safety), reclamation is deferred so
+  * in-flight readers keep their files, and readers never double-count.
   */
 class SinkCompactionSpec extends SparkTestBase {
 
@@ -30,32 +31,41 @@ class SinkCompactionSpec extends SparkTestBase {
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName)
 
-  test("compact merges batch partitions; data identical, dirs collapse") {
+  test("compact folds all but the latest batch; data identical; reclaim trims") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"))
     val before = SinkCompaction.read(spark, dir)
       .select(col("id"), col("v")).collect().map(_.toSeq).toSet
     val n = SinkCompaction.compact(spark, dir)
-    assert(n == 3)
-    assert(batchDirs(dir).size == 1, s"expected 1 batch dir: ${batchDirs(dir)}")
-    assert(batchDirs(dir).head.startsWith("batch=compact-"))
-    val after = SinkCompaction.read(spark, dir)
-      .select(col("id"), col("v")).collect().map(_.toSeq).toSet
-    assert(after == before)
-    // idempotent: a second compact has one live partition — no-op
+    // s-b2 is the stream's LATEST batch — the only one a crashed drain
+    // could replay — and must never fold
+    assert(n == 2, s"expected b0+b1 compacted, b2 kept; got $n")
+    assert(SinkCompaction.read(spark, dir)
+      .select(col("id"), col("v")).collect().map(_.toSeq).toSet == before)
+    // deferred reclamation: dead sources still on disk for in-flight
+    // readers, excluded from reads; reclaim() trims them
+    assert(batchDirs(dir).contains("batch=s-b0"))
+    SinkCompaction.reclaim(spark, dir)
+    val dirs = batchDirs(dir)
+    assert(dirs.size == 2 && dirs.contains("batch=s-b2") &&
+      dirs.exists(_.startsWith("batch=compact-")), s"got $dirs")
+    assert(SinkCompaction.read(spark, dir)
+      .select(col("id"), col("v")).collect().map(_.toSeq).toSet == before)
+    // compact tag + one live drain batch: nothing further to fold
     assert(SinkCompaction.compact(spark, dir) == 0)
   }
 
   test("inner partition columns survive compaction (pruning layout kept)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmpi").toString
-    writeBatches(dir, Seq("s-b0", "s-b1"), inner = true)
+    writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"), inner = true)
     val before = SinkCompaction.read(spark, dir)
       .select(col("id"), col("cluster").cast("int")).collect()
       .map(_.toSeq).toSet
-    SinkCompaction.compact(spark, dir, innerPartitions = Seq("cluster"))
-    val bd = batchDirs(dir)
-    assert(bd.size == 1)
-    val clusters = new java.io.File(s"$dir/${bd.head}").listFiles
+    assert(SinkCompaction.compact(spark, dir,
+      innerPartitions = Seq("cluster")) == 2)
+    SinkCompaction.reclaim(spark, dir)
+    val cd = batchDirs(dir).find(_.startsWith("batch=compact-")).get
+    val clusters = new java.io.File(s"$dir/$cd").listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
     assert(clusters.length == 4, "cluster= layout must survive")
     assert(SinkCompaction.read(spark, dir)
@@ -65,32 +75,31 @@ class SinkCompactionSpec extends SparkTestBase {
 
   test("crash after data write: lingering sources are not double-read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmpc").toString
-    writeBatches(dir, Seq("s-b0", "s-b1"))
+    writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"))
     val before = SinkCompaction.read(spark, dir)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     SinkCompaction.compact(spark, dir)
-    // simulate the crash-mid-delete by RESURRECTING a source partition
-    // (equivalent: delete never ran for it)
-    import spark.implicits._
-    (0L until 50L).map(j => (j, s"v0-$j")).toDF("id", "v")
-      .withColumn("batch", lit("s-b0"))
-      .write.mode("append").partitionBy("batch").parquet(dir)
+    // sources deliberately still on disk (deferred reclamation — same
+    // state as a crash right after the completion marker): the reader
+    // must exclude them already
+    assert(batchDirs(dir).contains("batch=s-b0"))
     val read = SinkCompaction.read(spark, dir).select(col("id"), col("v"))
-    assert(read.count() == before.size, "dead source must be excluded")
-    // the next compact finishes the reclamation
-    SinkCompaction.compact(spark, dir, minSources = 999) // maintenance only
-    assert(!batchDirs(dir).contains("batch=s-b0"),
-      "finishInterrupted must delete the lingering dead source")
-    // ...and retires the fully-reclaimed manifest, so a future batch
-    // minting a colliding tag can never be shadowed
+    assert(read.count() == before.size, "dead sources must be excluded")
+    // reclaim finishes the deletes AND retires the fully-reclaimed
+    // manifest, so a future batch minting a colliding tag can never be
+    // shadowed
+    SinkCompaction.reclaim(spark, dir)
+    assert(!batchDirs(dir).contains("batch=s-b0"))
     val manifests = new java.io.File(s"$dir/_graft_compactions").listFiles
     assert(manifests == null || manifests.isEmpty,
       s"fully-reclaimed manifest must be retired: ${manifests.toSeq}")
+    assert(SinkCompaction.read(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == before)
   }
 
   test("crash before the data write completes: sources stay authoritative") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmpa").toString
-    writeBatches(dir, Seq("s-b0", "s-b1"))
+    writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"))
     // simulate: manifest published, data write never completed (no
     // partition dir at all)
     val mdir = new java.io.File(s"$dir/_graft_compactions")
@@ -99,12 +108,12 @@ class SinkCompactionSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$mdir/compact-dead.json"),
       "[\"s-b0\",\"s-b1\"]".getBytes("UTF-8"))
     // reader ignores the incomplete manifest
-    assert(SinkCompaction.read(spark, dir).count() == 100)
+    assert(SinkCompaction.read(spark, dir).count() == 150)
     // next compact clears the stale attempt and compacts for real
     assert(SinkCompaction.compact(spark, dir) == 2)
     assert(!new java.io.File(s"$mdir/compact-dead.json").exists(),
       "stale manifest must be cleared")
-    assert(SinkCompaction.read(spark, dir).count() == 100)
+    assert(SinkCompaction.read(spark, dir).count() == 150)
   }
 
   test("a compacted curated sink still feeds DocStreaming's prior probe") {
@@ -121,14 +130,15 @@ class SinkCompactionSpec extends SparkTestBase {
         bIdx, cur, bands, tag, minQuality = 0.0, threshold = 0.8)
     drain("s-b0", Seq((1L, mkText("cat"))))
     drain("s-b1", Seq((2L, mkText("dog"))))
-    SinkCompaction.compact(spark, cur)
-    SinkCompaction.compact(spark, bands)
-    // a near-dup of batch 0's survivor must STILL be dropped — the
-    // compacted history is the same history
+    drain("s-b2", Seq((5L, mkText("fox"))))
+    assert(SinkCompaction.compact(spark, cur) == 2) // b0+b1 fold, b2 kept
+    assert(SinkCompaction.compact(spark, bands) == 2)
+    // a near-dup of a COMPACTED batch's survivor must STILL be dropped —
+    // the compacted history is the same history
     val nd = (mkText("cat").split(" ").dropRight(1) :+ "zzz").mkString(" ")
-    drain("s-b2", Seq((3L, nd), (4L, mkText("eel"))))
-    val kept = spark.read.parquet(cur).select(col("doc_id"))
+    drain("s-b3", Seq((3L, nd), (4L, mkText("eel"))))
+    val kept = SinkCompaction.read(spark, cur).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
-    assert(kept == Set(1L, 2L, 4L), s"got $kept")
+    assert(kept == Set(1L, 2L, 4L, 5L), s"got $kept")
   }
 }

@@ -74,9 +74,12 @@ class VectorStreamingSpec extends SparkTestBase {
     val src = s"$tmp/drop"; val lists = s"$tmp/lists"; val ckpt = s"$tmp/ckpt"
     val cents = Similarity.strideCentroids(
       emb.select(col("vec_id"), col("embedding")), nList = 8)
-    emb.filter(col("vec_id") < 250).write.parquet(src)
+    emb.filter(col("vec_id") < 150).write.parquet(src)
     VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
-    emb.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    emb.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+      .write.mode("append").parquet(src)
+    VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
+    emb.filter(col("vec_id") >= 300).write.mode("append").parquet(src)
     VectorStreaming.runAssignAvailableNow(spark, src, cents, lists, ckpt)
 
     val before = IvfIndex.openLists(spark, lists)
@@ -84,16 +87,19 @@ class VectorStreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val n = SinkCompaction.compact(spark, lists,
       innerPartitions = Seq("cluster"))
-    assert(n == 2, s"expected both drain partitions compacted, got $n")
+    // the stream's LATEST batch is replay-protected and never folds
+    assert(n == 2, s"expected the two older drain partitions compacted, got $n")
     val after = IvfIndex.openLists(spark, lists)
       .select(col("vec_id"), col("cluster").cast("int"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(after == before)
-    // one batch dir, cluster= layout preserved beneath it
+    SinkCompaction.reclaim(spark, lists)
+    // compact dir + the protected latest batch, cluster= layout beneath
     val batchDirs = new java.io.File(lists).listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-    assert(batchDirs.length == 1)
-    assert(batchDirs.head.listFiles.count(f =>
+    assert(batchDirs.length == 2, s"got ${batchDirs.map(_.getName).toSeq}")
+    val compactDir = batchDirs.find(_.getName.startsWith("batch=compact-")).get
+    assert(compactDir.listFiles.count(f =>
       f.isDirectory && f.getName.startsWith("cluster=")) <= 8)
   }
 
