@@ -397,6 +397,23 @@ object ScaleProbe {
     drainAgainst(docs1, "curation drain, 1x delta vs 1x history (warm)")
     drainAgainst(docs1, "curation drain, 1x delta vs 1x history")
     drainAgainst(docsN, s"curation drain, 1x delta vs ${factor}x history")
+
+    // sink compaction: fold `factor` batch partitions of the 10x corpus
+    // into one — the maintenance pass must stay a single linear rewrite
+    {
+      import graft.streaming.SinkCompaction
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sp_cpt").toString
+      val sink = s"$tmp/sink" // createTempDirectory pre-creates tmp —
+                              // parquet's default ErrorIfExists would throw
+      docsN.withColumn("batch",
+          concat(lit("s-b"), pmod(col("doc_id"), lit(factor + 1))))
+        .write.partitionBy("batch").parquet(sink)
+      time(s"sink compaction, ${factor} of ${factor + 1} batches of ${factor}x docs")(
+        SinkCompaction.compact(spark, sink))
+      time("sink reclamation")(SinkCompaction.reclaim(spark, sink))
+      rmTree(tmp)
+    }
     spark.stop()
   }
 }

@@ -26,9 +26,12 @@ object Sweep {
     if (new java.io.File(sf).getName == "sf0.1") stallOracles else Nil
 
   def main(args: Array[String]): Unit = {
+    // all three SFs by default — the sf0.1 leg (stall oracles pruned)
+    // is what caught the IVF recall cliff; pass explicit dirs to narrow
     val sfs =
       if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
     var failures = 0
     sfs.foreach { sf =>
       val name = new java.io.File(sf).getName
