@@ -139,6 +139,10 @@ object SinkCompaction {
   private def latestPerStream(tags: Set[String]): Set[String] = {
     val drainTag = "^(.*)-b(\\d+)$".r
     tags.toSeq
+      // a compact tag has no replay semantics — and its random 8-hex
+      // fragment can LOOK like a drain tag ('compact-b1234567'), which
+      // would permanently exempt it from future folding
+      .filterNot(_.startsWith("compact-"))
       .collect { case t @ drainTag(stream, n) => (stream, n.toLong, t) }
       .groupBy(_._1)
       .map { case (_, ts) => ts.maxBy(_._2)._3 }
@@ -152,11 +156,53 @@ object SinkCompaction {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val df = spark.read.parquet(dir)
-    val dead = completedSources(fs, root)
-    if (dead.isEmpty) df
-    // batch is a partition column: the NOT IN prunes whole directories
-    else df.filter(!col("batch").isin(dead.toSeq: _*))
+    // The dead set must agree with the DataFrame's file-index snapshot:
+    // a compaction completing BETWEEN the manifest scan and the parquet
+    // planning would either double-count (compact partition committed,
+    // manifest unseen) or drop rows (sources excluded, compact partition
+    // unseen). Scanning the manifest state on both sides of the planning
+    // and retrying on change closes the race: with a stable state, an
+    // incomplete manifest's tag is excluded (its sources are still on
+    // disk — reclamation is deferred), and a complete one's sources are
+    // excluded (its partition committed before its marker, hence before
+    // both scans).
+    var attempt = 0
+    while (true) {
+      val before = manifestState(fs, root)
+      val df = spark.read.parquet(dir)
+      if (manifestState(fs, root) == before) {
+        val dead =
+          before.collect { case (tag, sources, complete) =>
+            if (complete) sources else Seq(tag)
+          }.flatten.toSet
+        return if (dead.isEmpty) df
+        // batch is a partition column: the NOT IN prunes whole dirs
+        else df.filter(!col("batch").isin(dead.toSeq: _*))
+      }
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"compactions kept racing read() planning under $dir")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The full manifest state: (compactTag, sources, completed) per
+    * manifest file. An INCOMPLETE manifest's tag is itself dead for
+    * readers — its partition may hold committed rows (the data write
+    * commits before the marker) that are not yet authoritative.
+    */
+  private def manifestState(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(String, Seq[String], Boolean)] = {
+    val mdir = new Path(root, manifestDirName)
+    if (!fs.exists(mdir)) return Nil
+    fs.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map { s =>
+        val tag = s.getPath.getName.stripSuffix(".json")
+        (tag, readManifest(fs, s.getPath),
+          fs.exists(new Path(root, s"batch=$tag/$doneMarker")))
+      }
+      .sortBy(_._1)
   }
 
   /** Batch tags that are live data: on disk AND not shadowed by a
@@ -239,15 +285,8 @@ object SinkCompaction {
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      path: Path): Seq[String] = {
-    val in = fs.open(path)
-    val txt =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        buf.toString("UTF-8")
-      } finally in.close()
-    txt.split("[\\[\\],]").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      path: Path): Seq[String] =
+    HadoopIo.readUtf8(fs, path)
+      .split("[\\[\\],]").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
-  }
 }

@@ -112,14 +112,7 @@ object VectorStreaming {
     import org.apache.hadoop.fs.Path
     val marker = new Path(checkpoint, "graft_stream_id")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    def read(): String = {
-      val in = fs.open(marker)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        buf.toString("UTF-8").trim
-      } finally in.close()
-    }
+    def read(): String = HadoopIo.readUtf8(fs, marker).trim
     // Write-then-RENAME, never create-in-place: a crash between a direct
     // create and its write would leave a permanent zero-byte marker
     // (identity "" forever — and shared by every other crashed

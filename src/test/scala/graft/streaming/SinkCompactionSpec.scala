@@ -116,6 +116,31 @@ class SinkCompactionSpec extends SparkTestBase {
     assert(SinkCompaction.read(spark, dir).count() == 150)
   }
 
+  test("crash between data commit and marker: compact partition not double-read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpm").toString
+    writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"))
+    // simulate: the compact data write COMMITTED (parquet partition on
+    // disk) but the process died before the completion marker — the
+    // folded rows exist twice on disk
+    SinkCompaction.read(spark, dir)
+      .filter(col("batch").isin("s-b0", "s-b1"))
+      .withColumn("batch", lit("compact-dead1"))
+      .write.mode("append").partitionBy("batch").parquet(dir)
+    val mdir = new java.io.File(s"$dir/_graft_compactions")
+    mdir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$mdir/compact-dead1.json"),
+      "[\"s-b0\",\"s-b1\"]".getBytes("UTF-8"))
+    // the INCOMPLETE compaction's own partition is dead for readers —
+    // its sources are still authoritative
+    assert(SinkCompaction.read(spark, dir).count() == 150,
+      "committed-but-unmarked compact partition must be excluded")
+    // the next compact clears the stale attempt and folds for real
+    assert(SinkCompaction.compact(spark, dir) == 2)
+    assert(SinkCompaction.read(spark, dir).count() == 150)
+  }
+
   test("a compacted curated sink still feeds DocStreaming's prior probe") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmpd").toString
