@@ -182,6 +182,14 @@ object DeletionStaging {
     * double-count stats. Returns (messages-with-deleted_at, stats row
     * (succeeded, failed)) where failed counts members with no archive
     * row (executor.go tracks them as FailedIDs).
+    *
+    * Scale bound: the member id set is BROADCAST against the full
+    * message scan — correct because a staged manifest is a
+    * human-reviewed deletion batch (the stage→review→execute workflow
+    * caps it at what a reviewer signs off on; headers carry
+    * message_count for the caller to check). A pathological manifest
+    * beyond broadcast size should be split at staging time, not
+    * executed in one pass.
     */
   def execute(messages: DataFrame, manifestMembers: DataFrame,
       deletedAt: java.sql.Timestamp): (DataFrame, DataFrame) = {
