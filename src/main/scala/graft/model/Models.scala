@@ -58,6 +58,18 @@ object ViewType {
   case object Time extends ViewType("Time")
   val all: Seq[ViewType] = Seq(Senders, SenderNames, Recipients,
     RecipientNames, Domains, Labels, Time)
+
+  /** Untrusted-string entry point (CLI/REST config values). The sealed
+    * hierarchy makes an out-of-range value UNREPRESENTABLE in compiled
+    * callers — the Scala twin of the reference's enum-validation guard
+    * (sqlite_injection_test.go:11-25: ViewType(999) must error, never
+    * fall through to a default SQL branch) — and this parser extends the
+    * same guarantee to the string boundary: unknown names are rejected
+    * with the reference's wording, never defaulted.
+    */
+  def fromName(s: String): Either[String, ViewType] =
+    all.find(_.name.equalsIgnoreCase(s.trim))
+      .toRight(s"unsupported view type: $s")
 }
 
 sealed trait TimeGranularity
@@ -73,6 +85,15 @@ object TimeGranularity {
       case 10 => Day
       case _  => Month
     })
+
+  /** Reject-unknown string parse (sqlite_injection_test.go:74-88 twin). */
+  def fromName(s: String): Either[String, TimeGranularity] =
+    s.trim.toLowerCase match {
+      case "year"  => Right(Year)
+      case "month" => Right(Month)
+      case "day"   => Right(Day)
+      case other   => Left(s"unsupported time granularity: $other")
+    }
 }
 
 sealed trait SortField
@@ -81,6 +102,16 @@ object SortField {
   case object Size extends SortField
   case object AttachmentSize extends SortField
   case object Name extends SortField
+
+  /** Reject-unknown string parse (sqlite_injection_test.go:29-46 twin). */
+  def fromName(s: String): Either[String, SortField] =
+    s.trim.toLowerCase match {
+      case "count"           => Right(Count)
+      case "size"            => Right(Size)
+      case "attachment_size" => Right(AttachmentSize)
+      case "name"            => Right(Name)
+      case other             => Left(s"unsupported sort field: $other")
+    }
 }
 
 sealed trait SortDirection
@@ -94,6 +125,15 @@ object MessageSortField {
   case object Date extends MessageSortField
   case object Size extends MessageSortField
   case object Subject extends MessageSortField
+
+  /** Reject-unknown string parse (sqlite_injection_test.go:50-70 twin). */
+  def fromName(s: String): Either[String, MessageSortField] =
+    s.trim.toLowerCase match {
+      case "date"    => Right(Date)
+      case "size"    => Right(Size)
+      case "subject" => Right(Subject)
+      case other     => Left(s"unsupported message sort field: $other")
+    }
 }
 
 /** Texts-mode conversation-list sort (reference text_models.go TextSortBy*). */

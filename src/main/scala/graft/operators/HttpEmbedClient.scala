@@ -36,6 +36,11 @@ final case class HttpEmbedClient(
   @transient private lazy val http: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      // Go's http.Client follows redirects by default (client.go's
+      // transport is stock net/http); the JDK default is Redirect.NEVER,
+      // under which a 3xx would fall into the success branch, fail JSON
+      // decode, and be retried to exhaustion with a misleading error
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
 
   @transient private lazy val mapper = {

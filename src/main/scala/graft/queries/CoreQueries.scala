@@ -33,10 +33,56 @@ object CoreQueries {
     * drift between the two sink families.
     */
   private[queries] def etlTmpPath(s: SparkSession, dir: String,
-      name: String): String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/${name}_" +
+      name: String): String = {
+    tmpCleanupInstalled
+    val p = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/${name}_" +
       s"${ProcessHandle.current().pid()}_" +
       s"${System.identityHashCode(s)}_${math.abs(dir.hashCode)}"
+    tmpRoots.add(p)
+    p
+  }
+
+  /** The pid-scoping that de-races concurrent JVMs also means every
+    * gate/bench/sweep run mints fresh corpus-sized sink dirs that no
+    * later run's overwrite reclaims — so this JVM (a) deletes its own
+    * roots at exit and (b) sweeps roots whose minting pid is no longer
+    * alive (a kill -9'd run can't honor its own hook; the NEXT run
+    * cleans up after it). Liveness comes from the pid embedded in the
+    * dirname, so only genuinely orphaned roots are touched.
+    */
+  private val tmpRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val tmpCleanupInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tmpRoots.forEach(p => rmTreeQuiet(java.nio.file.Paths.get(p)))
+    }, "graft-etl-tmp-cleanup"))
+    val tmp = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val stale = "^graft_.*_(\\d+)_\\d+_\\d+$".r
+    val self = ProcessHandle.current().pid()
+    scala.util.Try(java.nio.file.Files.list(tmp)).foreach { listing =>
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.foreach { p =>
+          p.getFileName.toString match {
+            case stale(pid) if pid.toLong != self &&
+                !ProcessHandle.of(pid.toLong).isPresent =>
+              rmTreeQuiet(p)
+            case _ => ()
+          }
+        }
+      } finally listing.close()
+    }
+  }
+  private def rmTreeQuiet(root: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)

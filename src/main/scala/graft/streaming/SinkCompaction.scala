@@ -41,10 +41,28 @@ import org.apache.hadoop.fs.Path
   * (or a reader built on it, e.g. `IvfIndex.openLists`) rather than a
   * bare `spark.read.parquet`, and [[reclaim]] should run only when
   * queries planned before the previous compaction have drained.
+  *
+  * MAINTENANCE IS SINGLE-OWNER, and the code enforces it: [[compact]]
+  * and [[reclaim]] take an exclusive lease file under the manifest dir
+  * before touching anything. Without it, two concurrent compactors
+  * corrupt the sink — B's recovery pass sees A's not-yet-complete
+  * manifest as "interrupted" and deletes it, then A finishes its data
+  * write and marker, leaving a compact partition with no manifest whose
+  * rows AND source partitions both read as live (double-count, forever).
+  * A crashed owner's lease expires after [[leaseMs]]; size that above
+  * the longest plausible compaction so a stale-lease steal cannot race
+  * a merely-slow owner. Readers never take the lease — [[read]]'s
+  * scan-plan-rescan retry already handles reader-vs-compactor races.
   */
 object SinkCompaction {
 
   private val manifestDirName = "_graft_compactions"
+
+  /** Stale-maintenance-lease expiry: a lease older than this is presumed
+    * crashed and may be stolen. Must exceed the longest plausible
+    * compact() wall time with margin.
+    */
+  private[streaming] val leaseMs: Long = 15L * 60 * 1000
 
   /** Explicit completion marker INSIDE the compact partition: parquet's
     * own `_SUCCESS` lands at the sink ROOT (shared by every write), so
@@ -66,6 +84,7 @@ object SinkCompaction {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
+    withMaintenanceLease(fs, root) {
     finishInterrupted(fs, root)
 
     // NEVER fold a stream's LATEST batch: foreachBatch is at-least-once,
@@ -117,6 +136,7 @@ object SinkCompaction {
     // from here on exclude the sources via the manifest, so the lingering
     // files cost only space, reclaimed next maintenance.
     sources.size
+    }
   }
 
   /** Space reclamation for completed compactions (also runs at the start
@@ -128,7 +148,50 @@ object SinkCompaction {
   def reclaim(spark: SparkSession, dir: String): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(root)) finishInterrupted(fs, root)
+    if (fs.exists(root))
+      withMaintenanceLease(fs, root)(finishInterrupted(fs, root))
+  }
+
+  /** Exclusive maintenance lease: atomic create-no-overwrite of a lease
+    * file under the manifest dir (single-writer create is atomic on
+    * HDFS and posix local FS — the deployments this library targets; an
+    * object-store deployment should front maintenance with its own
+    * scheduler lock). A concurrent owner ⇒ IllegalStateException — the
+    * caller retries later rather than corrupting the sink. A lease older
+    * than [[leaseMs]] is a crashed owner: stolen (deleted + re-acquired)
+    * exactly once, so two stealers still serialize on the re-create.
+    */
+  private def withMaintenanceLease[T](fs: org.apache.hadoop.fs.FileSystem,
+      root: Path)(body: => T): T = {
+    val mdir = new Path(root, manifestDirName)
+    fs.mkdirs(mdir)
+    val lease = new Path(mdir, "_MAINTENANCE_LEASE")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(
+          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime > leaseMs
+        catch {
+          // holder released between our create attempt and the stat —
+          // not stale, just contended; retry the plain acquire below
+          case _: java.io.FileNotFoundException => false
+        }
+      if (stale) fs.delete(lease, false)
+      acquired = tryAcquire()
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"sink maintenance already in progress under $mdir " +
+        "(compact/reclaim are single-owner; retry after the lease clears)")
+    try body finally fs.delete(lease, false)
   }
 
   /** For tags of the drain form `<streamId>-b<batchId>`: the max-batchId

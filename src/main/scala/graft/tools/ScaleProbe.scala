@@ -47,8 +47,12 @@ object ScaleProbe {
     def rmTree(dir: String): Unit = {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+      // Files.walk holds a directory handle until closed — a probe run
+      // calls this dozens of times and unclosed streams leak fds
+      val walk = Files.walk(Paths.get(dir))
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
 
     def time(label: String)(f: => Any): Unit = {

@@ -160,6 +160,58 @@ class InjectionSpec extends SparkTestBase {
     assert(hits("\"a.*b\"").isEmpty)
   }
 
+  // ==========================================================================
+  // The reference's injection corpus (sqlite_injection_test.go:1-141),
+  // table-driven. Enum cases: Go's ViewType(999) etc. must error rather
+  // than fall through to a default SQL branch; in Scala the sealed
+  // hierarchies make out-of-range values unrepresentable to compiled
+  // callers, and the string boundary (fromName) rejects unknown names
+  // with the reference's wording. Filter-value cases: every payload is a
+  // bound Column literal, so it matches nothing and mutates nothing.
+  // ==========================================================================
+
+  test("invalid enum names are rejected, never defaulted (sqlite_injection_test.go:11-88)") {
+    // one row per reference test: (parse result, required error fragment)
+    val cases: Seq[(Either[String, Any], String)] = Seq(
+      (ViewType.fromName("999"), "unsupported view type"),
+      (ViewType.fromName("Senders; DROP TABLE messages"), "unsupported view type"),
+      (SortField.fromName("999"), "unsupported sort field"),
+      (SortField.fromName("count); --"), "unsupported sort field"),
+      (MessageSortField.fromName("999"), "unsupported message sort field"),
+      (TimeGranularity.fromName("999"), "unsupported time granularity"),
+      (TimeGranularity.fromName("century"), "unsupported time granularity"))
+    cases.foreach { case (res, frag) =>
+      assert(res.isLeft && res.left.exists(_.contains(frag)),
+        s"expected Left(...$frag...), got $res")
+    }
+    // and the legitimate names still parse (no over-rejection)
+    assert(ViewType.fromName("senders") == Right(ViewType.Senders))
+    assert(SortField.fromName("attachment_size") == Right(SortField.AttachmentSize))
+    assert(MessageSortField.fromName("Date") == Right(MessageSortField.Date))
+    assert(TimeGranularity.fromName("month") == Right(TimeGranularity.Month))
+  }
+
+  test("injection payload sweep: sender/label filters are literals (sqlite_injection_test.go:93-141)") {
+    // the reference's exact payload list
+    val payloads = Seq(
+      "'; DROP TABLE messages; --",
+      "alice@example.com' OR '1'='1",
+      "alice@example.com\" OR \"1\"=\"1",
+      "alice@example.com; DELETE FROM messages WHERE '1'='1",
+      "alice@example.com UNION SELECT * FROM messages--")
+    payloads.foreach { p =>
+      // Sender filter: literal equality — must return 0 rows, not all
+      assert(engine.filters.compile(MessageFilter(sender = p)).count() == 0,
+        s"sender payload must match nothing: $p")
+      // Label filter: same guarantee through the label join
+      assert(engine.filters.compile(MessageFilter(label = p)).count() == 0,
+        s"label payload must match nothing: $p")
+    }
+    // the archive is intact after every attempt (reference asserts the
+    // seed row count survives)
+    assert(v.messages.count() == 5)
+  }
+
   test("aggregate search filters (duckdb_test.go:2042-2140 behavioral twins)") {
     import Fixtures._
     // alice: msgs 1-3 (Hello World / Re: Hello / Follow up), att on 2

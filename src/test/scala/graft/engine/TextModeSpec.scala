@@ -119,6 +119,109 @@ class TextModeSpec extends SparkTestBase {
     assert(engine.textSearch("   ", bodies).collect().isEmpty)
   }
 
+  // ==========================================================================
+  // Case-per-reference-test parity for the conversation-list edge cases
+  // (textimport/integration_test.go:155-380; duckdb_text.go:108-158;
+  // text_models.go:94-96).
+  // ==========================================================================
+
+  // edge-case archive: ties, null snippet/title, phantom participant,
+  // the FULL TextMessageTypes set, an unknown source, a labeled chat
+  private lazy val edge = Fixtures.vault(spark,
+    messages = Seq(
+      // conv 4: preview tie-breaker — 42 and 43 share sent_at; the
+      // higher id must win (integration_test.go:155-183, 290-294;
+      // FIRST(snippet ORDER BY sent_at DESC, id DESC) duckdb_text.go:139)
+      msg(41, "", "2024-04-01 10:00:00", convId = 4, senderId = Some(1),
+        msgType = Some("sms"), snippet = "first", sourceId = 1),
+      msg(42, "", "2024-04-02 10:00:00", convId = 4, senderId = Some(2),
+        msgType = Some("sms"), snippet = "early id", sourceId = 1),
+      msg(43, "", "2024-04-02 10:00:00", convId = 4, senderId = Some(1),
+        msgType = Some("sms"), snippet = "late id", sourceId = 1),
+      // conv 5: latest snippet NULL → last_preview '' (duckdb_text.go:152);
+      // null sender collapses to the phantom 0 participant
+      // (COALESCE(sender_id, 0), duckdb_text.go:136) → participant 2
+      msg(51, "", "2024-05-01 10:00:00", convId = 5, senderId = Some(1),
+        msgType = Some("google_voice_text"), snippet = "gv text", sourceId = 9),
+      msg(52, "", "2024-05-02 10:00:00", convId = 5, senderId = None,
+        msgType = Some("google_voice_text"), snippet = null, sourceId = 9),
+      // conv 6: non-text type — excluded wholesale (text_models.go:94-96)
+      msg(61, "", "2024-06-01 10:00:00", convId = 6, senderId = Some(1),
+        msgType = Some("telegram"), snippet = "not a text type", sourceId = 1)),
+    recipients = Seq(
+      MrRow(41, 1, "from", None), MrRow(42, 2, "from", None),
+      MrRow(43, 1, "from", None), MrRow(51, 1, "from", None),
+      MrRow(52, 1, "from", None), MrRow(61, 1, "from", None)),
+    participants = Seq(
+      PRow(1, Some("a@x.com"), Some("Alice"), Some("+15551234567"), Some("x.com")),
+      PRow(2, Some("b@y.org"), Some("Bob"), None, Some("y.org"))),
+    conversations = Seq(
+      ConvRow(4, "conv-4", None, Some("group")), // null title → ""
+      ConvRow(5, "conv-5", Some("GV Chat"), Some("direct")),
+      ConvRow(6, "conv-6", Some("Telegram"), None)),
+    sources = Seq(SrcRow(1, "sms@x.com", Some("sms"))), // 9 missing → ""
+    labels = Seq(LblRow(1, "Important")),
+    messageLabels = Seq(MlRow(41L, 1L)))
+
+  private lazy val edgeEngine = new MsgEngine(edge)
+
+  test("preview tie-break: same sent_at, higher id wins (integration_test.go:290-294)") {
+    val c4 = edgeEngine.listConversations().collect()
+      .find(_.getAs[Long]("conversation_id") == 4L).get
+    assert(c4.getAs[String]("last_preview") == "late id")
+    assert(c4.getAs[Long]("message_count") == 3)
+  }
+
+  test("null title / missing source / null latest snippet render as '' (duckdb_text.go:147-152)") {
+    val rows = edgeEngine.listConversations().collect()
+      .map(r => r.getAs[Long]("conversation_id") -> r).toMap
+    assert(rows(4L).getAs[String]("title") == "") // COALESCE(conv.title,'')
+    val c5 = rows(5L)
+    assert(c5.getAs[String]("last_preview") == "") // latest snippet is NULL
+    assert(c5.getAs[String]("source_type") == "") // source 9 has no row
+    // phantom participant: {sender 1, NULL→0} = 2 distinct
+    assert(c5.getAs[Long]("participant_count") == 2)
+  }
+
+  test("the full TextMessageTypes set is in; other types are out (text_models.go:94-96)") {
+    val e1 = new MsgEngine(v)
+    // sms + google_voice_text conversations appear (edge archive)...
+    val ids = edgeEngine.listConversations().collect()
+      .map(_.getAs[Long]("conversation_id")).toSet
+    assert(ids == Set(4L, 5L), s"telegram conv must be excluded, got $ids")
+    // ...and the base archive's imessage/whatsapp already pass; email
+    // stays out in both (conv 3 in the base fixture)
+    assert(!e1.listConversations().collect()
+      .map(_.getAs[Long]("conversation_id")).contains(3L))
+  }
+
+  test("name sort and conversation pagination (duckdb_text.go:108-127)") {
+    val byName = edgeEngine.listConversations(TextFilter(
+      sortField = TextSortField.Name, sortDirection = SortDirection.Asc))
+      .collect().map(_.getAs[String]("title")).toSeq
+    assert(byName == Seq("", "GV Chat")) // '' sorts first ascending
+    val page = edgeEngine.listConversations(TextFilter(
+      pagination = Pagination(limit = 1, offset = 1))).collect()
+    assert(page.length == 1) // limit honored after offset
+  }
+
+  test("textStats counts labels on chats and scopes by source (integration_test.go:355-379)") {
+    val all = edgeEngine.textStats().head()
+    assert(all.getAs[Long]("message_count") == 5) // telegram excluded
+    assert(all.getAs[Long]("label_count") == 1) // Important on msg 41
+    val s1 = edgeEngine.textStats(sourceId = Some(1L)).head()
+    assert(s1.getAs[Long]("message_count") == 3) // conv 4 only
+  }
+
+  test("contact aggregate counts fallback-resolved messages (integration_test.go:309-330)") {
+    // Alice: direct sender of 41,43,51 AND fallback contact of 52 (null
+    // sender) — 4 total; display-name key per participantNameOf
+    val rows = edgeEngine.aggregateTextContacts().collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("count")).toMap
+    assert(rows("Alice") == 4L, s"got $rows")
+    assert(rows("Bob") == 1L)
+  }
+
   test("textStats: chat-only totals with snippet search") {
     val all = engine.textStats().head()
     assert(all.getAs[Long]("message_count") == 5)

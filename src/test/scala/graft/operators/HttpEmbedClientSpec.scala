@@ -124,6 +124,40 @@ class HttpEmbedClientSpec extends SparkTestBase {
     }
   }
 
+  test("3xx redirects are followed like Go's default http.Client") {
+    // 307 preserves method+body across the hop; the JDK default policy
+    // (Redirect.NEVER) would hand the 3xx to the success branch, fail
+    // JSON decode, and burn every retry on a misleading error
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val calls = new AtomicInteger(0)
+    server.createContext("/v1/embeddings", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        calls.incrementAndGet()
+        ex.getResponseHeaders.set("Location", "/v2/embeddings")
+        ex.sendResponseHeaders(307, -1)
+        ex.close()
+      }
+    })
+    server.createContext("/v2/embeddings", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        calls.incrementAndGet()
+        val bytes = embeddingJson(parseInputs(body))
+          .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val ep = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      assert(client(ep).embed(Seq("r")).head.toSeq == vecFor("r"))
+      assert(calls.get() == 2) // one hop, one real response — no retries
+    } finally server.stop(0)
+  }
+
   test("permanent 4xx fails immediately without retrying") {
     withServer((_, _) => (400, "bad model", Map.empty)) { (ep, calls) =>
       val e = intercept[RuntimeException](client(ep).embed(Seq("z")))

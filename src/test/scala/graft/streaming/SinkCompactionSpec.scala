@@ -141,6 +141,40 @@ class SinkCompactionSpec extends SparkTestBase {
     assert(SinkCompaction.read(spark, dir).count() == 150)
   }
 
+  test("maintenance is single-owner: a live lease excludes compact/reclaim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpl").toString
+    writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"))
+    val mdir = new java.io.File(s"$dir/_graft_compactions")
+    mdir.mkdirs()
+    // another maintenance owner holds the lease (fresh mtime)
+    val lease = new java.io.File(mdir, "_MAINTENANCE_LEASE")
+    java.nio.file.Files.write(lease.toPath, "9999 0".getBytes("UTF-8"))
+    // without exclusion, this compactor's recovery pass would treat a
+    // concurrent owner's in-flight manifest as interrupted and delete it
+    // (the double-count corruption); instead it must refuse outright
+    intercept[IllegalStateException](SinkCompaction.compact(spark, dir))
+    intercept[IllegalStateException](SinkCompaction.reclaim(spark, dir))
+    assert(batchDirs(dir).size == 3, "a refused compact must touch nothing")
+    assert(lease.exists(), "the other owner's lease must survive the refusal")
+    // readers never take the lease
+    assert(SinkCompaction.read(spark, dir).count() == 150)
+  }
+
+  test("a crashed owner's stale lease is stolen; a clean run leaves none") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmps").toString
+    writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"))
+    val mdir = new java.io.File(s"$dir/_graft_compactions")
+    mdir.mkdirs()
+    val lease = new java.io.File(mdir, "_MAINTENANCE_LEASE")
+    java.nio.file.Files.write(lease.toPath, "9999 0".getBytes("UTF-8"))
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - SinkCompaction.leaseMs - 60000))
+    assert(SinkCompaction.compact(spark, dir) == 2,
+      "a lease older than leaseMs is a crashed owner and must be stolen")
+    assert(!lease.exists(), "the lease must be released after maintenance")
+    assert(SinkCompaction.read(spark, dir).count() == 150)
+  }
+
   test("a compacted curated sink still feeds DocStreaming's prior probe") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmpd").toString
