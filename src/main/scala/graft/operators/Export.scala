@@ -66,22 +66,18 @@ object Export {
     * the filename-ordered concatenation of shards is itself a valid mbox
     * in (bucket, id) order.
     *
-    * Size `shards` for the READER, not the writer: [[readMbox]] holds
-    * one whole shard per task (`wholetext`), so pick shards ≥
-    * corpus_bytes / reader_task_memory. The default matches the local
-    * rig; a 100 TB export wants tens of thousands.
+    * Size `shards` for the READER: [[readMbox]]'s fast path holds one
+    * whole shard per task, and even its split-safe path wants shards
+    * that parallelize well. The default matches the local rig; a 100 TB
+    * export wants tens of thousands — up to [[MaxShards]], which the
+    * fixed-width [[normalizeShardNames]] pass (not Spark's own
+    * `part-%05d`, whose lexicographic order breaks past 100k) makes
+    * safely concatenable.
     */
   def writeMbox(messages: DataFrame, id: Column, record: Column,
       outDir: String, shards: Int = graft.queries.OrderBuckets): Unit = {
-    // the concatenation contract rides on Spark's part-%05d filenames
-    // sorting in partition order — at 100001+ partitions the index grows
-    // a digit and "part-100000" sorts BEFORE "part-10001", silently
-    // interleaving buckets. 100k shards already bounds a 100 TB corpus
-    // at ~1 GB per reader task; beyond that, split the export by a
-    // partition column (e.g. year) and shard within each.
-    require(shards >= 1 && shards <= 100000,
-      s"shards must be in [1, 100000] (filename-ordered concatenation " +
-        s"breaks past %05d), got $shards")
+    require(shards >= 1 && shards <= MaxShards,
+      s"shards must be in [1, $MaxShards], got $shards")
     graft.queries.bucketOrderedN(
       messages.select(id.as("__id"), record.as("value")), col("__id"), shards)
       // a null record (null id or null/corrupt mime) would abort the
@@ -91,21 +87,195 @@ object Export {
       .filter(col("value").isNotNull)
       .select(col("value"))
       .write.mode("overwrite").text(outDir)
+    normalizeShardNames(messages.sparkSession, outDir)
+  }
+
+  /** [[normalizeShardNames]]'s `shard-%09d` naming is good to 10^9. */
+  val MaxShards: Int = 999999999
+
+  /** Rename the text sink's `part-NNNNN-<uuid>` files to fixed-width
+    * `shard-%09d.mbox` in task order, making filename-ordered
+    * concatenation valid at ANY shard count: Spark's own part index is
+    * padded to 5 digits, so at 100001+ partitions it grows a digit and
+    * "part-100000" sorts lexicographically BEFORE "part-10001" —
+    * silently interleaving buckets in a concatenated export. Runs after
+    * the committer finished (every file is final), so the rename pass is
+    * pure metadata. Empty buckets write no file; ranks are dense over
+    * the files that exist, which preserves order (the contract is the
+    * ORDER of shards, not their count).
+    *
+    * Renames are distributed (one task per ~10k files) so a million-
+    * shard export does not serialize 10^6 metadata round-trips through
+    * the driver. Returns the number of files renamed. Idempotent:
+    * already-normalized names are left alone when no part files remain.
+    */
+  def normalizeShardNames(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val partName = "^part-(\\d+)".r.unanchored
+    val parts = fs.listStatus(root).toSeq
+      .filter(_.isFile)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case partName(idx) => Some((idx.toLong, st.getPath.getName))
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+    if (parts.isEmpty) return 0
+    val pairs = parts.zipWithIndex.map { case ((_, name), rank) =>
+      (name, f"shard-$rank%09d.mbox")
+    }
+    if (pairs.size <= 1000) {
+      // small export: driver-side loop beats a job round-trip
+      pairs.foreach { case (src, dst) =>
+        if (!fs.rename(new org.apache.hadoop.fs.Path(root, src),
+            new org.apache.hadoop.fs.Path(root, dst)))
+          throw new IllegalStateException(
+            s"shard rename failed: $dir/$src -> $dst")
+      }
+    } else {
+      // full Hadoop conf shipped to tasks (fs credentials and impls ride
+      // in it); Spark's own SerializableConfiguration is private[spark]
+      val confB = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      val dirStr = dir
+      spark.sparkContext
+        .parallelize(pairs, math.max(1, pairs.size / 10000))
+        .foreachPartition { it =>
+          val r = new org.apache.hadoop.fs.Path(dirStr)
+          val f = r.getFileSystem(confB.value.value)
+          it.foreach { case (src, dst) =>
+            if (!f.rename(new org.apache.hadoop.fs.Path(r, src),
+                new org.apache.hadoop.fs.Path(r, dst)))
+              throw new IllegalStateException(
+                s"shard rename failed: $dirStr/$src -> $dst")
+          }
+        }
+    }
+    pairs.size
   }
 
   /** Exact inverse of [[writeMbox]]: read the shard files and recover
-    * (envelope_id, mime) per message. Shards are whole-file rows (an
-    * mbox record spans lines), split on unquoted "From " line starts —
-    * unambiguous because payload From-lines are always quoted.
+    * (envelope_id, mime) per message. Records are delimited by unquoted
+    * "From " line starts — unambiguous because payload From-lines are
+    * always quoted.
     *
-    * Memory shape: `wholetext` holds ONE shard per task — bounded by
-    * corpus/OrderBuckets. For exports where a shard would exceed task
-    * memory, raise the bucket count at write time; the parse itself is
-    * single-pass.
+    * Two physical paths, same parse ([[parseMboxText]] both ways):
+    *
+    *  - FAST (every shard ≤ `maxInTaskShardBytes`): `wholetext`, one
+    *    shard per task, zero shuffles. Memory per task = one shard.
+    *  - SPLIT-SAFE (any shard larger): [[readMboxReassemble]] — plain
+    *    line reading over Hadoop splits, records reassembled across
+    *    split boundaries with one line shuffle. Memory per task = one
+    *    RECORD (max message size), never a whole shard — so a foreign
+    *    mbox that arrived as one 50 GB file still reads.
+    *
+    * The dispatch is per-listing, not per-file, so one oversized shard
+    * routes the whole read through the split-safe path (mixing paths
+    * would read fast files twice or complicate the union for no win —
+    * the reassemble path is correct for small files too, just one
+    * shuffle slower).
     */
-  def readMbox(spark: SparkSession, dir: String): DataFrame = {
+  def readMbox(spark: SparkSession, dir: String,
+      maxInTaskShardBytes: Long = 256L << 20): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val maxFile =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq.filter(_.isFile).map(_.getLen)
+        .foldLeft(0L)(math.max)
+    if (maxFile > maxInTaskShardBytes) readMboxReassemble(spark, dir)
+    else {
+      import spark.implicits._
+      spark.read.option("wholetext", "true").text(dir).as[String]
+        .flatMap(parseMboxText)
+        .toDF("envelope_id", "mime")
+    }
+  }
+
+  /** Split-safe mbox read: lines are read with ordinary Hadoop text
+    * splits (a task never holds more than a split's lines), then
+    * reassembled into records across split boundaries:
+    *
+    *  1. one cheap counting pass per split collects (lineCount,
+    *     envelopeCount) — two longs per split to the driver;
+    *  2. prefix sums give every split its global line offset and its
+    *     global record offset, so a second pass labels each line with
+    *     (recordId, globalLineIdx) with NO cross-task communication —
+    *     a split that starts mid-record labels its leading lines with
+    *     the PREVIOUS split's last record id (envOffset - 1);
+    *  3. one shuffle groups each record's lines, sorts them by global
+    *     index, and hands the reassembled text to [[parseMboxText]] —
+    *     the same parser the fast path runs, so the two paths cannot
+    *     drift.
+    *
+    * Correctness rides on two invariants: payload From-lines are always
+    * quoted (so an unquoted "From " line start IS a record boundary),
+    * and a file's splits occupy consecutive RDD partitions in offset
+    * order (FileInputFormat generates them that way). Records never
+    * span FILES — every shard starts with an envelope line — so file
+    * interleaving in the listing is harmless.
+    *
+    * `splitMaxBytes` > 0 forces smaller splits (spec hook; production
+    * leaves the Hadoop default block-size splitting).
+    */
+  def readMboxReassemble(spark: SparkSession, dir: String,
+      splitMaxBytes: Long = 0L): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    // exact-LF line model: Hadoop's DEFAULT line reader also treats bare
+    // '\r' (and swallows '\r' in "\r\n") as a terminator, which would
+    // silently strip the '\r's of CRLF mime — the wholetext parser and
+    // the writer's (?d) quoting regex both split on '\n' alone, and the
+    // two read paths must share one line model exactly
+    conf.set("textinputformat.record.delimiter", "\n")
+    if (splitMaxBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize",
+        splitMaxBytes)
+    val lines = spark.sparkContext.newAPIHadoopFile(
+      dir, classOf[TextInputFormat], classOf[LongWritable], classOf[Text],
+      conf).map(_._2.toString)
+
+    // pass 1: per-split line/envelope counts (two longs per split)
+    val perSplit = lines.mapPartitionsWithIndex { (pi, it) =>
+      var n = 0L; var e = 0L
+      it.foreach { l => n += 1; if (l.startsWith("From ")) e += 1 }
+      Iterator.single((pi, n, e))
+    }.collect().sortBy(_._1)
+    val lineOff = perSplit.scanLeft(0L)(_ + _._2).dropRight(1)
+    val envOff = perSplit.scanLeft(0L)(_ + _._3).dropRight(1)
+
+    // pass 2: label lines (recordId, globalIdx, line); a line before the
+    // split's first envelope belongs to the previous split's last record
+    val labeled = lines.mapPartitionsWithIndex { (pi, it) =>
+      var gidx = lineOff(pi) - 1
+      var rid = envOff(pi) - 1
+      it.map { l =>
+        gidx += 1
+        if (l.startsWith("From ")) rid += 1
+        (rid, gidx, l)
+      }
+    }.filter(_._1 >= 0) // defensively drop junk before any envelope
+
+    // pass 3: group, order, reassemble, parse — same parser as fast path.
+    // The line reader STRIPS terminators, so the reassembled text gets
+    // its final '\n' restored: every source line was '\n'-terminated
+    // (and for an unterminated foreign final line, appending one is
+    // equivalent under the line model) — without it parseMboxText's
+    // file-final-artifact drop would eat a real payload line of any
+    // mime ending in a newline.
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(dir).as[String]
+    labeled.toDF("rid", "gidx", "line")
+      .groupBy(col("rid"))
+      .agg(concat(array_join(
+        transform(
+          array_sort(collect_list(struct(col("gidx"), col("line")))),
+          x => x.getField("line")),
+        "\n"), lit("\n")).as("rec"))
+      .select(col("rec")).as[String]
       .flatMap(parseMboxText)
       .toDF("envelope_id", "mime")
   }
@@ -227,6 +397,26 @@ object Export {
     * email-supplied filenames must not escape the working directory.
     * Pure function (driver-side guard before any sink call).
     */
+  /** Hadoop `Configuration` is not `Serializable`; this is the standard
+    * write/readFields envelope so tasks receive the driver's full fs
+    * config (credentials, scheme impls) rather than a bare `new
+    * Configuration()`.
+    */
+  private final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   def validateOutputPath(path: String): Either[String, String] = {
     val cleaned = java.nio.file.Paths.get(path).normalize().toString
     if (path.isEmpty) Left("output path is empty")

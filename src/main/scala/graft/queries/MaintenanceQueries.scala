@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.ArchiveVerify
 import graft.functions.TextEncoding
 import graft.sources.Tables
+import graft.streaming.SinkCompaction
 
 /** Archive-maintenance entries: the integrity audit (reference
   * cmd/verify.go) and the encoding-repair pass
@@ -94,8 +95,105 @@ object MaintenanceQueries {
       |FROM documents
       |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
+  /** The compacted-sink READ path under the hash gate: a real file-source
+    * stream drains the documents table in four micro-batches (one file
+    * per trigger) into a `batch=`-partitioned sink with the repo's
+    * exactly-once discipline (own-partition dynamic overwrite), then
+    * [[graft.streaming.SinkCompaction.compact]] folds every non-latest
+    * batch and [[graft.streaming.SinkCompaction.reclaim]] finishes the
+    * deferred deletes. The query reads back through `SinkCompaction.read`
+    * — every document must survive exactly once, and `from_compacted`
+    * witnesses that the fold actually happened (batches 0-2 live in the
+    * compact partition, the replay-protected latest batch 3 stays live),
+    * so a silently no-oping compactor fails the oracle, not just a spec.
+    *
+    * Drain/compact/reclaim run once per (session, corpus) via
+    * [[memoizedIndex]]; the benched per-run cost is the READ — manifest
+    * scan + partition-pruned parquet, the path every consumer of a
+    * long-lived streaming sink pays.
+    */
+  def streamCompactedRead(s: SparkSession, dir: String): DataFrame = {
+    val sink = memoizedIndex(s, dir, "compacted_sink") {
+      buildCompactedSink(s, dir)
+    }
+    bucketOrdered(
+      SinkCompaction.read(s, sink)
+        .select(col("doc_id"), col("n_chars"),
+          col("batch").cast("string").startsWith("compact-")
+            .as("from_compacted")),
+      col("doc_id"))
+  }
+
+  private def buildCompactedSink(s: SparkSession, dir: String): String = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_cmpq")
+    sys.addShutdownHook {
+      try {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val drop = root.resolve("drop"); Files.createDirectories(drop)
+    val sinkDir = root.resolve("sink").toString
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // four deliveries, one FILE each: delivery k holds doc_id % 4 == k,
+    // mtimes strictly ascending in k so the file stream source (which
+    // orders by modification time) assigns shard k to micro-batch k —
+    // the oracle's `doc_id % 4 <> 3` replay of from_compacted rides on
+    // that mapping being deterministic
+    val base = System.currentTimeMillis() - 60000
+    (0 to 3).foreach { k =>
+      val tmp = root.resolve(s"shard$k")
+      docs.filter(pmod(col("doc_id"), lit(4)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = Files.list(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally l.close()
+      }
+      val dst = drop.resolve(s"shard-$k.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(base + k * 1000L)
+    }
+    val schema = s.read.parquet(drop.toString).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(drop.toString)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch", lit(s"cs-b$id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(sinkDir)
+        ()
+      }
+      .start().awaitTermination()
+    // loud gate: the query's claim is "reads correctly THROUGH a
+    // compaction" — a no-op fold would pass the row comparison with
+    // from_compacted all-false and must abort instead
+    val folded = SinkCompaction.compact(s, sinkDir)
+    if (folded != 3) throw new IllegalStateException(
+      s"compacted-sink fixture expected to fold 3 sources, folded $folded")
+    SinkCompaction.reclaim(s, sinkDir)
+    sinkDir
+  }
+
+  val streamCompactedReadSql: String =
+    s"""SELECT doc_id, n_chars, doc_id % 4 <> 3 AS from_compacted
+      |FROM documents
+      |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "archive_verify" -> (archiveVerify _, Some(archiveVerifySql)),
     "text_encoding_repair" ->
-      (textEncodingRepair _, Some(textEncodingRepairSql)))
+      (textEncodingRepair _, Some(textEncodingRepairSql)),
+    "stream_compacted_read" ->
+      (streamCompactedRead _, Some(streamCompactedReadSql)))
 }

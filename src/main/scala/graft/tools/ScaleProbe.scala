@@ -418,6 +418,29 @@ object ScaleProbe {
       time("sink reclamation")(SinkCompaction.reclaim(spark, sink))
       rmTree(tmp)
     }
+
+    // split-safe mbox reassembly: ONE oversized shard (the foreign-mbox
+    // shape the wholetext path cannot hold in a task) read through line
+    // splits + the record-group shuffle — growth must be ~linear
+    {
+      def writeOneShard(m: org.apache.spark.sql.DataFrame): String = {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_sp_mrs").toString
+        Export.writeMbox(m, col("id"),
+          Export.mboxRecord(col("source_message_id"), col("sent_at"),
+            col("mime")), out, shards = 1)
+        out
+      }
+      val o1 = writeOneShard(m1)
+      Export.readMboxReassemble(spark, o1).count() // warm
+      time("mbox reassemble read, single oversized shard, 1x")(
+        Export.readMboxReassemble(spark, o1).count())
+      rmTree(o1)
+      val oN = writeOneShard(mN)
+      time(s"mbox reassemble read, single oversized shard, ${factor}x")(
+        Export.readMboxReassemble(spark, oN).count())
+      rmTree(oN)
+    }
     spark.stop()
   }
 }
