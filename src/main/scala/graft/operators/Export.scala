@@ -106,31 +106,52 @@ object Export {
     *
     * Renames are distributed (one task per ~10k files) so a million-
     * shard export does not serialize 10^6 metadata round-trips through
-    * the driver. Returns the number of files renamed. Idempotent:
-    * already-normalized names are left alone when no part files remain.
+    * the driver. Returns the number of files renamed. Idempotent AND
+    * crash-resumable: rank order equals part-index order, so after a
+    * partial pass (driver crash mid-loop, or some distributed rename
+    * tasks done and others not) the surviving `shard-k` files pin rank k
+    * and the remaining parts — sorted by part index — fill exactly the
+    * FREE ranks in ascending order, reproducing the original assignment.
+    * Restarting ranks at 0 instead would rename onto an existing
+    * shard-000000000.mbox, which local-FS rename silently overwrites.
     */
   def normalizeShardNames(spark: SparkSession, dir: String): Int = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val partName = "^part-(\\d+)".r.unanchored
-    val parts = fs.listStatus(root).toSeq
-      .filter(_.isFile)
-      .flatMap { st =>
-        st.getPath.getName match {
-          case partName(idx) => Some((idx.toLong, st.getPath.getName))
-          case _ => None
-        }
+    val shardName = "^shard-(\\d{9})\\.mbox$".r
+    val files = fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath.getName)
+    val parts = files
+      .flatMap {
+        case n @ partName(idx) => Some((idx.toLong, n))
+        case _ => None
       }
       .sortBy(_._1)
     if (parts.isEmpty) return 0
-    val pairs = parts.zipWithIndex.map { case ((_, name), rank) =>
+    val taken = files.collect { case shardName(k) => k.toLong }.sorted
+    val total = taken.size + parts.size
+    // a taken rank outside [0, total) or a duplicate means the dir is not
+    // a partial state of THIS pass (foreign files, double export) — refuse
+    // rather than guess an assignment that interleaves buckets
+    require(taken.distinct.size == taken.size &&
+      taken.forall(k => k >= 0 && k < total),
+      s"$dir holds shard files inconsistent with a resumable rename pass " +
+        s"(${taken.size} shard + ${parts.size} part files, shard ranks " +
+        s"must be distinct and < $total); clear it and re-export")
+    val takenSet = taken.toSet
+    val freeRanks = (0L until total.toLong).filterNot(takenSet)
+    val pairs = parts.map(_._2).zip(freeRanks).map { case (name, rank) =>
       (name, f"shard-$rank%09d.mbox")
     }
     if (pairs.size <= 1000) {
       // small export: driver-side loop beats a job round-trip
       pairs.foreach { case (src, dst) =>
-        if (!fs.rename(new org.apache.hadoop.fs.Path(root, src),
-            new org.apache.hadoop.fs.Path(root, dst)))
+        val dstPath = new org.apache.hadoop.fs.Path(root, dst)
+        // local-FS rename onto an existing file silently overwrites
+        // (POSIX), HDFS returns false — make both fail loudly instead
+        if (fs.exists(dstPath)) throw new IllegalStateException(
+          s"shard rename target already exists: $dir/$dst")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(root, src), dstPath))
           throw new IllegalStateException(
             s"shard rename failed: $dir/$src -> $dst")
       }
@@ -146,8 +167,10 @@ object Export {
           val r = new org.apache.hadoop.fs.Path(dirStr)
           val f = r.getFileSystem(confB.value.value)
           it.foreach { case (src, dst) =>
-            if (!f.rename(new org.apache.hadoop.fs.Path(r, src),
-                new org.apache.hadoop.fs.Path(r, dst)))
+            val dstPath = new org.apache.hadoop.fs.Path(r, dst)
+            if (f.exists(dstPath)) throw new IllegalStateException(
+              s"shard rename target already exists: $dirStr/$dst")
+            if (!f.rename(new org.apache.hadoop.fs.Path(r, src), dstPath))
               throw new IllegalStateException(
                 s"shard rename failed: $dirStr/$src -> $dst")
           }
@@ -390,13 +413,6 @@ object Export {
     named.unionByName(invalid)
   }
 
-  // --- output path guard ----------------------------------------------------
-
-  /** ValidateOutputPath (attachments.go:204-366 region): reject absolute,
-    * rooted, drive/UNC-prefixed and parent-traversing output paths —
-    * email-supplied filenames must not escape the working directory.
-    * Pure function (driver-side guard before any sink call).
-    */
   /** Hadoop `Configuration` is not `Serializable`; this is the standard
     * write/readFields envelope so tasks receive the driver's full fs
     * config (credentials, scheme impls) rather than a bare `new
@@ -417,6 +433,13 @@ object Export {
     }
   }
 
+  // --- output path guard ----------------------------------------------------
+
+  /** ValidateOutputPath (attachments.go:204-366 region): reject absolute,
+    * rooted, drive/UNC-prefixed and parent-traversing output paths —
+    * email-supplied filenames must not escape the working directory.
+    * Pure function (driver-side guard before any sink call).
+    */
   def validateOutputPath(path: String): Either[String, String] = {
     val cleaned = java.nio.file.Paths.get(path).normalize().toString
     if (path.isEmpty) Left("output path is empty")

@@ -37,10 +37,12 @@ final case class HttpEmbedClient(
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
       // Go's http.Client follows redirects by default (client.go's
-      // transport is stock net/http); the JDK default is Redirect.NEVER,
-      // under which a 3xx would fall into the success branch, fail JSON
-      // decode, and be retried to exhaustion with a misleading error
-      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      // transport is stock net/http), but strips Authorization/Cookie on
+      // cross-host hops; the JDK's Redirect.NORMAL resends ALL headers to
+      // the redirect target, so an open-redirecting endpoint would leak
+      // the bearer key to a third party. Redirects are handled manually
+      // in [[sendFollowingRedirects]] instead.
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
       .build()
 
   @transient private lazy val mapper = {
@@ -74,20 +76,52 @@ final case class HttpEmbedClient(
       s"embed: giving up after $maxRetries attempts", lastErr)
   }
 
+  /** Manual 3xx handling with Go net/http's redirect semantics
+    * (client.go follows stock-transport defaults): up to 10 hops
+    * (net/http's cap), Location resolved against the current URI,
+    * 307/308 re-POST the body while 301/302/303 degrade to a bodyless
+    * GET, and — the part the JDK's Redirect.NORMAL gets wrong — the
+    * `Authorization: Bearer` header is sent ONLY when the hop target is
+    * the same host as the original endpoint (Go strips sensitive headers
+    * on cross-host redirects, so a hijacked/open-redirecting endpoint
+    * cannot exfiltrate the API key).
+    */
+  private def sendFollowingRedirects(start: java.net.URI,
+      body: String): java.net.http.HttpResponse[String] = {
+    val originalHost = start.getHost
+    var uri = start
+    var method = "POST"
+    var hops = 0
+    while (true) {
+      val b = java.net.http.HttpRequest.newBuilder()
+        .uri(uri)
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+      if (apiKey.nonEmpty && uri.getHost == originalHost)
+        b.header("Authorization", s"Bearer $apiKey")
+      if (method == "POST")
+        b.header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      else b.GET()
+      val resp = http.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      val loc = resp.headers().firstValue("Location").orElse("")
+      if (code < 300 || code > 399 || loc.isEmpty) return resp
+      hops += 1
+      if (hops > 10)
+        throw new java.io.IOException("stopped after 10 redirects")
+      uri = uri.resolve(loc)
+      if (code == 301 || code == 302 || code == 303) method = "GET"
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def doOnce(body: String,
       want: Int): Either[EmbedError, Seq[Array[Float]]] = {
     val resp =
-      try {
-        val b = java.net.http.HttpRequest.newBuilder()
-          .uri(java.net.URI.create(s"$endpoint/embeddings"))
-          .timeout(java.time.Duration.ofMillis(timeoutMs))
-          .header("Content-Type", "application/json")
-        if (apiKey.nonEmpty) b.header("Authorization", s"Bearer $apiKey")
-        http.send(
-          b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-            .build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-      } catch {
+      try sendFollowingRedirects(
+        java.net.URI.create(s"$endpoint/embeddings"), body)
+      catch {
         case scala.util.control.NonFatal(e) =>
           return Left(Transient(new RuntimeException(s"http do: $e", e), None))
       }

@@ -35,9 +35,13 @@ object CoreQueries {
   private[queries] def etlTmpPath(s: SparkSession, dir: String,
       name: String): String = {
     tmpCleanupInstalled
+    // the pid rides behind a fixed '_p' anchor so the sweep regex can
+    // never mistake another digit field for it, whatever `name` becomes;
+    // toHexString (not math.abs, which is negative for Int.MinValue)
+    // keeps the dir-hash field shape-stable
     val p = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/${name}_" +
-      s"${ProcessHandle.current().pid()}_" +
-      s"${System.identityHashCode(s)}_${math.abs(dir.hashCode)}"
+      s"p${ProcessHandle.current().pid()}_" +
+      s"${System.identityHashCode(s)}_${Integer.toHexString(dir.hashCode)}"
     tmpRoots.add(p)
     p
   }
@@ -58,7 +62,15 @@ object CoreQueries {
     }, "graft-etl-tmp-cleanup"))
     val tmp = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val stale = "^graft_.*_(\\d+)_\\d+_\\d+$".r
+    // pid anchored by the '_p' prefix etlTmpPath mints — positional
+    // capture would liveness-check the wrong field if a future name
+    // ended in digits. The second pattern sweeps dirs minted by the
+    // pre-anchor format (pid positional, abs-hash tail); those names all
+    // came from older builds where field 1 WAS the pid, so the capture
+    // is safe against dirs that actually exist — drop it once bench
+    // hosts have cycled.
+    val stale = "^graft_.*_p(\\d+)_\\d+_[0-9a-f]+$".r
+    val staleLegacy = "^graft_.*_(\\d+)_\\d+_\\d+$".r
     val self = ProcessHandle.current().pid()
     scala.util.Try(java.nio.file.Files.list(tmp)).foreach { listing =>
       try {
@@ -66,6 +78,9 @@ object CoreQueries {
         listing.iterator().asScala.foreach { p =>
           p.getFileName.toString match {
             case stale(pid) if pid.toLong != self &&
+                !ProcessHandle.of(pid.toLong).isPresent =>
+              rmTreeQuiet(p)
+            case staleLegacy(pid) if pid.toLong != self &&
                 !ProcessHandle.of(pid.toLong).isPresent =>
               rmTreeQuiet(p)
             case _ => ()

@@ -152,28 +152,43 @@ object SinkCompaction {
       withMaintenanceLease(fs, root)(finishInterrupted(fs, root))
   }
 
-  /** Exclusive maintenance lease: atomic create-no-overwrite of a lease
-    * file under the manifest dir (single-writer create is atomic on
-    * HDFS and posix local FS — the deployments this library targets; an
+  /** Exclusive maintenance lease: create-no-overwrite of a lease file
+    * under the manifest dir. Single-writer create is atomic on HDFS; on
+    * the local FS, Hadoop's create(overwrite=false) is exists-then-create
+    * (NOT O_EXCL), so the local case goes through
+    * java.io.File.createNewFile, which the JDK documents as atomic. An
     * object-store deployment should front maintenance with its own
-    * scheduler lock). A concurrent owner ⇒ IllegalStateException — the
+    * scheduler lock. A concurrent owner ⇒ IllegalStateException — the
     * caller retries later rather than corrupting the sink. A lease older
-    * than [[leaseMs]] is a crashed owner: stolen (deleted + re-acquired)
-    * exactly once, so two stealers still serialize on the re-create.
+    * than [[leaseMs]] is a crashed owner: stolen by atomically RENAMING
+    * it to a unique tombstone — rename of a vanished source fails, so of
+    * N concurrent stealers exactly one wins and re-acquires; delete+
+    * re-create would let a slow stealer remove the winner's FRESH lease.
     */
   private def withMaintenanceLease[T](fs: org.apache.hadoop.fs.FileSystem,
       root: Path)(body: => T): T = {
     val mdir = new Path(root, manifestDirName)
     fs.mkdirs(mdir)
     val lease = new Path(mdir, "_MAINTENANCE_LEASE")
+    val isLocal = fs.getUri.getScheme == "file"
     def tryAcquire(): Boolean =
       try {
-        val out = fs.create(lease, false)
-        try out.write(
+        val payload =
           s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
-            .getBytes("UTF-8"))
-        finally out.close()
-        true
+        if (isLocal) {
+          val f = new java.io.File(lease.toUri.getPath)
+          // createNewFile = open(O_CREAT|O_EXCL): atomic, unlike
+          // RawLocalFileSystem.create(overwrite=false)'s exists-then-create
+          if (!f.createNewFile()) false
+          else {
+            java.nio.file.Files.write(f.toPath, payload.getBytes("UTF-8"))
+            true
+          }
+        } else {
+          val out = fs.create(lease, false)
+          try out.write(payload.getBytes("UTF-8")) finally out.close()
+          true
+        }
       } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
     if (!acquired) {
@@ -185,8 +200,18 @@ object SinkCompaction {
           // not stale, just contended; retry the plain acquire below
           case _: java.io.FileNotFoundException => false
         }
-      if (stale) fs.delete(lease, false)
-      acquired = tryAcquire()
+      if (stale) {
+        val tombstone = new Path(mdir, "_MAINTENANCE_LEASE.stale-" +
+          s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        val won = try fs.rename(lease, tombstone)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          fs.delete(tombstone, false)
+          acquired = tryAcquire()
+        }
+        // a losing stealer does NOT retry: the winner may already hold a
+        // fresh lease, and its own create would be the double-owner race
+      } else acquired = tryAcquire()
     }
     if (!acquired) throw new IllegalStateException(
       s"sink maintenance already in progress under $mdir " +

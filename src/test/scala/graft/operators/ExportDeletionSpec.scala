@@ -105,6 +105,36 @@ class ExportDeletionSpec extends SparkTestBase {
     assert(Export.parseMboxText(cat).map(_._1) == Seq("a", "b", "c", "d"))
   }
 
+  test("normalizeShardNames: resumes a crashed partial pass without overwriting") {
+    import java.nio.file.Files
+    // a crash mid-pass (or some distributed rename tasks done, others
+    // not) leaves a NON-prefix set of shard files; the resume must slot
+    // the surviving parts into the free ranks in part-index order —
+    // restarting at rank 0 would silently overwrite shard-000000000.mbox
+    val out = Files.createTempDirectory("graft_mbox_resume")
+    Files.write(out.resolve("shard-000000000.mbox"),
+      "From a 1\nbody-a\n\n".getBytes("UTF-8"))
+    Files.write(out.resolve("shard-000000002.mbox"),
+      "From c 1\nbody-c\n\n".getBytes("UTF-8"))
+    Files.write(out.resolve("part-00001-bbbb.txt"),
+      "From b 1\nbody-b\n\n".getBytes("UTF-8"))
+    Files.write(out.resolve("part-00003-dddd.txt"),
+      "From d 1\nbody-d\n\n".getBytes("UTF-8"))
+    assert(Export.normalizeShardNames(spark, out.toString) == 2)
+    val renamed = new java.io.File(out.toString).listFiles.map(_.getName).sorted
+    assert(renamed.toSeq == (0 to 3).map(i => f"shard-$i%09d.mbox"))
+    val cat = renamed.map(f =>
+      new String(Files.readAllBytes(out.resolve(f)), "UTF-8")).mkString
+    assert(Export.parseMboxText(cat).map(_._1) == Seq("a", "b", "c", "d"))
+    // ... and a dir whose shard ranks can't have come from this pass
+    // (rank ≥ total files) is refused, not guessed at
+    val bad = Files.createTempDirectory("graft_mbox_badresume")
+    Files.write(bad.resolve("shard-000000007.mbox"), "x".getBytes("UTF-8"))
+    Files.write(bad.resolve("part-00000-aaaa.txt"), "y".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      Export.normalizeShardNames(spark, bad.toString))
+  }
+
   // tricky payload set for the split-safe reader: records larger than a
   // split, trailing newlines, interior blank lines, quoted From-lines,
   // CRLF — every way a record can straddle or confuse a line split

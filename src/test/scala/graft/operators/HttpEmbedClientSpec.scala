@@ -138,8 +138,10 @@ class HttpEmbedClientSpec extends SparkTestBase {
         ex.close()
       }
     })
+    var authAtTarget: String = null
     server.createContext("/v2/embeddings", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
+        authAtTarget = ex.getRequestHeaders.getFirst("Authorization")
         val body = new String(ex.getRequestBody.readAllBytes(),
           StandardCharsets.UTF_8)
         calls.incrementAndGet()
@@ -155,7 +157,50 @@ class HttpEmbedClientSpec extends SparkTestBase {
       val ep = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
       assert(client(ep).embed(Seq("r")).head.toSeq == vecFor("r"))
       assert(calls.get() == 2) // one hop, one real response — no retries
+      assert(authAtTarget == "Bearer test-key",
+        "a SAME-host redirect keeps the bearer token (Go parity)")
     } finally server.stop(0)
+  }
+
+  test("cross-host redirect strips the Authorization header (Go parity)") {
+    // Go's http.Client drops Authorization/Cookie when a redirect leaves
+    // the original host; the JDK's Redirect.NORMAL resends everything —
+    // an open-redirecting embed endpoint would hand the API key to a
+    // third party. 'localhost' vs '127.0.0.1' is a different host string,
+    // which is exactly the comparison the client must make.
+    val target = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    var authAtTarget: String = "unset"
+    target.createContext("/v1/embeddings", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        authAtTarget = ex.getRequestHeaders.getFirst("Authorization")
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val bytes = embeddingJson(parseInputs(body))
+          .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    target.start()
+    val origin = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    origin.createContext("/v1/embeddings", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.set("Location",
+          s"http://127.0.0.1:${target.getAddress.getPort}/v1/embeddings")
+        ex.sendResponseHeaders(307, -1)
+        ex.close()
+      }
+    })
+    origin.start()
+    try {
+      // endpoint names the origin as 'localhost'; the hop goes to
+      // '127.0.0.1' — same machine, different host ⇒ sensitive headers off
+      val ep = s"http://localhost:${origin.getAddress.getPort}/v1"
+      assert(client(ep).embed(Seq("r")).head.toSeq == vecFor("r"))
+      assert(authAtTarget == null,
+        s"cross-host redirect must not carry the bearer (saw $authAtTarget)")
+    } finally { origin.stop(0); target.stop(0) }
   }
 
   test("permanent 4xx fails immediately without retrying") {

@@ -172,6 +172,13 @@ class SinkCompactionSpec extends SparkTestBase {
     assert(SinkCompaction.compact(spark, dir) == 2,
       "a lease older than leaseMs is a crashed owner and must be stolen")
     assert(!lease.exists(), "the lease must be released after maintenance")
+    // the steal renames the stale lease to a tombstone (atomic: only one
+    // of N concurrent stealers wins the rename — delete+create would let
+    // a slow stealer remove the winner's FRESH lease); the winner must
+    // clean its tombstone up
+    assert(!mdir.listFiles.exists(_.getName.startsWith(
+      "_MAINTENANCE_LEASE.stale-")),
+      "steal tombstones must not linger in the manifest dir")
     assert(SinkCompaction.read(spark, dir).count() == 150)
   }
 
