@@ -165,19 +165,48 @@ package object queries {
        |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
        |  WHERE rn = 1)""".stripMargin
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, String), AnyRef]()
+
+  /** Corpus fingerprint for [[memoizedIndex]]: md5 over the sorted
+    * recursive (path, length, mtime) listing of the corpus dir — the
+    * same change-detection recipe [[graft.operators.VectorIndex]]
+    * generations use. One listing per memo lookup: on a local SF dir
+    * that is a handful of stat calls; against a remote store it is the
+    * same metadata round-trip planning any read of the corpus already
+    * pays, and it is what makes a long-lived session safe over a corpus
+    * that gets rewritten in place.
+    */
+  private[queries] def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Build-once/search-many memo for derived index structures (inverted
     * index postings, IVF centroid assignment). The reference's FTS5 and
     * vec0 indexes are PERSISTENT — built at ingest, reused by every
     * search — so a search query's cost should be probe + hydrate, not a
-    * per-query corpus re-index. Keyed per (session, sfDir); the builder
-    * decides what to persist/materialize.
+    * per-query corpus re-index. Keyed per (session, sfDir, corpus
+    * fingerprint): a corpus rewritten in place under the same path mints
+    * a new fingerprint, so a long-lived session rebuilds rather than
+    * serving stale postings/centroids/pair tables; the stale artifact's
+    * persisted frames are released when the fresh one lands.
     */
   private[queries] def memoizedIndex[T <: AnyRef](s: SparkSession, dir: String,
       key: String)(build: => T): T = {
-    val k = (System.identityHashCode(s), dir, key)
+    val fp = corpusFingerprint(s, dir)
+    val k = (System.identityHashCode(s), dir, key, fp)
     val hit = memo.get(k)
     if (hit != null) hit.asInstanceOf[T]
     else {
@@ -195,23 +224,41 @@ package object queries {
         // race loser: release its persisted blocks before discarding —
         // builds typically persist+count, and a dropped-but-persisted
         // DataFrame would pin executor memory for the session's lifetime.
-        // Composite artifacts (IvfIndex.Index, tuples of frames) hold
-        // their persisted frames one wrapper deep, so walk Products —
-        // but NOT collections: scala List is itself a Product (`::`),
-        // so element-wise recursion over a long memoized list (centroid
-        // seqs, weight tables) would take one stack frame per element
-        // and can StackOverflowError right here in the loser path.
-        // Collections in artifacts carry plain data, never persisted
-        // frames; only tuple/case-class wrappers are walked.
-        def release(x: Any): Unit = x match {
-          case df: DataFrame => df.unpersist(false); ()
-          case _: Iterable[_] => ()
-          case p: Product => p.productIterator.foreach(release)
-          case _ => ()
-        }
         release(v)
         prev.asInstanceOf[T]
-      } else v.asInstanceOf[T]
+      } else {
+        // winner: evict this (session, dir, key)'s entries under OTHER
+        // fingerprints — the corpus was rewritten, and the superseded
+        // artifact would otherwise pin its persisted frames for the
+        // session's lifetime
+        val it = memo.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val ek = e.getKey
+          if (ek._1 == k._1 && ek._2 == k._2 && ek._3 == k._3 && ek._4 != fp) {
+            it.remove()
+            release(e.getValue)
+          }
+        }
+        v.asInstanceOf[T]
+      }
     }
+  }
+
+  /** Unpersist any DataFrames held (one Product wrapper deep) by a
+    * discarded memo artifact. Composite artifacts (IvfIndex.Index,
+    * tuples of frames) hold their persisted frames one wrapper deep, so
+    * walk Products — but NOT collections: scala List is itself a Product
+    * (`::`), so element-wise recursion over a long memoized list
+    * (centroid seqs, weight tables) would take one stack frame per
+    * element and can StackOverflowError right here. Collections in
+    * artifacts carry plain data, never persisted frames; only
+    * tuple/case-class wrappers are walked.
+    */
+  private def release(x: Any): Unit = x match {
+    case df: DataFrame => df.unpersist(false); ()
+    case _: Iterable[_] => ()
+    case p: Product => p.productIterator.foreach(release)
+    case _ => ()
   }
 }
