@@ -87,6 +87,12 @@ object Tables {
       val parts =
         if (n == "documents") math.max(1, par / 4)
         else if (n == "lineitem" || n == "orders") math.max(1, par / 4)
+        // events feeds per-row-heavy work (get_json_object, per-user
+        // windows, funnel/retention sequence logic) like documents does —
+        // the rows/75k sizing puts its ~45k sf0.1 rows on ONE partition
+        // and serializes every events query onto a single core (measured:
+        // scalar_json = one 0.23 s task; 8-way it's ~0.07 s wall)
+        else if (n == "events") math.max(1, par / 4)
         else math.max(1, math.min(par / 2, (raw.count() / 75000L).toInt))
       val df = clusterKey.get(n) match {
         case Some(k) =>
