@@ -123,11 +123,25 @@ object FacadeQueries {
   /** One engine per (session, dir, corpus fingerprint) — facades like
     * searchFastWithStats carry their own materialize-once cache, which
     * must be reused across the verify and bench passes the way the
-    * reference's temp-table cache is reused across calls.
+    * reference's temp-table cache is reused across calls. The star
+    * frames are localCheckpointed once: the reference's message star IS
+    * a materialized store (its DuckDB tables are written at ETL, not
+    * re-derived per query), and without the checkpoint every facade
+    * run re-plans and re-executes the derivation joins' full lineage.
     */
   private def engine(s: SparkSession, dir: String): MsgEngine =
     memoizedIndex[MsgEngine](s, dir, "facade_engine") {
-      new MsgEngine(star(s, dir))
+      val v = star(s, dir)
+      // facts only: localCheckpoint yields a LogicalRDD with NO size
+      // statistics, and a stat-less 30-row participants dim would stop
+      // auto-broadcasting (every enrich join degrades to a shuffle).
+      // The small dims are Seq/range-derived LocalRelations — already
+      // free to re-derive and exactly-sized for broadcast planning.
+      def ck(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+      new MsgEngine(v.copy(
+        messages = ck(v.messages), recipients = ck(v.recipients),
+        messageLabels = ck(v.messageLabels),
+        attachments = ck(v.attachments)))
     }
 
   /** Shared star CTEs for the oracles (m / mr / p / ml / att dims). */

@@ -419,6 +419,83 @@ object ScaleProbe {
       rmTree(tmp)
     }
 
+    // --- concurrent maintenance: drains + compaction + readers together ---
+    // The lease serializes compact/reclaim, but the r8 probe matrix never
+    // ran compaction WHILE drains and readers were live. Here 6 drain
+    // batches of the factor× corpus append concurrently with TWO racing
+    // maintenance threads (compact + reclaim; the lease must let exactly
+    // one in at a time — refusals are the correct outcome for the loser)
+    // and a polling reader. Invariants probed: a reader never sees fewer
+    // rows than the batches fully appended before its read began
+    // (manifest-first planning + the read retry on manifest change), and
+    // the quiesced sink holds exactly every appended row — compaction
+    // neither loses nor double-counts under live traffic.
+    {
+      import graft.streaming.SinkCompaction
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sp_cmt").toString
+      val sink = s"$tmp/sink"
+      val nBatches = 6
+      val slices = (0 until nBatches).map { k =>
+        docsN.filter(pmod(col("doc_id"), lit(nBatches)) === k)
+          .select(col("doc_id").as("id"), col("text").as("v"))
+      }
+      val sliceCounts = slices.map(_.count())
+      val completed = new java.util.concurrent.atomic.AtomicLong(0L)
+      val writersDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+      val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val readerViolations = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      def maintenanceLoop(doReclaim: Boolean): Thread = {
+        val t = new Thread(() => {
+          while (!writersDone.get()) {
+            try {
+              if (doReclaim) SinkCompaction.reclaim(spark, sink)
+              else { SinkCompaction.compact(spark, sink); compactions.incrementAndGet() }
+            } catch { case _: IllegalStateException => refusals.incrementAndGet() }
+            Thread.sleep(100)
+          }
+        })
+        t.start(); t
+      }
+      val reader = new Thread(() => {
+        while (!writersDone.get()) {
+          val lowWater = completed.get()
+          val c = SinkCompaction.read(spark, sink).count()
+          reads.incrementAndGet()
+          if (c < lowWater) readerViolations.incrementAndGet()
+          Thread.sleep(50)
+        }
+      })
+      time(s"concurrent drain+compact+read, $nBatches batches of ${factor}x docs")({
+        // first batch lands before maintenance/readers start — both need
+        // an existing sink dir
+        slices.head.withColumn("batch", lit("s-b0"))
+          .write.partitionBy("batch").parquet(sink)
+        completed.set(sliceCounts.head)
+        val threads = Seq(maintenanceLoop(false), maintenanceLoop(true))
+        reader.start()
+        (1 until nBatches).foreach { k =>
+          slices(k).withColumn("batch", lit(s"s-b$k"))
+            .write.mode("append").partitionBy("batch").parquet(sink)
+          completed.addAndGet(sliceCounts(k))
+        }
+        writersDone.set(true)
+        (threads :+ reader).foreach(_.join())
+        // quiesce: one final exclusive fold + conservation check
+        SinkCompaction.compact(spark, sink)
+        val fin = SinkCompaction.read(spark, sink).count()
+        val expect = sliceCounts.sum
+        require(fin == expect, s"rows not conserved: $fin != $expect")
+        require(readerViolations.get() == 0,
+          s"${readerViolations.get()} reader(s) saw fewer rows than committed")
+        s"rows=$fin reads=${reads.get()} compactions=${compactions.get()} " +
+          s"lease_refusals=${refusals.get()} violations=0"
+      })
+      rmTree(tmp)
+    }
+
     // split-safe mbox reassembly: ONE oversized shard (the foreign-mbox
     // shape the wholetext path cannot hold in a task) read through line
     // splits + the record-group shuffle — growth must be ~linear
