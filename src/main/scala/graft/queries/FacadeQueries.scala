@@ -373,6 +373,45 @@ object FacadeQueries {
        |  AND m.conversation_id = 4
        |ORDER BY m.sent_at ASC, m.id ASC LIMIT 40""".stripMargin
 
+  // --- TextSearch (texts-mode FTS over the bodies sidecar) ------------------
+
+  /** The chat-surface deep search (duckdb_text.go:399-452): chat types
+    * only, body-token prefix match OR subject substring, recency order,
+    * default page 50, then the same enrichment as every list path. The
+    * bodies sidecar carries the per-message token array the way
+    * CacheBuilder.buildBodies does at ETL; "data" matches only body
+    * tokens by construction (no subject contains it), so the oracle's
+    * predicate is the token branch alone.
+    */
+  def textSearch(s: SparkSession, dir: String): DataFrame = {
+    val bodies = Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("message_id"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("tokens"))
+    engine(s, dir).textSearch("data", bodies, limit = 50)
+      .select(col("id"), col("subject"), col("from_email"), col("from_name"),
+        col("sent_at"), array_join(col("labels"), ",").as("labels"),
+        col("conversation_title"))
+  }
+
+  val textSearchSql: String =
+    s"""$starCte,
+       |lbl AS (
+       |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
+       |  FROM ml GROUP BY message_id),
+       |hits AS (
+       |  SELECT m.* FROM m JOIN documents d ON d.doc_id = m.id
+       |  WHERE NOT m.is_deleted AND m.message_type = 'sms'
+       |    AND len(list_filter(string_split(d.text, ' '),
+       |          t -> t LIKE 'data%')) > 0)
+       |SELECT h.id, h.subject, p.email AS from_email, p.pname AS from_name,
+       |       h.sent_at, COALESCE(lbl.lbls, '') AS labels,
+       |       'conv-' || CAST(h.conversation_id AS VARCHAR)
+       |         AS conversation_title
+       |FROM hits h
+       |JOIN p ON p.pid = (h.id * 7) % 30
+       |LEFT JOIN lbl ON lbl.message_id = h.id
+       |ORDER BY h.sent_at DESC, h.id DESC LIMIT 50""".stripMargin
+
   // --- GetTextStats (texts-mode totals with substring search) ---------------
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -405,6 +444,7 @@ object FacadeQueries {
       "search_by_domains" -> (searchByDomains _, Some(searchByDomainsSql)),
       "gmail_ids_by_filter" -> (gmailIds _, Some(gmailIdsSql)),
       "text_conversations" -> (textConversations _, Some(textConversationsSql)),
+      "text_search" -> (textSearch _, Some(textSearchSql)),
       "text_timeline" -> (textTimeline _, Some(textTimelineSql)),
       "text_stats" -> (textStats _, Some(textStatsSql)))
 }
