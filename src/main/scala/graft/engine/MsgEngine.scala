@@ -311,8 +311,13 @@ final class MsgEngine(val vault: MsgVault) {
     val page = pageIn.localCheckpoint(true)
     // fresh aliases everywhere: the page's lineage already contains the
     // recipients/participants frames (filter semi-joins), so reusing the
-    // vault frames directly trips DetectAmbiguousSelfJoin
-    val pageIds = page.select(page("id").as("__pg_id"))
+    // vault frames directly trips DetectAmbiguousSelfJoin.
+    // broadcast() is explicit, not left to statistics: the checkpointed
+    // page is a LogicalRDD with NO size stats (planner default =
+    // "huge"), which would silently turn both junction semi-joins into
+    // full shuffles of recipients/labels — the page is limit-bounded,
+    // so broadcasting it is safe by construction at any corpus size
+    val pageIds = broadcast(page.select(page("id").as("__pg_id")))
     val mr = vault.recipients.alias("emr")
       .join(pageIds, col("emr.message_id") === col("__pg_id"), "left_semi")
     val p = vault.participants.alias("ep")
