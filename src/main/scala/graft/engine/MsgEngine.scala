@@ -344,10 +344,16 @@ final class MsgEngine(val vault: MsgVault) {
     val conv = vault.conversations.select(col("id").as("__c_id"),
       col("title").as("conversation_title"))
 
+    // fromParty/lblAgg aggregate page-semi-joined junction rows, so both
+    // are ≤ page-size by construction — broadcast explicitly (their agg
+    // outputs carry no statistics, and a stat-less build side sort-merges
+    // the page per fetch). senderP/conv are left to the planner: those
+    // dims are corpus-sized at archive scale and broadcastability is a
+    // statistics question, not a structural one.
     page
-      .join(fromParty, page("id") === col("__e_mid"), "left")
+      .join(broadcast(fromParty), page("id") === col("__e_mid"), "left")
       .join(senderP, page("sender_id") === col("__sp_id"), "left")
-      .join(lblAgg, page("id") === col("__l_mid"), "left")
+      .join(broadcast(lblAgg), page("id") === col("__l_mid"), "left")
       .join(conv, page("conversation_id") === col("__c_id"), "left")
       .select(
         page("id"), page("source_message_id"), page("conversation_id"),

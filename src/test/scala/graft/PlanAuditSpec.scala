@@ -538,6 +538,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 5)
   }
 
+  test("facade page enrichment broadcasts the page-id set into the junction semi-joins") {
+    // The paginate-before-join contract's physical half: a LIMIT-bounded
+    // page must probe the recipients/labels junctions via BROADCAST
+    // semi-joins — the checkpointed page carries no size statistics, so
+    // without the explicit broadcast() the planner's default ("huge")
+    // would silently shuffle the full junction tables per page fetch,
+    // making page latency scale with archive size instead of page size.
+    // AQE off for the audit: completed stages print as leaf
+    // QueryStageExec references, hiding the joins this test pins
+    val aqe = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(aqe)
+    try {
+      spark.conf.set(aqe, "false")
+      val df = SparkEntry.queries("search_fast")(spark, sf)
+      val plan = executed(df)
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val semis = plan.collectWithSubqueries {
+        case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j
+      }
+      assert(semis.size >= 2,
+        s"expected >=2 broadcast semi-joins (recipients, labels), got " +
+          s"${semis.size}:\n$plan")
+      val rendered = plan.toString
+      assert(!rendered.contains("SortMergeJoin"),
+        s"a page-sized enrichment must not sort-merge anything:\n$rendered")
+    } finally spark.conf.set(aqe, prior)
+  }
+
   test("attachment zip manifest shuffles only on the filename window") {
     import spark.implicits._
     val h = "d" * 64
