@@ -26,10 +26,19 @@ final class MsgEngine(val vault: MsgVault) {
   /** Per-view grouping definition (reference getViewDef duckdb.go:705-770):
     * key expression + required junction joins + null guard.
     */
+  /** Re-alias every column so the view-side copy of a junction table gets
+    * fresh attribute ids. The incoming filtered fact plan may already
+    * contain `recipients`/`message_labels` lineage (empty-bucket anti-joins
+    * compile against the same frames), and joining the original Dataset
+    * back onto it trips Spark's ambiguous-self-join detection
+    * (e.g. empty-Recipients drilldown re-aggregated by Senders).
+    */
+  private def freshAttrs(df: DataFrame): DataFrame = df.toDF(df.columns: _*)
+
   private def viewDef(view: ViewType, granularity: TimeGranularity)
       : (DataFrame => DataFrame, Column, Column) = {
-    val mr = vault.recipients
-    val p = vault.participants
+    val mr = freshAttrs(vault.recipients)
+    val p = freshAttrs(vault.participants)
     def joinFrom(msg: DataFrame): DataFrame =
       msg.join(mr, mr("message_id") === msg("id") && mr("recipient_type") === "from")
         .join(p, p("id") === mr("participant_id"))
@@ -37,10 +46,12 @@ final class MsgEngine(val vault: MsgVault) {
       msg.join(mr, mr("message_id") === msg("id") &&
           mr("recipient_type").isin("to", "cc", "bcc"))
         .join(p, p("id") === mr("participant_id"))
-    def joinLabels(msg: DataFrame): DataFrame =
-      msg.join(vault.messageLabels, col("message_id") === msg("id"))
-        .join(vault.labels.withColumnRenamed("name", "__lbl_name"),
-          vault.labels("id") === vault.messageLabels("label_id"))
+    def joinLabels(msg: DataFrame): DataFrame = {
+      val ml = freshAttrs(vault.messageLabels)
+      val lb = freshAttrs(vault.labels).withColumnRenamed("name", "__lbl_name")
+      msg.join(ml, ml("message_id") === msg("id"))
+        .join(lb, lb("id") === ml("label_id"))
+    }
 
     view match {
       case ViewType.Senders =>
