@@ -454,9 +454,19 @@ final class MsgEngine(val vault: MsgVault) {
       }
     }
 
+  /** Unambiguous cache key: the query is length-prefixed so no query
+    * content can shift the query/filter boundary (the reference's
+    * searchCacheKeyFor JSON-encodes conditions+args for the same reason —
+    * duckdb.go:50-57, duckdb_test.go:3174-3255: keys must not collide when
+    * values contain the separator).
+    */
+  private[engine] def searchCacheKeyFor(query: String,
+      filter: MessageFilter): String =
+    s"${query.length}:$query|${filter.copy(pagination = Pagination()).toString}"
+
   def searchFastWithStats(query: String,
       filter: MessageFilter = MessageFilter()): SearchWithStats = {
-    val key = query + "||" + filter.copy(pagination = Pagination()).toString
+    val key = searchCacheKeyFor(query, filter)
     val matches = searchCache.synchronized {
       searchCache.computeIfAbsent(key, _ => {
         val q = SearchParser.parse(query)

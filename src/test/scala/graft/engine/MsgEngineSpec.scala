@@ -462,4 +462,56 @@ class MsgEngineSpec extends SparkTestBase {
       MessageFilter(pagination = Pagination(limit = 1))))
     assert(paged.length == 1 && total > paged.length)
   }
+
+  test("search cache: page hits reuse the match set; a new search misses") {
+    // reference duckdb_test.go:3258-3345 — paging the same search must
+    // not re-materialize; a different query must not serve stale matches
+    val a1 = engine.searchFastWithStats("quarterly")
+    val a2 = engine.searchFastWithStats("quarterly") // page 2 of same search
+    assert(a1.matches eq a2.matches) // cache hit: same persisted plan
+    val b = engine.searchFastWithStats("lunch")
+    assert(!(b.matches eq a1.matches)) // new search: own materialization
+    assert(b.totalCount == 1 && a1.totalCount == 2)
+  }
+
+  test("search cache keys are unambiguous when values contain the separator") {
+    // reference duckdb_test.go:3174-3255 searchCacheKeyFor: content must
+    // not be able to shift the query/filter boundary
+    val f = MessageFilter()
+    val keys = Seq(
+      engine.searchCacheKeyFor("a", f),
+      engine.searchCacheKeyFor("a|", f),
+      engine.searchCacheKeyFor("a|MessageFilter(", f),
+      engine.searchCacheKeyFor("b", f),
+      engine.searchCacheKeyFor("a", f.copy(sender = "a|")))
+    assert(keys.distinct.length == keys.length)
+    // identical inputs produce the same key
+    assert(engine.searchCacheKeyFor("a", f) == engine.searchCacheKeyFor("a", f))
+  }
+
+  test("aggregate with multi-recipient search never double-counts a message") {
+    // reference sqlite_aggregate_test.go:696-716: to: terms OR within the
+    // dimension, and a message matching several terms counts ONCE (the
+    // semi-join filter shape can't inflate the fact side the way the
+    // reference's old JOIN-based filters did). msg3 (from alice) carries
+    // to:dave AND cc:bob — both terms hit it; msg1 carries to:bob.
+    val out = rows(engine.aggregate(ViewType.Senders,
+      AggregateOptions(searchQuery = "to:dave@a.com to:bob@b.org")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alice@a.com" -> 2L)) // msgs 1 and 3, not 3
+  }
+
+  test("empty-string recipient display_name falls back to participant name") {
+    // reference duckdb_test.go:852-877: import-imessage writes "" (not
+    // NULL) into mr.display_name; enrichment must not let it mask the
+    // participant's vCard-backfilled name.
+    val v2 = Fixtures.vault(spark,
+      messages = Seq(msg(1, "SMS", "2024-01-15 10:00:00")),
+      recipients = Seq(MrRow(1, 1, "from", Some(""))),
+      participants = Seq(
+        PRow(1, None, Some("Alice Backfilled"), Some("+15551234567"), None)))
+    val out = new MsgEngine(v2).listMessages(MessageFilter()).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("from_name") == "Alice Backfilled")
+  }
 }
