@@ -83,6 +83,64 @@ object MsgVault {
         if (d.columns.contains(c)) d else d.withColumn(c, default)
     }
 
+  /** Canonical column types per table (reference views.go:174-300: every
+    * view column is CAST/TRY_CAST to its canonical type so a cache written
+    * by an older producer with VARCHAR-typed numerics still queries
+    * correctly — duckdb_test.go:3059-3172). Columns already at the target
+    * type pass through untouched; drifted columns get a permissive cast
+    * (string→long parse failure yields NULL, the TRY_CAST contract), with
+    * the reference's COALESCE defaults where it declares one.
+    */
+  private val canonicalTypes: Map[String, Seq[(String, DataType)]] = Map(
+    "messages" -> Seq(
+      "id" -> LongType, "source_id" -> LongType,
+      "conversation_id" -> LongType, "sender_id" -> LongType,
+      "size_estimate" -> LongType, "has_attachments" -> BooleanType,
+      "attachment_count" -> IntegerType, "sent_at" -> TimestampType,
+      "deleted_at" -> TimestampType,
+      "deleted_from_source_at" -> TimestampType,
+      "archived_at" -> TimestampType, "is_from_me" -> BooleanType,
+      "subject" -> StringType, "snippet" -> StringType,
+      "source_message_id" -> StringType, "message_type" -> StringType,
+      "rfc822_message_id" -> StringType),
+    "message_recipients" -> Seq(
+      "message_id" -> LongType, "participant_id" -> LongType,
+      "recipient_type" -> StringType, "display_name" -> StringType),
+    "participants" -> Seq(
+      "id" -> LongType, "email_address" -> StringType,
+      "domain" -> StringType, "display_name" -> StringType,
+      "phone_number" -> StringType),
+    "labels" -> Seq("id" -> LongType, "name" -> StringType),
+    "message_labels" -> Seq(
+      "message_id" -> LongType, "label_id" -> LongType),
+    "attachments" -> Seq(
+      "id" -> LongType, "message_id" -> LongType, "size" -> LongType,
+      "filename" -> StringType, "mime_type" -> StringType,
+      "content_hash" -> StringType),
+    "conversations" -> Seq(
+      "id" -> LongType, "source_conversation_id" -> StringType,
+      "title" -> StringType, "conversation_type" -> StringType),
+    "sources" -> Seq(
+      "id" -> LongType, "identifier" -> StringType,
+      "source_type" -> StringType, "display_name" -> StringType))
+
+  /** Drift-cast defaults (views.go:181-196 COALESCE(TRY_CAST(..), d)). */
+  private val castDefaults: Map[(String, String), Column] = Map(
+    ("messages", "has_attachments") -> lit(false),
+    ("messages", "is_from_me") -> lit(false),
+    ("messages", "attachment_count") -> lit(0))
+
+  private def canonicalize(name: String, df: DataFrame): DataFrame =
+    canonicalTypes.getOrElse(name, Nil).foldLeft(df) {
+      case (d, (c, target)) =>
+        if (!d.columns.contains(c) || d.schema(c).dataType == target) d
+        else {
+          val casted = col(c).cast(target)
+          d.withColumn(c, castDefaults.get((name, c))
+            .map(dv => coalesce(casted, dv)).getOrElse(casted))
+        }
+    }
+
   /** Open a Parquet star directory: `<dir>/messages` is hive-partitioned by
     * year (partition discovery + pruning are native); junction tables may
     * contain incremental shards — `mergeSchema` mirrors the reference's
@@ -94,12 +152,12 @@ object MsgVault {
     // messages carry it as a partition column (dropped here); junctions
     // live in batch_<tag> subdirectories (globbed here)
     def read(name: String): DataFrame =
-      backfill(name,
+      canonicalize(name, backfill(name,
         spark.read.option("mergeSchema", "true").parquet(s"$dir/$name")
-          .drop("batch"))
+          .drop("batch")))
     def readShards(name: String): DataFrame =
-      backfill(name,
-        spark.read.option("mergeSchema", "true").parquet(s"$dir/$name/*"))
+      canonicalize(name, backfill(name,
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/$name/*")))
     MsgVault(spark,
       messages = withYearMonth(read("messages")),
       recipients = readShards("message_recipients"),
@@ -117,12 +175,14 @@ object MsgVault {
       attachments: DataFrame, conversations: DataFrame,
       sources: DataFrame): MsgVault =
     MsgVault(spark,
-      withYearMonth(backfill("messages", messages)),
-      recipients,
-      backfill("participants", participants),
-      labels, messageLabels, attachments,
-      backfill("conversations", conversations),
-      backfill("sources", sources))
+      withYearMonth(canonicalize("messages", backfill("messages", messages))),
+      canonicalize("message_recipients", recipients),
+      canonicalize("participants", backfill("participants", participants)),
+      canonicalize("labels", labels),
+      canonicalize("message_labels", messageLabels),
+      canonicalize("attachments", attachments),
+      canonicalize("conversations", backfill("conversations", conversations)),
+      canonicalize("sources", backfill("sources", sources)))
 
   /** Derived year/month columns the ETL adds (build_cache.go:305-306). */
   private def withYearMonth(df: DataFrame): DataFrame = {
