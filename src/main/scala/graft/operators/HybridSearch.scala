@@ -32,18 +32,26 @@ object HybridSearch {
     * @param preFilter optional id-set DataFrame (single `id` column) both
     *        branches are semi-joined against (reference hybrid/filter.go)
     */
-  def fusedSearch(docs: DataFrame, id: Column, tokens: Column,
+  /** Both k-trimmed branches plus their lazy saturation probes. */
+  private final case class Branches(bm25: DataFrame, ann: DataFrame,
+      bm25Sat: () => Boolean, annSat: () => Boolean)
+
+  private def branches(docs: DataFrame, id: Column, tokens: Column,
       vectors: DataFrame, vecId: Column, vec: Column,
-      terms: Seq[String], queryVec: Seq[Float], k: Int = 20,
-      rrfK: Int = 60, preFilter: Option[DataFrame] = None,
-      statsOpt: Option[graft.functions.Fts.CorpusStats] = None): Result = {
+      terms: Seq[String], queryVec: Seq[Float], k: Int,
+      preFilter: Option[DataFrame],
+      statsOpt: Option[Fts.CorpusStats]): Branches = {
     // precomputed BM25 stats describe the UNFILTERED corpus — with a
     // pre-filter the lexical branch must re-measure the filtered set
     require(statsOpt.isEmpty || preFilter.isEmpty,
       "statsOpt cannot be combined with preFilter (stats would be stale)")
 
+    // the filter id column is renamed so corpora whose own id column is
+    // also called "id" don't hit an ambiguous reference
     def applyPre(df: DataFrame, c: Column): DataFrame = preFilter match {
-      case Some(ids) => df.join(ids, c === ids("id"), "left_semi")
+      case Some(ids) =>
+        val pre = ids.select(col(ids.columns.head).as("__pre_id"))
+        df.join(pre, c === pre("__pre_id"), "left_semi")
       case None => df
     }
 
@@ -51,7 +59,6 @@ object HybridSearch {
     val bm25 = Fts.bm25Search(applyPre(docs, id), id, tokens, terms, k + 1,
       statsOpt)
       .select(col("doc_id").as("id"), col("rank").as("rank"))
-    val bm25Trimmed = bm25.filter(col("rank") <= k)
 
     // ANN branch
     val ann = Similarity.bruteForceKnn(applyPre(vectors, vecId), vecId, vec,
@@ -60,11 +67,70 @@ object HybridSearch {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("vec_id").asc)))
       .select(col("vec_id").as("id"), col("rank"))
-    val annTrimmed = ann.filter(col("rank") <= k)
 
-    val fused = Similarity.rrfFuse(bm25Trimmed, annTrimmed, "id", "rank",
-      rrfK, k)
-    new Result(fused, bm25.count() > k, ann.count() > k)
+    Branches(bm25.filter(col("rank") <= k), ann.filter(col("rank") <= k),
+      () => bm25.count() > k, () => ann.count() > k)
+  }
+
+  def fusedSearch(docs: DataFrame, id: Column, tokens: Column,
+      vectors: DataFrame, vecId: Column, vec: Column,
+      terms: Seq[String], queryVec: Seq[Float], k: Int = 20,
+      rrfK: Int = 60, preFilter: Option[DataFrame] = None,
+      statsOpt: Option[graft.functions.Fts.CorpusStats] = None): Result = {
+    val b = branches(docs, id, tokens, vectors, vecId, vec, terms, queryVec,
+      k, preFilter, statsOpt)
+    val fused = Similarity.rrfFuse(b.bm25, b.ann, "id", "rank", rrfK, k)
+    new Result(fused, b.bm25Sat(), b.annSat())
+  }
+
+  /** Boost-aware fused search. When a subject boost is active the page
+    * limit must NOT trim the fused pool before the boost runs — a
+    * boost-eligible hit ranked past `limit` could never be promoted
+    * (reference fused.go:203-216: boost-active requests fetch the entire
+    * fused pool, naturally capped at 2×k, and re-trim to the page limit
+    * only after boost-aware ordering is final; regression tests
+    * fused_test.go:902-1069).
+    *
+    * @param subjects      (id, subject text) lookup — left-joined onto the
+    *        pool; rows with NULL/empty subjects never boost
+    *        (fused_test.go:1070-1123)
+    * @param subjectTerms  case-insensitive substring terms; empty terms are
+    *        skipped, and `boostFactor <= 1.0` disables the boost entirely
+    *        (fused.go:465: both are the reference's inactive conditions)
+    * Output adds a `subject_boosted` flag per row (the reference's
+    * SubjectBoosted explain field).
+    */
+  def fusedSearchBoosted(docs: DataFrame, id: Column, tokens: Column,
+      vectors: DataFrame, vecId: Column, vec: Column,
+      terms: Seq[String], queryVec: Seq[Float],
+      subjects: DataFrame, subjectTerms: Seq[String],
+      boostFactor: Double = 1.5, limit: Int = 20, k: Int = 20,
+      rrfK: Int = 60, preFilter: Option[DataFrame] = None,
+      statsOpt: Option[graft.functions.Fts.CorpusStats] = None): Result = {
+    val b = branches(docs, id, tokens, vectors, vecId, vec, terms, queryVec,
+      k, preFilter, statsOpt)
+    // fuse at full pool width — ≤ 2k rows since both branches are k-trimmed
+    val full = Similarity.rrfFuse(b.bm25, b.ann, "id", "rank", rrfK, 2 * k)
+    val cleanTerms = subjectTerms.filter(_.nonEmpty)
+    val active = boostFactor > 1.0 && cleanTerms.nonEmpty
+    val page =
+      if (!active)
+        full.withColumn("subject_boosted", lit(false))
+      else {
+        val subj = subjects.toDF("id", "__subj")
+        val hit = cleanTerms
+          .map(t => lower(col("__subj")).contains(t.toLowerCase))
+          .reduce(_ || _)
+        full.join(subj, Seq("id"), "left")
+          .withColumn("subject_boosted", coalesce(hit, lit(false)))
+          .withColumn("rrf_score",
+            when(col("subject_boosted"), col("rrf_score") * boostFactor)
+              .otherwise(col("rrf_score")))
+          .drop("__subj")
+      }
+    new Result(
+      page.orderBy(col("rrf_score").desc, col("id").asc).limit(limit),
+      b.bm25Sat(), b.annSat())
   }
 
   /** Subject/title-term boost re-rank (reference fused.go:464-507): results

@@ -169,6 +169,77 @@ object SearchQueries {
       |FROM bm25 FULL OUTER JOIN ann USING (doc_id)
       |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Boost-aware hybrid search: full fused pool (≤2k) → subject boost →
+    * trim (reference fused.go:203-216 over-fetch; the deep-rank promotion
+    * regression fused_test.go:902-1069). Boost trigger here is the doc's
+    * `lang` column containing "de"; factor 2.0 is an exact power-of-two
+    * double multiply, so the oracle reproduces scores bit-for-bit.
+    */
+  def hybridRrfBoosted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+    val emb = t(s, dir, "embeddings")
+    val subj = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val qv = DocQueries.queryVector(s, dir)
+    orderedAtTail(
+      HybridSearch.fusedSearchBoosted(
+        docs, col("doc_id"), col("toks"),
+        emb, col("vec_id"), col("embedding"),
+        terms, qv, subj, Seq("de"), boostFactor = 2.0, limit = 10, k = 20,
+        statsOpt = Some(bm25Stats(s, dir))).df
+        .select(col("id").as("doc_id"),
+          round(col("rrf_score"), 9).as("rrf_score"),
+          col("subject_boosted")),
+      col("rrf_score").desc, col("doc_id").asc)
+  }
+
+  val hybridRrfBoostedSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl,
+      |         SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df1,
+      |         SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df2
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf1,
+      |         CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE) AS tf2,
+      |         CAST(len(toks) AS DOUBLE) AS dl
+      |  FROM d),
+      |bm25 AS (
+      |  SELECT doc_id,
+      |         ROW_NUMBER() OVER (ORDER BY
+      |           ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0) /
+      |             (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) +
+      |           ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) /
+      |             (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) DESC,
+      |           doc_id ASC) AS rank
+      |  FROM tf, stats WHERE tf1 > 0 OR tf2 > 0
+      |  QUALIFY rank <= 20),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |ann AS (
+      |  SELECT vec_id AS doc_id,
+      |         ROW_NUMBER() OVER (ORDER BY
+      |           ${duckCos("embedding", "qv")}
+      |           DESC, vec_id ASC) AS rank
+      |  FROM embeddings, q
+      |  QUALIFY rank <= 20),
+      |pool AS (
+      |  SELECT COALESCE(bm25.doc_id, ann.doc_id) AS doc_id,
+      |         COALESCE(1.0 / (60 + bm25.rank), 0.0) +
+      |         COALESCE(1.0 / (60 + ann.rank), 0.0) AS score
+      |  FROM bm25 FULL OUTER JOIN ann USING (doc_id)),
+      |boosted AS (
+      |  SELECT pool.doc_id,
+      |         CASE WHEN contains(lower(doc.lang), 'de')
+      |              THEN pool.score * 2.0 ELSE pool.score END AS score,
+      |         COALESCE(contains(lower(doc.lang), 'de'), false)
+      |           AS subject_boosted
+      |  FROM pool LEFT JOIN documents doc USING (doc_id))
+      |SELECT doc_id, round(score, 9) AS rrf_score, subject_boosted
+      |FROM boosted
+      |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   // --- positional phrase search --------------------------------------------
 
   /** Phrase ("adjacent tokens") search — FTS5's `"a b"` syntax, which
@@ -250,5 +321,6 @@ object SearchQueries {
     "fts_phrase" -> (ftsPhrase _, Some(ftsPhraseSql)),
     "fts_prefix_phrase" -> (ftsPrefixPhrase _, Some(ftsPrefixPhraseSql)),
     "bm25_rank" -> (bm25Rank _, Some(bm25RankSql)),
-    "hybrid_rrf" -> (hybridRrf _, Some(hybridRrfSql)))
+    "hybrid_rrf" -> (hybridRrf _, Some(hybridRrfSql)),
+    "hybrid_rrf_boosted" -> (hybridRrfBoosted _, Some(hybridRrfBoostedSql)))
 }
