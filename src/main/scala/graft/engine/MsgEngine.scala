@@ -454,15 +454,34 @@ final class MsgEngine(val vault: MsgVault) {
       }
     }
 
-  /** Unambiguous cache key: the query is length-prefixed so no query
-    * content can shift the query/filter boundary (the reference's
-    * searchCacheKeyFor JSON-encodes conditions+args for the same reason —
-    * duckdb.go:50-57, duckdb_test.go:3174-3255: keys must not collide when
-    * values contain the separator).
+  /** Unambiguous cache key: every leaf value is length-prefixed so no
+    * content can shift a field boundary (the reference's searchCacheKeyFor
+    * JSON-encodes conditions+args for the same reason — duckdb.go:50-57,
+    * duckdb_test.go:3174-3255). Case-class toString is NOT usable here:
+    * it is a bare comma-join, so `sender="x,"` and
+    * `(sender="x", senderName=",")` would render identically. Sets are
+    * sorted so two == filters can't mint two keys.
     */
   private[engine] def searchCacheKeyFor(query: String,
-      filter: MessageFilter): String =
-    s"${query.length}:$query|${filter.copy(pagination = Pagination()).toString}"
+      filter: MessageFilter): String = {
+    def join(tokens: List[String]): String =
+      tokens.map(t => s"${t.length}:$t").mkString("|")
+    // recursive length-prefixed tree encoding: constructor tag + arity for
+    // Products (so Some(x),None never collides with None,Some(x)), and Set
+    // elements re-encoded then sorted (order-insensitive like Set equality)
+    def enc(v: Any): String = v match {
+      case p: Product =>
+        join(s"@${p.productPrefix}#${p.productArity}" ::
+          p.productIterator.toList.map(enc))
+      case s: scala.collection.Set[_] =>
+        join(s"#${s.size}" :: s.toList.map(enc).sorted)
+      case xs: scala.collection.Iterable[_] =>
+        join(s"#${xs.size}" :: xs.toList.map(enc))
+      case null => "@null"
+      case x => x.toString
+    }
+    join(List(query, enc(filter.copy(pagination = Pagination()))))
+  }
 
   def searchFastWithStats(query: String,
       filter: MessageFilter = MessageFilter()): SearchWithStats = {
@@ -480,6 +499,28 @@ final class MsgEngine(val vault: MsgVault) {
   def invalidateSearchCache(): Unit = searchCache.synchronized {
     searchCache.values.forEach(df => { df.unpersist(); () })
     searchCache.clear()
+  }
+
+  /** Release every block this engine pins for the session: persisted
+    * search match sets AND localCheckpointed star frames. The latter are
+    * cached at the RDD level (outside the CacheManager), so a plain
+    * `Dataset.unpersist` misses them — the checkpoint RDD is unpersisted
+    * directly off the plan's LogicalRDD leaves. Used by memo eviction
+    * when a corpus rewrite supersedes this engine; without it the old
+    * star's blocks stay pinned for the session's lifetime.
+    */
+  def releaseCaches(): Unit = {
+    invalidateSearchCache()
+    Seq(vault.messages, vault.recipients, vault.participants, vault.labels,
+      vault.messageLabels, vault.attachments, vault.conversations,
+      vault.sources).foreach { df =>
+      df.unpersist(false)
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
+    }
   }
 
   /** Deep full-text search (reference Search sqlite.go:1319-1461: FTS5

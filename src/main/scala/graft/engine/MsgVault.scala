@@ -135,7 +135,11 @@ object MsgVault {
       case (d, (c, target)) =>
         if (!d.columns.contains(c) || d.schema(c).dataType == target) d
         else {
-          val casted = col(c).cast(target)
+          // try_cast, not cast: under ANSI mode (the Spark 4 default) a
+          // plain cast of a malformed drifted value ('N/A' in a numeric
+          // column) would THROW on first action — the reference's TRY_CAST
+          // contract is NULL-on-failure (views.go:181-196)
+          val casted = col(c).try_cast(target)
           d.withColumn(c, castDefaults.get((name, c))
             .map(dv => coalesce(casted, dv)).getOrElse(casted))
         }

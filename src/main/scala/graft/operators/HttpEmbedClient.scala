@@ -76,15 +76,25 @@ final case class HttpEmbedClient(
       s"embed: giving up after $maxRetries attempts", lastErr)
   }
 
+  /** Go's isDomainOrSubdomain (net/http/client.go): hostnames compare
+    * case-insensitively, and a subdomain of the original host still
+    * receives the credential — only a genuinely foreign host is stripped.
+    */
+  private[operators] def sameOrSubdomain(dst: String, src: String): Boolean = {
+    val d = Option(dst).getOrElse("").toLowerCase
+    val s = Option(src).getOrElse("").toLowerCase
+    s.nonEmpty && (d == s || d.endsWith("." + s))
+  }
+
   /** Manual 3xx handling with Go net/http's redirect semantics
     * (client.go follows stock-transport defaults): up to 10 hops
     * (net/http's cap), Location resolved against the current URI,
     * 307/308 re-POST the body while 301/302/303 degrade to a bodyless
     * GET, and — the part the JDK's Redirect.NORMAL gets wrong — the
-    * `Authorization: Bearer` header is sent ONLY when the hop target is
-    * the same host as the original endpoint (Go strips sensitive headers
-    * on cross-host redirects, so a hijacked/open-redirecting endpoint
-    * cannot exfiltrate the API key).
+    * `Authorization: Bearer` header is sent only when the hop target is
+    * the original endpoint's host or a subdomain of it (Go strips
+    * sensitive headers on cross-host redirects, so a
+    * hijacked/open-redirecting endpoint cannot exfiltrate the API key).
     */
   private def sendFollowingRedirects(start: java.net.URI,
       body: String): java.net.http.HttpResponse[String] = {
@@ -96,7 +106,7 @@ final case class HttpEmbedClient(
       val b = java.net.http.HttpRequest.newBuilder()
         .uri(uri)
         .timeout(java.time.Duration.ofMillis(timeoutMs))
-      if (apiKey.nonEmpty && uri.getHost == originalHost)
+      if (apiKey.nonEmpty && sameOrSubdomain(uri.getHost, originalHost))
         b.header("Authorization", s"Bearer $apiKey")
       if (method == "POST")
         b.header("Content-Type", "application/json")
@@ -137,6 +147,12 @@ final case class HttpEmbedClient(
       Left(Permanent(new RuntimeException(
         if (msg.isEmpty) s"embed: HTTP $code (non-retryable)"
         else s"embed: HTTP $code: $msg (non-retryable)")))
+    } else if (code >= 300) {
+      // a 3xx that survived redirect-following has no Location header —
+      // a server misconfiguration, not a transient decode failure (Go's
+      // client errors with "<code> response missing Location header")
+      Left(Permanent(new RuntimeException(
+        s"embed: HTTP $code redirect without Location (non-retryable)")))
     } else {
       try {
         val root = mapper.readTree(resp.body())

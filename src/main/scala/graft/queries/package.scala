@@ -177,7 +177,22 @@ package object queries {
     * pays, and it is what makes a long-lived session safe over a corpus
     * that gets rewritten in place.
     */
+  // Optional fingerprint TTL (ms): 0 (default) = re-list on every memo
+  // lookup, the strict freshness the invalidation spec guarantees. On a
+  // remote store where the recursive listing is a real metadata
+  // round-trip per query, set spark.graft.memo.fingerprintTtlMs to trade
+  // bounded staleness (a rewrite noticed within the TTL) for hot-path
+  // latency.
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
   private[queries] def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val ttl = s.conf.get("spark.graft.memo.fingerprintTtlMs", "0").toLong
+    val now = System.currentTimeMillis()
+    if (ttl > 0) {
+      val hit = fpCache.get(dir)
+      if (hit != null && now - hit._1 < ttl) return hit._2
+    }
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -190,7 +205,9 @@ package object queries {
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString
+    val fp = md.digest().map("%02x".format(_)).mkString
+    if (ttl > 0) fpCache.put(dir, (now, fp))
+    fp
   }
 
   /** Build-once/search-many memo for derived index structures (inverted
@@ -257,6 +274,10 @@ package object queries {
     */
   private def release(x: Any): Unit = x match {
     case df: DataFrame => df.unpersist(false); ()
+    // the facade engine pins state a DataFrame walk can't see (persisted
+    // search match sets, localCheckpointed star RDD blocks) — it exposes
+    // its own release hook
+    case e: graft.engine.MsgEngine => e.releaseCaches()
     case _: Iterable[_] => ()
     case p: Product => p.productIterator.foreach(release)
     case _ => ()

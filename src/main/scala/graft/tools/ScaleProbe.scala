@@ -447,13 +447,22 @@ object ScaleProbe {
       val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
       val readerViolations = new java.util.concurrent.atomic.AtomicInteger(0)
       val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      // any exception OTHER than a lease refusal must fail the probe, not
+      // silently kill its thread — a dead maintenance/reader thread would
+      // let the conservation check "pass" without the concurrency scenario
+      // ever running
+      val unexpected =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       def maintenanceLoop(doReclaim: Boolean): Thread = {
         val t = new Thread(() => {
           while (!writersDone.get()) {
             try {
               if (doReclaim) SinkCompaction.reclaim(spark, sink)
               else { SinkCompaction.compact(spark, sink); compactions.incrementAndGet() }
-            } catch { case _: IllegalStateException => refusals.incrementAndGet() }
+            } catch {
+              case _: IllegalStateException => refusals.incrementAndGet()
+              case scala.util.control.NonFatal(e) => unexpected.add(e); ()
+            }
             Thread.sleep(100)
           }
         })
@@ -461,10 +470,12 @@ object ScaleProbe {
       }
       val reader = new Thread(() => {
         while (!writersDone.get()) {
-          val lowWater = completed.get()
-          val c = SinkCompaction.read(spark, sink).count()
-          reads.incrementAndGet()
-          if (c < lowWater) readerViolations.incrementAndGet()
+          try {
+            val lowWater = completed.get()
+            val c = SinkCompaction.read(spark, sink).count()
+            reads.incrementAndGet()
+            if (c < lowWater) readerViolations.incrementAndGet()
+          } catch { case scala.util.control.NonFatal(e) => unexpected.add(e); () }
           Thread.sleep(50)
         }
       })
@@ -490,6 +501,14 @@ object ScaleProbe {
         require(fin == expect, s"rows not conserved: $fin != $expect")
         require(readerViolations.get() == 0,
           s"${readerViolations.get()} reader(s) saw fewer rows than committed")
+        require(unexpected.isEmpty, {
+          val first = unexpected.peek()
+          s"${unexpected.size()} unexpected error(s) in probe threads, " +
+            s"first: $first"
+        })
+        require(compactions.get() > 0,
+          "no compaction ran under live traffic — the probe never " +
+            "exercised its scenario")
         s"rows=$fin reads=${reads.get()} compactions=${compactions.get()} " +
           s"lease_refusals=${refusals.get()} violations=0"
       })

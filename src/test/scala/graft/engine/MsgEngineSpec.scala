@@ -483,10 +483,19 @@ class MsgEngineSpec extends SparkTestBase {
       engine.searchCacheKeyFor("a|", f),
       engine.searchCacheKeyFor("a|MessageFilter(", f),
       engine.searchCacheKeyFor("b", f),
-      engine.searchCacheKeyFor("a", f.copy(sender = "a|")))
+      engine.searchCacheKeyFor("a", f.copy(sender = "a|")),
+      // the case-class-toString trap: these two render identically via
+      // toString's bare comma-join, and MUST still key differently
+      engine.searchCacheKeyFor("a", f.copy(sender = "x,")),
+      engine.searchCacheKeyFor("a", f.copy(sender = "x", senderName = ",")))
     assert(keys.distinct.length == keys.length)
     // identical inputs produce the same key
     assert(engine.searchCacheKeyFor("a", f) == engine.searchCacheKeyFor("a", f))
+    // == filters with Set fields key identically regardless of build order
+    assert(engine.searchCacheKeyFor("a",
+      f.copy(emptyValueTargets = Set(ViewType.Senders, ViewType.Labels)))
+      == engine.searchCacheKeyFor("a",
+        f.copy(emptyValueTargets = Set(ViewType.Labels, ViewType.Senders))))
   }
 
   test("aggregate with multi-recipient search never double-counts a message") {

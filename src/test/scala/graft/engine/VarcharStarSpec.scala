@@ -85,6 +85,45 @@ class VarcharStarSpec extends SparkTestBase {
       .map(_.getAs[Long]("id")).toSeq == Seq(2L))
   }
 
+  test("malformed drifted values become NULL (or the declared default), never a throw") {
+    // views.go:181-196 TRY_CAST contract — under ANSI mode a plain cast
+    // would throw SparkNumberFormatException on 'N/A'
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_malformed_star").toString
+    Seq(
+      (1L, 1L, "not-a-number", "msg1", "Subject", "snip",
+        java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), "N/A", "maybe", "many"))
+      .toDF("id", "source_id", "conversation_id", "source_message_id",
+        "subject", "snippet", "sent_at", "size_estimate", "has_attachments",
+        "attachment_count")
+      .write.parquet(s"$dir/messages")
+    Seq((1L, 1L, "from", "Alice"))
+      .toDF("message_id", "participant_id", "recipient_type", "display_name")
+      .write.parquet(s"$dir/message_recipients")
+    Seq((1L, "a@x.com", "x.com", "Alice", ""))
+      .toDF("id", "email_address", "domain", "display_name", "phone_number")
+      .write.parquet(s"$dir/participants")
+    Seq((1L, "x")).toDF("id", "name").limit(0).write.parquet(s"$dir/labels")
+    Seq((1L, 1L)).toDF("message_id", "label_id").limit(0)
+      .write.parquet(s"$dir/message_labels")
+    Seq((1L, 1L, "f", "m", 1L, "h")).toDF("id", "message_id", "filename",
+      "mime_type", "size", "content_hash").limit(0)
+      .write.parquet(s"$dir/attachments")
+    Seq((1L, "c1", "", "email"))
+      .toDF("id", "source_conversation_id", "title", "conversation_type")
+      .write.parquet(s"$dir/conversations")
+    Seq((1L, "a@x.com", "gmail")).toDF("id", "identifier", "source_type")
+      .write.parquet(s"$dir/sources")
+    val v2 = MsgVault.open(spark, dir)
+    val row = v2.messages.collect().head
+    assert(row.isNullAt(row.fieldIndex("conversation_id")))
+    assert(row.isNullAt(row.fieldIndex("size_estimate")))
+    assert(row.getAs[Boolean]("has_attachments") == false) // declared default
+    assert(row.getAs[Int]("attachment_count") == 0) // declared default
+    // the engine still answers over the row
+    assert(new MsgEngine(v2).listMessages(MessageFilter()).count() == 1)
+  }
+
   test("aggregates sum drifted numerics as longs") {
     val rows = engine.aggregate(ViewType.Senders).collect()
     assert(rows.length == 1)

@@ -203,6 +203,25 @@ class HttpEmbedClientSpec extends SparkTestBase {
     } finally { origin.stop(0); target.stop(0) }
   }
 
+  test("credential scope: case-insensitive hosts and subdomains keep auth") {
+    // Go net/http isDomainOrSubdomain semantics
+    val c = client("http://x")
+    assert(c.sameOrSubdomain("API.example.com", "api.example.com"))
+    assert(c.sameOrSubdomain("sub.api.example.com", "api.example.com"))
+    assert(!c.sameOrSubdomain("evil.com", "api.example.com"))
+    assert(!c.sameOrSubdomain("notapi.example.com", "api.example.com"))
+    assert(!c.sameOrSubdomain("api.example.com.evil.com", "api.example.com"))
+    assert(!c.sameOrSubdomain("anything", ""))
+  }
+
+  test("3xx without a Location header is permanent, not retried decode noise") {
+    withServer((_, _) => (302, "<html>moved</html>", Map.empty)) { (ep, calls) =>
+      val e = intercept[RuntimeException](client(ep).embed(Seq("z")))
+      assert(e.getMessage.contains("redirect without Location"))
+      assert(calls.get() == 1) // permanent: no retries
+    }
+  }
+
   test("permanent 4xx fails immediately without retrying") {
     withServer((_, _) => (400, "bad model", Map.empty)) { (ep, calls) =>
       val e = intercept[RuntimeException](client(ep).embed(Seq("z")))

@@ -52,6 +52,72 @@ class MemoInvalidationSpec extends SparkTestBase {
     assert(builds == 3)
   }
 
+  test("fingerprint TTL trades bounded staleness for listing-free lookups") {
+    // spark.graft.memo.fingerprintTtlMs > 0: a rewrite inside the TTL
+    // window is deliberately NOT noticed (the remote-store trade the knob
+    // documents); setting it back to 0 restores strict freshness
+    // immediately — the cached fingerprint is ignored, not just expired.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_memo_ttl").toString
+    Files.write(Paths.get(dir, "t.parquet"), "v1".getBytes("UTF-8"))
+
+    var builds = 0
+    def lookup(): String =
+      memoizedIndex[String](spark, dir, "spec_ttl") { builds += 1; s"b$builds" }
+
+    try {
+      spark.conf.set("spark.graft.memo.fingerprintTtlMs", "600000")
+      assert(lookup() == "b1")
+      Files.write(Paths.get(dir, "t.parquet"), "v2-longer".getBytes("UTF-8"))
+      assert(lookup() == "b1",
+        "inside the TTL the rewrite must be invisible (bounded staleness)")
+      spark.conf.set("spark.graft.memo.fingerprintTtlMs", "0")
+      assert(lookup() == "b2",
+        "TTL off must re-list immediately and mint a fresh artifact")
+    } finally spark.conf.unset("spark.graft.memo.fingerprintTtlMs")
+  }
+
+  test("evicting a memoized engine releases its checkpoint blocks and search cache") {
+    // The facade engine pins state a DataFrame walk can't see:
+    // localCheckpointed star frames (RDD-level blocks, outside the
+    // CacheManager) and persisted search match sets. Eviction must go
+    // through MsgEngine.releaseCaches or those blocks stay pinned for
+    // the session's lifetime.
+    import java.nio.file.{Files, Paths}
+    import graft.engine.{Fixtures, MsgEngine}
+    import graft.model.MessageFilter
+    val dir = Files.createTempDirectory("graft_memo_eng").toString
+    Files.write(Paths.get(dir, "t.parquet"), "v1".getBytes("UTF-8"))
+
+    def build(): MsgEngine = {
+      val v = Fixtures.vault(spark,
+        messages = Seq(Fixtures.msg(1, "hello world", "2024-01-15 10:00:00")),
+        recipients = Seq(Fixtures.MrRow(1, 1, "from", None)),
+        participants = Seq(Fixtures.PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+      new MsgEngine(v.copy(messages = v.messages.localCheckpoint(true)))
+    }
+    def lookup(): MsgEngine =
+      memoizedIndex[MsgEngine](spark, dir, "spec_engine")(build())
+
+    val eng1 = lookup()
+    val matches = eng1.searchFastWithStats("hello", MessageFilter()).matches
+    assert(matches.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    val ckptIds = eng1.vault.messages.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    assert(ckptIds.nonEmpty)
+    assert(ckptIds.forall(spark.sparkContext.getPersistentRDDs.contains))
+
+    Files.write(Paths.get(dir, "t.parquet"), "v2-longer".getBytes("UTF-8"))
+    val eng2 = lookup()
+    assert(eng2 ne eng1)
+    assert(matches.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "superseded engine's search cache must be unpersisted on eviction")
+    assert(!ckptIds.exists(spark.sparkContext.getPersistentRDDs.contains),
+      "superseded engine's checkpoint blocks must be released on eviction")
+    eng2.releaseCaches() // cleanup for other suites
+  }
+
   test("indexed FTS search returns fresh results after an in-place corpus rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_memo_fts").toString
