@@ -33,6 +33,13 @@ object ArchiveVerify {
       when(col("compression") === "zlib",
         Mime.inflateUdf(col("raw_data")).isNotNull)
         .otherwise(col("raw_data").isNotNull).as("__raw_ok"))
+      // one verdict per message even when the sidecar holds duplicate
+      // blob rows (a crashed re-ingest can append a second copy — the
+      // exact state an audit exists to catch): ANDed, so a message is ok
+      // only when EVERY stored blob inflates, and the left join below
+      // cannot multiply live rows (n_messages stays = live count,
+      // raw_pct stays <= 100)
+      .groupBy(col("message_id")).agg(min(col("__raw_ok")).as("__raw_ok"))
     live.join(checked, live("id") === checked("message_id"), "left")
       .groupBy(col("source_id"))
       .agg(
@@ -42,8 +49,13 @@ object ArchiveVerify {
         sum(when(col("__raw_ok") === true, 1L).otherwise(0L)).as("n_raw_ok"),
         sum(when(col("__raw_ok") === false, 1L).otherwise(0L))
           .as("n_raw_corrupt"))
+      // LEFT join: a live message whose source row is missing (deleted or
+      // corrupt) is referential breakage the audit must REPORT, not a
+      // row-drop condition — it surfaces as source_type '(unknown)'
       .join(broadcast(sources.select(col("id").as("source_id"),
-        col("source_type"))), Seq("source_id"))
+        col("source_type"))), Seq("source_id"), "left")
+      .withColumn("source_type", coalesce(col("source_type"),
+        lit("(unknown)")))
       .withColumn("raw_pct",
         round(col("n_with_raw") * 100.0 / col("n_messages"), 2))
   }

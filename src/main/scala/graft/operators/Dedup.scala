@@ -42,9 +42,13 @@ object Dedup {
     */
   def survivorPairs(df: DataFrame, id: Column, groupKey: Column,
       preference: Seq[Column]): DataFrame = {
+    // preference columns must survive the projection the window runs
+    // over — aliased positionally so caller expressions (struct(...),
+    // when(...)) need no resolvable name of their own
+    val prefs = preference.zipWithIndex.map { case (c, i) => c.as(s"__p$i") }
     val w = Window.partitionBy(col("__g"))
-      .orderBy(preference.map(_.asc) :+ col("__id").asc: _*)
-    df.select(id.as("__id"), groupKey.as("__g"))
+      .orderBy(prefs.indices.map(i => col(s"__p$i").asc) :+ col("__id").asc: _*)
+    df.select(id.as("__id") +: groupKey.as("__g") +: prefs: _*)
       .withColumn("__rn", row_number().over(w))
       .withColumn("winner_id", first(col("__id")).over(
         Window.partitionBy(col("__g"))
@@ -95,10 +99,6 @@ object Dedup {
     candidatesRaw(df, id, text, numHashes, bands, shingleSize, maxBucket)
       .distinct()
 
-  /** [[minhashCandidates]] WITHOUT the dedup shuffle: a pair sharing j
-    * band buckets appears j times. Exposed for probes/consumers that
-    * dedup downstream anyway.
-    */
   /** (doc_id, band, band_hash) band rows for LSH bucketing — shared by
     * the batch candidate generator and the incremental probe.
     */
@@ -114,6 +114,10 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /** [[minhashCandidates]] WITHOUT the dedup shuffle: a pair sharing j
+    * band buckets appears j times — for probes/consumers that dedup
+    * downstream anyway.
+    */
   private[graft] def candidatesRaw(df: DataFrame, id: Column, text: Column,
       numHashes: Int, bands: Int, shingleSize: Int,
       maxBucket: Int): DataFrame =
@@ -169,11 +173,11 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3): DataFrame =
+      shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame =
     nearDuplicatesWithBands(df, id, text,
       bandRows(df.select(id.as("doc_id"), text.as("doc_text")),
         col("doc_id"), col("doc_text"), numHashes, bands, shingleSize),
-      threshold, shingleSize)
+      threshold, shingleSize, maxBucket)
 
   /** [[nearDuplicates]] with the band rows precomputed (same banding
     * parameters, (band, band_hash, doc_id)-shaped) — the reuse hook for
@@ -181,7 +185,7 @@ object Dedup {
     */
   def nearDuplicatesWithBands(df: DataFrame, id: Column, text: Column,
       banded: DataFrame, threshold: Double = 0.8,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
     // distinct BEFORE verification: a pair sharing j band buckets would
     // otherwise be exact-verified j times, and with high-recall low-row
@@ -190,7 +194,7 @@ object Dedup {
     // bands=32). The distinct shuffles two longs per candidate — orders
     // of magnitude less data than the redundant verifications it removes
     // once documents are big enough for the intersection to cost.
-    val cand = candidatesFromBands(banded, maxBucket = 1000)
+    val cand = candidatesFromBands(banded, maxBucket)
       .distinct()
     // dup ids are fine too: left_semi doesn't multiply matches
     val candIds = cand.select(explode(array(col("id_a"), col("id_b")))

@@ -26,7 +26,11 @@ object Sampling {
     * xxhash64) so any engine can reproduce the draw — the sampling
     * decision is part of the dataset's recipe, not an engine internal.
     */
-  def hashBucket(id: Column, buckets: Int = 1000): Column =
+  def hashBucket(id: Column, buckets: Long = 1000L): Column =
+    // Long modulus: stride draws over trillion-row corpora
+    // ([[Similarity.strideCentroids]] reuses this — ONE definition of the
+    // cross-engine stable draw, so a recipe fix cannot drift between the
+    // sampler family and the centroid picks) can exceed Int range
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long") % buckets
 
@@ -61,7 +65,12 @@ object Sampling {
   def qualityWeightedSample(df: DataFrame, id: Column, score: Column,
       floor: Double = 0.1, ceil: Double = 0.9,
       buckets: Int = 1000): DataFrame = {
-    val p = least(lit(ceil), greatest(lit(floor), score))
+    // NULL score (scorer missed the doc) keeps the floor rate EXPLICITLY
+    // via coalesce — Spark's greatest happens to skip nulls, but SQL
+    // engines differ on that, and the floor-trace contract ("every row
+    // keeps at least a floor-rate audit trace") must not hang on
+    // null-skipping trivia
+    val p = least(lit(ceil), greatest(lit(floor), coalesce(score, lit(floor))))
     df.filter(hashBucket(id, buckets) < round(p * buckets))
   }
 

@@ -229,17 +229,24 @@ object Similarity {
   def embeddingNearDupPairs(emb: DataFrame, id: Column, vec: Column,
       threshold: Double, nBits: Int = 8, maxBucket: Int = 2000,
       seed: Long = 42L): DataFrame = {
-    // an empty corpus (upstream filter removed everything) yields an
-    // empty PAIR set, not a head()-on-empty crash at plan construction
-    val dimRow = emb.select(size(vec).as("d")).head(1)
+    // an empty corpus (upstream filter removed everything, or every row's
+    // embedding is NULL after a failed embed run) yields an empty PAIR
+    // set, not a head()-on-empty crash or a size(NULL)→getInt NPE at
+    // plan construction. Dimension comes from the first NON-NULL row;
+    // mixed-dimension corpora are the caller's bug (a drifted-dim row's
+    // signature degrades, it does not crash).
+    val dimRow = emb.filter(vec.isNotNull).select(size(vec).as("d")).head(1)
     if (dimRow.isEmpty)
       return emb.select(id.as("__id")).limit(0)
         .select(col("__id").as("id_a"), col("__id").as("id_b"),
           lit(0.0).as("cosine"))
     val dim = dimRow.head.getInt(0)
     val planes = hyperplanes(dim, nBits, seed)
-    val bucketed = emb.select(id.as("__id"), vec.as("__v"),
-      lshSignature(vec, planes).as("__sig"))
+    // NULL embeddings can't pair with anything: dropped here rather than
+    // lumped into one degenerate NULL-signature bucket
+    val bucketed = emb.filter(vec.isNotNull)
+      .select(id.as("__id"), vec.as("__v"),
+        lshSignature(vec, planes).as("__sig"))
     val buckets = bucketed.groupBy(col("__sig"))
       .agg(collect_list(struct(col("__id"), col("__v"))).as("members"))
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
@@ -309,9 +316,10 @@ object Similarity {
   def strideCentroids(base: DataFrame, nList: Int,
       hashStride: Boolean = true): Seq[Seq[Float]] =
     centroidSampleBy(base, nList) { stride =>
-      if (hashStride)
-        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % stride
+      // the ONE cross-engine stable draw (Sampling.hashBucket) — never
+      // inline a second copy of the md5 recipe here, or a recipe fix
+      // breaks the replay guarantee between samplers and centroid picks
+      if (hashStride) Sampling.hashBucket(col("vec_id"), stride)
       else pmod(col("vec_id"), lit(stride))
     }
 
@@ -461,6 +469,15 @@ object Similarity {
     * to longs; centroid = rounded integer mean per position; distance =
     * integer sum of squared long differences), so results carry no
     * float-addition-order dependence on any engine or partitioning.
+    *
+    * Domain bound: the long accumulator holds dims·(2·m·2²⁰)² where m is
+    * the max |component|, so m must stay under √(2²¹/dims) — ≈22 for
+    * 4096-dim, ≈45 for 1024-dim vectors. Normalized or typical
+    * model-output embeddings (|c| ≲ 10) are far inside the bound;
+    * a hotter corpus overflows LOUDLY under ANSI mode
+    * (ARITHMETIC_OVERFLOW, never a silent wrong distance) — rescale the
+    * inputs or shrink the 2²⁰ scale factor on both engine and oracle
+    * sides together if you need that range.
     *
     * Plan shape at scale: one posexplode+two-level agg builds |labels|
     * centroid arrays (the shuffle is |labels|×dims after map-side

@@ -39,6 +39,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.toSet == Set((4L, 1L)))
   }
 
+  test("survivor pairs: a preference column overrides the min-id tie-break") {
+    // regression: the projection used to drop caller preference columns
+    // before the window ordered by them — UNRESOLVED_COLUMN for any
+    // non-Nil preference, masked because every in-repo caller passed Nil
+    val pref = when(col("doc_id") === 4, 0).otherwise(1)
+    val pairs = Dedup.survivorPairs(docs, col("doc_id"), md5(col("text")),
+      Seq(pref)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 4L)),
+      "preferred doc 4 must win over min-id doc 1")
+  }
+
   test("minhash LSH surfaces the near-dup pair, not unrelated docs") {
     val cand = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -173,6 +184,57 @@ class OperatorsSpec extends SparkTestBase {
       col("embedding"), threshold = 0.9)
     assert(out.isEmpty)
     assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+  }
+
+  test("embeddingNearDupPairs: NULL embeddings neither crash the dim probe nor bucket") {
+    // regression: a NULL vec in the first scanned row made the dimension
+    // probe NPE (size(NULL) is NULL → getInt throws); and NULL vecs
+    // lumped into one degenerate NULL-signature bucket
+    val emb = Seq[(Long, Seq[Float])](
+      (1L, null),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (4L, null)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(emb, col("vec_id"),
+      col("embedding"), threshold = 0.99, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((2L, 3L)))
+    // all-NULL corpus behaves like the empty corpus
+    val allNull = Seq[(Long, Seq[Float])]((1L, null)).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingNearDupPairs(allNull, col("vec_id"),
+      col("embedding"), threshold = 0.9).isEmpty)
+  }
+
+  test("archive audit: duplicate blobs AND to one verdict; orphaned sources surface") {
+    import java.sql.Timestamp
+    val messages = Seq[(Long, Long, Option[Timestamp])](
+      (1L, 10L, None), (2L, 10L, None), (3L, 99L, None))
+      .toDF("id", "source_id", "deleted_at")
+    val deflater = {
+      val d = new java.util.zip.Deflater()
+      val in = "hello".getBytes("UTF-8"); d.setInput(in); d.finish()
+      val buf = new Array[Byte](64); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    // message 1 has TWO raw rows (crashed re-ingest): one good zlib blob,
+    // one truncated — the audit must count ONE message with raw, corrupt
+    // (every stored copy must inflate), and never inflate n_messages
+    val raw = Seq[(Long, String, Array[Byte])](
+      (1L, "zlib", deflater),
+      (1L, "zlib", java.util.Arrays.copyOf(deflater, 2)),
+      (3L, "none", "plain".getBytes("UTF-8")))
+      .toDF("message_id", "compression", "raw_data")
+    val sources = Seq((10L, "gmail")).toDF("id", "source_type")
+    val out = ArchiveVerify.auditRaw(messages, raw, sources)
+      .collect().map(r => r.getAs[Long]("source_id") ->
+        ((r.getAs[String]("source_type"), r.getAs[Long]("n_messages"),
+          r.getAs[Long]("n_with_raw"), r.getAs[Long]("n_raw_ok"),
+          r.getAs[Long]("n_raw_corrupt")))).toMap
+    assert(out(10L) == (("gmail", 2L, 1L, 0L, 1L)),
+      "dup blob rows must not inflate counts; any corrupt copy = corrupt")
+    // source 99 has no sources row: referential breakage is REPORTED,
+    // not silently dropped by an inner join
+    assert(out(99L) == (("(unknown)", 1L, 1L, 1L, 0L)))
   }
 
   test("IVF probe tie-break matches assignment on duplicate centroids") {

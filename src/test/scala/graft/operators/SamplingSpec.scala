@@ -36,6 +36,18 @@ class SamplingSpec extends SparkTestBase {
     assert(kept03.subsetOf(kept07))
   }
 
+  test("qualityWeightedSample: NULL score keeps the floor rate, never drops the row class") {
+    // a scorer that misses a doc (left-join gap) must leave it the
+    // floor-rate audit trace, not silently remove it via NULL-comparison
+    val n = 4000L
+    val ids = spark.range(n).toDF("id")
+      .withColumn("q", when(col("id") % 2 === 0, lit(0.5)))
+    val kept = Sampling.qualityWeightedSample(ids, col("id"), col("q"))
+    val keptNull = kept.filter(col("q").isNull).count()
+    assert(math.abs(keptNull - (n / 2) * 0.1) < n * 0.03,
+      s"null-scored rows must keep ~floor rate, kept=$keptNull")
+  }
+
   // --- duplicateClusters ----------------------------------------------------
 
   test("duplicateClusters groups transitively, labels by min id") {
