@@ -23,17 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object Fts {
 
-  /** FTS5-style prefix AND-match: every term must prefix-match some token. */
-  def prefixMatch(tokens: Column, terms: Seq[String]): Column =
-    terms.map(term => exists(tokens, t => t.startsWith(term.toLowerCase)))
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
+  /** FTS5-style prefix AND-match: every term must prefix-match some token.
+    * Empty terms are dropped (startsWith("") is vacuously true — a blank
+    * term must not match the archive) and a query with NO surviving
+    * terms matches NOTHING, the same empty-phrase policy
+    * [[prefixPhraseMatch]] documents: match-all semantics for an absent
+    * query belongs to the caller's guard, not the term compiler.
+    */
+  def prefixMatch(tokens: Column, terms: Seq[String]): Column = {
+    val ts = terms.filter(_.nonEmpty)
+    if (ts.isEmpty) lit(false)
+    else ts.map(term => exists(tokens, t => t.startsWith(term.toLowerCase)))
+      .reduce(_ && _)
+  }
 
-  /** Exact-term AND-match (quoted FTS terms). */
-  def termMatch(tokens: Column, terms: Seq[String]): Column =
-    terms.map(term => array_contains(tokens, term.toLowerCase))
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
+  /** Exact-term AND-match (quoted FTS terms). Same empty-query policy as
+    * [[prefixMatch]]: no surviving terms matches nothing.
+    */
+  def termMatch(tokens: Column, terms: Seq[String]): Column = {
+    val ts = terms.filter(_.nonEmpty)
+    if (ts.isEmpty) lit(false)
+    else ts.map(term => array_contains(tokens, term.toLowerCase))
+      .reduce(_ && _)
+  }
 
   /** FTS5 prefix-PHRASE match — the `"foo bar"*` form every reference
     * search term compiles to (sqlite.go:1326-1333 quotes each term and

@@ -209,8 +209,13 @@ object TextFunctions {
     * High values flag boilerplate/spam for the curation gate.
     */
   def dupWordFraction(toks: Column): Column =
-    round(lit(1.0) -
-      size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+    // same empty-doc guard as the bigram twin: 0/0 would yield NULL and
+    // silently drop empty docs from a `frac <= threshold` curation gate
+    // (NULL predicate filters false) instead of scoring them 0.0
+    when(size(toks) < 1, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"),
+        6))
 
   def dupBigramFraction(toks: Column): Column = {
     val b = bigrams(toks)

@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  /** Build the index frame from (id, tokens). */
+  /** Build the index frame from (id, tokens).
+    *
+    * `toks` MUST already be case/diacritic-normalized the way query
+    * terms will be ([[graft.functions.TextFunctions.tokens]], or
+    * lowercase input text before a whitespace split): the query helpers
+    * below lowercase their terms — FTS5's unicode61 folds BOTH sides at
+    * tokenize time — so an index built over case-preserving tokens
+    * silently misses every mixed-case match ("Spark" indexed, query
+    * folded to "spark", startsWith fails).
+    */
   def build(docs: DataFrame, id: Column, toks: Column): DataFrame =
     docs.select(id.as("doc_id"), explode(array_distinct(toks)).as("token"))
       .groupBy(col("token"))
@@ -42,7 +51,8 @@ object InvertedIndex {
   /** Ranked variant of the index: postings carry term frequency —
     * `(token, df, postings: array<struct<doc_id, tf>>)` — plus a separate
     * compact doc-length table `(doc_id, dl)`, which together are
-    * everything BM25 needs without touching the corpus.
+    * everything BM25 needs without touching the corpus. Same token
+    * normalization contract as [[build]].
     */
   def buildRanked(docs: DataFrame, id: Column, toks: Column)
       : (DataFrame, DataFrame) = {

@@ -11,11 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: a hash of the full row content.
+    * monotonically_increasing_id / rand re-assign values when a lost
+    * executor forces a partition recompute, and a salt that changes
+    * between the original and replayed shuffle map output silently
+    * duplicates or drops rows downstream (the SPARK-23207 bug class) —
+    * a content hash replays identically. The trade: bit-identical rows
+    * land on the same salt, so the spread is over DISTINCT row contents;
+    * a hot key made of billions of identical rows should be pre-reduced
+    * (count per exact row), not salted.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong))
+
   /** Two-phase salted aggregation: stage 1 aggregates on (key, salt) so a
     * hot key spreads across `salts` reducers; stage 2 merges the partials
     * per key. Results are identical to a direct groupBy for any
-    * re-associable aggregate map (sum/count/min/max); the salt derives
-    * from a per-row id so identical rows still spread.
+    * re-associable aggregate map (sum/count/min/max) — including under
+    * stage retries, because the salt is a deterministic row-content hash
+    * (see [[rowSalt]]).
     *
     * `aggs` maps output column name → (stage1 agg of the input column,
     * stage2 merge of the stage-1 partial).
@@ -23,7 +37,7 @@ object Skew {
   def saltedAgg(df: DataFrame, key: Column, salts: Int,
       aggs: Map[String, (Column, Column => Column)]): DataFrame = {
     val stage1 = df
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(aggs.head._2._1.as("__p_" + aggs.head._1),
         aggs.tail.map { case (n, (a, _)) => a.as("__p_" + n) }.toSeq: _*)
@@ -33,20 +47,27 @@ object Skew {
         aggs.tail.map { case (n, (_, m)) => m(col("__p_" + n)).as(n) }.toSeq: _*)
   }
 
-  /** Skewed-key broadcast-salted join: replicate each small-side row
+  /** Skewed-key salted SHUFFLE join: replicate each small-side row
     * `salts` times with an explicit salt column, salt the big side per
-    * row, and join on (key, salt) — every reducer sees 1/salts of a hot
-    * key's rows. Correct for any 1:N join where `small` is unique on
-    * `key` (the replication multiplies nothing because each big-side row
-    * matches exactly one replica).
+    * row (deterministically — [[rowSalt]]), and join on (key, salt) —
+    * both sides hash-shuffle on (key, salt), so every reducer sees
+    * 1/salts of a hot key's rows. Correct for any 1:N join where `small`
+    * is unique on `key` (each big-side row matches exactly one replica).
+    *
+    * This is for a small side too big to broadcast but cheap to
+    * replicate `salts`×. If the small side FITS in a broadcast, use a
+    * plain `big.join(broadcast(small), ...)` instead — a broadcast join
+    * never shuffles the big side, so there are no per-key reducers to
+    * spread and salting it is pure overhead. (At toy scale AQE may still
+    * convert this plan to a broadcast join; the construction targets the
+    * sizes where it can't.)
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column,
       smallKey: Column, salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    saltedBig.join(broadcast(replicated),
+    saltedBig.join(replicated,
         bigKey === smallKey && saltedBig("__salt") === replicated("__salt"))
       .drop("__salt")
   }

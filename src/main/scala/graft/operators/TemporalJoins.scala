@@ -25,8 +25,10 @@ object TemporalJoins {
     *
     * Plan: both sides are tagged and unioned (right sorts BEFORE left on
     * ties, making the match inclusive), then ONE window per key ordered
-    * by (ts, side) carries the latest right payload forward
-    * (`last(..., ignoreNulls)`), and left rows are kept. That is the
+    * by (ts, side) carries the latest right row forward as a single
+    * struct (`last(struct(...), ignoreNulls)` — struct-wrapped so a
+    * matched row whose payload value is NULL is still the carried match),
+    * and left rows are kept. That is the
     * merge phase of a sort-merge as-of join: one hash shuffle of each
     * side on `key`, a per-partition sort, an O(n) scan — no per-row
     * subquery, no nested loop. Keys parallelize across partitions; a
@@ -49,8 +51,14 @@ object TemporalJoins {
     // the output's computed columns would silently OVERWRITE same-named
     // left data columns (withColumn replaces)
     require(!left.columns.contains("asof_ts") &&
-      Seq("__t", "__side").forall(r => !left.columns.contains(r)),
-      "left columns must not be named asof_ts/__t/__side (reserved)")
+      Seq("__t", "__side", "__m").forall(r => !left.columns.contains(r)),
+      "left columns must not be named asof_ts/__t/__side/__m (reserved)")
+    // a payload named like a computed/internal column would collide in
+    // the carry/select below (duplicate asof_ts at best, shadowing at
+    // worst) — the left-column require above can't catch these
+    require(payload.forall(p =>
+      !Seq("asof_ts", "__t", "__side", "__m").contains(p)),
+      "payload names asof_ts/__t/__side/__m are reserved")
     val lOnly = left.columns.toSeq.filterNot(c => c == key || c == leftTs)
     val rProj = right.select(
       (Seq(col(key), col(rightTs).as("__t")) ++ payload.map(col)): _*)
@@ -65,13 +73,23 @@ object TemporalJoins {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // every carried column shares the ONE window spec → single WindowExec
+    // ONE struct per right row carried forward by a single last():
+    // the when() is NULL for left rows but a NON-NULL struct for every
+    // right row even when all its payload fields are NULL — so a matched
+    // right row with a NULL payload value yields NULL (that row's own
+    // value), never an older right row's non-null leaking through
+    // ignoreNulls, and a multi-column payload can never mix fields from
+    // different right rows. (One struct also means one WindowExec
+    // expression instead of 1+|payload|.)
+    val matchStruct = struct(
+      (col("__t").as("asof_ts") +: payload.map(col)): _*)
     val carried = payload.foldLeft(
-      lp.unionByName(rp).withColumn("asof_ts",
-        last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
-          .over(w))) { (df, p) =>
-      df.withColumn(p,
-        last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
+      lp.unionByName(rp)
+        .withColumn("__m",
+          last(when(col("__side") === 0, matchStruct), ignoreNulls = true)
+            .over(w))
+        .withColumn("asof_ts", col("__m").getField("asof_ts"))) { (df, p) =>
+      df.withColumn(p, col("__m").getField(p))
     }
     val expired = col("asof_ts").isNull ||
       col("__t") - col("asof_ts") > toleranceNs

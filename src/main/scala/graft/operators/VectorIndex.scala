@@ -97,13 +97,29 @@ object VectorIndex {
     }
   }
 
+  /** Publish a small state file atomically: write a same-directory tmp,
+    * then rename over the target (ATOMIC_MOVE — POSIX rename replaces
+    * atomically). An in-place TRUNCATE_EXISTING write would let a
+    * concurrent [[readState]] observe an empty/half-written pointer,
+    * spuriously report "no active index", and kick off a redundant full
+    * rebuild — the same tmp+rename discipline the streaming-sink
+    * manifests use.
+    */
+  private def atomicWrite(target: java.nio.file.Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString +
+      s".tmp.${java.lang.ProcessHandle.current().pid()}")
+    Files.write(tmp, bytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def writeState(dir: String, st: IndexState): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(metaPath(dir),
+    atomicWrite(metaPath(dir),
       (s"""{"active":${st.active},"fingerprint":"${jsonEscape(st.fingerprint)}",""" +
         s""""model":"${jsonEscape(st.model)}","dimension":${st.dimension},""" +
-        s""""activated_at":"${jsonEscape(st.activatedAt)}"}""").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        s""""activated_at":"${jsonEscape(st.activatedAt)}"}""").getBytes("UTF-8"))
   }
 
   private def nowUtc(): String =
@@ -119,10 +135,9 @@ object VectorIndex {
       dimension: Int = 0): Long = {
     val next = readState(dir).map(_.active + 1).getOrElse(0L)
     Files.createDirectories(Paths.get(dir))
-    Files.write(buildingPath(dir),
+    atomicWrite(buildingPath(dir),
       (s"""{"id":$next,"model":"${jsonEscape(model)}","dimension":$dimension,""" +
-        s""""started_at":"${nowUtc()}"}""").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        s""""started_at":"${nowUtc()}"}""").getBytes("UTF-8"))
     next
   }
 
@@ -225,12 +240,15 @@ object VectorIndex {
   def findSimilar(vectors: DataFrame, seedId: Long, k: Int): DataFrame =
     vectors.filter(col("message_id") === seedId)
       .select(col("embedding")).head(1).headOption match {
-      case Some(row) =>
+      // a seed row with a NULL stored embedding (failed embed left the
+      // row) is as vectorless as a missing row — empty result, never a
+      // driver NPE on getAs(...).toSeq
+      case Some(row) if !row.isNullAt(0) =>
         val seed = row.getAs[scala.collection.Seq[Float]](0).toSeq
         Similarity.bruteForceKnn(
           vectors.filter(col("message_id") =!= seedId),
           col("message_id"), col("embedding"), seed, k)
-      case None =>
+      case _ =>
         vectors.select(col("message_id").as("vec_id"),
           org.apache.spark.sql.functions.lit(0.0).as("score")).limit(0)
     }

@@ -27,7 +27,7 @@ object SearchQueries {
   private def bm25Stats(s: SparkSession, dir: String): Fts.CorpusStats =
     memoizedIndex(s, dir, "bm25_stats_" + terms.mkString("_")) {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextFunctions.wsTokens(lower(col("text"))).as("toks"))
       Fts.corpusStats(docs, col("toks"), terms)
     }
 
@@ -39,7 +39,7 @@ object SearchQueries {
     bucketOrdered(
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          TextFunctions.wsTokens(col("text")).as("__toks"))
+          TextFunctions.wsTokens(lower(col("text"))).as("__toks"))
         .filter(Fts.prefixMatch(col("__toks"), Seq("spar", "win")))
         .select(col("doc_id"), col("lang")),
       col("doc_id"))
@@ -60,8 +60,12 @@ object SearchQueries {
     // reference's FTS5 index is persistent (built at ingest), so the
     // per-search cost is posting-list probe + page hydrate only
     val index = memoizedIndex(s, dir, "fts_inverted") {
+      // lowercase BEFORE the split: InvertedIndex's contract is
+      // normalized tokens (query terms fold to lowercase). The synthetic
+      // corpus is already lowercase, so this is a no-op on the oracle —
+      // it guards the mixed-case corpus case.
       val i = graft.operators.InvertedIndex.build(
-        docs, col("doc_id"), TextFunctions.wsTokens(col("text")))
+        docs, col("doc_id"), TextFunctions.wsTokens(lower(col("text"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       i.count()
       i
@@ -78,7 +82,7 @@ object SearchQueries {
 
   def bm25Rank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.wsTokens(lower(col("text"))).as("toks"))
     orderedAtTail(
       Fts.bm25Search(docs, col("doc_id"), col("toks"), terms, limit = 100,
         statsOpt = Some(bm25Stats(s, dir)))
@@ -119,7 +123,7 @@ object SearchQueries {
 
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.wsTokens(lower(col("text"))).as("toks"))
     val emb = t(s, dir, "embeddings")
     val qv = DocQueries.queryVector(s, dir) // shared snapshot memo
     orderedAtTail(
@@ -177,7 +181,7 @@ object SearchQueries {
     */
   def hybridRrfBoosted(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.wsTokens(lower(col("text"))).as("toks"))
     val emb = t(s, dir, "embeddings")
     val subj = t(s, dir, "documents").select(col("doc_id"), col("lang"))
     val qv = DocQueries.queryVector(s, dir)

@@ -96,6 +96,20 @@ class DeepSearchSpec extends SparkTestBase {
     assert(ids("...") == Set.empty)
   }
 
+  test("prefixMatch/termMatch: empty or blank term lists match NOTHING") {
+    // same empty-query policy as prefixPhraseMatch: lit(true) here once
+    // meant a blank query (or a Seq("") — startsWith("") is vacuously
+    // true) returned the entire archive from the AND-match compilers
+    import graft.functions.Fts
+    val df = Seq((1L, Seq("alpha", "beta"))).toDF("id", "tokens")
+    assert(df.filter(Fts.prefixMatch(col("tokens"), Seq.empty)).isEmpty)
+    assert(df.filter(Fts.prefixMatch(col("tokens"), Seq(""))).isEmpty)
+    assert(df.filter(Fts.termMatch(col("tokens"), Seq.empty)).isEmpty)
+    assert(df.filter(Fts.termMatch(col("tokens"), Seq(""))).isEmpty)
+    // non-empty terms still AND with blanks dropped
+    assert(df.filter(Fts.prefixMatch(col("tokens"), Seq("alp", ""))).count() == 1)
+  }
+
   test("punctuation-only terms return no FTS hits, only subject matches") {
     val bodies = spark.read.parquet(s"$bodiesDir/message_bodies")
     val engine = new MsgEngine(v)
@@ -161,6 +175,12 @@ class DeepSearchSpec extends SparkTestBase {
   test("findSimilar with an unknown seed returns empty, not a crash") {
     val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("message_id", "embedding")
     assert(VectorIndex.findSimilar(vecs, seedId = 999L, k = 3).collect().isEmpty)
+  }
+
+  test("findSimilar with a NULL stored embedding returns empty, not a driver NPE") {
+    val vecs = Seq[(Long, Seq[Float])]((1L, null), (2L, Seq(1.0f, 0.0f)))
+      .toDF("message_id", "embedding")
+    assert(VectorIndex.findSimilar(vecs, seedId = 1L, k = 3).collect().isEmpty)
   }
 
   test("vector index: generation lifecycle + fingerprint gate + findSimilar") {

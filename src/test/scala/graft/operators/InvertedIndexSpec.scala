@@ -27,6 +27,19 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(viaIndex == viaScan && viaIndex.nonEmpty)
   }
 
+  test("mixed-case corpus: normalized build matches folded query terms") {
+    // the build contract: tokens lowercased at index time, query terms
+    // folded at lookup — an index over case-preserving tokens silently
+    // misses "Spark" for query "spark"
+    import spark.implicits._
+    val mixed = Seq((1L, "Spark Wins Today"), (2L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(mixed, col("doc_id"),
+      TextFunctions.wsTokens(lower(col("text"))))
+    assert(InvertedIndex.matchingIds(idx, Seq("Spar", "win"), prefix = true)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("exact-term AND differs from prefix when the prefix is not a word") {
     val exact = InvertedIndex.matchingIds(index, Seq("spark"), prefix = false)
       .collect().map(_.getLong(0)).toSet

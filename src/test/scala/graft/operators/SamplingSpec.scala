@@ -173,6 +173,15 @@ class SamplingSpec extends SparkTestBase {
     assert(rows(1).getSeq[String](0) == Seq("x y", "y z"))
     assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 0.0)
     assert(rows(2).getSeq[String](0).isEmpty && rows(2).getDouble(2) == 0.0)
+    // a ZERO-token doc (tokens() drops punctuation-only content) scores
+    // 0.0 on BOTH fractions — 0/0 once made dupWordFraction NULL, which
+    // silently dropped empty docs from `frac <= threshold` gates
+    val empty = Seq("!!!").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(TextFunctions.dupWordFraction(col("t")).as("dw"),
+        TextFunctions.dupBigramFraction(col("t")).as("db"))
+      .collect().head
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
   }
 
   test("temperatureWeights: α=1 is identity, α=0.5 flattens toward small strata") {

@@ -29,6 +29,30 @@ class TemporalJoinsSpec extends SparkTestBase {
       ("c", None, None)))          // right row is in the future
   }
 
+  test("asof: a matched right row's NULL payload is honored, not skipped") {
+    // regression: per-column last(..., ignoreNulls) skipped a NULL
+    // payload value on the MATCHED row and carried an OLDER right row's
+    // non-null value — attributing row-10's payload to row-20's match;
+    // the struct carry keeps all fields from the single matched row
+    val l = Seq((1L, 30L, "a")).toDF("k", "t", "tag")
+    val r = Seq[(Long, Long, Option[Double])](
+      (1L, 10L, Some(7.0)), (1L, 20L, None)).toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoinBackward(l, r, "k", "t", "rt", Seq("v"))
+      .collect().head
+    assert(out.getAs[Long]("asof_ts") == 20L,
+      "the match is the latest prior right row")
+    assert(out.isNullAt(out.fieldIndex("v")),
+      "the matched row's NULL payload must come through as NULL")
+  }
+
+  test("asof rejects reserved payload names instead of shadowing columns") {
+    val l = Seq((1L, 30L, "a")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 7.0)).toDF("k", "rt", "asof_ts")
+    val e = intercept[IllegalArgumentException](
+      TemporalJoins.asofJoinBackward(l, r, "k", "t", "rt", Seq("asof_ts")))
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("asof tolerance expires old matches") {
     val got = asof(
       left = Seq((1L, 100L, "a"), (1L, 200L, "b")),
