@@ -38,6 +38,11 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
     case null => "null"
     case n: Long => n.toString
     case n: Int => n.toString
+    // TINYINT/SMALLINT columns collect as Byte/Short — without these
+    // cases they fall to the catch-all STRING branch and a numeric
+    // column's JSON typing would depend on its integer width
+    case n: Short => n.toString
+    case n: Byte => n.toString
     case n: Double => if (n.isNaN || n.isInfinite) "null" else n.toString
     case n: Float => jsonValue(n.toDouble)
     case b: Boolean => b.toString

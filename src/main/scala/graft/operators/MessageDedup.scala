@@ -241,6 +241,13 @@ object MessageDedup {
       .withColumn("__norm", Mime.normalizeRawMimeUdf(col("__inflated")))
       .filter(col("__norm").isNotNull)
       .withColumn("chash", sha2(col("__norm"), 256))
+      // drop the MIME blobs BEFORE the winner window: its
+      // partitionBy(chash) shuffles full rows, and without this
+      // projection every message ships ~3 copies of its decompressed
+      // MIME (raw_data, __inflated, __norm) across the cluster just to
+      // carry a 64-char hash — the per-row map this pass promises must
+      // shuffle keys and survivor signals only
+      .drop("raw_data", "compression", "__inflated", "__norm", "__r_mid")
       .join(p1Winners.withColumn("__is_p1_survivor", lit(true)),
         col("id") === col("__p1_winner"), "left")
       .withColumn("__is_p1_survivor",

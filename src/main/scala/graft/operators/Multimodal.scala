@@ -94,7 +94,15 @@ object Multimodal {
     * `framesPerDoc` (doc_id, frame_idx, frame_bytes) rows via a generator —
     * the explode is the plan-level shape real frame extraction needs.
     */
-  def sampleFrames(media: DataFrame, framesPerDoc: Int): DataFrame =
+  def sampleFrames(media: DataFrame, framesPerDoc: Int): DataFrame = {
+    // sequence(0, -1) defaults to step -1 and yields [0, -1]: a caller
+    // disabling sampling with framesPerDoc = 0 would get TWO bogus
+    // frames per video (the second substring counting from the blob's
+    // END) instead of none
+    require(framesPerDoc >= 0, s"framesPerDoc must be >= 0: $framesPerDoc")
+    if (framesPerDoc == 0)
+      return media.select(col("doc_id"), lit(0).as("frame_idx"),
+        col("media").as("frame_bytes")).limit(0)
     // any video/* container: [[ingestBinaryFiles]] itself emits
     // video/x-matroska for .mkv — an mp4-only equality filter would
     // silently skip every mkv document's frames
@@ -104,4 +112,5 @@ object Multimodal {
           i => substring(col("media"), (i * 16 + 1).cast("int"), lit(16)))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
+  }
 }

@@ -186,7 +186,7 @@ package object queries {
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
-  private[queries] def corpusFingerprint(s: SparkSession, dir: String): String = {
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String): String = {
     val ttl = s.conf.get("spark.graft.memo.fingerprintTtlMs", "0").toLong
     val now = System.currentTimeMillis()
     if (ttl > 0) {

@@ -21,21 +21,60 @@ object EventsStreaming {
     * generation of testdata it's fed.
     */
   private val probedSchemas = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.types.StructType]()
+    (Int, String, String), org.apache.spark.sql.types.StructType]()
 
-  private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    // one footer probe per (session, dir): the attribution join builds
-    // TWO branches of the same directory, and on a legacy NANOS dir each
-    // un-memoized probe would first throw and re-read
-    val schema = probedSchemas.computeIfAbsent(
-      (System.identityHashCode(spark), eventsDir), _ =>
+  /** Run `f` with the legacy-nanos parquet conf set, restoring the prior
+    * value in a finally: a session-wide leak would silently change how
+    * every LATER TIMESTAMP(NANOS) read in the session behaves
+    * ([[graft.sources.Tables]]' batch loader pays real complexity to
+    * avoid exactly that leak — the streaming path must not reintroduce
+    * it).
+    */
+  private def withNanosConf[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** One footer probe per (session, dir, CONTENT fingerprint): the
+    * attribution join builds TWO branches of the same directory, and on a
+    * legacy NANOS dir each un-memoized probe would first throw and
+    * re-read. The fingerprint key matters: the events encoding has
+    * CHANGED between testdata generations (NANOS → µs), and a memo keyed
+    * by path alone would serve the stale schema after an in-place regen —
+    * readStream would then misread µs values through the LongType
+    * ns-truncation branch (timestamps 1000× off) instead of re-probing.
+    */
+  private def probeSchema(spark: SparkSession,
+      eventsDir: String): org.apache.spark.sql.types.StructType = {
+    val fp = graft.queries.corpusFingerprint(spark, eventsDir)
+    probedSchemas.computeIfAbsent(
+      (System.identityHashCode(spark), eventsDir, fp), _ =>
         try spark.read.parquet(eventsDir).schema
         catch {
           case scala.util.control.NonFatal(_) =>
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(eventsDir).schema
+            withNanosConf(spark)(spark.read.parquet(eventsDir).schema)
         })
+  }
+
+  /** Scope the legacy-nanos conf around an entire drained run when the
+    * directory needs it — the streaming parquet reader consults the conf
+    * when the query starts, so it must hold for the run's duration and
+    * is restored once the drain terminates.
+    */
+  private def withEncodingScope[T](spark: SparkSession, eventsDir: String)(
+      f: => T): T =
+    if (probeSchema(spark, eventsDir)("ts").dataType ==
+      org.apache.spark.sql.types.LongType) withNanosConf(spark)(f)
+    else f
+
+  private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = probeSchema(spark, eventsDir)
     val raw = spark.readStream.schema(schema).parquet(eventsDir)
     schema("ts").dataType match {
       case LongType =>
@@ -65,13 +104,22 @@ object EventsStreaming {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("cnt"))
 
-  /** True streaming run: parquet source → watermarked tumbling agg →
-    * in-memory sink, drained with Trigger.AvailableNow (processes all
-    * available input then stops — the incremental-ETL analogue). Returns
-    * the result table.
+  /** True streaming run: parquet source → tumbling agg → in-memory sink,
+    * drained with Trigger.AvailableNow (processes all available input
+    * then stops). Returns the result table.
+    *
+    * Output mode is COMPLETE deliberately: a one-shot drain must emit
+    * every window including those still inside the watermark (Append
+    * would hold back the trailing hour forever on a finite drain).
+    * Complete retains ALL window state and ignores the watermark for
+    * eviction — fine for a drain, NOT the unbounded-run shape; a
+    * forever-run would use Append + a file sink, where the watermark
+    * both bounds state and gates emission (see [[runDedupIncremental]]
+    * for the re-runnable file-sink pattern).
     */
   def runTumblingAvailableNow(spark: SparkSession, eventsDir: String,
-      checkpoint: String, queryName: String = "graft_events_tumbling"): DataFrame = {
+      checkpoint: String, queryName: String = "graft_events_tumbling"): DataFrame =
+    withEncodingScope(spark, eventsDir) {
     val stream = eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 hour")
     val agg = stream
@@ -89,14 +137,18 @@ object EventsStreaming {
     spark.table(queryName)
   }
 
-  /** True-streaming session windows: watermarked gap-based
-    * `session_window` aggregation drained with AvailableNow. State per
-    * (user, open session) closes `gap` past the watermark — bounded by
-    * concurrent sessions, not stream length.
+  /** True-streaming session windows: gap-based `session_window`
+    * aggregation drained with AvailableNow. Same COMPLETE-mode rationale
+    * (and caveat) as [[runTumblingAvailableNow]]: a one-shot drain must
+    * emit sessions still open at end-of-input, so Complete retains all
+    * session state and the watermark does not evict — the
+    * bounded-by-concurrent-sessions property belongs to the Append
+    * forever-run shape, not to this drain.
     */
   def runSessionsAvailableNow(spark: SparkSession, eventsDir: String,
       checkpoint: String, gap: String = "30 minutes",
-      queryName: String = "graft_events_sessions"): DataFrame = {
+      queryName: String = "graft_events_sessions"): DataFrame =
+    withEncodingScope(spark, eventsDir) {
     val stream = eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 hour")
     val agg = stream
@@ -123,9 +175,15 @@ object EventsStreaming {
     * seen; WithinWatermark expires each id once the watermark passes it,
     * bounding memory by arrival skew, not stream length — the property
     * that makes this run forever on an unbounded 100 TB/day feed.
+    *
+    * ONE-SHOT per checkpoint: Spark refuses checkpoint recovery for a
+    * memory sink in Append mode, so re-invoking with the same checkpoint
+    * throws rather than processing the delta. The re-runnable
+    * incremental shape is [[runDedupIncremental]] (file sink).
     */
   def runDedupAvailableNow(spark: SparkSession, eventsDir: String,
-      checkpoint: String, queryName: String = "graft_events_dedup"): DataFrame = {
+      checkpoint: String, queryName: String = "graft_events_dedup"): DataFrame =
+    withEncodingScope(spark, eventsDir) {
     val stream = eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -138,6 +196,33 @@ object EventsStreaming {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** RE-RUNNABLE incremental dedup: Append + parquet sink + checkpoint —
+    * the true incremental-ETL shape (the reference's `_last_sync.json`
+    * watermark-batch pattern, build_cache.go:118-263). Each drain
+    * processes ONLY the source files the checkpoint has not committed
+    * yet and appends their first-seen rows to `outDir`; duplicate ids
+    * arriving within the watermark of their first copy are dropped
+    * ACROSS drains too (the dedup state store rides the checkpoint).
+    * Memory-sink drains can't do this — Spark refuses checkpoint
+    * recovery for non-Complete memory sinks. Returns the sink contents.
+    */
+  def runDedupIncremental(spark: SparkSession, eventsDir: String,
+      checkpoint: String, outDir: String): DataFrame =
+    withEncodingScope(spark, eventsDir) {
+    val stream = eventsStream(spark, eventsDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   /** Batch twin of the stream-stream interval join: purchases paired with
@@ -163,10 +248,15 @@ object EventsStreaming {
     * (clicks retire 1 h + watermark delay after their event time) — so
     * state is bounded by arrival skew × rate, not stream length. Without
     * the range bound Spark rejects the inner stream-stream join outright.
+    *
+    * Same one-shot-per-checkpoint caveat as [[runDedupAvailableNow]]
+    * (Append memory sink can't recover a checkpoint); swap in a file
+    * sink as [[runDedupIncremental]] does for re-runnable drains.
     */
   def runAttributionJoinAvailableNow(spark: SparkSession, eventsDir: String,
       checkpoint: String,
-      queryName: String = "graft_events_attribution"): DataFrame = {
+      queryName: String = "graft_events_attribution"): DataFrame =
+    withEncodingScope(spark, eventsDir) {
     def branch(): DataFrame = eventsStream(spark, eventsDir)
     val purchases = branch().filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),

@@ -103,6 +103,21 @@ class SearchParserSpec extends AnyFunSuite {
     assert(q.textTerms == Seq("unfinished phrase"))
   }
 
+  test("apostrophes tokenize exactly as the reference does (parity pin)") {
+    // parser.go:260-266 opens a quote section on ANY apostrophe, even
+    // mid-word — these outputs look odd but are REFERENCE-EXACT, and the
+    // parser's contract is verbatim parity, not naturalness. If this
+    // test ever needs to change, the reference changed first.
+    assert(SearchParser.parse("don't stop").textTerms == Seq("don", "t stop"))
+    val q = SearchParser.parse("from:o'brien@x.com hello")
+    assert(q.fromAddrs == Seq("o"))
+    assert(q.textTerms == Seq("brien@x.com hello"))
+    // unterminated quote INSIDE an op value keeps the dangling quote in
+    // the value, same as the reference's unquote (only strips a matched
+    // pair)
+    assert(SearchParser.parse("from:\"john doe").fromAddrs == Seq("\"john doe"))
+  }
+
   test("isEmpty / hasOperators") {
     assert(SearchParser.parse("").isEmpty)
     assert(!SearchParser.parse("word").hasOperators)

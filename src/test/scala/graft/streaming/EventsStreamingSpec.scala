@@ -60,6 +60,36 @@ class EventsStreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("incremental dedup re-drains the SAME checkpoint, processing only the delta") {
+    // the memory-sink drains are one-shot per checkpoint (Spark refuses
+    // Append-mode memory-sink recovery); this is the re-runnable shape —
+    // drain, add files, drain again: the second pass must process only
+    // the new files and keep deduping against checkpointed state
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_incdedup_src")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_incdedup_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_incdedup_ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("a.parquet"))
+    val originals = Tables.load(spark, dir, "events").count()
+
+    val first = EventsStreaming.runDedupIncremental(
+      spark, srcDir.toString, ckpt, outDir).count()
+    assert(first == originals)
+
+    // delta: a duplicate copy of the same file — every event id already
+    // committed; the re-drain must add NOTHING new to the sink
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("b.parquet"))
+    val second = EventsStreaming.runDedupIncremental(
+      spark, srcDir.toString, ckpt, outDir).count()
+    assert(second == originals,
+      s"re-drain must dedup against checkpointed state: $second vs $originals")
+  }
+
   test("watermark drops events later than the threshold (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
