@@ -90,6 +90,12 @@ object CacheBuilder {
     val newRows = input.messages
       .filter(col("id") > watermark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersist on EVERY exit path (early return, the empty-input
+    // require, a failed parquet write): without the finally, a throw
+    // between persist and the tail would pin the whole new-slice
+    // snapshot for the session — and a retried build would pin a second
+    // copy on top
+    try {
     val stats = newRows.agg(max(col("id")).as("mx"),
       sum(when(col("deleted_at").isNull, 1L).otherwise(0L)).as("live")).head()
     val newWatermark = if (stats.isNullAt(0)) watermark else stats.getLong(0)
@@ -101,7 +107,6 @@ object CacheBuilder {
       // behind would re-trigger a full-scan no-op build forever
       if (newWatermark > watermark)
         writeState(outDir, SyncState(newWatermark, SchemaVersion))
-      newRows.unpersist()
       return 0L
     }
     // fail BEFORE any write: an empty full rebuild would otherwise emit a
@@ -140,7 +145,12 @@ object CacheBuilder {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("batch", "year")
       .option("compression", "zstd")
-    (if (fullRebuild) msgWriter
+    // both modes pinned EXPLICITLY: a full rebuild must truncate the
+    // whole table (static) even when the session sets
+    // partitionOverwriteMode=dynamic globally — otherwise stale
+    // batch=w*/year=* partitions from the prior incremental layout
+    // survive the rebuild and every old message is read twice
+    (if (fullRebuild) msgWriter.option("partitionOverwriteMode", "static")
      else msgWriter.option("partitionOverwriteMode", "dynamic"))
       .parquet(s"$outDir/messages")
 
@@ -181,8 +191,8 @@ object CacheBuilder {
     }
 
     writeState(outDir, SyncState(newWatermark, SchemaVersion))
-    newRows.unpersist()
     newCount
+    } finally newRows.unpersist()
   }
 
   /** Bucketed star variant — the co-located-join layout for the biggest

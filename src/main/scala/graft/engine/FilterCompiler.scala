@@ -158,8 +158,13 @@ final class FilterCompiler(v: MsgVault) {
       val ids = rcptIds(p("email_address") === filter.recipient)
       msg = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
     } else if (filter.matchesEmpty(ViewType.Recipients)) {
-      val any = mr.filter(col("recipient_type").isin("to", "cc", "bcc"))
-        .select(col("message_id")).distinct()
+      // anti-join the SAME set the Recipients view buckets: recipient
+      // rows whose participant has an email (the view's nullGuard). A
+      // bare recipient-row set would exclude a message whose only 'to'
+      // participant is email-less (phone-only) from the empty bucket
+      // even though the view put it in NO bucket — breaking the
+      // buckets + empty == total invariant the Senders branch documents
+      val any = rcptIds(p("email_address").isNotNull)
       msg = msg.join(any, msg("id") === any("message_id"), "left_anti")
     }
 

@@ -470,17 +470,29 @@ final class MsgEngine(val vault: MsgVault) {
     // Products (so Some(x),None never collides with None,Some(x)), and Set
     // elements re-encoded then sorted (order-insensitive like Set equality)
     def enc(v: Any): String = v match {
-      case p: Product =>
-        join(s"@${p.productPrefix}#${p.productArity}" ::
-          p.productIterator.toList.map(enc))
+      // collections match BEFORE Product: scala.List is itself a Product
+      // (`::`), and the cons-cell encoding would give equal Seqs of
+      // different implementations (List vs Vector) different keys —
+      // duplicating the identical match set in the cache
       case s: scala.collection.Set[_] =>
         join(s"#${s.size}" :: s.toList.map(enc).sorted)
       case xs: scala.collection.Iterable[_] =>
         join(s"#${xs.size}" :: xs.toList.map(enc))
+      case p: Product =>
+        join(s"@${p.productPrefix}#${p.productArity}" ::
+          p.productIterator.toList.map(enc))
       case null => "@null"
+      // Timestamp.toString renders in the JVM's LOCAL timezone and is
+      // non-injective during a DST fall-back hour (two distinct instants
+      // print identically) — a collision would serve one after/before
+      // filter's cached match set for the other. Exact epoch encoding.
+      case t: java.sql.Timestamp => s"@ts:${t.getTime}:${t.getNanos}"
       case x => x.toString
     }
-    join(List(query, enc(filter.copy(pagination = Pagination()))))
+    // pagination AND sorting normalize away: the cached artifact is the
+    // unordered match SET — ordering/paging are applied per call on top
+    join(List(query,
+      enc(filter.copy(pagination = Pagination(), sorting = MessageSorting()))))
   }
 
   def searchFastWithStats(query: String,

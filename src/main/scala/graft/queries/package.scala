@@ -273,7 +273,18 @@ package object queries {
     * tuple/case-class wrappers are walked.
     */
   private def release(x: Any): Unit = x match {
-    case df: DataFrame => df.unpersist(false); ()
+    case df: DataFrame =>
+      df.unpersist(false)
+      // localCheckpointed frames cache at the RDD level, OUTSIDE the
+      // CacheManager — Dataset.unpersist alone misses those blocks
+      // (the dedup scan memo checkpoints, MessageDedupQueries); release
+      // the checkpoint RDDs off the plan's LogicalRDD leaves, the same
+      // walk MsgEngine.releaseCaches does for the star frames
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
     // the facade engine pins state a DataFrame walk can't see (persisted
     // search match sets, localCheckpointed star RDD blocks) — it exposes
     // its own release hook

@@ -53,6 +53,23 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(!CacheBuilder.needsBuild(sourceVault(9), out))
   }
 
+  test("full rebuild truncates stale incremental partitions under session-dynamic overwrite") {
+    // regression: the full-rebuild write relied on the session-default
+    // partitionOverwriteMode; with dynamic set globally it only replaced
+    // the batch=full partitions it emitted, leaving the old batch=w*
+    // dirs in place — every pre-rebuild message then read TWICE
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_dyn").toString
+    assert(CacheBuilder.build(spark, sourceVault(4), out) == 4)
+    assert(CacheBuilder.build(spark, sourceVault(6), out) == 2) // batch=w4
+    // force a full rebuild (lost state) with dynamic overwrite session-wide
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_last_sync.json"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try assert(CacheBuilder.build(spark, sourceVault(6), out) == 6)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(MsgVault.open(spark, out).messages.count() == 6,
+      "stale incremental partitions must not survive a full rebuild")
+  }
+
   test("all-deleted tail advances the watermark — no eternal rebuild loop") {
     val out = java.nio.file.Files.createTempDirectory("graft_cache_wd").toString
     CacheBuilder.build(spark, sourceVault(6), out)

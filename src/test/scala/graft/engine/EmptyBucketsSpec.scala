@@ -70,6 +70,33 @@ class EmptyBucketsSpec extends SparkTestBase {
       == Set("No Recipients"))
   }
 
+  test("recipient buckets + empty bucket sum to the total with email-less recipients") {
+    // a message whose ONLY 'to' participant has no email is in NO
+    // recipient bucket (the view's email-not-null guard drops it), so it
+    // must land in the EMPTY bucket — a bare recipient-row anti-join
+    // would exclude it from both, breaking buckets + empty == total
+    val v2 = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1, "Emailed", "2024-01-15 10:00:00"),
+        msg(2, "Phone Only", "2024-01-16 10:00:00")),
+      recipients = Seq(
+        MrRow(1, 1, "from", Some("Alice")), MrRow(1, 2, "to", Some("Bob")),
+        MrRow(2, 1, "from", Some("Alice")), MrRow(2, 3, "to", Some("Tex"))),
+      participants = Seq(
+        PRow(1, Some("alice@example.com"), Some("Alice"), None, Some("example.com")),
+        PRow(2, Some("bob@company.org"), Some("Bob"), None, Some("company.org")),
+        PRow(3, None, Some("Tex"), Some("+15550001111"), None)))
+    val e2 = new MsgEngine(v2)
+    val bucketed = e2.aggregate(ViewType.Recipients).collect()
+      .map(_.getAs[Long]("count")).sum
+    val emptied = e2.listMessages(MessageFilter(
+      emptyValueTargets = Set(ViewType.Recipients))).collect()
+      .map(_.getAs[String]("subject"))
+    assert(bucketed == 1L)
+    assert(emptied.toSet == Set("Phone Only"),
+      "the phone-only-recipient message belongs to the empty bucket")
+  }
+
   test("empty-value target combines with a value filter (AND)") {
     // duckdb_test.go:1648-1674 — sender=alice AND empty labels → msg5 only
     assert(subjects(MessageFilter(sender = "alice@example.com",

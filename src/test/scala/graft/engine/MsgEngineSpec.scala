@@ -496,6 +496,29 @@ class MsgEngineSpec extends SparkTestBase {
       f.copy(emptyValueTargets = Set(ViewType.Senders, ViewType.Labels)))
       == engine.searchCacheKeyFor("a",
         f.copy(emptyValueTargets = Set(ViewType.Labels, ViewType.Senders))))
+    // timestamps encode by exact epoch (toString is local-tz rendered and
+    // non-injective across a DST fall-back) — distinct instants MUST key
+    // distinctly, equal instants identically
+    val t1 = new java.sql.Timestamp(1762061400000L) // 2025-11-02 05:30 UTC
+    val t2 = new java.sql.Timestamp(1762065000000L) // 2025-11-02 06:30 UTC
+    assert(engine.searchCacheKeyFor("a", f.copy(after = Some(t1)))
+      != engine.searchCacheKeyFor("a", f.copy(after = Some(t2))))
+    assert(engine.searchCacheKeyFor("a", f.copy(after = Some(t1)))
+      == engine.searchCacheKeyFor("a",
+        f.copy(after = Some(new java.sql.Timestamp(t1.getTime)))))
+    // == Seqs key identically whatever their implementation, and sorting
+    // normalizes away (the cached artifact is the unordered match set)
+    assert(engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(List(1L, 2L))))
+      == engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(Vector(1L, 2L)))))
+    assert(engine.searchCacheKeyFor("a", f.copy(sorting = MessageSorting(
+      MessageSortField.Subject, SortDirection.Asc)))
+      == engine.searchCacheKeyFor("a", f))
+    // tri-state stays distinct: None ≠ Some(Nil) ≠ Some(ids)
+    assert(Seq(
+      engine.searchCacheKeyFor("a", f),
+      engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(Nil))),
+      engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(Seq(1L)))))
+      .distinct.length == 3)
   }
 
   test("aggregate with multi-recipient search never double-counts a message") {
