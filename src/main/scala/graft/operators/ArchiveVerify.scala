@@ -56,7 +56,15 @@ object ArchiveVerify {
         col("source_type"))), Seq("source_id"), "left")
       .withColumn("source_type", coalesce(col("source_type"),
         lit("(unknown)")))
+      // 2-dp percentage via EXACT integer round-half-up, one double
+      // division at the end: round(x*100.0/n, 2) over a double quotient
+      // is engine-dependent at decimal ties (Spark rounds the shortest
+      // decimal rendering via BigDecimal, DuckDB rounds the binary
+      // double — 107/4000 → 2.68 vs 2.67), so the report would flake at
+      // corpus sizes landing on a .xx5 tie. Integer basis points are
+      // tie-free and /100.0 is one correctly-rounded op on both engines.
       .withColumn("raw_pct",
-        round(col("n_with_raw") * 100.0 / col("n_messages"), 2))
+        expr("(n_with_raw * 20000 + n_messages) div (2 * n_messages)")
+          .cast("double") / 100.0)
   }
 }

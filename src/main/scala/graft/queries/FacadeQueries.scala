@@ -45,7 +45,7 @@ import graft.sources.Tables
   */
 object FacadeQueries {
 
-  private val epochUs = 1700000000000000L
+  private val epochUs = StarFixture.epochUs
 
   /** The synthetic facade star, derived from `documents`. */
   private[queries] def star(s: SparkSession, dir: String): MsgVault = {
@@ -97,11 +97,7 @@ object FacadeQueries {
     import s.implicits._
     val labels = Seq((1L, "SENT"), (2L, "INBOX"), (3L, "work"),
       (4L, "personal")).toDF("id", "name")
-    val messageLabels = Seq(5L -> 1L, 3L -> 2L, 7L -> 3L, 2L -> 4L)
-      .map { case (m, lbl) =>
-        docs.filter(d % m === 0)
-          .select(d.as("message_id"), lit(lbl).as("label_id"))
-      }.reduce(_ unionByName _)
+    val messageLabels = StarFixture.messageLabels(docs, d)
 
     val attachments = docs.filter(d % 11 === 0).select(
       d.as("id"), d.as("message_id"),
@@ -384,9 +380,18 @@ object FacadeQueries {
     * predicate is the token branch alone.
     */
   def textSearch(s: SparkSession, dir: String): DataFrame = {
+    // the PRODUCTION tokenizer, exactly as CacheBuilder.buildBodies runs
+    // it at ETL (lowercase + diacritic fold + punctuation split): the
+    // gate must certify the real match semantics, not a weaker
+    // whitespace-split stand-in. On this corpus (verified pure
+    // [a-z0-9 ] at every SF) the oracle's string_split-on-space CTE
+    // tokenizes identically, so both sides stay bit-equal while the
+    // engine-side fold/tokenize interplay is actually exercised.
     val bodies = Tables.load(s, dir, "documents")
       .select(col("doc_id").cast("long").as("message_id"),
-        graft.functions.TextFunctions.wsTokens(col("text")).as("tokens"))
+        graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.foldDiacritics(col("text")))
+          .as("tokens"))
     engine(s, dir).textSearch("data", bodies, limit = 50)
       .select(col("id"), col("subject"), col("from_email"), col("from_name"),
         col("sent_at"), array_join(col("labels"), ",").as("labels"),

@@ -56,8 +56,9 @@ object MaintenanceQueries {
       |         AS BIGINT) AS n_raw_ok,
       |       CAST(SUM(CASE WHEN has_raw AND corrupt THEN 1 ELSE 0 END)
       |         AS BIGINT) AS n_raw_corrupt,
-      |       round(SUM(CASE WHEN has_raw THEN 1 ELSE 0 END) * 100.0
-      |         / COUNT(*), 2) AS raw_pct
+      |       CAST((SUM(CASE WHEN has_raw THEN 1 ELSE 0 END) * 20000
+      |             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 100.0
+      |         AS raw_pct
       |FROM m GROUP BY source_id ORDER BY source_id ASC""".stripMargin
 
   /** Encoding repair over a fixture whose raw subject bytes are planted

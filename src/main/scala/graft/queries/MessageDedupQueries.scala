@@ -39,7 +39,7 @@ import graft.sources.Tables
   */
 object MessageDedupQueries {
 
-  private val epochUs = 1700000000000000L
+  private val epochUs = StarFixture.epochUs
 
   /** The synthetic star + raw-MIME frame, derived from `documents`. */
   private[queries] def star(s: SparkSession, dir: String): (MsgVault, DataFrame) = {
@@ -109,11 +109,7 @@ object MessageDedupQueries {
       (1L, "SENT", Option("SENT")), (2L, "A", Option.empty[String]),
       (3L, "B", Option.empty[String]), (4L, "C", Option.empty[String]))
       .toDF("id", "name", "source_label_id")
-    val messageLabels = Seq(5L -> 1L, 3L -> 2L, 7L -> 3L, 2L -> 4L)
-      .map { case (m, lbl) =>
-        docs.filter(d % m === 0)
-          .select(d.as("message_id"), lit(lbl).as("label_id"))
-      }.reduce(_ unionByName _)
+    val messageLabels = StarFixture.messageLabels(docs, d)
     val sources = Seq(
       (0L, "a@example.com", "gmail"), (1L, "b@example.com", "imap"),
       (2L, "c@example.com", "mbox")).toDF("id", "identifier", "source_type")

@@ -123,6 +123,28 @@ package object queries {
   private[queries] def orderedAtTail(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
 
+  /** Scaffolding shared by the synthetic message stars
+    * (MessageDedupQueries.star, FacadeQueries.star): the sent_at epoch
+    * and the residue→label membership recipe. ONE definition — each
+    * star's oracle CTE replays these literally, and a recipe edit that
+    * reaches only one copy is exactly the drift mode the centroid CTEs
+    * hit once already.
+    */
+  private[queries] object StarFixture {
+    val epochUs: Long = 1700000000000000L
+
+    /** doc_id % residue == 0 → label_id membership. */
+    val labelResidues: Seq[(Long, Long)] =
+      Seq(5L -> 1L, 3L -> 2L, 7L -> 3L, 2L -> 4L)
+
+    def messageLabels(docs: DataFrame, d: Column): DataFrame =
+      labelResidues.map { case (m, lbl) =>
+        docs.filter(d % m === 0)
+          .select(d.as("message_id"),
+            org.apache.spark.sql.functions.lit(lbl).as("label_id"))
+      }.reduce(_ unionByName _)
+  }
+
   /** DuckDB twins of [[graft.operators.Similarity.dot]]/`cosine` — the
     * same index-order double folds, composed into larger oracle strings.
     */
