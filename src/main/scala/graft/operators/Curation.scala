@@ -54,8 +54,16 @@ object Curation {
     val base = docs.select(id.as("doc_id"), text.as("__text"))
       .withColumn("lang", TextFunctions.langId(col("__text")))
       .filter(col("lang").isin(langs.toSeq: _*))
+    // MATERIALIZE the survivor set once: `kept` feeds nearDuplicates
+    // (which references its doc frame from the banding pass, the
+    // candidate semi-join AND both broadcast shingle sides) plus the
+    // final anti-join — without the checkpoint each reference re-executes
+    // the langId + quality + fingerprint-window subtree, multiplying the
+    // dominant full-text scan ~4×. Blocks are reclaimed by the
+    // ContextCleaner once the returned frame's lineage is unreachable.
     val kept = curate(base, col("doc_id"), col("__text"), minQuality)
       .join(base, "doc_id")
+      .localCheckpoint(true)
     val nearDupLosers = Dedup.nearDuplicates(kept, col("doc_id"),
       col("__text"), nearDupThreshold)
       .select(col("id_b").as("doc_id")) // keep the lower id of each pair

@@ -58,6 +58,24 @@ object DeletionStaging {
     */
   def stage(spark: SparkSession, baseDir: String, manifestId: String,
       description: String, candidates: DataFrame): Unit = {
+    // STAGE-TIME precondition: a manifest that has left 'pending' must
+    // not be silently re-staged. The dynamic-overwrite writes below
+    // would swap the reviewed member set out from under the existing
+    // record while currentStatus keeps reporting the OLD state (its
+    // max-seq event outranks the fresh pending@0) — an executor
+    // honoring that stale in_progress approval would then delete the
+    // UNREVIEWED replacement set. Re-staging a still-pending manifest
+    // remains supported (the crashed-and-retried stage case).
+    val statusP = new org.apache.hadoop.fs.Path(statusDir(baseDir))
+    val statusFs = statusP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (statusFs.exists(statusP)) {
+      currentStatus(spark, baseDir)
+        .filter(col("manifest_id") === manifestId).collect()
+        .headOption.map(_.getAs[String]("status")).filter(_ != Pending)
+        .foreach(st => throw new IllegalStateException(
+          s"manifest '$manifestId' is '$st' — stage() may only (re)create " +
+            "a pending manifest; cancel and stage a new id instead"))
+    }
     // SNAPSHOT the candidate set before anything reads it twice: the
     // summary/validation aggregation and the member write are separate
     // Spark jobs, and a nondeterministic candidate frame (live-directory
@@ -209,8 +227,13 @@ object DeletionStaging {
       .withColumn("__found", lit(true))
     val stats = ids
       .join(archive, Seq("gmail_id", "__m_src"), "left")
-      .agg(sum(when(col("__found"), 1L).otherwise(0L)).as("succeeded"),
-        sum(when(col("__found").isNull, 1L).otherwise(0L)).as("failed"))
+      // coalesce: sum over ZERO member rows is NULL, and a caller doing
+      // stats.head.getLong(0) on an empty manifest would NPE instead of
+      // reading the honest (0, 0)
+      .agg(coalesce(sum(when(col("__found"), 1L).otherwise(0L)), lit(0L))
+          .as("succeeded"),
+        coalesce(sum(when(col("__found").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("failed"))
     (marked, stats)
   }
 }

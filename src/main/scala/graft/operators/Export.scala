@@ -115,11 +115,21 @@ object Export {
     * Restarting ranks at 0 instead would rename onto an existing
     * shard-000000000.mbox, which local-FS rename silently overwrites.
     */
+  /** The recorded part→shard assignment, published atomically BEFORE the
+    * first rename. Underscore-prefixed so Spark's file index ignores it
+    * like _SUCCESS. Resume replays the record; the record is the ONLY
+    * state that can distinguish a crashed pass (replayable) from a
+    * completed pass plus a SECOND export's part files (positional refill
+    * would silently interleave the two exports' buckets — refused).
+    */
+  private val RenamePlanName = "_rename_plan"
+
   def normalizeShardNames(spark: SparkSession, dir: String): Int = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val partName = "^part-(\\d+)".r.unanchored
     val shardName = "^shard-(\\d{9})\\.mbox$".r
+    val planPath = new org.apache.hadoop.fs.Path(root, RenamePlanName)
     val files = fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath.getName)
     val parts = files
       .flatMap {
@@ -127,22 +137,51 @@ object Export {
         case _ => None
       }
       .sortBy(_._1)
-    if (parts.isEmpty) return 0
-    val taken = files.collect { case shardName(k) => k.toLong }.sorted
-    val total = taken.size + parts.size
-    // a taken rank outside [0, total) or a duplicate means the dir is not
-    // a partial state of THIS pass (foreign files, double export) — refuse
-    // rather than guess an assignment that interleaves buckets
-    require(taken.distinct.size == taken.size &&
-      taken.forall(k => k >= 0 && k < total),
-      s"$dir holds shard files inconsistent with a resumable rename pass " +
-        s"(${taken.size} shard + ${parts.size} part files, shard ranks " +
-        s"must be distinct and < $total); clear it and re-export")
-    val takenSet = taken.toSet
-    val freeRanks = (0L until total.toLong).filterNot(takenSet)
-    val pairs = parts.map(_._2).zip(freeRanks).map { case (name, rank) =>
-      (name, f"shard-$rank%09d.mbox")
+    if (parts.isEmpty) {
+      // a pass that crashed between its last rename and the plan retire
+      // leaves a stale plan over a fully-renamed dir — retire it now
+      fs.delete(planPath, false)
+      return 0
     }
+    val taken = files.collect { case shardName(k) => k.toLong }
+    val pairs: Seq[(String, String)] =
+      if (fs.exists(planPath)) {
+        // RESUME: replay the recorded assignment for surviving parts
+        val in = fs.open(planPath)
+        val plan =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map { l =>
+              val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+            }.toMap
+          finally in.close()
+        val unknown = parts.filterNot(p => plan.contains(p._2))
+        require(unknown.isEmpty,
+          s"$dir holds part files absent from its rename plan " +
+            s"(${unknown.take(3).map(_._2).mkString(", ")}…) — a second " +
+            "export wrote into this dir; clear it and re-export")
+        parts.map(p => (p._2, plan(p._2)))
+      } else {
+        // no plan on disk: only a FRESH pass is assignable — shard files
+        // next to plan-less parts cannot be proven to be a crashed
+        // single pass rather than a completed pass + a second export
+        require(taken.isEmpty,
+          s"$dir holds ${taken.size} shard files next to ${parts.size} " +
+            "part files with no rename plan — not a resumable state " +
+            "(double export?); clear the dir and re-export")
+        val ps = parts.map(_._2).zipWithIndex
+          .map { case (name, i) => (name, f"shard-$i%09d.mbox") }
+        // publish the plan atomically (tmp + rename) BEFORE any rename:
+        // a crash leaves either no plan and no renames, or a replayable
+        // record — never an ambiguous partial state
+        val tmp = new org.apache.hadoop.fs.Path(root, RenamePlanName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(ps.map { case (s0, d0) => s"$s0\t$d0" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(tmp, planPath)) throw new IllegalStateException(
+          s"could not publish the rename plan in $dir")
+        ps
+      }
     if (pairs.size <= 1000) {
       // small export: driver-side loop beats a job round-trip
       pairs.foreach { case (src, dst) =>
@@ -176,6 +215,8 @@ object Export {
           }
         }
     }
+    // every rename landed — retire the plan so the dir reads as complete
+    fs.delete(planPath, false)
     pairs.size
   }
 

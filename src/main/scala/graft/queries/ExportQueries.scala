@@ -175,8 +175,22 @@ object ExportQueries {
     * (ExportDeletionSpec) — it mutates state, which a repeatable oracle
     * query must not.
     */
+  private val stagingLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def deletionStaging(s: SparkSession, dir: String): DataFrame = {
+    // memoizedIndex tolerates DUPLICATE builds under a race (builds run
+    // outside computeIfAbsent by design), but this build has filesystem
+    // side effects on one deterministic path — two concurrent stage()
+    // calls would Overwrite each other's files mid-write. Same-JVM
+    // duplicates serialize on a per-(session, dir) monitor; the loser
+    // then re-runs stage() sequentially, which is idempotent over the
+    // finished store (the manifest is still pending, so the re-stage
+    // precondition passes and the dynamic overwrite replaces like with
+    // like).
     val base = memoizedIndex(s, dir, "deletion_staging_store") {
+      stagingLocks.computeIfAbsent(
+        System.identityHashCode(s) + "|" + dir, _ => new Object).synchronized {
       val (v, sc) = MessageDedupQueries.scannedMemo(s, dir)
       val cand = MessageDedup.remoteDeletionCandidates(v, sc)
         .join(v.messages.select(col("id"), col("source_message_id"),
@@ -188,6 +202,7 @@ object ExportQueries {
       DeletionStaging.stage(s, b, "dedup-remote-batch",
         "dedup remote deletion candidates", cand)
       b
+      }
     }
     val members = DeletionStaging.members(s, base, "dedup-remote-batch")
     val header = DeletionStaging.headers(s, base)

@@ -105,12 +105,13 @@ class ExportDeletionSpec extends SparkTestBase {
     assert(Export.parseMboxText(cat).map(_._1) == Seq("a", "b", "c", "d"))
   }
 
-  test("normalizeShardNames: resumes a crashed partial pass without overwriting") {
+  test("normalizeShardNames: resumes a crashed partial pass via its rename plan") {
     import java.nio.file.Files
-    // a crash mid-pass (or some distributed rename tasks done, others
-    // not) leaves a NON-prefix set of shard files; the resume must slot
-    // the surviving parts into the free ranks in part-index order —
-    // restarting at rank 0 would silently overwrite shard-000000000.mbox
+    // a crash mid-pass (some distributed rename tasks done, others not)
+    // leaves a NON-prefix set of shard files PLUS the plan the pass
+    // published before its first rename; the resume must replay the
+    // recorded assignment — restarting at rank 0 would silently
+    // overwrite shard-000000000.mbox
     val out = Files.createTempDirectory("graft_mbox_resume")
     Files.write(out.resolve("shard-000000000.mbox"),
       "From a 1\nbody-a\n\n".getBytes("UTF-8"))
@@ -120,19 +121,39 @@ class ExportDeletionSpec extends SparkTestBase {
       "From b 1\nbody-b\n\n".getBytes("UTF-8"))
     Files.write(out.resolve("part-00003-dddd.txt"),
       "From d 1\nbody-d\n\n".getBytes("UTF-8"))
+    Files.write(out.resolve("_rename_plan"),
+      ("part-00000-aaaa.txt\tshard-000000000.mbox\n" +
+        "part-00001-bbbb.txt\tshard-000000001.mbox\n" +
+        "part-00002-cccc.txt\tshard-000000002.mbox\n" +
+        "part-00003-dddd.txt\tshard-000000003.mbox\n").getBytes("UTF-8"))
     assert(Export.normalizeShardNames(spark, out.toString) == 2)
     val renamed = new java.io.File(out.toString).listFiles.map(_.getName).sorted
-    assert(renamed.toSeq == (0 to 3).map(i => f"shard-$i%09d.mbox"))
+    assert(renamed.toSeq == (0 to 3).map(i => f"shard-$i%09d.mbox"),
+      "plan retired, surviving parts slotted into their recorded ranks")
     val cat = renamed.map(f =>
       new String(Files.readAllBytes(out.resolve(f)), "UTF-8")).mkString
     assert(Export.parseMboxText(cat).map(_._1) == Seq("a", "b", "c", "d"))
-    // ... and a dir whose shard ranks can't have come from this pass
-    // (rank ≥ total files) is refused, not guessed at
+  }
+
+  test("normalizeShardNames: plan-less shard+part mixtures are refused, not guessed") {
+    import java.nio.file.Files
+    // a COMPLETED pass (plan retired) plus a second export's part files
+    // is indistinguishable from a crash by position alone — positional
+    // refill would interleave the two exports' buckets silently; only a
+    // recorded plan makes a mixture resumable
     val bad = Files.createTempDirectory("graft_mbox_badresume")
-    Files.write(bad.resolve("shard-000000007.mbox"), "x".getBytes("UTF-8"))
+    Files.write(bad.resolve("shard-000000000.mbox"), "x".getBytes("UTF-8"))
     Files.write(bad.resolve("part-00000-aaaa.txt"), "y".getBytes("UTF-8"))
     intercept[IllegalArgumentException](
       Export.normalizeShardNames(spark, bad.toString))
+    // a part file the plan never recorded (second export into a
+    // mid-rename dir) is refused too
+    val bad2 = Files.createTempDirectory("graft_mbox_badplan")
+    Files.write(bad2.resolve("part-00000-zzzz.txt"), "y".getBytes("UTF-8"))
+    Files.write(bad2.resolve("_rename_plan"),
+      "part-00000-aaaa.txt\tshard-000000000.mbox\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      Export.normalizeShardNames(spark, bad2.toString))
   }
 
   // tricky payload set for the split-safe reader: records larger than a
