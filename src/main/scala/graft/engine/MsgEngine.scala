@@ -462,7 +462,7 @@ final class MsgEngine(val vault: MsgVault) {
     * `(sender="x", senderName=",")` would render identically. Sets are
     * sorted so two == filters can't mint two keys.
     */
-  private[engine] def searchCacheKeyFor(query: String,
+  private[engine] def searchCacheKeyFor(query: SearchQuery,
       filter: MessageFilter): String = {
     def join(tokens: List[String]): String =
       tokens.map(t => s"${t.length}:$t").mkString("|")
@@ -491,16 +491,24 @@ final class MsgEngine(val vault: MsgVault) {
     }
     // pagination AND sorting normalize away: the cached artifact is the
     // unordered match SET — ordering/paging are applied per call on top
-    join(List(query,
+    join(List(enc(query),
       enc(filter.copy(pagination = Pagination(), sorting = MessageSorting()))))
   }
 
   def searchFastWithStats(query: String,
       filter: MessageFilter = MessageFilter()): SearchWithStats = {
-    val key = searchCacheKeyFor(query, filter)
+    // parse BEFORE keying: relative-date terms (newer_than:7d) resolve
+    // against now() at PARSE time, so the key must carry the RESOLVED
+    // boundary — keyed on the raw string, day 3 would silently serve
+    // day 1's persisted match set. The reference keys its temp-table
+    // cache by the compiled conditions+args JSON (duckdb.go:50-57) for
+    // exactly this reason; relative-date queries therefore miss the
+    // cache as the boundary moves (honest), while raw-string variants
+    // that PARSE identically now share one entry.
+    val q = SearchParser.parse(query)
+    val key = searchCacheKeyFor(q, filter)
     val matches = searchCache.synchronized {
       searchCache.computeIfAbsent(key, _ => {
-        val q = SearchParser.parse(query)
         filters.compileSearch(emailSearchBase(filter), q)
           .persist(StorageLevel.MEMORY_AND_DISK)
       })

@@ -48,6 +48,13 @@ object Embed {
         // HTTP connection per goroutine)
         it.grouped(batchSize).flatMap { batch =>
           val vecs = client.embed(batch.map(_._2))
+          // a short/long reply must FAIL, not zip-truncate: a server
+          // skipping one failed input mid-batch would silently pair every
+          // subsequent id with the previous text's vector (the resilient
+          // twin already enforces this; the doc promises one row per
+          // input)
+          require(vecs.length == batch.length,
+            s"embed returned ${vecs.length} vectors for ${batch.length} texts")
           batch.iterator.zip(vecs.iterator).map { case ((id, _), v) =>
             EmbeddedRow(id, v)
           }

@@ -117,16 +117,22 @@ object HybridSearch {
       if (!active)
         full.withColumn("subject_boosted", lit(false))
       else {
-        val subj = subjects.toDF("id", "__subj")
         val hit = cleanTerms
           .map(t => lower(col("__subj")).contains(t.toLowerCase))
           .reduce(_ || _)
+        // ONE row per id before the join: a duplicate subject row would
+        // fan out its pool row and let one message occupy several page
+        // slots; boolean max = OR, so any matching version boosts
+        val subj = subjects.toDF("id", "__subj")
+          .groupBy(col("id"))
+          .agg(max(hit).as("__boost_hit"))
         full.join(subj, Seq("id"), "left")
-          .withColumn("subject_boosted", coalesce(hit, lit(false)))
+          .withColumn("subject_boosted",
+            coalesce(col("__boost_hit"), lit(false)))
           .withColumn("rrf_score",
             when(col("subject_boosted"), col("rrf_score") * boostFactor)
               .otherwise(col("rrf_score")))
-          .drop("__subj")
+          .drop("__boost_hit")
       }
     new Result(
       page.orderBy(col("rrf_score").desc, col("id").asc).limit(limit),
@@ -139,7 +145,11 @@ object HybridSearch {
     */
   def boostRerank(fused: DataFrame, boostText: Column, terms: Seq[String],
       boostFactor: Double = 1.5): DataFrame = {
-    val hit = terms.map(t => lower(boostText).contains(t.toLowerCase))
+    // empty terms are boost-INACTIVE (fused.go:465), not match-everything:
+    // contains("") is vacuously true for every non-null text, which would
+    // boost all non-null rows past null-text rows and reorder the page
+    val hit = terms.filter(_.nonEmpty)
+      .map(t => lower(boostText).contains(t.toLowerCase))
       .reduceOption(_ || _).getOrElse(lit(false))
     fused.withColumn("rrf_score",
       when(hit, col("rrf_score") * boostFactor).otherwise(col("rrf_score")))

@@ -106,7 +106,15 @@ object IvfIndex {
     index.assigned
       .withColumn("batch", lit("full"))
       .repartition(col("cluster")) // one writer per list, no small files
-      .write.mode("overwrite").partitionBy("batch", "cluster").parquet(path)
+      .write.mode("overwrite")
+      // STATIC pinned explicitly: a full rebuild must truncate the whole
+      // tree even when the session sets partitionOverwriteMode=dynamic
+      // globally — otherwise earlier VectorStreaming batch=* delta
+      // partitions survive the rebuild and openLists serves every vector
+      // in an old delta twice (same bug class as CacheBuilder's full
+      // rebuild, fixed the same way)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("batch", "cluster").parquet(path)
 
   /** THE reader for an on-disk lists directory (batch-build
     * [[writeLists]] output, [[graft.streaming.VectorStreaming]] drains,

@@ -93,13 +93,11 @@ package object queries {
   private[graft] def bucketOrderedN(df: DataFrame, id: Column, n: Int,
       tail: Column*): DataFrame = {
     require(n > 0, s"bucket count must be positive, got $n")
-    // 15 hex chars = 60 bits (the repo's md5-draw idiom): a 4-char draw
-    // would cap usable buckets at 2^16 — a 100 TB mbox export sized via
-    // `shards` wants far more, and buckets past the draw range would
-    // silently stay EMPTY while the populated ones blow the documented
-    // corpus/n reader-memory bound
-    val bkt =
-      conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % n
+    // THE cross-engine stable draw (Sampling.hashBucket — 15 hex chars =
+    // 60 bits, so buckets never cap at 2^16): one definition, never an
+    // inline copy — a draw-recipe fix applied to the samplers but not
+    // here would silently desynchronize bucketOrdered from duckBucket
+    val bkt = graft.operators.Sampling.hashBucket(id, n.toLong)
     val labelArr = array(orderLabels(n).map(lit(_)).toIndexedSeq: _*)
     df.withColumn("__obkt", bkt)
       .withColumn("__olabel", element_at(labelArr, col("__obkt").cast("int") + 1))
@@ -187,8 +185,16 @@ package object queries {
        |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
        |  WHERE rn = 1)""".stripMargin
 
+  // Each entry carries its OWNING session: (a) identityHashCode is not
+  // unique, so a hash collision with a dead session's key must be caught
+  // by reference comparison instead of serving that session's frames to
+  // a new one; (b) a JVM that churns SparkSessions (notebook server,
+  // long-lived test harness) would otherwise pin every stopped session's
+  // artifacts in this map forever — stopped-context entries are swept on
+  // the build (miss) path.
+  private final case class MemoEntry(session: SparkSession, value: AnyRef)
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String, String), AnyRef]()
+    (Int, String, String, String), MemoEntry]()
 
   /** Corpus fingerprint for [[memoizedIndex]]: md5 over the sorted
     * recursive (path, length, mtime) listing of the corpus dir — the
@@ -247,8 +253,24 @@ package object queries {
     val fp = corpusFingerprint(s, dir)
     val k = (System.identityHashCode(s), dir, key, fp)
     val hit = memo.get(k)
-    if (hit != null) hit.asInstanceOf[T]
+    if (hit != null && (hit.session eq s)) hit.value.asInstanceOf[T]
     else {
+      if (hit != null) {
+        // identity-hash COLLISION with another session's entry: evict it
+        // rather than serve frames bound to a different (likely dead)
+        // session; release only if its context still runs
+        memo.remove(k, hit)
+        if (!hit.session.sparkContext.isStopped) release(hit.value)
+      }
+      // sweep stopped sessions' entries — off the hot path (a miss builds
+      // anyway), keeps the map bounded under session churn. No release():
+      // a stopped context's blocks are already gone and unpersist on it
+      // throws.
+      val sweep = memo.entrySet().iterator()
+      while (sweep.hasNext) {
+        if (sweep.next().getValue.session.sparkContext.isStopped)
+          sweep.remove()
+      }
       // The build runs OUTSIDE computeIfAbsent on purpose: builds nest
       // (cluster labels build from the memoized pair table), and a nested
       // computeIfAbsent on the SAME map throws "Recursive update" whenever
@@ -258,13 +280,13 @@ package object queries {
       // a concurrent race (builds are idempotent; putIfAbsent keeps the
       // first winner) — correct, where the locked form is crash-prone.
       val v = build
-      val prev = memo.putIfAbsent(k, v)
+      val prev = memo.putIfAbsent(k, MemoEntry(s, v))
       if (prev != null) {
         // race loser: release its persisted blocks before discarding —
         // builds typically persist+count, and a dropped-but-persisted
         // DataFrame would pin executor memory for the session's lifetime.
         release(v)
-        prev.asInstanceOf[T]
+        prev.value.asInstanceOf[T]
       } else {
         // winner: evict this (session, dir, key)'s entries under OTHER
         // fingerprints — the corpus was rewritten, and the superseded
@@ -274,9 +296,10 @@ package object queries {
         while (it.hasNext) {
           val e = it.next()
           val ek = e.getKey
-          if (ek._1 == k._1 && ek._2 == k._2 && ek._3 == k._3 && ek._4 != fp) {
+          if (ek._1 == k._1 && ek._2 == k._2 && ek._3 == k._3 && ek._4 != fp &&
+            (e.getValue.session eq s)) {
             it.remove()
-            release(e.getValue)
+            release(e.getValue.value)
           }
         }
         v.asInstanceOf[T]

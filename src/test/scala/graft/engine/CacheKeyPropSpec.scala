@@ -5,6 +5,7 @@ import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 import graft.model._
+import graft.search.SearchParser
 
 /** Property test for the search-cache key encoder: the key must be a
   * FUNCTION of the normalized filter (pagination/sorting stripped) and
@@ -76,19 +77,24 @@ class CacheKeyPropSpec extends SparkTestBase {
   private def norm(f: MessageFilter): MessageFilter =
     f.copy(pagination = Pagination(), sorting = MessageSorting())
 
+  // keys are minted from the PARSED query (relative dates resolve at
+  // parse time); the tricky strings contain no date operators, so parse
+  // is deterministic here
   test("cache key equality is EXACTLY normalized-filter equality") {
     check(Prop.forAll(genFilter, genFilter, trickyStr) { (f1, f2, q) =>
-      val same = engine.searchCacheKeyFor(q, f1) ==
-        engine.searchCacheKeyFor(q, f2)
+      val p = SearchParser.parse(q)
+      val same = engine.searchCacheKeyFor(p, f1) ==
+        engine.searchCacheKeyFor(p, f2)
       same == (norm(f1) == norm(f2))
     })
   }
 
   test("query content can never shift into the filter half of the key") {
     check(Prop.forAll(trickyStr, trickyStr, genFilter) { (q1, q2, f) =>
-      val same = engine.searchCacheKeyFor(q1, f) ==
-        engine.searchCacheKeyFor(q2, f)
-      same == (q1 == q2)
+      val (p1, p2) = (SearchParser.parse(q1), SearchParser.parse(q2))
+      val same = engine.searchCacheKeyFor(p1, f) ==
+        engine.searchCacheKeyFor(p2, f)
+      same == (p1 == p2)
     })
   }
 }

@@ -476,48 +476,60 @@ class MsgEngineSpec extends SparkTestBase {
 
   test("search cache keys are unambiguous when values contain the separator") {
     // reference duckdb_test.go:3174-3255 searchCacheKeyFor: content must
-    // not be able to shift the query/filter boundary
+    // not be able to shift the query/filter boundary. Keys are minted
+    // from the PARSED query (relative dates resolve at parse time — a
+    // raw-string key would serve stale newer_than results), so the spec
+    // parses too.
+    import graft.search.SearchParser.{parse => P}
     val f = MessageFilter()
     val keys = Seq(
-      engine.searchCacheKeyFor("a", f),
-      engine.searchCacheKeyFor("a|", f),
-      engine.searchCacheKeyFor("a|MessageFilter(", f),
-      engine.searchCacheKeyFor("b", f),
-      engine.searchCacheKeyFor("a", f.copy(sender = "a|")),
+      engine.searchCacheKeyFor(P("a"), f),
+      engine.searchCacheKeyFor(P("a|"), f),
+      engine.searchCacheKeyFor(P("a|MessageFilter("), f),
+      engine.searchCacheKeyFor(P("b"), f),
+      engine.searchCacheKeyFor(P("a"), f.copy(sender = "a|")),
       // the case-class-toString trap: these two render identically via
       // toString's bare comma-join, and MUST still key differently
-      engine.searchCacheKeyFor("a", f.copy(sender = "x,")),
-      engine.searchCacheKeyFor("a", f.copy(sender = "x", senderName = ",")))
+      engine.searchCacheKeyFor(P("a"), f.copy(sender = "x,")),
+      engine.searchCacheKeyFor(P("a"), f.copy(sender = "x", senderName = ",")))
     assert(keys.distinct.length == keys.length)
     // identical inputs produce the same key
-    assert(engine.searchCacheKeyFor("a", f) == engine.searchCacheKeyFor("a", f))
+    assert(engine.searchCacheKeyFor(P("a"), f)
+      == engine.searchCacheKeyFor(P("a"), f))
+    // relative dates key on the RESOLVED boundary: the same raw string
+    // parsed a day apart must NOT share a cache entry
+    val d1 = java.time.LocalDateTime.of(2026, 1, 1, 12, 0)
+    assert(engine.searchCacheKeyFor(
+        graft.search.SearchParser.parse("newer_than:7d", d1), f)
+      != engine.searchCacheKeyFor(
+        graft.search.SearchParser.parse("newer_than:7d", d1.plusDays(2)), f))
     // == filters with Set fields key identically regardless of build order
-    assert(engine.searchCacheKeyFor("a",
+    assert(engine.searchCacheKeyFor(P("a"),
       f.copy(emptyValueTargets = Set(ViewType.Senders, ViewType.Labels)))
-      == engine.searchCacheKeyFor("a",
+      == engine.searchCacheKeyFor(P("a"),
         f.copy(emptyValueTargets = Set(ViewType.Labels, ViewType.Senders))))
     // timestamps encode by exact epoch (toString is local-tz rendered and
     // non-injective across a DST fall-back) — distinct instants MUST key
     // distinctly, equal instants identically
     val t1 = new java.sql.Timestamp(1762061400000L) // 2025-11-02 05:30 UTC
     val t2 = new java.sql.Timestamp(1762065000000L) // 2025-11-02 06:30 UTC
-    assert(engine.searchCacheKeyFor("a", f.copy(after = Some(t1)))
-      != engine.searchCacheKeyFor("a", f.copy(after = Some(t2))))
-    assert(engine.searchCacheKeyFor("a", f.copy(after = Some(t1)))
-      == engine.searchCacheKeyFor("a",
+    assert(engine.searchCacheKeyFor(P("a"), f.copy(after = Some(t1)))
+      != engine.searchCacheKeyFor(P("a"), f.copy(after = Some(t2))))
+    assert(engine.searchCacheKeyFor(P("a"), f.copy(after = Some(t1)))
+      == engine.searchCacheKeyFor(P("a"),
         f.copy(after = Some(new java.sql.Timestamp(t1.getTime)))))
     // == Seqs key identically whatever their implementation, and sorting
     // normalizes away (the cached artifact is the unordered match set)
-    assert(engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(List(1L, 2L))))
-      == engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(Vector(1L, 2L)))))
-    assert(engine.searchCacheKeyFor("a", f.copy(sorting = MessageSorting(
+    assert(engine.searchCacheKeyFor(P("a"), f.copy(sourceIds = Some(List(1L, 2L))))
+      == engine.searchCacheKeyFor(P("a"), f.copy(sourceIds = Some(Vector(1L, 2L)))))
+    assert(engine.searchCacheKeyFor(P("a"), f.copy(sorting = MessageSorting(
       MessageSortField.Subject, SortDirection.Asc)))
-      == engine.searchCacheKeyFor("a", f))
+      == engine.searchCacheKeyFor(P("a"), f))
     // tri-state stays distinct: None ≠ Some(Nil) ≠ Some(ids)
     assert(Seq(
-      engine.searchCacheKeyFor("a", f),
-      engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(Nil))),
-      engine.searchCacheKeyFor("a", f.copy(sourceIds = Some(Seq(1L)))))
+      engine.searchCacheKeyFor(P("a"), f),
+      engine.searchCacheKeyFor(P("a"), f.copy(sourceIds = Some(Nil))),
+      engine.searchCacheKeyFor(P("a"), f.copy(sourceIds = Some(Seq(1L)))))
       .distinct.length == 3)
   }
 
