@@ -507,18 +507,39 @@ final class MsgEngine(val vault: MsgVault) {
     // that PARSE identically now share one entry.
     val q = SearchParser.parse(query)
     val key = searchCacheKeyFor(q, filter)
+    def compile() = filters.compileSearch(emailSearchBase(filter), q)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val matches = searchCache.synchronized {
-      searchCache.computeIfAbsent(key, _ => {
-        filters.compileSearch(emailSearchBase(filter), q)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      })
+      if (q.usedNow) {
+        // relative-date keys can never hit again (the boundary moves
+        // with now()), so routing them through the LRU would persist a
+        // dead frame per call AND evict a hot entry each time — a
+        // polling dashboard would flush the whole cache every 32 polls.
+        // ONE volatile slot instead: the same request flow (page +
+        // count + stats over one parse) reuses it, the next poll
+        // replaces it and unpersists the predecessor.
+        volatileSearch match {
+          case (`key`, df) => df
+          case (_, old) =>
+            if (old != null) { old.unpersist(false); () }
+            val df = compile()
+            volatileSearch = (key, df)
+            df
+        }
+      } else searchCache.computeIfAbsent(key, _ => compile())
     }
     SearchWithStats(matches, this)
   }
 
+  // (key, frame) of the latest relative-date search — see above; guarded
+  // by searchCache's monitor
+  private var volatileSearch: (String, DataFrame) = ("", null)
+
   def invalidateSearchCache(): Unit = searchCache.synchronized {
     searchCache.values.forEach(df => { df.unpersist(); () })
     searchCache.clear()
+    if (volatileSearch._2 != null) { volatileSearch._2.unpersist(); () }
+    volatileSearch = ("", null)
   }
 
   /** Release every block this engine pins for the session: persisted
@@ -533,14 +554,7 @@ final class MsgEngine(val vault: MsgVault) {
     invalidateSearchCache()
     Seq(vault.messages, vault.recipients, vault.participants, vault.labels,
       vault.messageLabels, vault.attachments, vault.conversations,
-      vault.sources).foreach { df =>
-      df.unpersist(false)
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false); ()
-        case _ => ()
-      }
-    }
+      vault.sources).foreach(graft.queries.unpersistWithCheckpointLeaves)
   }
 
   /** Deep full-text search (reference Search sqlite.go:1319-1461: FTS5

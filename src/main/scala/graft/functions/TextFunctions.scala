@@ -209,17 +209,18 @@ object TextFunctions {
     * High values flag boilerplate/spam for the curation gate.
     */
   def dupWordFraction(toks: Column): Column =
-    // same empty-doc guard as the bigram twin: 0/0 would yield NULL and
-    // silently drop empty docs from a `frac <= threshold` curation gate
-    // (NULL predicate filters false) instead of scoring them 0.0
-    when(size(toks) < 1, lit(0.0))
+    // empty AND NULL docs both score 0.0: 0/0 would yield NULL, and
+    // size(NULL) is NULL too (not < 1, sizeOfNull=false default) — either
+    // way a NULL fraction silently drops the doc from a
+    // `frac <= threshold` curation gate instead of scoring it
+    when(coalesce(size(toks), lit(0)) < 1, lit(0.0))
       .otherwise(round(lit(1.0) -
         size(array_distinct(toks)).cast("double") / size(toks).cast("double"),
         6))
 
   def dupBigramFraction(toks: Column): Column = {
     val b = bigrams(toks)
-    when(size(b) < 1, lit(0.0))
+    when(coalesce(size(b), lit(0)) < 1, lit(0.0))
       .otherwise(round(lit(1.0) -
         size(array_distinct(b)).cast("double") / size(b).cast("double"), 6))
   }

@@ -69,9 +69,18 @@ object DeletionStaging {
     val statusP = new org.apache.hadoop.fs.Path(statusDir(baseDir))
     val statusFs = statusP.getFileSystem(spark.sessionState.newHadoopConf())
     if (statusFs.exists(statusP)) {
-      currentStatus(spark, baseDir)
-        .filter(col("manifest_id") === manifestId).collect()
-        .headOption.map(_.getAs[String]("status")).filter(_ != Pending)
+      // a FIRST stage that crashed inside its own appendStatus can leave
+      // status/ holding only _temporary (no committed files) — that is
+      // "no status yet", and the retry this precondition promises to
+      // support must not die in schema inference over the empty dir
+      val cur =
+        try currentStatus(spark, baseDir)
+          .filter(col("manifest_id") === manifestId).collect().headOption
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+        }
+      cur.map(_.getAs[String]("status")).filter(_ != Pending)
         .foreach(st => throw new IllegalStateException(
           s"manifest '$manifestId' is '$st' — stage() may only (re)create " +
             "a pending manifest; cancel and stage a new id instead"))

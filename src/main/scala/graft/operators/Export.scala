@@ -146,14 +146,30 @@ object Export {
     val taken = files.collect { case shardName(k) => k.toLong }
     val pairs: Seq[(String, String)] =
       if (fs.exists(planPath)) {
-        // RESUME: replay the recorded assignment for surviving parts
+        // RESUME: replay the recorded assignment for surviving parts.
+        // The first line is the ENTRY COUNT — on stores where rename is
+        // copy-based (S3A) a truncated plan is reachable, and a plan cut
+        // at a line boundary would otherwise parse cleanly and resume
+        // with an incomplete record; the count makes truncation loud.
         val in = fs.open(planPath)
-        val plan =
+        val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .filter(_.nonEmpty).map { l =>
-              val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
-            }.toMap
+            .filter(_.nonEmpty).toList
           finally in.close()
+        require(lines.nonEmpty && lines.head.forall(_.isDigit),
+          s"$dir/$RenamePlanName is corrupt (no count header); " +
+            "clear the dir and re-export")
+        require(lines.tail.size == lines.head.toInt,
+          s"$dir/$RenamePlanName is truncated " +
+            s"(${lines.tail.size} of ${lines.head} entries); " +
+            "clear the dir and re-export")
+        val plan = lines.tail.map { l =>
+          val i = l.indexOf('\t')
+          require(i > 0,
+            s"$dir/$RenamePlanName is corrupt (malformed line '$l'); " +
+              "clear the dir and re-export")
+          (l.substring(0, i), l.substring(i + 1))
+        }.toMap
         val unknown = parts.filterNot(p => plan.contains(p._2))
         require(unknown.isEmpty,
           s"$dir holds part files absent from its rename plan " +
@@ -175,8 +191,9 @@ object Export {
         // record — never an ambiguous partial state
         val tmp = new org.apache.hadoop.fs.Path(root, RenamePlanName + ".tmp")
         val out = fs.create(tmp, true)
-        try out.write(ps.map { case (s0, d0) => s"$s0\t$d0" }
-          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        try out.write((s"${ps.size}\n" +
+          ps.map { case (s0, d0) => s"$s0\t$d0" }.mkString("", "\n", "\n"))
+          .getBytes("UTF-8"))
         finally out.close()
         if (!fs.rename(tmp, planPath)) throw new IllegalStateException(
           s"could not publish the rename plan in $dir")

@@ -21,8 +21,27 @@ object Skew {
     * a hot key made of billions of identical rows should be pre-reduced
     * (count per exact row), not salted.
     */
-  private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong))
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    // hash expressions reject MapType (no canonical element order), so
+    // map columns are excluded from the content hash — the spread only
+    // needs SOME deterministic per-row variety, and schemas with map
+    // payloads were accepted before the content-hash salt and must stay
+    // accepted. An all-map frame degenerates to one salt (key-hash
+    // spread lost), which is still correct, just unspread.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType => false
+        case s: StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toSeq
+    if (cols.isEmpty) lit(0L)
+    else pmod(xxhash64(cols: _*), lit(salts.toLong))
+  }
 
   /** Two-phase salted aggregation: stage 1 aggregates on (key, salt) so a
     * hot key spreads across `salts` reducers; stage 2 merges the partials

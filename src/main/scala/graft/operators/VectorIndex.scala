@@ -105,10 +105,16 @@ object VectorIndex {
     * rebuild — the same tmp+rename discipline the streaming-sink
     * manifests use.
     */
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def atomicWrite(target: java.nio.file.Path,
       bytes: Array[Byte]): Unit = {
+    // pid + in-process counter: two THREADS of one JVM writing state for
+    // the same dir must not share a tmp path — TRUNCATE_EXISTING would
+    // interleave their bytes and one move would publish the torn file
     val tmp = target.resolveSibling(target.getFileName.toString +
-      s".tmp.${java.lang.ProcessHandle.current().pid()}")
+      s".tmp.${java.lang.ProcessHandle.current().pid()}" +
+      s".${tmpSeq.incrementAndGet()}")
     Files.write(tmp, bytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)

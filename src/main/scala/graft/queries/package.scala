@@ -317,19 +317,26 @@ package object queries {
     * artifacts carry plain data, never persisted frames; only
     * tuple/case-class wrappers are walked.
     */
+  /** Release a frame's cached state INCLUDING checkpoint blocks:
+    * localCheckpointed frames cache at the RDD level, OUTSIDE the
+    * CacheManager, so Dataset.unpersist alone misses them — the
+    * checkpoint RDDs are unpersisted off the plan's LogicalRDD leaves.
+    * THE one definition of this walk (memo release and
+    * MsgEngine.releaseCaches both call it — an inline second copy is a
+    * drift hazard for a recipe this non-obvious).
+    */
+  private[graft] def unpersistWithCheckpointLeaves(df: DataFrame): Unit = {
+    df.unpersist(false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+  }
+
   private def release(x: Any): Unit = x match {
     case df: DataFrame =>
-      df.unpersist(false)
-      // localCheckpointed frames cache at the RDD level, OUTSIDE the
-      // CacheManager — Dataset.unpersist alone misses those blocks
-      // (the dedup scan memo checkpoints, MessageDedupQueries); release
-      // the checkpoint RDDs off the plan's LogicalRDD leaves, the same
-      // walk MsgEngine.releaseCaches does for the star frames
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false); ()
-        case _ => ()
-      }
+      unpersistWithCheckpointLeaves(df)
     // the facade engine pins state a DataFrame walk can't see (persisted
     // search match sets, localCheckpointed star RDD blocks) — it exposes
     // its own release hook

@@ -20,7 +20,12 @@ final case class SearchQuery(
     beforeDate: Option[LocalDateTime] = None,
     afterDate: Option[LocalDateTime] = None,
     largerThan: Option[Long] = None,
-    smallerThan: Option[Long] = None) {
+    smallerThan: Option[Long] = None,
+    // true when a before/after boundary came from a RELATIVE term
+    // (older_than:/newer_than:) — those resolve against now() at parse
+    // time, so equal raw strings parse differently across calls; cache
+    // layers use this to route the query to a non-accumulating slot
+    usedNow: Boolean = false) {
   def isEmpty: Boolean = this == SearchQuery()
   def hasOperators: Boolean = this != SearchQuery(textTerms = textTerms)
 }
@@ -82,9 +87,11 @@ object SearchParser {
     case "before" => Some(parseDate(v).fold(q)(t => q.copy(beforeDate = Some(t))))
     case "after" => Some(parseDate(v).fold(q)(t => q.copy(afterDate = Some(t))))
     case "older_than" =>
-      Some(parseRelativeDate(v, now).fold(q)(t => q.copy(beforeDate = Some(t))))
+      Some(parseRelativeDate(v, now).fold(q)(t =>
+        q.copy(beforeDate = Some(t), usedNow = true)))
     case "newer_than" =>
-      Some(parseRelativeDate(v, now).fold(q)(t => q.copy(afterDate = Some(t))))
+      Some(parseRelativeDate(v, now).fold(q)(t =>
+        q.copy(afterDate = Some(t), usedNow = true)))
     case "larger" => Some(parseSize(v).fold(q)(n => q.copy(largerThan = Some(n))))
     case "smaller" => Some(parseSize(v).fold(q)(n => q.copy(smallerThan = Some(n))))
     case _ => None // unknown operator → whole token becomes a text term

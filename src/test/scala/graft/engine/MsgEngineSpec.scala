@@ -474,6 +474,28 @@ class MsgEngineSpec extends SparkTestBase {
     assert(b.totalCount == 1 && a1.totalCount == 2)
   }
 
+  test("relative-date searches use ONE volatile slot, never thrashing the LRU") {
+    // newer_than: resolves now() at parse time — each call's key is
+    // unique, so routing through the LRU would persist a dead frame per
+    // poll and evict hot entries; the volatile slot replaces its
+    // predecessor (unpersisted) and leaves the LRU untouched
+    import org.apache.spark.storage.StorageLevel
+    val hot = engine.searchFastWithStats("quarterly") // LRU entry
+    val r1 = engine.searchFastWithStats("newer_than:100000d")
+    // boundary far in the past: all live EMAIL msgs (1,2,3,5 — the chat
+    // msg 6 is outside the email search surface)
+    assert(r1.totalCount == 4)
+    val r2 = engine.searchFastWithStats("newer_than:99999d")
+    assert(r1.matches.storageLevel == StorageLevel.NONE,
+      "the superseded volatile frame must be unpersisted on replacement")
+    assert(r2.matches.storageLevel != StorageLevel.NONE)
+    // the hot LRU entry survived the relative-date traffic
+    assert(engine.searchFastWithStats("quarterly").matches eq hot.matches)
+    engine.invalidateSearchCache()
+    assert(r2.matches.storageLevel == StorageLevel.NONE,
+      "invalidate must release the volatile slot too")
+  }
+
   test("search cache keys are unambiguous when values contain the separator") {
     // reference duckdb_test.go:3174-3255 searchCacheKeyFor: content must
     // not be able to shift the query/filter boundary. Keys are minted

@@ -122,7 +122,8 @@ class ExportDeletionSpec extends SparkTestBase {
     Files.write(out.resolve("part-00003-dddd.txt"),
       "From d 1\nbody-d\n\n".getBytes("UTF-8"))
     Files.write(out.resolve("_rename_plan"),
-      ("part-00000-aaaa.txt\tshard-000000000.mbox\n" +
+      ("4\n" +
+        "part-00000-aaaa.txt\tshard-000000000.mbox\n" +
         "part-00001-bbbb.txt\tshard-000000001.mbox\n" +
         "part-00002-cccc.txt\tshard-000000002.mbox\n" +
         "part-00003-dddd.txt\tshard-000000003.mbox\n").getBytes("UTF-8"))
@@ -151,9 +152,17 @@ class ExportDeletionSpec extends SparkTestBase {
     val bad2 = Files.createTempDirectory("graft_mbox_badplan")
     Files.write(bad2.resolve("part-00000-zzzz.txt"), "y".getBytes("UTF-8"))
     Files.write(bad2.resolve("_rename_plan"),
-      "part-00000-aaaa.txt\tshard-000000000.mbox\n".getBytes("UTF-8"))
+      "1\npart-00000-aaaa.txt\tshard-000000000.mbox\n".getBytes("UTF-8"))
     intercept[IllegalArgumentException](
       Export.normalizeShardNames(spark, bad2.toString))
+    // a TRUNCATED plan (count header says more entries than survive a
+    // copy-based rename) is refused loudly, never silently resumed
+    val bad3 = Files.createTempDirectory("graft_mbox_truncplan")
+    Files.write(bad3.resolve("part-00000-aaaa.txt"), "y".getBytes("UTF-8"))
+    Files.write(bad3.resolve("_rename_plan"),
+      "2\npart-00000-aaaa.txt\tshard-000000000.mbox\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      Export.normalizeShardNames(spark, bad3.toString))
   }
 
   // tricky payload set for the split-safe reader: records larger than a
