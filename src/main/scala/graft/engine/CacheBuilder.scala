@@ -75,6 +75,14 @@ object CacheBuilder {
 
   /** Build or incrementally refresh the cache at `outDir` from normalized
     * input frames. Returns the number of (new) messages exported.
+    *
+    * SINGLE-WRITER contract, enforced by the caller (the reference's
+    * build_cache is single-owner the same way): two concurrent build()s
+    * on one outDir interleave their per-partition commits and junction
+    * Overwrites with no fencing. An orchestrator that retries on a
+    * liveness timeout must first confirm the prior attempt is dead —
+    * or front builds with its own lock (the streaming face,
+    * [[streamBuild]], gets this for free from the checkpoint).
     */
   def build(spark: SparkSession, input: MsgVault, outDir: String): Long = {
     val prior = readState(outDir).filter(_.schemaVersion == SchemaVersion)
@@ -87,14 +95,20 @@ object CacheBuilder {
     // a live source between the two scans — the state would advance past
     // ids this build never exported. Persisted because the frame is read
     // five times (stats, messages write, three junction semi-joins).
+    // localCheckpoint, NOT persist: persist is best-effort — a reclaimed
+    // executor's lost cache blocks RECOMPUTE from the live source, so
+    // the watermark (fixed first) and the later writes could see
+    // different row sets, re-opening exactly the divergence this
+    // snapshot exists to close. The checkpoint truncates lineage: a
+    // lost block FAILS the build (retried honestly) instead of silently
+    // exporting rows past the recorded watermark.
     val newRows = input.messages
       .filter(col("id") > watermark)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // unpersist on EVERY exit path (early return, the empty-input
+      .localCheckpoint(true)
+    // release on EVERY exit path (early return, the empty-input
     // require, a failed parquet write): without the finally, a throw
-    // between persist and the tail would pin the whole new-slice
-    // snapshot for the session — and a retried build would pin a second
-    // copy on top
+    // before the tail would pin the whole new-slice snapshot for the
+    // session — and a retried build would pin a second copy on top
     try {
     val stats = newRows.agg(max(col("id")).as("mx"),
       sum(when(col("deleted_at").isNull, 1L).otherwise(0L)).as("live")).head()
@@ -138,6 +152,14 @@ object CacheBuilder {
     //     rows emits no files at all — an unpartitioned empty write
     //     still emits a schema-bearing file, keeping the glob readable.
     val batchTag = if (fullRebuild) "full" else s"w$watermark"
+    // a retried incremental whose recomputed rows span FEWER (year)
+    // partitions than the crashed first attempt (a message soft-deleted
+    // between attempts) cannot erase the surplus via dynamic overwrite —
+    // it only replaces partitions it emits — leaving orphan message rows
+    // whose junction rows the full-replace junction write removes (a
+    // torn star). Delete the whole own-batch dir first: the retry
+    // replaces its ATTEMPT, not just the overlapping partitions.
+    if (!fullRebuild) deleteDir(spark, s"$outDir/messages/batch=$batchTag")
     // repartition on the partition column first: otherwise every task
     // writes into every year= dir (tasks × years small files at scale)
     val msgWriter = liveNew.withColumn("batch", lit(batchTag))
@@ -192,7 +214,7 @@ object CacheBuilder {
 
     writeState(outDir, SyncState(newWatermark, SchemaVersion))
     newCount
-    } finally newRows.unpersist()
+    } finally graft.queries.unpersistWithCheckpointLeaves(newRows)
   }
 
   /** Bucketed star variant — the co-located-join layout for the biggest
@@ -366,7 +388,28 @@ object CacheBuilder {
   def streamBuild(spark: SparkSession, srcDir: String, outDir: String,
       checkpoint: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(srcDir).schema
+    // a scheduled drain can fire before the first delivery lands — an
+    // empty or not-yet-created source is the steady-state NO-OP the
+    // sibling drains (VectorStreaming/DocStreaming) already treat it as,
+    // not a pipeline alert
+    val schemaOpt =
+      try Some(spark.read.parquet(srcDir).schema)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    if (schemaOpt.isEmpty) return
+    val schema = schemaOpt.get
+    // batch tags are NAMESPACED by the checkpoint's stream identity: a
+    // bare b<id> tag would let a deleted-and-recreated checkpoint (or a
+    // second stream sharing outDir) dynamic-overwrite a prior
+    // incarnation's low-numbered batches while its stale higher batches
+    // survive — re-exported rows alongside leftovers, unioned by
+    // MsgVault.open with no error (the bug class VectorStreaming's
+    // streamIdentity exists to prevent)
+    val streamId =
+      graft.streaming.VectorStreaming.streamIdentity(spark, checkpoint)
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .filter(col("deleted_at").isNull)
       .withColumn("year", year(col("sent_at")))
@@ -375,9 +418,9 @@ object CacheBuilder {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent per micro-batch: a batch replayed after a crash
         // between the write and the checkpoint commit OVERWRITES its own
-        // batch=b<id> partitions (dynamic mode) instead of appending a
-        // second copy — the foreachBatch exactly-once contract
-        batch.withColumn("batch", lit(s"b$batchId"))
+        // batch partitions (dynamic mode) instead of appending a second
+        // copy — the foreachBatch exactly-once contract
+        batch.withColumn("batch", lit(s"$streamId-b$batchId"))
           .repartition(col("year"))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

@@ -169,11 +169,24 @@ object DocStreaming {
 
     // 5. exactly-once writes: docs + band sidecar, each under this
     //    batch's own partition, dynamic overwrite (replay = replace)
-    def overwriteOwn(df: DataFrame, dir: String): Unit =
+    def overwriteOwn(df: DataFrame, dir: String): Unit = {
+      // dynamic overwrite only replaces partitions the frame EMITS — a
+      // replay whose survivor set is EMPTY (the frozen index grew
+      // between attempts and now rejects everything) writes no
+      // partitions and deletes nothing, so the first attempt's rows
+      // would stay live against the authoritative replay's verdict.
+      // Deleting the own-tag partition first makes "a replayed batch
+      // REPLACES its own partial output" hold unconditionally; a crash
+      // between delete and write reads as "first attempt never
+      // happened", which the replay covers.
+      val own = new org.apache.hadoop.fs.Path(dir, s"batch=$tag")
+      val fs = own.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(own)) { fs.delete(own, true); () }
       df.withColumn("batch", lit(tag))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(dir)
+    }
     overwriteOwn(kept, curatedDir)
     // sidecar = the already-computed band rows filtered to survivors —
     // no re-shingle of kept

@@ -58,9 +58,13 @@ object SinkCompaction {
 
   private val manifestDirName = "_graft_compactions"
 
-  /** Stale-maintenance-lease expiry: a lease older than this is presumed
-    * crashed and may be stolen. Must exceed the longest plausible
-    * compact() wall time with margin.
+  /** Default stale-maintenance-lease expiry: a lease older than this is
+    * presumed crashed and may be stolen. Should exceed the longest
+    * plausible compact() wall time with margin — callers with bigger
+    * sinks pass their own `staleLeaseMs`. The threshold is a liveness
+    * knob, not the correctness line: an owner whose rewrite outruns it
+    * detects the theft at commit time (its manifest is gone), removes
+    * its partial output, and aborts instead of double-counting.
     */
   private[streaming] val leaseMs: Long = 15L * 60 * 1000
 
@@ -80,11 +84,11 @@ object SinkCompaction {
     */
   def compact(spark: SparkSession, dir: String,
       innerPartitions: Seq[String] = Nil, minSources: Int = 2,
-      targetFiles: Int = 32): Int = {
+      targetFiles: Int = 32, staleLeaseMs: Long = leaseMs): Int = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
-    withMaintenanceLease(fs, root) {
+    withMaintenanceLease(fs, root, staleLeaseMs) {
     finishInterrupted(fs, root)
 
     // NEVER fold a stream's LATEST batch: foreachBatch is at-least-once,
@@ -99,6 +103,22 @@ object SinkCompaction {
     val live = liveBatchTags(fs, root)
     val sources = live -- latestPerStream(live)
     if (sources.size < minSources) return 0
+    // layout guard: compacting a cluster-partitioned sink (the vector
+    // lists) without naming its inner partition column would demote it
+    // to a data column and brick the whole directory with mixed-depth
+    // partition discovery ("Conflicting directory structures") — while
+    // the completed manifest sends the properly-partitioned sources to
+    // reclamation. Validate the declared layout against the real one.
+    sources.headOption.foreach { t =>
+      val firstLevel = fs.listStatus(new Path(root, s"batch=$t"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct.toSeq
+      require(firstLevel.toSet == innerPartitions.headOption.toSet,
+        s"sink $dir nests partition column(s) " +
+          s"[${firstLevel.mkString(",")}] under batch=, but compact was " +
+          s"called with innerPartitions=[${innerPartitions.mkString(",")}]" +
+          " — a mismatched rewrite would brick partition discovery")
+    }
     val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
 
     // (1) manifest first: from here on, a completed data write makes the
@@ -124,6 +144,19 @@ object SinkCompaction {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch" +: innerPartitions: _*)
       .parquet(dir)
+    // OWNERSHIP re-check before committing: if the rewrite outran the
+    // lease's stale threshold, a stealer's finishInterrupted deleted our
+    // in-flight manifest — committing the marker anyway would count this
+    // partition while its sources are never excluded (permanent double
+    // count). Self-abort: remove the partial output and surface the
+    // lost lease; the stealer's own compaction is the valid one.
+    if (!fs.exists(new Path(new Path(root, manifestDirName), s"$tag.json"))) {
+      fs.delete(new Path(root, s"batch=$tag"), true)
+      throw new IllegalStateException(
+        s"maintenance lease lost mid-compact under $dir (manifest $tag " +
+          "was cleaned by a concurrent steal) — partial output removed; " +
+          "raise staleLeaseMs above the longest compact wall time")
+    }
     // completion marker: only now does the manifest shadow its sources —
     // a crash anywhere before this line leaves the sources authoritative
     fs.create(new Path(root, s"batch=$tag/$doneMarker"), true).close()
@@ -145,11 +178,13 @@ object SinkCompaction {
     * only when queries planned before the PREVIOUS compaction have
     * drained — their captured file listings reference the dead sources.
     */
-  def reclaim(spark: SparkSession, dir: String): Unit = {
+  def reclaim(spark: SparkSession, dir: String,
+      staleLeaseMs: Long = leaseMs): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root))
-      withMaintenanceLease(fs, root)(finishInterrupted(fs, root))
+      withMaintenanceLease(fs, root, staleLeaseMs)(
+        finishInterrupted(fs, root))
   }
 
   /** Exclusive maintenance lease: create-no-overwrite of a lease file
@@ -166,57 +201,93 @@ object SinkCompaction {
     * re-create would let a slow stealer remove the winner's FRESH lease.
     */
   private def withMaintenanceLease[T](fs: org.apache.hadoop.fs.FileSystem,
-      root: Path)(body: => T): T = {
+      root: Path, staleMs: Long = leaseMs)(body: => T): T = {
     val mdir = new Path(root, manifestDirName)
     fs.mkdirs(mdir)
     val lease = new Path(mdir, "_MAINTENANCE_LEASE")
     val isLocal = fs.getUri.getScheme == "file"
+    // unique per acquire: release and steal-validation both compare
+    // lease CONTENT, never just the path — the path can hold someone
+    // else's fresh lease by the time we act on it
+    val myToken = s"${ProcessHandle.current().pid()} " +
+      s"${System.currentTimeMillis()} ${System.nanoTime()}"
+    def content(p: Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          Some(new String(buf.toByteArray, "UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     def tryAcquire(): Boolean =
       try {
-        val payload =
-          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
         if (isLocal) {
           val f = new java.io.File(lease.toUri.getPath)
           // createNewFile = open(O_CREAT|O_EXCL): atomic, unlike
           // RawLocalFileSystem.create(overwrite=false)'s exists-then-create
           if (!f.createNewFile()) false
           else {
-            java.nio.file.Files.write(f.toPath, payload.getBytes("UTF-8"))
+            java.nio.file.Files.write(f.toPath, myToken.getBytes("UTF-8"))
             true
           }
         } else {
           val out = fs.create(lease, false)
-          try out.write(payload.getBytes("UTF-8")) finally out.close()
+          try out.write(myToken.getBytes("UTF-8")) finally out.close()
           true
         }
       } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
     if (!acquired) {
+      // observe the CONTENT of the lease we are judging stale: the
+      // steal below re-validates against these bytes, so a fresh lease
+      // that replaced the stale one between our stat and our rename is
+      // detected instead of silently displaced (the TOCTOU that would
+      // mint two concurrent owners)
+      val observed = content(lease)
       val stale =
         try System.currentTimeMillis() -
-          fs.getFileStatus(lease).getModificationTime > leaseMs
+          fs.getFileStatus(lease).getModificationTime > staleMs
         catch {
           // holder released between our create attempt and the stat —
           // not stale, just contended; retry the plain acquire below
           case _: java.io.FileNotFoundException => false
         }
-      if (stale) {
+      if (stale && observed.nonEmpty) {
         val tombstone = new Path(mdir, "_MAINTENANCE_LEASE.stale-" +
           s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
         val won = try fs.rename(lease, tombstone)
           catch { case _: java.io.IOException => false }
         if (won) {
-          fs.delete(tombstone, false)
-          acquired = tryAcquire()
+          if (content(tombstone) == observed) {
+            fs.delete(tombstone, false)
+            acquired = tryAcquire()
+          } else {
+            // we renamed a FRESH lease that replaced the stale one —
+            // restore it (best effort; if yet another lease landed the
+            // displaced owner self-heals via compact()'s manifest
+            // re-check) and refuse
+            try { fs.rename(tombstone, lease); () }
+            catch { case _: java.io.IOException =>
+              fs.delete(tombstone, false); ()
+            }
+          }
         }
         // a losing stealer does NOT retry: the winner may already hold a
         // fresh lease, and its own create would be the double-owner race
-      } else acquired = tryAcquire()
+      } else if (!stale) acquired = tryAcquire()
     }
     if (!acquired) throw new IllegalStateException(
       s"sink maintenance already in progress under $mdir " +
         "(compact/reclaim are single-owner; retry after the lease clears)")
-    try body finally fs.delete(lease, false)
+    try body finally {
+      // release ONLY our own lease: if ours expired and was stolen
+      // mid-body, the path now holds the stealer's FRESH lease — an
+      // unconditional delete would reopen the double-owner door
+      if (content(lease).contains(myToken)) { fs.delete(lease, false); () }
+    }
   }
 
   /** For tags of the drain form `<streamId>-b<batchId>`: the max-batchId
@@ -306,22 +377,15 @@ object SinkCompaction {
   }
 
   /** Sources named by manifests whose compact partition finished
-    * writing ([[doneMarker]] present).
+    * writing ([[doneMarker]] present). Derived from [[manifestState]] —
+    * ONE definition of the listing/parse/marker semantics, so a future
+    * change to manifest filtering or marker naming cannot desynchronize
+    * reader exclusion from compaction-source selection.
     */
   private def completedSources(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Set[String] = {
-    val mdir = new Path(root, manifestDirName)
-    if (!fs.exists(mdir)) return Set.empty
-    fs.listStatus(mdir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
-      .flatMap { s =>
-        val tag = s.getPath.getName.stripSuffix(".json")
-        if (fs.exists(new Path(root, s"batch=$tag/$doneMarker")))
-          readManifest(fs, s.getPath)
-        else Nil
-      }
-      .toSet
-  }
+      root: Path): Set[String] =
+    manifestState(fs, root)
+      .collect { case (_, sources, true) => sources }.flatten.toSet
 
   /** Clear interrupted attempts (manifest without a completed data
     * write) and finish completed ones' pending deletes.

@@ -107,12 +107,20 @@ object VectorStreaming {
     * so the identity lives and dies with the checkpoint. Uses the Hadoop
     * FS API — checkpoints may be on any supported filesystem.
     */
-  private[streaming] def streamIdentity(spark: SparkSession,
+  // private[graft]: CacheBuilder.streamBuild namespaces its batch tags
+  // with the same identity (a bare b<id> tag lets a recreated checkpoint
+  // dynamic-overwrite a prior incarnation's batches)
+  private[graft] def streamIdentity(spark: SparkSession,
       checkpoint: String): String = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(checkpoint, "graft_stream_id")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    def read(): String = HadoopIo.readUtf8(fs, marker).trim
+    // the marker can VANISH between an exists() and the read (a racer
+    // deleting a legacy empty marker) — that is a retry condition for
+    // the loop below, not a crash
+    def read(): Option[String] =
+      try Some(HadoopIo.readUtf8(fs, marker).trim)
+      catch { case _: java.io.FileNotFoundException => None }
     // Write-then-RENAME, never create-in-place: a crash between a direct
     // create and its write would leave a permanent zero-byte marker
     // (identity "" forever — and shared by every other crashed
@@ -129,10 +137,12 @@ object VectorStreaming {
     var attempt = 0
     while (attempt < 3) {
       if (fs.exists(marker)) {
-        val id = read()
-        if (id.nonEmpty) return id
-        // legacy/corrupt empty marker: remove and mint a fresh identity
-        fs.delete(marker, false)
+        read() match {
+          case Some(id) if id.nonEmpty => return id
+          // legacy/corrupt empty marker: remove and mint a fresh identity
+          case Some(_) => fs.delete(marker, false); ()
+          case None => () // vanished under a racer's delete — retry
+        }
       }
       // 8 hex chars is plenty: the namespace only needs to be unique
       // among incarnations that ever shared one listsDir
@@ -143,8 +153,8 @@ object VectorStreaming {
       val renamed = fs.rename(tmp, marker)
       if (!renamed) fs.delete(tmp, false) // rename race lost
       if (fs.exists(marker)) {
-        val settled = read() // the marker's content IS the identity
-        if (settled.nonEmpty) return settled
+        // the marker's content IS the identity
+        read().filter(_.nonEmpty).foreach(settled => return settled)
       }
       attempt += 1
     }
