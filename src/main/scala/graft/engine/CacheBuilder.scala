@@ -95,16 +95,17 @@ object CacheBuilder {
     // a live source between the two scans — the state would advance past
     // ids this build never exported. Persisted because the frame is read
     // five times (stats, messages write, three junction semi-joins).
-    // localCheckpoint, NOT persist: persist is best-effort — a reclaimed
-    // executor's lost cache blocks RECOMPUTE from the live source, so
-    // the watermark (fixed first) and the later writes could see
-    // different row sets, re-opening exactly the divergence this
-    // snapshot exists to close. The checkpoint truncates lineage: a
-    // lost block FAILS the build (retried honestly) instead of silently
-    // exporting rows past the recorded watermark.
-    val newRows = input.messages
-      .filter(col("id") > watermark)
-      .localCheckpoint(true)
+    // Materialize.snapshot, NOT persist: persist is best-effort — a
+    // reclaimed executor's lost cache blocks RECOMPUTE from the live
+    // source, so the watermark (fixed first) and the later writes could
+    // see different row sets, re-opening exactly the divergence this
+    // snapshot exists to close. snapshot() therefore refuses the persist
+    // conf (degrades to fail-honest localCheckpoint: a lost block FAILS
+    // the build, retried honestly, instead of silently exporting rows
+    // past the recorded watermark); =checkpoint is the fault-tolerant
+    // cluster option (reliable storage, no recompute).
+    val newRows = Materialize.snapshot(
+      input.messages.filter(col("id") > watermark))
     // release on EVERY exit path (early return, the empty-input
     // require, a failed parquet write): without the finally, a throw
     // before the tail would pin the whole new-slice snapshot for the
@@ -401,6 +402,27 @@ object CacheBuilder {
       }
     if (schemaOpt.isEmpty) return
     val schema = schemaOpt.get
+    // Legacy-format guard: sinks written before batch tags were
+    // stream-namespaced used bare b<id>. A pre-upgrade batch that crashed
+    // between its write and the checkpoint commit would replay under the
+    // NEW <streamId>-b<id> tag instead of dynamic-overwriting its old
+    // b<id> partition — a one-time duplicate copy MsgVault.open unions
+    // silently. Refuse loudly instead: the operator migrates (rename each
+    // batch=b<id> dir to batch=<streamId>-b<id> for the checkpoint that
+    // owns the sink) or rebuilds.
+    val msgPath = new org.apache.hadoop.fs.Path(s"$outDir/messages")
+    val msgFs = msgPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (msgFs.exists(msgPath)) {
+      val legacy = msgFs.listStatus(msgPath).map(_.getPath.getName)
+        .filter(_.matches("batch=b\\d+"))
+      require(legacy.isEmpty,
+        s"streamBuild: $outDir/messages holds legacy un-namespaced batch " +
+          s"partitions (${legacy.sorted.take(3).mkString(", ")}); a " +
+          "replayed batch would duplicate them under the new " +
+          "<streamId>-b<id> tags. Rename each batch=b<id> directory to " +
+          "batch=<streamId>-b<id> for the stream that owns this " +
+          "checkpoint, or rebuild the sink.")
+    }
     // batch tags are NAMESPACED by the checkpoint's stream identity: a
     // bare b<id> tag would let a deleted-and-recreated checkpoint (or a
     // second stream sharing outDir) dynamic-overwrite a prior

@@ -318,8 +318,14 @@ final class MsgEngine(val vault: MsgVault) {
     // / 4.3 s of task time for a 50-row page; 0.3 s after). Sound at any
     // scale: every caller passes a LIMIT-bounded page, so the
     // checkpoint holds ≤ page-size rows — this is paginate-before-join
-    // completing its own argument.
-    val page = pageIn.localCheckpoint(true)
+    // completing its own argument. Strategy is conf-selected
+    // ([[Materialize.bounded]]): the default localCheckpoint is NOT
+    // fault-tolerant (executor loss fails the page query rather than
+    // recomputing — acceptable for a bounded retry); cluster operators
+    // wanting recompute-on-loss set spark.graft.page.materialize=persist
+    // (sound here: the page derivation is deterministic over the opened
+    // parquet snapshot) or =checkpoint for reliable storage.
+    val page = Materialize.bounded(pageIn)
     // fresh aliases everywhere: the page's lineage already contains the
     // recipients/participants frames (filter semi-joins), so reusing the
     // vault frames directly trips DetectAmbiguousSelfJoin.

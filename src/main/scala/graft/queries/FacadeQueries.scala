@@ -417,6 +417,265 @@ object FacadeQueries {
        |LEFT JOIN lbl ON lbl.message_id = h.id
        |ORDER BY h.sent_at DESC, h.id DESC LIMIT 50""".stripMargin
 
+  // --- SubAggregate (drill-down aggregation over a filtered subset) ---------
+
+  /** Drill-down aggregate (reference SubAggregate duckdb.go:1027-1065):
+    * the Senders view re-aggregated over only the 'work'-labeled subset.
+    * Covers the full aggregate pipeline — label semi-join, from-recipient
+    * view join, attachment rollup, COUNT OVER () total_unique, sort+limit.
+    * `count` is aliased to msg_count on both sides (COUNT is reserved-ish
+    * in DuckDB and the compare keys on column names).
+    */
+  def subAggregate(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir)
+      .subAggregate(ViewType.Senders, MessageFilter(label = "work"),
+        AggregateOptions(limit = 20))
+      .select(col("key"), col("count").as("msg_count"), col("total_size"),
+        col("attachment_size"), col("attachment_count"), col("total_unique"))
+
+  val subAggregateSql: String =
+    s"""$starCte,
+       |f AS (
+       |  SELECT m.id, m.size_estimate, p.email AS key
+       |  FROM m JOIN p ON p.pid = (m.id * 7) % 30
+       |  WHERE NOT m.is_deleted
+       |    AND m.id IN (SELECT message_id FROM ml WHERE name = 'work')),
+       |g AS (
+       |  SELECT key, CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(f.size_estimate), 0) AS BIGINT)
+       |           AS total_size,
+       |         CAST(COALESCE(SUM(att.att_size), 0) AS BIGINT)
+       |           AS attachment_size,
+       |         CAST(COUNT(att.message_id) AS BIGINT) AS attachment_count
+       |  FROM f LEFT JOIN att ON att.message_id = f.id
+       |  GROUP BY key)
+       |SELECT key, msg_count, total_size, attachment_size, attachment_count,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
+       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 20""".stripMargin
+
+  // --- Texts-mode aggregates (contacts / sources / time) --------------------
+
+  /** Contact aggregate (reference duckdb_text.go:191-294): chat types
+    * only, contact = COALESCE(sender_id, first from-recipient) resolved
+    * through the participants dim, keyed by display-name fallback chain.
+    */
+  def aggTextContacts(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir).aggregateTextContacts(AggregateOptions(limit = 25))
+      .select(col("key"), col("count").as("msg_count"), col("total_size"),
+        col("total_unique"))
+
+  val aggTextContactsSql: String =
+    s"""$starCte,
+       |chats AS (SELECT * FROM m
+       |  WHERE NOT is_deleted AND message_type = 'sms'),
+       |c AS (SELECT ch.*, COALESCE(ch.sender_id, (ch.id * 7) % 30) AS cpid
+       |      FROM chats ch),
+       |g AS (
+       |  SELECT 'Person ' || CAST(cpid AS VARCHAR) AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size
+       |  FROM c GROUP BY 1)
+       |SELECT key, msg_count, total_size,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
+       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 25""".stripMargin
+
+  /** Source aggregate (duckdb_text.go ViewSources branch): chat messages
+    * grouped by the owning account identifier.
+    */
+  def aggTextSources(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir).aggregateTextSources(AggregateOptions())
+      .select(col("key"), col("count").as("msg_count"), col("total_size"),
+        col("total_unique"))
+
+  val aggTextSourcesSql: String =
+    s"""$starCte,
+       |g AS (
+       |  SELECT CASE source_id WHEN 0 THEN 'a@gm.example'
+       |              WHEN 1 THEN 'b@im.example' ELSE 'c@mb.example' END AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size
+       |  FROM m WHERE NOT is_deleted AND message_type = 'sms'
+       |  GROUP BY 1)
+       |SELECT key, msg_count, total_size,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
+       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 100""".stripMargin
+
+  /** Time aggregate (duckdb_text.go ViewTime branch), day granularity —
+    * the star's minute-per-doc timestamps span a handful of days, so the
+    * day key exercises the bucket arithmetic with multiple output rows.
+    */
+  def aggTextTime(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir).aggregateTextTime(AggregateOptions(),
+      TimeGranularity.Day)
+      .select(col("key"), col("count").as("msg_count"), col("total_size"),
+        col("total_unique"))
+
+  val aggTextTimeSql: String =
+    s"""$starCte,
+       |g AS (
+       |  SELECT strftime(sent_at, '%Y-%m-%d') AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size
+       |  FROM m WHERE NOT is_deleted AND message_type = 'sms'
+       |    AND sent_at IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT key, msg_count, total_size,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
+       |FROM g ORDER BY key ASC LIMIT 100""".stripMargin
+
+  // --- ListMessages (compound filter, paged + enriched) ---------------------
+
+  /** The message-list surface under a COMPOUND filter (reference
+    * ListMessages duckdb.go:1215-1299): label semi-join AND
+    * attachments-only scalar predicate AND non-default sort (Size desc)
+    * AND offset pagination — paginate-before-enrich with the page cut on
+    * the composed predicate.
+    */
+  def listMessages(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir)
+      .listMessages(MessageFilter(
+        label = "personal", withAttachmentsOnly = true,
+        sorting = MessageSorting(MessageSortField.Size, SortDirection.Desc),
+        pagination = Pagination(limit = 30, offset = 10)))
+      .select(col("id"), col("subject"), col("from_email"), col("from_name"),
+        col("sent_at"), col("size_estimate"),
+        array_join(col("labels"), ",").as("labels"),
+        col("conversation_title"))
+
+  val listMessagesSql: String =
+    s"""$starCte,
+       |lbl AS (
+       |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
+       |  FROM ml GROUP BY message_id),
+       |sel AS (
+       |  SELECT * FROM m
+       |  WHERE NOT is_deleted AND id % 11 = 0
+       |    AND id IN (SELECT message_id FROM ml WHERE name = 'personal')
+       |  ORDER BY size_estimate DESC, id DESC LIMIT 30 OFFSET 10)
+       |SELECT sel.id, sel.subject, p.email AS from_email,
+       |       p.pname AS from_name, sel.sent_at, sel.size_estimate,
+       |       COALESCE(lbl.lbls, '') AS labels,
+       |       'conv-' || CAST(sel.conversation_id AS VARCHAR)
+       |         AS conversation_title
+       |FROM sel
+       |JOIN p ON p.pid = (sel.id * 7) % 30
+       |LEFT JOIN lbl ON lbl.message_id = sel.id
+       |ORDER BY sel.size_estimate DESC, sel.id DESC""".stripMargin
+
+  // --- GetMessageSummariesByIDs (order-preserving bulk hydration) -----------
+
+  /** Rank-order preservation under the hash gate (reference
+    * GetMessageSummariesByIDs engine.go:34-42): ids arrive ranked (the
+    * hybrid-search result path), summaries must come back in exactly that
+    * order, with a repeated id collapsing to its FIRST slot. The oracle
+    * carries the same (id, rank) pairs as a VALUES list and orders by
+    * rank — the driver's compare is order-sensitive, so a pass certifies
+    * the order contract, not just the row set.
+    */
+  def messageSummaries(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir)
+      .messageSummariesByIds(Seq(402L, 7L, 402L, 133L, 88L, 260L, 19L))
+      .select(col("id"), col("subject"), col("snippet"), col("from_email"),
+        col("from_name"), col("sent_at"),
+        array_join(col("labels"), ",").as("labels"),
+        col("conversation_title"))
+
+  val messageSummariesSql: String =
+    s"""$starCte,
+       |r(rid, rnk) AS (
+       |  VALUES (402, 0), (7, 1), (133, 3), (88, 4), (260, 5), (19, 6)),
+       |lbl AS (
+       |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
+       |  FROM ml GROUP BY message_id)
+       |SELECT m.id, m.subject, m.snippet, p.email AS from_email,
+       |       p.pname AS from_name, m.sent_at,
+       |       COALESCE(lbl.lbls, '') AS labels,
+       |       'conv-' || CAST(m.conversation_id AS VARCHAR)
+       |         AS conversation_title
+       |FROM r
+       |JOIN m ON m.id = r.rid
+       |JOIN p ON p.pid = (m.id * 7) % 30
+       |LEFT JOIN lbl ON lbl.message_id = m.id
+       |ORDER BY r.rnk ASC""".stripMargin
+
+  // --- GetMessage detail (parties pivot + bodies + raw fallback) ------------
+
+  /** Full message detail for one id (reference GetMessage
+    * duckdb.go:1398-1445 + MessageDetail models.go:44-69): recipient
+    * lists pivoted per type, attachments, labels, and body resolution —
+    * the bodies sidecar is EMPTY for this id, so body_text must come
+    * from the raw-MIME fallback (shared.go:326-330): inflate the zlib
+    * raw sidecar, parse headers, extract the plain-text body. The raw
+    * sidecar is built in-query as deflate("Subject: ...\r\n\r\n" + text),
+    * so the oracle's body_text is simply the document text. Arrays are
+    * serialized (email|name; id:filename:mime:size:hash) because the
+    * compare layer hashes scalars only.
+    */
+  def messageDetail(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("message_id"), col("text"))
+    // bodies sidecar: populated for odd ids only — id 44 exercises the
+    // raw fallback; the subject header makes the MIME parse non-trivial
+    val bodies = docs.select(col("message_id"),
+      when(col("message_id") % 2 === 1, col("text")).otherwise(lit(""))
+        .as("body_text"))
+    val raw = docs.select(col("message_id"),
+      graft.functions.Mime.deflateUdf(
+        encode(concat(lit("Subject: s\r\n\r\n"), col("text")), "utf-8"))
+        .as("raw_data"))
+    def party(c: String) = array_join(
+      transform(coalesce(col(c), array().cast(
+        "array<struct<email:string,name:string>>")),
+        x => concat_ws("|", x.getField("email"), x.getField("name"))), ";")
+    engine(s, dir).messageDetail(44L, bodies, Some(raw))
+      .select(col("id"), col("subject"), col("snippet"), col("sent_at"),
+        col("message_type"), col("size_estimate"),
+        party("from").as("from_list"), party("to").as("to_list"),
+        party("cc").as("cc_list"),
+        array_join(transform(coalesce(col("attachments"), array().cast(
+          "array<struct<id:bigint,filename:string,mime_type:string,size:bigint,content_hash:string>>")),
+          a => concat_ws(":", a.getField("id").cast("string"),
+            a.getField("filename"), a.getField("mime_type"),
+            a.getField("size").cast("string"), a.getField("content_hash"))),
+          ";").as("att_list"),
+        array_join(coalesce(col("labels"), array().cast("array<string>")),
+          ",").as("labels"),
+        col("body_text"), col("body_html"))
+  }
+
+  val messageDetailSql: String =
+    s"""$starCte,
+       |det AS (SELECT * FROM m WHERE id = 44)
+       |SELECT det.id, det.subject, det.snippet, det.sent_at,
+       |       det.message_type, det.size_estimate,
+       |       (SELECT string_agg(p.email || '|' || p.pname, ';'
+       |                ORDER BY p.email || '|' || p.pname)
+       |        FROM mr JOIN p ON p.pid = mr.participant_id
+       |        WHERE mr.message_id = det.id AND mr.recipient_type = 'from')
+       |         AS from_list,
+       |       (SELECT string_agg(p.email || '|' || p.pname, ';'
+       |                ORDER BY p.email || '|' || p.pname)
+       |        FROM mr JOIN p ON p.pid = mr.participant_id
+       |        WHERE mr.message_id = det.id AND mr.recipient_type = 'to')
+       |         AS to_list,
+       |       COALESCE((SELECT string_agg(p.email || '|' || p.pname, ';'
+       |                ORDER BY p.email || '|' || p.pname)
+       |        FROM mr JOIN p ON p.pid = mr.participant_id
+       |        WHERE mr.message_id = det.id AND mr.recipient_type = 'cc'),
+       |         '') AS cc_list,
+       |       CASE WHEN det.id % 11 = 0
+       |            THEN CAST(det.id AS VARCHAR) || ':f' ||
+       |                 CAST(det.id AS VARCHAR) || ':application/pdf:' ||
+       |                 CAST(det.id % 500 + 10 AS VARCHAR) || ':h' ||
+       |                 CAST(det.id AS VARCHAR)
+       |            ELSE '' END AS att_list,
+       |       (SELECT string_agg(name, ',' ORDER BY name) FROM ml
+       |        WHERE ml.message_id = det.id) AS labels,
+       |       (SELECT d.text FROM documents d WHERE d.doc_id = det.id)
+       |         AS body_text,
+       |       '' AS body_html
+       |FROM det""".stripMargin
+
   // --- GetTextStats (texts-mode totals with substring search) ---------------
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -451,5 +710,13 @@ object FacadeQueries {
       "text_conversations" -> (textConversations _, Some(textConversationsSql)),
       "text_search" -> (textSearch _, Some(textSearchSql)),
       "text_timeline" -> (textTimeline _, Some(textTimelineSql)),
-      "text_stats" -> (textStats _, Some(textStatsSql)))
+      "text_stats" -> (textStats _, Some(textStatsSql)),
+      "sub_aggregate" -> (subAggregate _, Some(subAggregateSql)),
+      "agg_text_contacts" -> (aggTextContacts _, Some(aggTextContactsSql)),
+      "agg_text_sources" -> (aggTextSources _, Some(aggTextSourcesSql)),
+      "agg_text_time" -> (aggTextTime _, Some(aggTextTimeSql)),
+      "list_messages" -> (listMessages _, Some(listMessagesSql)),
+      "message_summaries_by_ids" ->
+        (messageSummaries _, Some(messageSummariesSql)),
+      "message_detail" -> (messageDetail _, Some(messageDetailSql)))
 }

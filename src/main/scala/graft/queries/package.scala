@@ -238,6 +238,45 @@ package object queries {
     fp
   }
 
+  // Eviction vs in-flight queries: releasing a superseded artifact frees
+  // blocks a query STILL RUNNING on another thread may be reading — and
+  // for localCheckpointed frames there is no lineage to recompute from,
+  // so that query fails irrecoverably rather than degrading. Default
+  // (grace 0) releases immediately: the CLI/verify engines are
+  // single-threaded per corpus, and an in-place corpus rewrite
+  // concurrent with a query is already undefined at the storage layer.
+  // A concurrent server sets spark.graft.memo.releaseGraceMs > 0:
+  // superseded artifacts are RETIRED to this queue and released only
+  // `grace` ms later (drained on subsequent memo activity), letting
+  // in-flight queries on the old artifact finish. Queries longer than
+  // the grace remain exposed by design — documented, bounded staleness.
+  private val retired = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, SparkSession, AnyRef)]()
+
+  private def retireOrRelease(s: SparkSession, owner: SparkSession,
+      v: AnyRef): Unit = {
+    if (owner.sparkContext.isStopped) return // blocks already gone
+    val grace =
+      try s.conf.get("spark.graft.memo.releaseGraceMs", "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (grace <= 0) release(v)
+    else retired.add((System.currentTimeMillis() + grace, owner, v))
+  }
+
+  private def drainRetired(): Unit = {
+    val now = System.currentTimeMillis()
+    var head = retired.peek()
+    while (head != null && head._1 <= now) {
+      val e = retired.poll()
+      if (e != null) {
+        if (e._1 <= now) {
+          if (!e._2.sparkContext.isStopped) release(e._3)
+        } else retired.add(e) // concurrent-poll race: not yet due
+      }
+      head = retired.peek()
+    }
+  }
+
   /** Build-once/search-many memo for derived index structures (inverted
     * index postings, IVF centroid assignment). The reference's FTS5 and
     * vec0 indexes are PERSISTENT — built at ingest, reused by every
@@ -246,10 +285,13 @@ package object queries {
     * fingerprint): a corpus rewritten in place under the same path mints
     * a new fingerprint, so a long-lived session rebuilds rather than
     * serving stale postings/centroids/pair tables; the stale artifact's
-    * persisted frames are released when the fresh one lands.
+    * persisted frames are released when the fresh one lands — immediately
+    * by default, or after spark.graft.memo.releaseGraceMs for concurrent
+    * engines (see [[retireOrRelease]]).
     */
   private[queries] def memoizedIndex[T <: AnyRef](s: SparkSession, dir: String,
       key: String)(build: => T): T = {
+    drainRetired()
     val fp = corpusFingerprint(s, dir)
     val k = (System.identityHashCode(s), dir, key, fp)
     val hit = memo.get(k)
@@ -258,9 +300,10 @@ package object queries {
       if (hit != null) {
         // identity-hash COLLISION with another session's entry: evict it
         // rather than serve frames bound to a different (likely dead)
-        // session; release only if its context still runs
+        // session; release (or retire, under a grace) only if its
+        // context still runs
         memo.remove(k, hit)
-        if (!hit.session.sparkContext.isStopped) release(hit.value)
+        retireOrRelease(s, hit.session, hit.value)
       }
       // sweep stopped sessions' entries — off the hot path (a miss builds
       // anyway), keeps the map bounded under session churn. No release():
@@ -299,7 +342,7 @@ package object queries {
           if (ek._1 == k._1 && ek._2 == k._2 && ek._3 == k._3 && ek._4 != fp &&
             (e.getValue.session eq s)) {
             it.remove()
-            release(e.getValue.value)
+            retireOrRelease(s, e.getValue.session, e.getValue.value)
           }
         }
         v.asInstanceOf[T]

@@ -30,13 +30,39 @@ object EventsStreaming {
     * avoid exactly that leak — the streaming path must not reintroduce
     * it).
     */
-  private def withNanosConf[T](spark: SparkSession)(f: => T): T = {
+  // Reentrancy/concurrency guard for the scope below: two overlapping
+  // drains in one session (or a drain overlapping probeSchema's
+  // fallback) must not clobber each other's restore — a naive
+  // save/set/restore pair entered twice captures prev="true" on the
+  // inner entry and leaves the legacy flag set for every later read in
+  // the session. A per-session refcount makes the scope reentrant: only
+  // the OUTERMOST entry captures the prior value, only the LAST exit
+  // restores it. A concurrent UNRELATED parquet read in the same session
+  // still observes the flipped conf while a drain holds it (the conf is
+  // session-global by nature) — a caller needing full isolation drains
+  // on spark.newSession(), which shares the context but not the SQLConf.
+  private val nanosScopes =
+    new java.util.HashMap[Int, (Int, Option[String])]()
+
+  private[streaming] def withNanosConf[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    val id = System.identityHashCode(spark)
+    nanosScopes.synchronized {
+      val cur = nanosScopes.get(id)
+      if (cur == null) {
+        nanosScopes.put(id, (1, spark.conf.getOption(key)))
+        spark.conf.set(key, "true")
+      } else nanosScopes.put(id, (cur._1 + 1, cur._2))
+    }
+    try f finally nanosScopes.synchronized {
+      val (n, prev) = nanosScopes.get(id)
+      if (n <= 1) {
+        nanosScopes.remove(id)
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else nanosScopes.put(id, (n - 1, prev))
     }
   }
 

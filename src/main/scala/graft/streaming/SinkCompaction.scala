@@ -88,7 +88,7 @@ object SinkCompaction {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
-    withMaintenanceLease(fs, root, staleLeaseMs) {
+    withMaintenanceLease(fs, root, staleLeaseMs) { leaseToken =>
     finishInterrupted(fs, root)
 
     // NEVER fold a stream's LATEST batch: foreachBatch is at-least-once,
@@ -124,6 +124,22 @@ object SinkCompaction {
     // (1) manifest first: from here on, a completed data write makes the
     // sources dead even if their deletes never run
     writeManifest(fs, root, tag, sources)
+
+    onPreRewriteCheck()
+    // Cheap ownership re-check BEFORE the expensive rewrite: if this
+    // owner was displaced while preparing (a stealer judged our lease
+    // stale, tombstoned it, and its rename-back failed because a third
+    // lease landed), abort now for the cost of one manifest delete
+    // instead of paying the full rewrite only for the commit-time check
+    // below to discard it. The commit-time manifest re-check remains the
+    // authoritative guard for steals that land MID-rewrite.
+    if (!leaseStillHeld(fs, root, leaseToken)) {
+      fs.delete(new Path(new Path(root, manifestDirName), s"$tag.json"), false)
+      throw new IllegalStateException(
+        s"maintenance lease lost before compacting $dir (displaced by a " +
+          "concurrent steal) — aborted before the rewrite; raise " +
+          "staleLeaseMs above the longest compact wall time")
+    }
 
     // (2) one rewrite, partition layout preserved; coalesce the shuffle
     // tails away by letting the write clustering do the work — rows are
@@ -183,7 +199,7 @@ object SinkCompaction {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root))
-      withMaintenanceLease(fs, root, staleLeaseMs)(
+      withMaintenanceLease(fs, root, staleLeaseMs)(_ =>
         finishInterrupted(fs, root))
   }
 
@@ -200,8 +216,38 @@ object SinkCompaction {
     * N concurrent stealers exactly one wins and re-acquires; delete+
     * re-create would let a slow stealer remove the winner's FRESH lease.
     */
+  private def fileContent(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Test seam: runs between manifest publication and the pre-rewrite
+    * lease re-check (no-op in production) — the displaced-owner race is
+    * a cross-process timing window a spec cannot hit otherwise.
+    */
+  private[streaming] var onPreRewriteCheck: () => Unit = () => ()
+
+  /** Does the lease path still hold OUR token? Cheap re-verification an
+    * owner runs before expensive work: if a stealer displaced us (stale
+    * judgment + failed tombstone rename-back), abort early instead of
+    * paying a full rewrite the commit-time manifest check would discard.
+    */
+  private def leaseStillHeld(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, token: String): Boolean =
+    fileContent(fs,
+      new Path(new Path(root, manifestDirName), "_MAINTENANCE_LEASE"))
+      .contains(token)
+
   private def withMaintenanceLease[T](fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, staleMs: Long = leaseMs)(body: => T): T = {
+      root: Path, staleMs: Long = leaseMs)(body: String => T): T = {
     val mdir = new Path(root, manifestDirName)
     fs.mkdirs(mdir)
     val lease = new Path(mdir, "_MAINTENANCE_LEASE")
@@ -211,17 +257,7 @@ object SinkCompaction {
     // else's fresh lease by the time we act on it
     val myToken = s"${ProcessHandle.current().pid()} " +
       s"${System.currentTimeMillis()} ${System.nanoTime()}"
-    def content(p: Path): Option[String] =
-      try {
-        val in = fs.open(p)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](256)
-          var n = in.read(tmp)
-          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          Some(new String(buf.toByteArray, "UTF-8"))
-        } finally in.close()
-      } catch { case _: java.io.IOException => None }
+    def content(p: Path): Option[String] = fileContent(fs, p)
     def tryAcquire(): Boolean =
       try {
         if (isLocal) {
@@ -282,7 +318,7 @@ object SinkCompaction {
     if (!acquired) throw new IllegalStateException(
       s"sink maintenance already in progress under $mdir " +
         "(compact/reclaim are single-owner; retry after the lease clears)")
-    try body finally {
+    try body(myToken) finally {
       // release ONLY our own lease: if ours expired and was stolen
       // mid-body, the path now holds the stealer's FRESH lease — an
       // unconditional delete would reopen the double-owner door

@@ -198,6 +198,25 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(after.select(col("id")).distinct().count() == 6) // no re-ingest dups
   }
 
+  test("streamBuild refuses a sink holding legacy un-namespaced batch tags") {
+    // A pre-namespacing sink (bare batch=b<id>) whose last batch crashed
+    // before the checkpoint commit would, after upgrade, replay under the
+    // NEW <streamId>-b<id> tag and leave the old copy as a silent
+    // duplicate — streamBuild must refuse with a migration message, not
+    // proceed.
+    val src = java.nio.file.Files.createTempDirectory("graft_sb_leg_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sb_leg_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sb_leg_ck").toString
+    sourceVault(2).messages.write.mode("overwrite").parquet(src)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(out, "messages", "batch=b7"))
+    val e = intercept[IllegalArgumentException] {
+      CacheBuilder.streamBuild(spark, src, out, ckpt)
+    }
+    assert(e.getMessage.contains("batch=b7"))
+    assert(e.getMessage.contains("legacy"))
+  }
+
   test("gzip JSONL sink/source roundtrips rows; PERMISSIVE nulls corrupt lines") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString

@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.storage.StorageLevel
+import graft.SparkTestBase
+import graft.model._
+
+/** The page-materialization strategy conf (spark.graft.page.materialize)
+  * must change ONLY executor-loss behavior, never results: every mode
+  * returns identical rows from the list/search surfaces, and the
+  * consistency-critical snapshot path refuses to honor `persist`
+  * (recompute-on-loss could observe a moved source — Materialize doc).
+  */
+class MaterializeSpec extends SparkTestBase {
+  import Fixtures._
+
+  private def conf = spark.conf
+
+  private def withMode[A](mode: Option[String])(body: => A): A = {
+    mode.fold(conf.unset(Materialize.ConfKey))(
+      conf.set(Materialize.ConfKey, _))
+    try body finally conf.unset(Materialize.ConfKey)
+  }
+
+  private lazy val v = vault(spark,
+    messages = (1L to 20L).map(i => msg(i, s"subject $i",
+      f"2024-01-${(i % 28) + 1}%02d 10:00:00", size = 100 + i,
+      senderId = Some(i % 3))),
+    recipients = (1L to 20L).map(i => MrRow(i, i % 3, "from", None)),
+    participants = (0L to 2L).map(i => PRow(i, Some(s"p$i@x.com"),
+      Some(s"P $i"), None, Some("x.com"))),
+    labels = Seq(LblRow(1, "INBOX")),
+    messageLabels = (1L to 20L).filter(_ % 2 == 0).map(MlRow(_, 1)))
+
+  private def page(): Seq[String] = {
+    val eng = new MsgEngine(v)
+    eng.listMessages(MessageFilter(pagination = Pagination(limit = 8)))
+      .collect().map(r => s"${r.getAs[Long]("id")}|${r.getAs[String]("from_email")}")
+      .toSeq
+  }
+
+  test("all three modes return identical pages") {
+    val base = withMode(None)(page())
+    assert(base.nonEmpty)
+    assert(withMode(Some("persist"))(page()) === base)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    assert(withMode(Some("checkpoint"))(page()) === base)
+    assert(withMode(Some("localCheckpoint"))(page()) === base)
+  }
+
+  test("bounded honors persist; snapshot refuses it (fail-honest)") {
+    withMode(Some("persist")) {
+      val df = v.messages.filter(org.apache.spark.sql.functions.col("id") <= 5)
+      val b = Materialize.bounded(df)
+      assert(b.storageLevel !== StorageLevel.NONE, "bounded should persist")
+      val s = Materialize.snapshot(df)
+      // persist maps to localCheckpoint on the snapshot path: the frame
+      // must NOT carry a recomputable cache level
+      assert(s.storageLevel === StorageLevel.NONE)
+      assert(s.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+        "snapshot under persist conf must still truncate lineage")
+      assert(s.count() === b.count())
+      b.unpersist()
+    }
+  }
+
+  test("unknown mode is rejected, not defaulted") {
+    withMode(Some("bogus")) {
+      intercept[IllegalArgumentException] {
+        Materialize.bounded(v.messages.limit(1))
+      }
+    }
+  }
+}

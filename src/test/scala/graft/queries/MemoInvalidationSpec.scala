@@ -118,6 +118,44 @@ class MemoInvalidationSpec extends SparkTestBase {
     eng2.releaseCaches() // cleanup for other suites
   }
 
+  test("releaseGraceMs defers eviction release for in-flight readers") {
+    // With a grace window, a superseded artifact's blocks must SURVIVE
+    // the eviction (an in-flight query may still be reading them) and be
+    // released only once the grace elapses and the memo sees activity.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_memo_grace").toString
+    Files.write(Paths.get(dir, "t.parquet"), "v1".getBytes("UTF-8"))
+
+    // distinct plan per build: the CacheManager keys caches by logical
+    // plan, so two identical range(5) builds would share ONE cache entry
+    // and releasing the first would evict the second (a fixture artifact
+    // — real rebuilds read a changed corpus and never plan-collide)
+    var builds = 0
+    def lookup(): DataFrame =
+      memoizedIndex[DataFrame](spark, dir, "spec_grace") {
+        builds += 1
+        val df = spark.range(5 + builds).toDF("n")
+          .persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        df
+      }
+
+    try {
+      spark.conf.set("spark.graft.memo.releaseGraceMs", "400")
+      val first = lookup()
+      Files.write(Paths.get(dir, "t.parquet"), "v2-longer".getBytes("UTF-8"))
+      val second = lookup()
+      assert(second ne first)
+      assert(first.storageLevel != StorageLevel.NONE,
+        "inside the grace the superseded artifact must stay readable")
+      Thread.sleep(600)
+      lookup() // any memo activity drains the retire queue
+      assert(first.storageLevel == StorageLevel.NONE,
+        "after the grace the superseded artifact must be released")
+      assert(second.storageLevel != StorageLevel.NONE)
+    } finally spark.conf.unset("spark.graft.memo.releaseGraceMs")
+  }
+
   test("indexed FTS search returns fresh results after an in-place corpus rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_memo_fts").toString

@@ -151,4 +151,35 @@ class EventsStreamingSpec extends SparkTestBase {
     assert(batch.count() > 0) // the join is exercised, not vacuous
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("withNanosConf is reentrant: nested scopes restore the ORIGINAL value") {
+    // Regression: a naive save/set/restore entered twice captures
+    // prev="true" on the inner entry, so the outer restore leaves the
+    // session-global legacy flag set for every later parquet read.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    // the conf is REGISTERED with default "false", so getOption reports
+    // the default even when unset — restore-to-default is the contract
+    val original = spark.conf.get(key)
+    assert(original != "true")
+    EventsStreaming.withNanosConf(spark) {
+      assert(spark.conf.get(key) == "true")
+      EventsStreaming.withNanosConf(spark) {
+        assert(spark.conf.get(key) == "true")
+      }
+      // inner exit must NOT restore yet — the outer scope still holds it
+      assert(spark.conf.get(key) == "true")
+    }
+    assert(spark.conf.get(key) == original,
+      "outermost exit must restore the original state")
+
+    // and with a pre-existing explicit value
+    spark.conf.set(key, "false")
+    EventsStreaming.withNanosConf(spark) {
+      EventsStreaming.withNanosConf(spark)(())
+      assert(spark.conf.get(key) == "true")
+    }
+    assert(spark.conf.get(key) == "false")
+    spark.conf.unset(key)
+  }
 }

@@ -182,6 +182,33 @@ class SinkCompactionSpec extends SparkTestBase {
     assert(SinkCompaction.read(spark, dir).count() == 150)
   }
 
+  test("a displaced owner aborts BEFORE the rewrite, cleaning its manifest") {
+    // A stealer that judged our lease stale and whose tombstone
+    // rename-back failed leaves us running displaced. The pre-rewrite
+    // re-check must abort for the cost of one manifest delete — never
+    // write the compact partition only for the commit-time check to
+    // discard it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpd").toString
+    writeBatches(dir, Seq("s-b0", "s-b1", "s-b2"))
+    val lease = new java.io.File(s"$dir/_graft_compactions/_MAINTENANCE_LEASE")
+    SinkCompaction.onPreRewriteCheck = () =>
+      java.nio.file.Files.write(lease.toPath, "thief 1 2".getBytes("UTF-8"))
+    try {
+      val e = intercept[IllegalStateException](
+        SinkCompaction.compact(spark, dir))
+      assert(e.getMessage.contains("before the rewrite"))
+    } finally SinkCompaction.onPreRewriteCheck = () => ()
+    assert(batchDirs(dir).size == 3, "no compact partition may be written")
+    val mdir = new java.io.File(s"$dir/_graft_compactions")
+    assert(!mdir.listFiles.exists(_.getName.startsWith("compact-")),
+      "the displaced owner must clean its own in-flight manifest")
+    assert(new String(java.nio.file.Files.readAllBytes(lease.toPath),
+      "UTF-8") == "thief 1 2",
+      "the new owner's lease is not ours to release")
+    lease.delete() // cleanup for the reader below
+    assert(SinkCompaction.read(spark, dir).count() == 150)
+  }
+
   test("a compacted curated sink still feeds DocStreaming's prior probe") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmpd").toString
