@@ -194,6 +194,39 @@ object DocQueries {
       |WHERE doc_id != winner_id
       |ORDER BY loser_id ASC""".stripMargin
 
+  /** Deterministic BOUNDED sub-corpus for the O(n²)-oracled near-dup
+    * family (minhash pairs, clusters, cluster survivor, incremental):
+    * the md5 draw keeps ~500 docs at ANY scale factor, so the oracle's
+    * brute-force all-pairs Jaccard stays tractable at every SF the sweep
+    * runs (at sf0.1 the full-corpus oracle exceeds 20 min — it was the
+    * sweep's only skip list). mod = ceil(n/500): exactly 1 at sf0.001/
+    * sf0.01 (≤500 docs — the full corpus, bit-identical to the unbounded
+    * query), 10 at sf0.1. The ENGINE's full-corpus path stays witnessed
+    * by the bench-only `dedup_minhash_full` entry; correctness of the
+    * LSH construction is SF-independent, so certifying it on a
+    * deterministic 500-doc draw is the same evidence the sf0.01 gate
+    * always provided, now at every SF.
+    */
+  private[queries] def boundedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mod = math.max(1L,
+      math.ceil(docs.count() / 500.0).toLong)
+    if (mod <= 1L) docs
+    else docs.filter(
+      graft.operators.Sampling.hashBucket(col("doc_id"), mod) === 0)
+  }
+
+  /** The DuckDB half of [[boundedDocs]] — a `docs` CTE both near-dup
+    * oracle chains open with (same 15-hex md5 draw as duckBucket).
+    */
+  private[queries] val boundedDocsCte: String =
+    """docs AS (
+      |  SELECT * FROM documents
+      |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) %
+      |        (SELECT GREATEST(CAST(CEIL(COUNT(*) / 500.0) AS BIGINT), 1)
+      |         FROM documents) = 0)""".stripMargin
+
   /** MinHash-LSH near-dup candidates + exact-Jaccard re-rank. The oracle
     * is the brute-force O(n²) exact Jaccard over the same shingle sets —
     * the gate certifies the LSH path found every true pair ≥ threshold on
@@ -204,10 +237,27 @@ object DocQueries {
     * Tiny result set: total order via a single-partition sort —
     * `orderBy` would add a range exchange whose partitioner SAMPLING
     * re-executes the upstream pipeline (measured +1.2s for ≤300 rows).
+    * Runs over [[boundedDocs]] so the oracle is tractable at every SF.
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     nearDupPairs05(s, dir)
       .coalesce(1)
+      .sortWithinPartitions(col("id_a").asc, col("id_b").asc)
+
+  /** Full-corpus throughput witness (bench-only — no DuckDB oracle is
+    * tractable above sf0.01; the construction is hash-gated through
+    * `dedup_minhash` on the bounded draw). Memoized like the bounded
+    * pair table: the bench measures the steady-state probe, matching the
+    * production shape where the pair table is a per-snapshot artifact.
+    */
+  def dedupMinhashFull(s: SparkSession, dir: String): DataFrame =
+    memoizedIndex(s, dir, "neardup_pairs_0.5_b32_full") {
+      val df = Dedup.nearDuplicates(t(s, dir, "documents"), col("doc_id"),
+        col("text"), threshold = 0.5, bands = 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }.coalesce(1)
       .sortWithinPartitions(col("id_a").asc, col("id_b").asc)
 
   /** Materialized near-dup pair set (threshold 0.5, 32×2 banding) shared
@@ -218,8 +268,8 @@ object DocQueries {
     * keeps FTS5/vec0 persistent for the same reason).
     */
   private[queries] def nearDupPairs05(s: SparkSession, dir: String): DataFrame =
-    memoizedIndex(s, dir, "neardup_pairs_0.5_b32") {
-      val df = Dedup.nearDuplicates(t(s, dir, "documents"), col("doc_id"),
+    memoizedIndex(s, dir, "neardup_pairs_0.5_b32_bounded") {
+      val df = Dedup.nearDuplicates(boundedDocs(s, dir), col("doc_id"),
         col("text"), threshold = 0.5, bands = 32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize the build once
@@ -227,10 +277,11 @@ object DocQueries {
     }
 
   val dedupMinhashSql: String =
-    """WITH tok AS (
+    s"""WITH $boundedDocsCte,
+      |tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
-      |  FROM documents),
+      |           '[^\\p{L}\\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM docs),
       |sh AS (
       |  SELECT doc_id,
       |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -342,11 +393,13 @@ object DocQueries {
     * none of the O(corpus²) work.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // bounded draw ([[boundedDocs]]): the oracle's frozen×fresh Jaccard
+    // join is O(|idx|·|new|) in DuckDB and intractable at sf0.1 unbounded
+    val docs = boundedDocs(s, dir)
     val indexed = docs.filter(col("doc_id") < 400)
     // the indexed side's band table is the materialized build artifact —
     // built once per corpus snapshot, probed per ingest batch
-    val bIdx = memoizedIndex(s, dir, "neardup_bands_idx400_0.5_b32") {
+    val bIdx = memoizedIndex(s, dir, "neardup_bands_idx400_0.5_b32_bounded") {
       val b = Dedup.indexedBandTable(indexed, col("doc_id"), col("text"),
         bands = 32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -361,10 +414,11 @@ object DocQueries {
   }
 
   val dedupIncrementalSql: String =
-    """WITH tok AS (
+    s"""WITH $boundedDocsCte,
+      |tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
-      |  FROM documents),
+      |           '[^\\p{L}\\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM docs),
       |sh AS (
       |  SELECT doc_id,
       |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -1091,6 +1145,7 @@ object DocQueries {
     "dedup_survivor" -> (dedupSurvivor _, Some(dedupSurvivorSql)),
     "dedup_minhash" -> (dedupMinhash _, Some(dedupMinhashSql)),
     "dedup_simhash" -> (dedupSimhash _, None),
+    "dedup_minhash_full" -> (dedupMinhashFull _, None),
     "dedup_simhash_md5" -> (dedupSimhashMd5 _, Some(dedupSimhashMd5Sql)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _, Some(dedupSimhashPairsSql)),
     "dedup_winnow" -> (dedupWinnow _, Some(dedupWinnowSql)),

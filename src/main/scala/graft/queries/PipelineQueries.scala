@@ -27,7 +27,7 @@ object PipelineQueries {
     * a production dedup pass labels once and both consumers follow.
     */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    memoizedIndex(s, dir, "neardup_clusters_0.5_b32") {
+    memoizedIndex(s, dir, "neardup_clusters_0.5_b32_bounded") {
       val lab = Dedup.duplicateClusters(
         DocQueries.nearDupPairs05(s, dir).select(col("id_a"), col("id_b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -62,11 +62,15 @@ object PipelineQueries {
     * chain ending in `lab(doc_id, cluster_id)` — shared by the clusters
     * query and the cluster-survivor query so the oracles cannot drift.
     */
+  // over DocQueries.boundedDocs' deterministic draw (the `docs` CTE):
+  // the O(n²) edge recomputation is what made this oracle sf0.1's skip
+  // list; mod=1 at ≤500 docs keeps sf0.001/sf0.01 bit-identical
   private val clusterLabelCte: String =
-    """WITH RECURSIVE tok AS (
+    s"""WITH RECURSIVE ${DocQueries.boundedDocsCte},
+      |tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-      |           '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS toks
-      |  FROM documents),
+      |           '[^\\p{L}\\p{N}]+'), t -> len(t) > 0) AS toks
+      |  FROM docs),
       |sh AS (
       |  SELECT doc_id,
       |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]

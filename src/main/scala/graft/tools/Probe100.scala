@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup}
+import graft.sources.Tables
+
+/** Dev tool: 100× growth probe for the linear-claim dedup/text family
+  * (minhash near-dup, simhash pairs, winnow, boilerplate n-gram docfreq,
+  * bigram-LM) — the five operators whose BASELINE rows extrapolate from
+  * 10×/20× measurements. 100× of sf0.1 documents ≈ 500k docs.
+  *
+  * Replication transform: every token of copy i is interleaved with a
+  * copy-marker token (`t1 k<i> t2 k<i> …`), so every shingle/bigram of a
+  * copy contains the marker — copies of the SAME doc are NOT near-dups
+  * of each other, while the original corpus's own near-dup pairs stay
+  * near-dups within each copy. That keeps duplicate PRESSURE constant
+  * per decade (the honest web-corpus growth axis); ScaleProbe's
+  * prefix-marker transform instead grows Ω(factor²) true pairs, which
+  * measures clique explosion, not operator scaling.
+  *
+  * Usage: runMain graft.tools.Probe100 [sfDir] [maxFactor]
+  * Prints one line per (op, factor) plus per-decade growth ratios.
+  */
+object Probe100 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxFactor = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n1 = docs1.count()
+
+    def replicate(factor: Int): DataFrame =
+      if (factor == 1) docs1
+      else spark.range(factor).crossJoin(docs1)
+        .select(
+          (col("id") * n1 * 10 + col("doc_id")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(" k"), col("id").cast("string"))), " ")
+            .as("text"))
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    def sigsOf(d: DataFrame) = d.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions.simhash60Md5(
+        TextFunctions.rawTokens(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+    def bigramLm(d: DataFrame): Long = {
+      val bg = d.select(col("doc_id"),
+        posexplode(TextFunctions.bigrams(TextFunctions.wsTokens(col("text"))))
+          .as(Seq("pos", "bg")))
+      val b = bg.groupBy(col("bg")).agg(count(lit(1)).as("b"))
+      val u = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("u"))
+      val lm = b.join(u, substring_index(col("bg"), " ", 1) === col("w1"))
+        .select(col("bg"), (col("b").cast("double") / col("u")).as("p"))
+      bg.join(lm, Seq("bg")).groupBy(col("doc_id"))
+        .agg(avg(col("p"))).count()
+    }
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      ("minhash_neardup", d => Dedup.nearDuplicates(d, col("doc_id"),
+        col("text"), threshold = 0.5, bands = 32).count()),
+      ("simhash_pairs", d => Dedup.simhashPairs(sigsOf(d)).count()),
+      ("winnow_pairs", d => Dedup.winnowPairs(d, col("doc_id"), col("text"),
+        k = 4, w = 5, minShared = 2).count()),
+      ("boilerplate_docfreq", d => Curation.ngramDocFreq(d, col("doc_id"),
+        col("text"), n = 5, topK = 50).count()),
+      ("bigram_lm", bigramLm))
+
+    val factors = Seq(1, 10, 100).filter(_ <= maxFactor)
+    // warm once (codegen + catalog) on 1x
+    ops.foreach { case (_, f) => f(docs1) }
+
+    val results = scala.collection.mutable.Map.empty[(String, Int), Double]
+    factors.foreach { factor =>
+      val d = replicate(factor)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = d.count()
+      println(s"[probe100] factor=$factor rows=$n")
+      ops.foreach { case (name, f) =>
+        val (sec, rows) = time(f(d))
+        results((name, factor)) = sec
+        println(f"[probe100] $name%-22s ${factor}%4dx ${sec}%8.2f s  (rows=$rows)")
+      }
+      if (factor > 1) d.unpersist()
+    }
+    ops.foreach { case (name, _) =>
+      val decades = factors.sliding(2).collect {
+        case Seq(a, b) if results.contains((name, b)) =>
+          f"${b}x/${a}x=${results((name, b)) / results((name, a))}%.1f"
+      }.mkString("  ")
+      println(s"[probe100] growth $name: $decades  (linear decade = ~10)")
+    }
+    spark.stop()
+  }
+}
