@@ -338,39 +338,57 @@ final class MsgEngine(val vault: MsgVault) {
     val mr = vault.recipients.alias("emr")
       .join(pageIds, col("emr.message_id") === col("__pg_id"), "left_semi")
     val p = vault.participants.alias("ep")
-    val fromParty = mr.filter(col("emr.recipient_type") === "from")
+    // FUSED side aggregate (round 10): the from-party resolution and the
+    // label list used to be two separately-aggregated broadcast sides —
+    // two shuffles, two broadcast-exchange jobs, two page joins per
+    // enrichment. The page-semi-joined from-recipient rows and label
+    // rows UNION into one keyed stream and aggregate once: min_by skips
+    // rows whose ordering value is null, so label rows (null
+    // participant_id) never win the from-party columns, and collect_list
+    // skips nulls, so from rows never land in the label array. Same two
+    // junction scans, one fewer shuffle + broadcast + page join.
+    val fromRows = mr.filter(col("emr.recipient_type") === "from")
       .join(p, col("ep.id") === col("emr.participant_id"))
-      .groupBy(col("emr.message_id").as("__e_mid"))
+      .select(col("emr.message_id").as("__e_mid"),
+        col("emr.participant_id").as("__e_pid"),
+        col("ep.email_address").as("__e_email"),
+        recipientName(col("emr.display_name"), col("ep.display_name"),
+          col("ep.phone_number"), col("ep.email_address")).as("__e_name"),
+        coalesce(col("ep.phone_number"), lit("")).as("__e_phone"),
+        lit(null).cast("string").as("__e_lbl"))
+    val lblRows = vault.messageLabels.alias("eml")
+      .join(pageIds, col("eml.message_id") === col("__pg_id"), "left_semi")
+      .join(vault.labels.alias("el"), col("el.id") === col("eml.label_id"))
+      .select(col("eml.message_id").as("__e_mid"),
+        lit(null).cast("long").as("__e_pid"),
+        lit(null).cast("string").as("__e_email"),
+        lit(null).cast("string").as("__e_name"),
+        lit(null).cast("string").as("__e_phone"),
+        col("el.name").as("__e_lbl"))
+    val sideAgg = fromRows.unionByName(lblRows)
+      .groupBy(col("__e_mid"))
       .agg(
-        min_by(col("ep.email_address"), col("emr.participant_id")).as("__mr_email"),
-        min_by(recipientName(col("emr.display_name"), col("ep.display_name"),
-            col("ep.phone_number"), col("ep.email_address")),
-          col("emr.participant_id")).as("__mr_name"),
-        min_by(coalesce(col("ep.phone_number"), lit("")),
-          col("emr.participant_id")).as("__mr_phone"))
+        min_by(col("__e_email"), col("__e_pid")).as("__mr_email"),
+        min_by(col("__e_name"), col("__e_pid")).as("__mr_name"),
+        min_by(col("__e_phone"), col("__e_pid")).as("__mr_phone"),
+        array_sort(collect_list(col("__e_lbl"))).as("labels"))
     val senderP = vault.participants.alias("sp")
       .select(col("sp.id").as("__sp_id"),
         col("sp.email_address").as("__sp_email"),
         coalesce(col("sp.display_name"), lit("")).as("__sp_name"),
         coalesce(col("sp.phone_number"), lit("")).as("__sp_phone"))
-    val lblAgg = vault.messageLabels.alias("eml")
-      .join(pageIds, col("eml.message_id") === col("__pg_id"), "left_semi")
-      .join(vault.labels.alias("el"), col("el.id") === col("eml.label_id"))
-      .groupBy(col("eml.message_id").as("__l_mid"))
-      .agg(array_sort(collect_list(col("el.name"))).as("labels"))
     val conv = vault.conversations.select(col("id").as("__c_id"),
       col("title").as("conversation_title"))
 
-    // fromParty/lblAgg aggregate page-semi-joined junction rows, so both
-    // are ≤ page-size by construction — broadcast explicitly (their agg
-    // outputs carry no statistics, and a stat-less build side sort-merges
-    // the page per fetch). senderP/conv are left to the planner: those
-    // dims are corpus-sized at archive scale and broadcastability is a
-    // statistics question, not a structural one.
+    // sideAgg aggregates page-semi-joined junction rows, so it is
+    // ≤ page-size (+labels) by construction — broadcast explicitly (its
+    // agg output carries no statistics, and a stat-less build side
+    // sort-merges the page per fetch). senderP/conv are left to the
+    // planner: those dims are corpus-sized at archive scale and
+    // broadcastability is a statistics question, not a structural one.
     page
-      .join(broadcast(fromParty), page("id") === col("__e_mid"), "left")
+      .join(broadcast(sideAgg), page("id") === col("__e_mid"), "left")
       .join(senderP, page("sender_id") === col("__sp_id"), "left")
-      .join(broadcast(lblAgg), page("id") === col("__l_mid"), "left")
       .join(conv, page("conversation_id") === col("__c_id"), "left")
       .select(
         page("id"), page("source_message_id"), page("conversation_id"),
