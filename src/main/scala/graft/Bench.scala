@@ -140,9 +140,13 @@ object Bench {
     val cgSec = { val c = cgroupCpuSec(); if (c >= 0 && cg0 >= 0) c - cg0 else -1.0 }
     val pcSec = { val p = procCpuSec(); if (p >= 0 && pc0 >= 0) p - pc0 else -1.0 }
     val ownCores = if (pcSec >= 0 && wallSec > 0) pcSec / wallSec else -1.0
+    // ext_load needs BOTH readings: without ownCores the bench's own
+    // multi-core load would count as "external" and flag every quiet
+    // run — propagate the -1 sentinel (indeterminate) instead; the
+    // pre-existing-load signal (load0) still works without the bean
     val extLoad =
-      if (load1 < 0) -1.0
-      else math.max(0.0, math.max(load0, load1) - math.max(ownCores, 0.0))
+      if (load1 < 0 || ownCores < 0) -1.0
+      else math.max(0.0, math.max(load0, load1) - ownCores)
     val flagged = load0 > 1.0 || extLoad > 1.5
 
     // when flagged, re-time the 3 slowest queries once each so the artifact

@@ -39,6 +39,22 @@ import org.apache.spark.storage.StorageLevel
 object Materialize {
   val ConfKey = "spark.graft.page.materialize"
 
+  /** How many non-default materializations to retain before releasing
+    * the oldest. localCheckpoint self-cleans (the ContextCleaner
+    * reclaims GC-unreachable RDD blocks), but `persist` pins each frame
+    * in the CacheManager by STRONG reference and `checkpoint` writes
+    * reliable files Spark never deletes by default
+    * (spark.cleaner.referenceTracking.cleanCheckpoints=false) — a
+    * long-lived engine paging per user query would otherwise grow
+    * cache/storage unboundedly, one entry per page. The ring bounds
+    * that: page frames are consumed within a call or two, so anything
+    * `retain` materializations old is safely releasable.
+    */
+  val RetainConfKey = "spark.graft.page.materialize.retain"
+
+  private val retained =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   private def mode(df: DataFrame): String =
     df.sparkSession.conf.get(ConfKey, "localCheckpoint") match {
       case m @ ("localCheckpoint" | "persist" | "checkpoint") => m
@@ -46,16 +62,53 @@ object Materialize {
         s"$ConfKey=$other (expected localCheckpoint|persist|checkpoint)")
     }
 
+  /** Release one evicted frame: drop its CacheManager entry and, for a
+    * reliable checkpoint, delete the checkpoint files (unpersist alone
+    * cannot — they live outside the block manager).
+    */
+  private def release(df: DataFrame): Unit =
+    try {
+      df.unpersist(false)
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+          lr.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(
+              df.sparkSession.sessionState.newHadoopConf()).delete(p, true)
+          }
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def retain(df: DataFrame): DataFrame = {
+    val cap =
+      try df.sparkSession.conf.get(RetainConfKey, "32").toInt
+      catch { case _: NumberFormatException => 32 }
+    retained.add(df)
+    while (retained.size > math.max(cap, 1)) {
+      val old = retained.poll()
+      if (old != null) release(old)
+    }
+    df
+  }
+
   /** Eagerly materialize a bounded / deterministically re-derivable
     * frame under the configured strategy. All modes return the same
     * rows; they differ only in executor-loss behavior (see class doc).
+    *
+    * persist-mode caveat beyond executor loss: the CacheManager matches
+    * cached plans structurally, so a plan-identical page query issued
+    * after an IN-PLACE corpus rewrite can be served the pre-rewrite
+    * cached rows until the ring evicts them — one more reason persist
+    * is documented as sound only over immutable/frozen inputs.
     */
   def bounded(df: DataFrame): DataFrame = mode(df) match {
     case "persist" =>
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       p.count() // eager, matching localCheckpoint(true)'s contract
-      p
-    case "checkpoint" => df.checkpoint(true)
+      retain(p)
+    case "checkpoint" => retain(df.checkpoint(true))
     case _ => df.localCheckpoint(true)
   }
 
@@ -65,7 +118,10 @@ object Materialize {
     * `localCheckpoint`, and `checkpoint` is the fault-tolerant option.
     */
   def snapshot(df: DataFrame): DataFrame = mode(df) match {
-    case "checkpoint" => df.checkpoint(true)
+    // ring-retained for the same reason as bounded(): the caller's own
+    // release (CacheBuilder's finally) unpersists blocks but cannot
+    // delete reliable checkpoint FILES — the ring eviction does
+    case "checkpoint" => retain(df.checkpoint(true))
     case _ => df.localCheckpoint(true)
   }
 }

@@ -199,17 +199,34 @@ object Dedup {
     // dup ids are fine too: left_semi doesn't multiply matches
     val candIds = cand.select(explode(array(col("id_a"), col("id_b")))
       .as("doc_id"))
+    // the id semi-join rides the same strategy knob as the verify joins
+    // below: candIds is O(candidate pairs), and forcing its broadcast
+    // at web-scale dup rates is the same driver-collect cliff (the 100×
+    // probe hit Spark's 512M-row broadcast refusal here)
+    val hint = docs.sparkSession.conf
+      .get("spark.graft.dedup.broadcastVerify", "true").toBoolean
+    def side(d: DataFrame) = if (hint) broadcast(d) else d
     val shingled = docs
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(side(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         org.apache.spark.sql.graft.HashingExpressions
           .wordShingles(rawTokens(col("doc_text")), shingleSize).as("__sh"))
     // the two broadcast sides are the SAME subplan (aliased, not
     // re-projected) so the broadcast exchange is planned once and reused —
-    // candidates are shingled and shipped a single time
+    // candidates are shingled and shipped a single time.
+    // The broadcast HINT is sound while the candidate set is small
+    // relative to executor memory — true for archive-style corpora, NOT
+    // for a web corpus where 30-50% of docs sit in some near-dup pair:
+    // there candIds is O(corpus·dup-rate) and forcing the broadcast
+    // collects the whole shingled set to the driver (found by the 100×
+    // probe: >1 GiB of task results at 500k docs under a dense dup
+    // fixture). spark.graft.dedup.broadcastVerify=false drops the hint
+    // and lets the planner/AQE pick the join from the REAL runtime size
+    // — broadcast when the candidate set is genuinely small, co-
+    // partitioned shuffle join when it is not.
     cand
-      .join(broadcast(shingled).as("A"), col("id_a") === col("A.doc_id"))
-      .join(broadcast(shingled).as("B"), col("id_b") === col("B.doc_id"))
+      .join(side(shingled).as("A"), col("id_a") === col("A.doc_id"))
+      .join(side(shingled).as("B"), col("id_b") === col("B.doc_id"))
       .withColumn("jaccard",
         size(array_intersect(col("A.__sh"), col("B.__sh"))).cast("double") /
           size(array_union(col("A.__sh"), col("B.__sh"))).cast("double"))
@@ -316,18 +333,25 @@ object Dedup {
       .distinct()
     val cand = if (materializeCandidates) candLazy.localCheckpoint(true)
       else candLazy
+    // same verify-join strategy knob as [[nearDuplicatesWithBands]]: the
+    // broadcast hints bound driver/executor memory by the CANDIDATE set,
+    // which a dense-dup corpus can grow to O(corpus·dup-rate) — flip
+    // spark.graft.dedup.broadcastVerify=false there and let AQE pick
+    val hint = fresh.sparkSession.conf
+      .get("spark.graft.dedup.broadcastVerify", "true").toBoolean
+    def side(d: DataFrame) = if (hint) broadcast(d) else d
     val shingleOf = (d: DataFrame) => d.select(col("doc_id"),
       org.apache.spark.sql.graft.HashingExpressions
         .wordShingles(rawTokens(col("doc_text")), shingleSize).as("__sh"))
     val shIdx = shingleOf(indexed.select(id.as("doc_id"), text.as("doc_text"))
-      .join(broadcast(cand.select(col("indexed_id").as("doc_id"))),
+      .join(side(cand.select(col("indexed_id").as("doc_id"))),
         Seq("doc_id"), "left_semi"))
     val shNew = shingleOf(fresh.select(id.as("doc_id"), text.as("doc_text"))
-      .join(broadcast(cand.select(col("new_id").as("doc_id"))),
+      .join(side(cand.select(col("new_id").as("doc_id"))),
         Seq("doc_id"), "left_semi"))
     cand
-      .join(broadcast(shNew).as("N"), col("new_id") === col("N.doc_id"))
-      .join(broadcast(shIdx).as("I"), col("indexed_id") === col("I.doc_id"))
+      .join(side(shNew).as("N"), col("new_id") === col("N.doc_id"))
+      .join(side(shIdx).as("I"), col("indexed_id") === col("I.doc_id"))
       .withColumn("jaccard",
         size(array_intersect(col("N.__sh"), col("I.__sh"))).cast("double") /
           size(array_union(col("N.__sh"), col("I.__sh"))).cast("double"))

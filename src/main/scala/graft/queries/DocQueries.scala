@@ -220,10 +220,9 @@ object DocQueries {
     * oracle chains open with (same 15-hex md5 draw as duckBucket).
     */
   private[queries] val boundedDocsCte: String =
-    """docs AS (
+    s"""docs AS (
       |  SELECT * FROM documents
-      |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-      |          AS BIGINT) %
+      |  WHERE ${duckDraw("doc_id")} %
       |        (SELECT GREATEST(CAST(CEIL(COUNT(*) / 500.0) AS BIGINT), 1)
       |         FROM documents) = 0)""".stripMargin
 

@@ -110,8 +110,16 @@ package object queries {
     * prefix expression for the same id. Compose as
     * `ORDER BY ${duckBucket("doc_id")}, doc_id ASC`.
     */
+  /** THE cross-engine 60-bit md5 draw, DuckDB side (Spark side:
+    * [[graft.operators.Sampling.hashBucket]]). ONE definition — both
+    * [[duckBucket]] and the bounded-corpus CTE compose it; an inline
+    * second copy is the drift mode the centroid CTEs hit once already.
+    */
+  private[graft] def duckDraw(id: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
   private[graft] def duckBucket(id: String): String =
-    s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT) % $OrderBuckets"
+    s"${duckDraw(id)} % $OrderBuckets"
 
   /** Total order for a small result ABOVE a shuffle (agg/join/window):
     * coalesce the reduce side to one task and sort in place — no extra

@@ -41,28 +41,33 @@ object EventsStreaming {
   // still observes the flipped conf while a drain holds it (the conf is
   // session-global by nature) — a caller needing full isolation drains
   // on spark.newSession(), which shares the context but not the SQLConf.
+  // keyed by SESSION REFERENCE (IdentityHashMap), never by
+  // identityHashCode alone: two live sessions can share an identity
+  // hash, and a shared scope entry would skip setting the flag on the
+  // second session (its drain misreads) and restore the wrong session's
+  // prior value. Entries are removed at the last exit, so the strong
+  // key reference does not pin stopped sessions.
   private val nanosScopes =
-    new java.util.HashMap[Int, (Int, Option[String])]()
+    new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
 
   private[streaming] def withNanosConf[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val id = System.identityHashCode(spark)
     nanosScopes.synchronized {
-      val cur = nanosScopes.get(id)
+      val cur = nanosScopes.get(spark)
       if (cur == null) {
-        nanosScopes.put(id, (1, spark.conf.getOption(key)))
+        nanosScopes.put(spark, (1, spark.conf.getOption(key)))
         spark.conf.set(key, "true")
-      } else nanosScopes.put(id, (cur._1 + 1, cur._2))
+      } else nanosScopes.put(spark, (cur._1 + 1, cur._2))
     }
     try f finally nanosScopes.synchronized {
-      val (n, prev) = nanosScopes.get(id)
+      val (n, prev) = nanosScopes.get(spark)
       if (n <= 1) {
-        nanosScopes.remove(id)
+        nanosScopes.remove(spark)
         prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)
         }
-      } else nanosScopes.put(id, (n - 1, prev))
+      } else nanosScopes.put(spark, (n - 1, prev))
     }
   }
 

@@ -11,14 +11,17 @@ import graft.sources.Tables
   * bigram-LM) — the five operators whose BASELINE rows extrapolate from
   * 10×/20× measurements. 100× of sf0.1 documents ≈ 500k docs.
   *
-  * Replication transform: every token of copy i is interleaved with a
-  * copy-marker token (`t1 k<i> t2 k<i> …`), so every shingle/bigram of a
-  * copy contains the marker — copies of the SAME doc are NOT near-dups
-  * of each other, while the original corpus's own near-dup pairs stay
-  * near-dups within each copy. That keeps duplicate PRESSURE constant
-  * per decade (the honest web-corpus growth axis); ScaleProbe's
-  * prefix-marker transform instead grows Ω(factor²) true pairs, which
-  * measures clique explosion, not operator scaling.
+  * Replication transform: copy i renames every token with an `_i`
+  * suffix — a per-copy BIJECTIVE token renaming, so each copy's n-gram
+  * equality structure is EXACTLY the original corpus's (its own
+  * near-dups stay near-dups) while cross-copy n-gram overlap is zero.
+  * Duplicate pressure stays constant per decade — the honest web-corpus
+  * growth axis. Two rejected transforms, both fixture artifacts: a
+  * prefix marker (ScaleProbe) grows Ω(factor²) true pairs (clique
+  * explosion); an INTERLEAVED marker (`t1 k<i> t2 k<i>`) halves n-gram
+  * specificity — a 4-token winnow fingerprint degrades to 2 real
+  * tokens, which blew winnow pairs from 280 to 45.7M at 10× in this
+  * probe's first run.
   *
   * Usage: runMain graft.tools.Probe100 [sfDir] [maxFactor]
   * Prints one line per (op, factor) plus per-decade growth ratios.
@@ -31,6 +34,11 @@ object Probe100 {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
+      // the 100× leg is exactly the regime where forcing the verify
+      // broadcast is wrong (candidate set scales with the corpus) —
+      // run the adaptive join path the 100 TB guidance prescribes
+      .config("spark.graft.dedup.broadcastVerify", "false")
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,8 +52,13 @@ object Probe100 {
       else spark.range(factor).crossJoin(docs1)
         .select(
           (col("id") * n1 * 10 + col("doc_id")).as("doc_id"),
+          // suffix must be tokenizer-proof: rawTokens splits on
+          // [^\p{L}\p{N}]+, so an underscore would detach the copy id
+          // into its own marker token shared by every doc of the copy —
+          // exactly the n-gram dilution the class doc rejects. "x<i>"
+          // stays inside the token.
           array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(" k"), col("id").cast("string"))), " ")
+            t => concat(t, lit("x"), col("id").cast("string"))), " ")
             .as("text"))
 
     def time(f: => Long): (Double, Long) = {

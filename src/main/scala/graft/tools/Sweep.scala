@@ -19,8 +19,8 @@ package graft.tools
 object Sweep {
 
   def main(args: Array[String]): Unit = {
-    // all three SFs by default — the sf0.1 leg (stall oracles pruned)
-    // is what caught the IVF recall cliff; pass explicit dirs to narrow
+    // all three SFs by default — the sf0.1 leg is what caught the IVF
+    // recall cliff; pass explicit dirs to narrow
     val sfs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",

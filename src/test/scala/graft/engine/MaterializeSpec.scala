@@ -64,6 +64,31 @@ class MaterializeSpec extends SparkTestBase {
     }
   }
 
+  test("persist mode bounds retained frames: the ring evicts the oldest") {
+    // persist pins frames in the CacheManager by strong reference —
+    // without the retention ring a long-lived engine would grow cache
+    // entries unboundedly, one per page query (code-review finding r10)
+    withMode(Some("persist")) {
+      spark.conf.set(Materialize.RetainConfKey, "2")
+      try {
+        import org.apache.spark.sql.functions.lit
+        val frames = (1 to 4).map { i =>
+          Materialize.bounded(v.messages.filter(lit(i) === lit(i))
+            .limit(i)) // distinct plans: no CacheManager key collision
+        }
+        assert(frames(0).storageLevel === StorageLevel.NONE,
+          "oldest frame must be evicted once the cap is exceeded")
+        assert(frames(1).storageLevel === StorageLevel.NONE)
+        assert(frames(2).storageLevel !== StorageLevel.NONE)
+        assert(frames(3).storageLevel !== StorageLevel.NONE)
+        // evicted frames still RETURN correct rows (lineage intact —
+        // persist-mode eviction only drops the cache, never the data)
+        assert(frames(0).count() === 1)
+        frames.foreach(_.unpersist())
+      } finally spark.conf.unset(Materialize.RetainConfKey)
+    }
+  }
+
   test("unknown mode is rejected, not defaulted") {
     withMode(Some("bogus")) {
       intercept[IllegalArgumentException] {

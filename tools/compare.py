@@ -60,8 +60,13 @@ def main(sf_dir, out_dir):
             print(f"✓ pass {name} ({len(s_rows)} rows, ordered)")
             n_pass += 1
         elif sorted(s_rows) == sorted(d_rows):
-            print(f"~ pass-unordered {name} ({len(s_rows)} rows) — ROW ORDER DIFFERS")
-            n_pass += 1
+            # a HARD failure since round 10: every query declares a total
+            # order, and order-contract oracles (message_summaries_by_ids
+            # rank preservation) are only certified if order mismatches
+            # cannot sweep green
+            print(f"✗ FAIL {name}: values match but ROW ORDER DIFFERS "
+                  f"({len(s_rows)} rows) — fix the orderBy on one side")
+            n_fail += 1
         else:
             n_fail += 1
             s_set, d_set = set(s_rows), set(d_rows)
