@@ -7,10 +7,9 @@ same ordering), so per-query ratios are meaningful.
 Usage: duckbench.py <sfDir> <verifyOutDir> [threads] [skip,names]
 Dev tool only — not part of the library.
 
-Note: the dedup_minhash oracle is brute-force O(n^2) exact Jaccard — at
-sf0.1 (5000 docs, 12.5M pairs) it exceeds 20 minutes in DuckDB, vs 1.7s
-for the Spark LSH path answering the same question. Pass it in the skip
-list when timing the rest.
+Note: since round 10 the near-dup oracles run over a deterministic
+bounded draw (~500 docs at any SF), so the skip list is normally empty —
+every oracle is tractable at sf0.1.
 """
 import json, sys, time
 from pathlib import Path
