@@ -156,6 +156,42 @@ class MsgEngineSpec extends SparkTestBase {
     assert(m3.getAs[scala.collection.Seq[String]]("labels").toSeq == Seq("INBOX"))
   }
 
+  test("fused enrichment side-aggregate: null-skip semantics per mixed group") {
+    // The from-party columns and the label array aggregate ONE unioned
+    // stream (round 10). These mixtures pin the null-skip contract:
+    // a labels-only message must not let label rows (null ordering)
+    // win the from-party min_by; a from-only message must get [] labels
+    // (collect_list null skip), and a message with neither junction row
+    // must coalesce cleanly after the left join.
+    import Fixtures._
+    val vv = vault(spark,
+      messages = Seq(
+        msg(1, "both", "2024-01-01 10:00:00", senderId = None),
+        msg(2, "labels only", "2024-01-02 10:00:00", senderId = None),
+        msg(3, "from only", "2024-01-03 10:00:00", senderId = None),
+        msg(4, "neither", "2024-01-04 10:00:00", senderId = Some(7))),
+      recipients = Seq(
+        MrRow(1, 7, "from", None), MrRow(3, 8, "from", None),
+        // two from-recipients on one message: min_by picks pid 7
+        MrRow(1, 8, "from", None)),
+      participants = Seq(
+        PRow(7, Some("seven@x.com"), Some("Seven"), None, Some("x.com")),
+        PRow(8, Some("eight@x.com"), Some("Eight"), None, Some("x.com"))),
+      labels = Seq(LblRow(1, "INBOX"), LblRow(2, "work")),
+      messageLabels = Seq(MlRow(1, 2), MlRow(2, 1), MlRow(2, 2)))
+    val out = rows(new MsgEngine(vv).listMessages(MessageFilter()))
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("from_email"),
+          r.getAs[scala.collection.Seq[String]]("labels").toSeq))).toMap
+    assert(out(1L) == (("seven@x.com", Seq("work"))), "both junctions")
+    assert(out(2L) == (("", Seq("INBOX", "work"))),
+      "label rows must never win the from-party columns")
+    assert(out(3L) == (("eight@x.com", Nil)),
+      "from rows must never land in the label array")
+    assert(out(4L) == (("seven@x.com", Nil)),
+      "no junction rows: direct sender_id fallback + empty labels")
+  }
+
   test("searchFast: text term matches subject case-insensitively AND across terms") {
     val out = rows(engine.searchFast("quarterly report"))
     assert(out.map(_.getAs[Long]("id")).sorted == Seq(1L, 2))
