@@ -408,7 +408,12 @@ final class MsgEngine(val vault: MsgVault) {
     * GetMessageSummariesByIDs engine.go:34-42) — the hybrid-search result
     * path: ids arrive ranked, summaries must come back in that order. The
     * rank is carried through the enrichment joins as a column and
-    * re-sorted at the end (joins don't preserve order).
+    * re-sorted at the end (joins don't preserve order). Visibility: BOTH
+    * hide-deleted rules apply (sqlite.go:715-748 uses
+    * LiveMessagesWhere("m", true)) — a deleted/retired id is silently
+    * DROPPED, which is the documented caller contract ("treat absent
+    * rows as deleted, skip"); unlike [[messageDetail]], which is a
+    * point lookup with no visibility filter (shared.go WHERE m.id = ?).
     */
   def messageSummariesByIds(ids: Seq[Long]): DataFrame = {
     if (ids.isEmpty) return enrich(vault.messages.limit(0))
@@ -419,6 +424,7 @@ final class MsgEngine(val vault: MsgVault) {
     val rankDf = spark.createDataFrame(ids.zipWithIndex.distinctBy(_._1))
       .toDF("__rid", "__rank")
     val page = vault.messages
+      .filter(filters.liveMessages(hideDeletedFromSource = true))
       .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
     enrich(page.drop("__rid"))
       .join(broadcast(rankDf), col("id") === col("__rid"), "inner")

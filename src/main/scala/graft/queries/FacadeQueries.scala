@@ -567,14 +567,19 @@ object FacadeQueries {
   /** Rank-order preservation under the hash gate (reference
     * GetMessageSummariesByIDs engine.go:34-42): ids arrive ranked (the
     * hybrid-search result path), summaries must come back in exactly that
-    * order, with a repeated id collapsing to its FIRST slot. The oracle
-    * carries the same (id, rank) pairs as a VALUES list and orders by
-    * rank — the driver's compare is order-sensitive, so a pass certifies
-    * the order contract, not just the row set.
+    * order, with a repeated id collapsing to its FIRST slot and hidden
+    * ids silently DROPPED — sqlite.go:715-748 applies
+    * LiveMessagesWhere("m", true), so the list deliberately includes a
+    * dedup-deleted id (194 = 2·97) and a source-deleted id (178 = 2·89)
+    * that must be absent from the output. The oracle carries the same
+    * (id, rank) pairs as a VALUES list and orders by rank — compare.py
+    * hard-fails on row-order mismatch, so a pass certifies the order
+    * contract, not just the row set.
     */
   def messageSummaries(s: SparkSession, dir: String): DataFrame =
     engine(s, dir)
-      .messageSummariesByIds(Seq(402L, 7L, 402L, 133L, 88L, 260L, 19L))
+      .messageSummariesByIds(
+        Seq(402L, 194L, 7L, 402L, 133L, 178L, 88L, 260L, 19L))
       .select(col("id"), col("subject"), col("snippet"), col("from_email"),
         col("from_name"), col("sent_at"),
         array_join(col("labels"), ",").as("labels"),
@@ -583,7 +588,8 @@ object FacadeQueries {
   val messageSummariesSql: String =
     s"""$starCte,
        |r(rid, rnk) AS (
-       |  VALUES (402, 0), (7, 1), (133, 3), (88, 4), (260, 5), (19, 6)),
+       |  VALUES (402, 0), (194, 1), (7, 2), (133, 4), (178, 5), (88, 6),
+       |         (260, 7), (19, 8)),
        |lbl AS (
        |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
        |  FROM ml GROUP BY message_id)
@@ -594,6 +600,7 @@ object FacadeQueries {
        |         AS conversation_title
        |FROM r
        |JOIN m ON m.id = r.rid
+       |  AND NOT m.is_deleted AND NOT m.is_src_deleted
        |JOIN p ON p.pid = (m.id * 7) % 30
        |LEFT JOIN lbl ON lbl.message_id = m.id
        |ORDER BY r.rnk ASC""".stripMargin

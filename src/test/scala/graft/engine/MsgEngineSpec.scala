@@ -358,6 +358,15 @@ class MsgEngineSpec extends SparkTestBase {
     assert(out.head.getAs[String]("title") == "Family chat")
   }
 
+  test("messageSummariesByIds drops hidden ids silently (both delete kinds)") {
+    // reference sqlite.go:715-748: LiveMessagesWhere("m", true) — a
+    // dedup loser (4) AND a source-deleted row (5) must be absent, in
+    // the requested order for the rest ("treat absent rows as deleted,
+    // skip" — engine.go:34-42)
+    val out = engine.messageSummariesByIds(Seq(4L, 3L, 5L, 1L)).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 1L))
+  }
+
   test("messageSummariesByIds preserves the requested ranking") {
     val out = engine.messageSummariesByIds(Seq(3L, 1L, 6L)).collect()
     assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 1L, 6L))
