@@ -84,12 +84,27 @@ final class MsgEngine(val vault: MsgVault) {
     aggregateFiltered(view, filters.compile(optsFilter(opts)), opts, granularity)
 
   /** Drill-down: same aggregation over a filtered subset (reference
-    * SubAggregate duckdb.go:1025-1065).
+    * SubAggregate duckdb.go:1025-1065). The reference merges the
+    * OPTS-side scalar conditions ON TOP of the filter: sourceId /
+    * after / before / attachments-only are ANDed (duckdb.go:1041-1056),
+    * hideDeletedFromSource is the OR of both fields (duckdb.go:1034-38).
+    * opts.sourceIds is deliberately NOT applied here — the reference's
+    * SubAggregate checks only the scalar SourceID, unlike the top-level
+    * aggregate path (collections scoping rides the filter instead).
     */
   def subAggregate(view: ViewType, filter: MessageFilter,
       opts: AggregateOptions = AggregateOptions(),
-      granularity: TimeGranularity = TimeGranularity.Month): DataFrame =
-    aggregateFiltered(view, filters.compile(filter), opts, granularity)
+      granularity: TimeGranularity = TimeGranularity.Month): DataFrame = {
+    val f = if (opts.hideDeletedFromSource)
+      filter.copy(hideDeletedFromSource = true) else filter
+    var msg = filters.compile(f)
+    opts.sourceId.foreach(v => msg = msg.filter(col("source_id") === v))
+    opts.after.foreach(t => msg = msg.filter(col("sent_at") >= lit(t)))
+    opts.before.foreach(t => msg = msg.filter(col("sent_at") < lit(t)))
+    if (opts.withAttachmentsOnly)
+      msg = msg.filter(col("has_attachments") === true)
+    aggregateFiltered(view, msg, opts, granularity)
+  }
 
   private def aggregateFiltered(view: ViewType, msgIn: DataFrame,
       opts: AggregateOptions, granularity: TimeGranularity): DataFrame = {
@@ -871,37 +886,93 @@ final class MsgEngine(val vault: MsgVault) {
       .withColumn("__contact_pid", coalesce(col("sender_id"), col("__f_pid")))
   }
 
-  def aggregateTextContacts(opts: AggregateOptions = AggregateOptions()): DataFrame = {
-    val p = vault.participants
-    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
-    val withContact = withContactPid(msg)
-    val pd = p.select(p("id").as("__p_id"),
-      participantNameOf(p).as("contact"))
-    withContact
-      .join(pd, col("__contact_pid") === col("__p_id"))
-      .filter(col("contact").isNotNull)
-      .groupBy(col("contact").as("key"))
+  /** Shared texts-mode aggregate tail: group → count/size → total_unique
+    * window → sort/limit (the runAggregation shape every text view
+    * shares, duckdb_text.go:244-294).
+    */
+  private def textAggTail(keyed: DataFrame,
+      opts: AggregateOptions): DataFrame =
+    keyed
+      .groupBy(col("__tkey").as("key"))
       .agg(count(lit(1)).as("count"),
         coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"))
       .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
       .orderBy(col("count").desc, col("key").asc)
       .limit(if (opts.limit > 0) opts.limit else 100)
+
+  /** The contact-resolved frame both contact views share: chat messages
+    * joined to the dual-path contact participant.
+    */
+  private def textContactFrame(opts: AggregateOptions,
+      key: DataFrame => Column): DataFrame = {
+    val p = vault.participants
+    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
+    val pd = p.select(p("id").as("__p_id"), key(p).as("__tkey"))
+    withContactPid(msg)
+      .join(pd, col("__contact_pid") === col("__p_id"))
+      .filter(col("__tkey").isNotNull)
   }
 
-  /** Texts-mode source aggregate (reference duckdb_text.go:191-294
-    * ViewSources branch): chat messages grouped by the account identifier.
+  /** TextEngine.TextAggregate, method-for-method (text_engine.go:15-16):
+    * dispatch over the five reference views (textAggViewDef
+    * duckdb_text.go:191-243).
+    */
+  def textAggregate(view: TextViewType,
+      opts: AggregateOptions = AggregateOptions(),
+      granularity: TimeGranularity = TimeGranularity.Month): DataFrame =
+    view match {
+      case TextViewType.Contacts => aggregateTextContacts(opts)
+      case TextViewType.ContactNames => aggregateTextContactNames(opts)
+      case TextViewType.Sources => aggregateTextSources(opts)
+      case TextViewType.Labels => aggregateTextLabels(opts)
+      case TextViewType.Time => aggregateTextTime(opts, granularity)
+    }
+
+  /** Texts-mode contact aggregate (reference TextViewContacts,
+    * duckdb_text.go:196-207): key = COALESCE(NULLIF(phone, ''), email)
+    * — the ADDRESS, phone-first. The display-name view is the separate
+    * [[aggregateTextContactNames]] (TextViewContactNames).
+    */
+  def aggregateTextContacts(opts: AggregateOptions = AggregateOptions()): DataFrame =
+    textAggTail(textContactFrame(opts, p =>
+      coalesce(nullif(p("phone_number"), lit("")), p("email_address"))),
+      opts)
+
+  /** Texts-mode contact-NAME aggregate (reference TextViewContactNames,
+    * duckdb_text.go:209-218): key = display_name → phone → email chain.
+    */
+  def aggregateTextContactNames(opts: AggregateOptions = AggregateOptions()): DataFrame =
+    textAggTail(textContactFrame(opts, participantNameOf), opts)
+
+  /** Texts-mode source aggregate (reference TextViewSources,
+    * duckdb_text.go:220-225): chat messages grouped by the source TYPE
+    * ('gmail'/'imap'/…), not the account identifier.
     */
   def aggregateTextSources(opts: AggregateOptions = AggregateOptions()): DataFrame = {
     val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
     val src = vault.sources.select(col("id").as("__s_id"),
-      col("identifier").as("key"))
-    msg.join(src, col("source_id") === col("__s_id"))
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("count"),
-        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"))
-      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
-      .orderBy(col("count").desc, col("key").asc)
-      .limit(if (opts.limit > 0) opts.limit else 100)
+      col("source_type").as("__tkey"))
+    textAggTail(
+      msg.join(src, col("source_id") === col("__s_id"))
+        .filter(col("__tkey").isNotNull),
+      opts)
+  }
+
+  /** Texts-mode label aggregate (reference TextViewLabels,
+    * duckdb_text.go:226-233): chat messages fanned out over their
+    * labels, keyed by label name.
+    */
+  def aggregateTextLabels(opts: AggregateOptions = AggregateOptions()): DataFrame = {
+    val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
+    val ml = vault.messageLabels.select(col("message_id").as("__ml_mid"),
+      col("label_id").as("__ml_lid"))
+    val lbl = vault.labels.select(col("id").as("__lbl_id"),
+      col("name").as("__tkey"))
+    textAggTail(
+      msg.join(ml, msg("id") === col("__ml_mid"))
+        .join(lbl, col("__lbl_id") === col("__ml_lid"))
+        .filter(col("__tkey").isNotNull),
+      opts)
   }
 
   /** Texts-mode time aggregate (duckdb_text.go ViewTime branch). */
@@ -922,6 +993,18 @@ final class MsgEngine(val vault: MsgVault) {
     * bounds reuse the MessageFilter compiler; contact phone/name resolve
     * through the dual-path sender and semi-join a broadcast participant
     * set; source_type semi-joins the sources dim.
+    *
+    * Deliberate divergence, documented: the reference's DuckDB text
+    * surfaces apply NO live-messages rule at all (no `deleted_at IS
+    * NULL` anywhere in duckdb_text.go's WHERE building) — but the store
+    * contract says dedup-hidden rows "must not appear in normal
+    * user-facing reads" (store/live_messages.go:17-19), and the text
+    * path only gets away without the clause because its sources never
+    * carry deleted_at in practice. This engine honors the documented
+    * intent: every text surface hides dedup losers
+    * (liveMessages(false) via the MessageFilter compiler);
+    * [[textSearch]] additionally hides source-deleted rows, matching
+    * its live-ruled SQLite twin (sqlite_text.go:455).
     */
   private def compileTextFilter(filter: TextFilter): DataFrame = {
     val base = MessageFilter(sourceId = filter.sourceId,
@@ -1048,12 +1131,16 @@ final class MsgEngine(val vault: MsgVault) {
   /** Texts-mode full-text search (reference TextSearch
     * duckdb_text.go:399-452: FTS5 over chat types, sent_at DESC, default
     * limit 50; empty query → empty result). Runs over the bodies sidecar
-    * like [[searchDeep]].
+    * like [[searchDeep]]. Visibility: BOTH hide-deleted rules — the
+    * SQLite TextSearch twin applies LiveMessagesWhere("m", true)
+    * (sqlite_text.go:415-455), the one text-mode surface in either
+    * reference backend that carries an explicit live rule.
     */
   def textSearch(query: String, bodies: DataFrame, limit: Int = 50,
       offset: Int = 0): DataFrame = {
     val q = SearchParser.parse(query)
-    val matched0 = deepMatchesParsed(q, bodies, MessageFilter(),
+    val matched0 = deepMatchesParsed(q, bodies,
+      MessageFilter(hideDeletedFromSource = true),
       filters.textsOnly)
     // reference returns nil for "" and FTS5 ERRORS on a whitespace-only
     // MATCH (duckdb_text.go:399-412) — guard on the PARSED text terms,

@@ -136,6 +136,25 @@ object MessageSortField {
     }
 }
 
+/** Texts-mode aggregate view (reference text_models.go TextViewType /
+  * duckdb_text.go:191-243 textAggViewDef — the five views the text TUI
+  * cycles through). Same reject-unknown string boundary as [[ViewType]].
+  */
+sealed abstract class TextViewType(val name: String)
+object TextViewType {
+  case object Contacts extends TextViewType("Contacts")
+  case object ContactNames extends TextViewType("Contact Names")
+  case object Sources extends TextViewType("Sources")
+  case object Labels extends TextViewType("Labels")
+  case object Time extends TextViewType("Time")
+  val all: Seq[TextViewType] =
+    Seq(Contacts, ContactNames, Sources, Labels, Time)
+
+  def fromName(s: String): Either[String, TextViewType] =
+    all.find(_.name.equalsIgnoreCase(s.trim))
+      .toRight(s"unsupported text view type: $s")
+}
+
 /** Texts-mode conversation-list sort (reference text_models.go TextSortBy*). */
 sealed trait TextSortField
 object TextSortField {

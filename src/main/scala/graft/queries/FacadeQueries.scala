@@ -405,7 +405,8 @@ object FacadeQueries {
        |  FROM ml GROUP BY message_id),
        |hits AS (
        |  SELECT m.* FROM m JOIN documents d ON d.doc_id = m.id
-       |  WHERE NOT m.is_deleted AND m.message_type = 'sms'
+       |  WHERE NOT m.is_deleted AND NOT m.is_src_deleted
+       |    AND m.message_type = 'sms'
        |    AND len(list_filter(string_split(d.text, ' '),
        |          t -> t LIKE 'data%')) > 0)
        |SELECT h.id, h.subject, p.email AS from_email, p.pname AS from_name,
@@ -455,21 +456,47 @@ object FacadeQueries {
 
   // --- Texts-mode aggregates (contacts / sources / time) --------------------
 
-  /** Contact aggregate (reference duckdb_text.go:191-294): chat types
-    * only, contact = COALESCE(sender_id, first from-recipient) resolved
-    * through the participants dim, keyed by display-name fallback chain.
+  /** Contact aggregate (reference TextViewContacts duckdb_text.go:
+    * 196-207): chat types only, contact = COALESCE(sender_id, first
+    * from-recipient) resolved through the participants dim, keyed by
+    * the ADDRESS — COALESCE(NULLIF(phone, ''), email); star phones are
+    * NULL, so the key is the participant email.
     */
   def aggTextContacts(s: SparkSession, dir: String): DataFrame =
     engine(s, dir).aggregateTextContacts(AggregateOptions(limit = 25))
       .select(col("key"), col("count").as("msg_count"), col("total_size"),
         col("total_unique"))
 
-  val aggTextContactsSql: String =
+  private val textContactCtes: String =
     s"""$starCte,
        |chats AS (SELECT * FROM m
        |  WHERE NOT is_deleted AND message_type = 'sms'),
        |c AS (SELECT ch.*, COALESCE(ch.sender_id, (ch.id * 7) % 30) AS cpid
-       |      FROM chats ch),
+       |      FROM chats ch)""".stripMargin
+
+  val aggTextContactsSql: String =
+    s"""$textContactCtes,
+       |g AS (
+       |  SELECT p.email AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(c.size_estimate), 0) AS BIGINT)
+       |           AS total_size
+       |  FROM c JOIN p ON p.pid = c.cpid GROUP BY 1)
+       |SELECT key, msg_count, total_size,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
+       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 25""".stripMargin
+
+  /** Contact-NAME aggregate (reference TextViewContactNames
+    * duckdb_text.go:209-218): same contact resolution, keyed by the
+    * display-name fallback chain.
+    */
+  def aggTextContactNames(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir).aggregateTextContactNames(AggregateOptions(limit = 25))
+      .select(col("key"), col("count").as("msg_count"), col("total_size"),
+        col("total_unique"))
+
+  val aggTextContactNamesSql: String =
+    s"""$textContactCtes,
        |g AS (
        |  SELECT 'Person ' || CAST(cpid AS VARCHAR) AS key,
        |         CAST(COUNT(*) AS BIGINT) AS msg_count,
@@ -479,8 +506,9 @@ object FacadeQueries {
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
        |FROM g ORDER BY msg_count DESC, key ASC LIMIT 25""".stripMargin
 
-  /** Source aggregate (duckdb_text.go ViewSources branch): chat messages
-    * grouped by the owning account identifier.
+  /** Source aggregate (reference TextViewSources duckdb_text.go:220-225):
+    * chat messages grouped by the source TYPE, not the account
+    * identifier.
     */
   def aggTextSources(s: SparkSession, dir: String): DataFrame =
     engine(s, dir).aggregateTextSources(AggregateOptions())
@@ -490,11 +518,33 @@ object FacadeQueries {
   val aggTextSourcesSql: String =
     s"""$starCte,
        |g AS (
-       |  SELECT CASE source_id WHEN 0 THEN 'a@gm.example'
-       |              WHEN 1 THEN 'b@im.example' ELSE 'c@mb.example' END AS key,
+       |  SELECT CASE source_id WHEN 0 THEN 'gmail'
+       |              WHEN 1 THEN 'imap' ELSE 'mbox' END AS key,
        |         CAST(COUNT(*) AS BIGINT) AS msg_count,
        |         CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size
        |  FROM m WHERE NOT is_deleted AND message_type = 'sms'
+       |  GROUP BY 1)
+       |SELECT key, msg_count, total_size,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
+       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 100""".stripMargin
+
+  /** Label aggregate (reference TextViewLabels duckdb_text.go:226-233):
+    * chat messages fanned out over their labels, keyed by label name.
+    */
+  def aggTextLabels(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir).aggregateTextLabels(AggregateOptions())
+      .select(col("key"), col("count").as("msg_count"), col("total_size"),
+        col("total_unique"))
+
+  val aggTextLabelsSql: String =
+    s"""$starCte,
+       |g AS (
+       |  SELECT ml.name AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(m.size_estimate), 0) AS BIGINT)
+       |           AS total_size
+       |  FROM m JOIN ml ON ml.message_id = m.id
+       |  WHERE NOT m.is_deleted AND m.message_type = 'sms'
        |  GROUP BY 1)
        |SELECT key, msg_count, total_size,
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
@@ -720,6 +770,9 @@ object FacadeQueries {
       "text_stats" -> (textStats _, Some(textStatsSql)),
       "sub_aggregate" -> (subAggregate _, Some(subAggregateSql)),
       "agg_text_contacts" -> (aggTextContacts _, Some(aggTextContactsSql)),
+      "agg_text_contact_names" ->
+        (aggTextContactNames _, Some(aggTextContactNamesSql)),
+      "agg_text_labels" -> (aggTextLabels _, Some(aggTextLabelsSql)),
       "agg_text_sources" -> (aggTextSources _, Some(aggTextSourcesSql)),
       "agg_text_time" -> (aggTextTime _, Some(aggTextTimeSql)),
       "list_messages" -> (listMessages _, Some(listMessagesSql)),

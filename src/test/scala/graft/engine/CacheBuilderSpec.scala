@@ -161,11 +161,17 @@ class CacheBuilderSpec extends SparkTestBase {
 
   test("aggregateTextContacts: chat messages grouped by resolved contact") {
     val engine = new MsgEngine(sourceVault(9))
+    // TextViewContacts keys by ADDRESS (phone else email —
+    // duckdb_text.go:196-207; participant 1 has no phone → email)
     val out = engine.aggregateTextContacts().collect()
-    // chat msgs are i%3==0 (3,6,9) all with sender_id=1 → contact "A"
+    // chat msgs are i%3==0 (3,6,9) all with sender_id=1
     assert(out.length == 1)
-    assert(out(0).getString(0) == "A")
+    assert(out(0).getString(0) == "a@x.com")
     assert(out(0).getLong(1) == 3)
+    // TextViewContactNames keys by the display-name chain
+    val names = engine.aggregateTextContactNames().collect()
+    assert(names.length == 1)
+    assert(names(0).getString(0) == "A")
   }
 
   test("streamBuild: checkpoint-driven incremental append (exactly-once per file)") {
@@ -249,9 +255,11 @@ class CacheBuilderSpec extends SparkTestBase {
 
   test("aggregateTextSources / aggregateTextTime: chat-only buckets") {
     val engine = new MsgEngine(sourceVault(9))
+    // TextViewSources keys by source TYPE, not account identifier
+    // (duckdb_text.go:220-225)
     val bySrc = engine.aggregateTextSources().collect()
     assert(bySrc.length == 1)
-    assert(bySrc(0).getString(0) == "acct@x.com" && bySrc(0).getLong(1) == 3)
+    assert(bySrc(0).getString(0) == "gmail" && bySrc(0).getLong(1) == 3)
     // chat msgs 3,6,9 → months 2024-04, 2024-07, 2024-10 (i%12+1)
     val byTime = engine.aggregateTextTime().collect().map(_.getString(0)).toSeq
     assert(byTime == Seq("2024-04", "2024-07", "2024-10"))

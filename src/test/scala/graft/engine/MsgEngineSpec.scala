@@ -118,6 +118,24 @@ class MsgEngineSpec extends SparkTestBase {
     assert(byKey == Map("2024-01" -> 1, "2024-02" -> 1))
   }
 
+  test("subAggregate merges opts-side scalar conditions onto the filter") {
+    // reference SubAggregate duckdb.go:1034-1056: hideDeletedFromSource
+    // ORs into the filter; after/attachments-only AND on top
+    def keys(opts: AggregateOptions) =
+      rows(engine.subAggregate(ViewType.Senders, MessageFilter(), opts))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keys(AggregateOptions()) ==
+      Map("alice@a.com" -> 2, "bob@b.org" -> 1, "dave@a.com" -> 1))
+    assert(keys(AggregateOptions(hideDeletedFromSource = true)) ==
+      Map("alice@a.com" -> 2, "bob@b.org" -> 1),
+      "opts.hideDeletedFromSource must hide the source-deleted row")
+    assert(keys(AggregateOptions(withAttachmentsOnly = true)) ==
+      Map("alice@a.com" -> 1))
+    assert(keys(AggregateOptions(
+      after = Some(Fixtures.ts("2024-02-01 00:00:00")))) ==
+      Map("alice@a.com" -> 1, "bob@b.org" -> 1, "dave@a.com" -> 1))
+  }
+
   test("sender filter matches chat sender via sender_id (dual path)") {
     val out = rows(engine.filters.compile(MessageFilter(sender = "+447700900123")))
     assert(out.map(_.getAs[Long]("id")) == Seq(6))

@@ -215,11 +215,16 @@ class TextModeSpec extends SparkTestBase {
 
   test("contact aggregate counts fallback-resolved messages (integration_test.go:309-330)") {
     // Alice: direct sender of 41,43,51 AND fallback contact of 52 (null
-    // sender) — 4 total; display-name key per participantNameOf
+    // sender) — 4 total. TextViewContacts keys by ADDRESS, phone-first
+    // (the reference integration test asserts the PHONE key, exactly
+    // this shape); the display-name chain is the ContactNames view.
     val rows = edgeEngine.aggregateTextContacts().collect()
       .map(r => r.getAs[String]("key") -> r.getAs[Long]("count")).toMap
-    assert(rows("Alice") == 4L, s"got $rows")
-    assert(rows("Bob") == 1L)
+    assert(rows("+15551234567") == 4L, s"got $rows")
+    assert(rows("b@y.org") == 1L) // Bob: no phone → email fallback
+    val names = edgeEngine.aggregateTextContactNames().collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("count")).toMap
+    assert(names("Alice") == 4L && names("Bob") == 1L, s"got $names")
   }
 
   test("textStats: chat-only totals with snippet search") {
