@@ -867,10 +867,6 @@ final class MsgEngine(val vault: MsgVault) {
       .orderBy(col("source_message_id").asc)
   }
 
-  /** Texts-mode contact aggregate (reference duckdb_text.go:191-294):
-    * chat types only; contact = direct sender_id, falling back to the
-    * first from-recipient (deterministic min_by).
-    */
   /** Dual-path contact resolution shared by the texts-mode paths: contact
     * participant = direct sender_id, falling back to the first (min_by)
     * from-recipient — reference duckdb_text.go's COALESCE(msg.sender_id,
@@ -886,19 +882,47 @@ final class MsgEngine(val vault: MsgVault) {
       .withColumn("__contact_pid", coalesce(col("sender_id"), col("__f_pid")))
   }
 
-  /** Shared texts-mode aggregate tail: group → count/size → total_unique
-    * window → sort/limit (the runAggregation shape every text view
-    * shares, duckdb_text.go:244-294).
+  /** Shared texts-mode aggregate tail — the FULL runAggregation shape
+    * every text view routes through (duckdb_text.go:287-293 →
+    * duckdb.go:784-806): optional search terms over subject/snippet/
+    * sender/key columns, attachment rollup left-join, 6-column
+    * AggregateRow (key, count, total_size, attachment_size,
+    * attachment_count, total_unique), opts-selected sort (count desc
+    * default) with the deterministic key-asc tiebreak this engine adds
+    * everywhere, default limit 100.
     */
-  private def textAggTail(keyed: DataFrame,
-      opts: AggregateOptions): DataFrame =
-    keyed
+  private def textAggTail(keyed0: DataFrame, opts: AggregateOptions,
+      labelKey: Boolean = false): DataFrame = {
+    var keyed = keyed0
+    if (opts.searchQuery.nonEmpty)
+      keyed = filters.compileSearch(keyed,
+        SearchParser.parse(opts.searchQuery),
+        keyCols = Seq(col("__tkey")), idCol = Some(col("id")),
+        senderFallback = false,
+        labelKeyCol = if (labelKey) Some(col("__tkey")) else None)
+    val att = vault.attachmentRollup
+    val grouped = keyed
+      .join(att, col("__att_mid") === keyed("id"), "left")
       .groupBy(col("__tkey").as("key"))
       .agg(count(lit(1)).as("count"),
-        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"))
+        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
+        coalesce(sum(col("__att_size")), lit(0L)).cast("long")
+          .as("attachment_size"),
+        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long")
+          .as("attachment_count"))
       .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
-      .orderBy(col("count").desc, col("key").asc)
-      .limit(if (opts.limit > 0) opts.limit else 100)
+    val sortCol = opts.sortField match {
+      case SortField.Count => col("count")
+      case SortField.Size => col("total_size")
+      case SortField.AttachmentSize => col("attachment_size")
+      case SortField.Name => col("key")
+    }
+    val ordered = opts.sortDirection match {
+      case SortDirection.Desc => grouped.orderBy(sortCol.desc, col("key").asc)
+      case SortDirection.Asc => grouped.orderBy(sortCol.asc, col("key").asc)
+    }
+    ordered.limit(if (opts.limit > 0) opts.limit else 100)
+  }
 
   /** The contact-resolved frame both contact views share: chat messages
     * joined to the dual-path contact participant.
@@ -972,20 +996,22 @@ final class MsgEngine(val vault: MsgVault) {
       msg.join(ml, msg("id") === col("__ml_mid"))
         .join(lbl, col("__lbl_id") === col("__ml_lid"))
         .filter(col("__tkey").isNotNull),
-      opts)
+      opts, labelKey = true)
   }
 
-  /** Texts-mode time aggregate (duckdb_text.go ViewTime branch). */
+  /** Texts-mode time aggregate (reference TextViewTime,
+    * duckdb_text.go:234-239): same runAggregation tail as every view —
+    * the reference's default ordering here is count DESC (sortClause
+    * duckdb.go:810-827), NOT bucket order; callers wanting a timeline
+    * pass SortField.Name (= the key).
+    */
   def aggregateTextTime(opts: AggregateOptions = AggregateOptions(),
       granularity: TimeGranularity = TimeGranularity.Month): DataFrame = {
     val msg = filters.compile(optsFilter(opts)).filter(filters.textsOnly)
-    msg.filter(col("sent_at").isNotNull)
-      .groupBy(timeKey(granularity).as("key"))
-      .agg(count(lit(1)).as("count"),
-        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"))
-      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
-      .orderBy(col("key").asc)
-      .limit(if (opts.limit > 0) opts.limit else 100)
+    textAggTail(
+      msg.filter(col("sent_at").isNotNull)
+        .withColumn("__tkey", timeKey(granularity)),
+      opts)
   }
 
   /** TextFilter → filtered chat-type message frame (reference

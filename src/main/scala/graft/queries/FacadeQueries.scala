@@ -462,10 +462,16 @@ object FacadeQueries {
     * the ADDRESS — COALESCE(NULLIF(phone, ''), email); star phones are
     * NULL, so the key is the participant email.
     */
+  /** The 6-column AggregateRow shape every text view returns
+    * (runAggregation duckdb.go:784-806), as a shared Spark-side select.
+    */
+  private def textAggCols(df: DataFrame): DataFrame =
+    df.select(col("key"), col("count").as("msg_count"), col("total_size"),
+      col("attachment_size"), col("attachment_count"), col("total_unique"))
+
   def aggTextContacts(s: SparkSession, dir: String): DataFrame =
-    engine(s, dir).aggregateTextContacts(AggregateOptions(limit = 25))
-      .select(col("key"), col("count").as("msg_count"), col("total_size"),
-        col("total_unique"))
+    textAggCols(engine(s, dir)
+      .aggregateTextContacts(AggregateOptions(limit = 25)))
 
   private val textContactCtes: String =
     s"""$starCte,
@@ -474,104 +480,114 @@ object FacadeQueries {
        |c AS (SELECT ch.*, COALESCE(ch.sender_id, (ch.id * 7) % 30) AS cpid
        |      FROM chats ch)""".stripMargin
 
+  /** The 6-column tail of each oracle's per-key CTE (att joined at the
+    * message grain before grouping, as runAggregation does).
+    */
+  private def textAggTailSql(keyExpr: String, from: String,
+      where: String = ""): String =
+    s"""g AS (
+       |  SELECT $keyExpr AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(tbl.size_estimate), 0) AS BIGINT)
+       |           AS total_size,
+       |         CAST(COALESCE(SUM(att.att_size), 0) AS BIGINT)
+       |           AS attachment_size,
+       |         CAST(COUNT(att.message_id) AS BIGINT) AS attachment_count
+       |  FROM $from
+       |  LEFT JOIN att ON att.message_id = tbl.id
+       |  $where
+       |  GROUP BY 1)
+       |SELECT key, msg_count, total_size, attachment_size,
+       |       attachment_count,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
+       |FROM g""".stripMargin
+
   val aggTextContactsSql: String =
     s"""$textContactCtes,
-       |g AS (
-       |  SELECT p.email AS key,
-       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
-       |         CAST(COALESCE(SUM(c.size_estimate), 0) AS BIGINT)
-       |           AS total_size
-       |  FROM c JOIN p ON p.pid = c.cpid GROUP BY 1)
-       |SELECT key, msg_count, total_size,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
-       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 25""".stripMargin
+       |${textAggTailSql("p.email", "c tbl JOIN p ON p.pid = tbl.cpid")}
+       |ORDER BY msg_count DESC, key ASC LIMIT 25""".stripMargin
 
   /** Contact-NAME aggregate (reference TextViewContactNames
     * duckdb_text.go:209-218): same contact resolution, keyed by the
     * display-name fallback chain.
     */
   def aggTextContactNames(s: SparkSession, dir: String): DataFrame =
-    engine(s, dir).aggregateTextContactNames(AggregateOptions(limit = 25))
-      .select(col("key"), col("count").as("msg_count"), col("total_size"),
-        col("total_unique"))
+    textAggCols(engine(s, dir)
+      .aggregateTextContactNames(AggregateOptions(limit = 25)))
 
   val aggTextContactNamesSql: String =
     s"""$textContactCtes,
-       |g AS (
-       |  SELECT 'Person ' || CAST(cpid AS VARCHAR) AS key,
-       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
-       |         CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size
-       |  FROM c GROUP BY 1)
-       |SELECT key, msg_count, total_size,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
-       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 25""".stripMargin
+       |${textAggTailSql("'Person ' || CAST(tbl.cpid AS VARCHAR)", "c tbl")}
+       |ORDER BY msg_count DESC, key ASC LIMIT 25""".stripMargin
 
   /** Source aggregate (reference TextViewSources duckdb_text.go:220-225):
     * chat messages grouped by the source TYPE, not the account
     * identifier.
     */
   def aggTextSources(s: SparkSession, dir: String): DataFrame =
-    engine(s, dir).aggregateTextSources(AggregateOptions())
-      .select(col("key"), col("count").as("msg_count"), col("total_size"),
-        col("total_unique"))
+    textAggCols(engine(s, dir).aggregateTextSources(AggregateOptions()))
 
   val aggTextSourcesSql: String =
     s"""$starCte,
-       |g AS (
-       |  SELECT CASE source_id WHEN 0 THEN 'gmail'
-       |              WHEN 1 THEN 'imap' ELSE 'mbox' END AS key,
-       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
-       |         CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size
-       |  FROM m WHERE NOT is_deleted AND message_type = 'sms'
-       |  GROUP BY 1)
-       |SELECT key, msg_count, total_size,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
-       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 100""".stripMargin
+       |${textAggTailSql(
+      "CASE tbl.source_id WHEN 0 THEN 'gmail' WHEN 1 THEN 'imap' " +
+        "ELSE 'mbox' END",
+      "m tbl",
+      "WHERE NOT tbl.is_deleted AND tbl.message_type = 'sms'")}
+       |ORDER BY msg_count DESC, key ASC LIMIT 100""".stripMargin
 
   /** Label aggregate (reference TextViewLabels duckdb_text.go:226-233):
     * chat messages fanned out over their labels, keyed by label name.
     */
   def aggTextLabels(s: SparkSession, dir: String): DataFrame =
-    engine(s, dir).aggregateTextLabels(AggregateOptions())
-      .select(col("key"), col("count").as("msg_count"), col("total_size"),
-        col("total_unique"))
+    textAggCols(engine(s, dir).aggregateTextLabels(AggregateOptions()))
 
   val aggTextLabelsSql: String =
     s"""$starCte,
-       |g AS (
-       |  SELECT ml.name AS key,
-       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
-       |         CAST(COALESCE(SUM(m.size_estimate), 0) AS BIGINT)
-       |           AS total_size
-       |  FROM m JOIN ml ON ml.message_id = m.id
-       |  WHERE NOT m.is_deleted AND m.message_type = 'sms'
-       |  GROUP BY 1)
-       |SELECT key, msg_count, total_size,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
-       |FROM g ORDER BY msg_count DESC, key ASC LIMIT 100""".stripMargin
+       |${textAggTailSql("lb.name", "m tbl JOIN ml lb ON lb.message_id = tbl.id",
+      "WHERE NOT tbl.is_deleted AND tbl.message_type = 'sms'")}
+       |ORDER BY msg_count DESC, key ASC LIMIT 100""".stripMargin
+
+  /** The searchQuery path through the text-aggregate tail: a text term
+    * that matches ONLY the grouping key column (label name) — reference
+    * buildAggregateSearchConditions ORs the view's key columns into each
+    * term's match set (duckdb.go:443-470), so only the matching label's
+    * bucket survives. Sorted by Name asc to exercise the opts sort
+    * plumbing (sortClause duckdb.go:810-827).
+    */
+  def aggTextLabelsSearch(s: SparkSession, dir: String): DataFrame =
+    textAggCols(engine(s, dir).aggregateTextLabels(
+      AggregateOptions(searchQuery = "personal",
+        sortField = SortField.Name, sortDirection = SortDirection.Asc)))
+
+  val aggTextLabelsSearchSql: String =
+    s"""$starCte,
+       |${textAggTailSql("lb.name", "m tbl JOIN ml lb ON lb.message_id = tbl.id",
+      """WHERE NOT tbl.is_deleted AND tbl.message_type = 'sms'
+       |    AND (contains(lower(tbl.subject), 'personal')
+       |         OR contains(lower(tbl.snippet), 'personal')
+       |         OR contains(lower(lb.name), 'personal'))""".stripMargin)}
+       |ORDER BY key ASC LIMIT 100""".stripMargin
 
   /** Time aggregate (duckdb_text.go ViewTime branch), day granularity —
     * the star's minute-per-doc timestamps span a handful of days, so the
     * day key exercises the bucket arithmetic with multiple output rows.
     */
   def aggTextTime(s: SparkSession, dir: String): DataFrame =
-    engine(s, dir).aggregateTextTime(AggregateOptions(),
-      TimeGranularity.Day)
-      .select(col("key"), col("count").as("msg_count"), col("total_size"),
-        col("total_unique"))
+    // Name-asc = chronological bucket order (the reference's DEFAULT here
+    // is count desc like every aggregate — sortClause duckdb.go:810-827;
+    // a timeline caller passes SortField.Name, which this entry pins)
+    textAggCols(engine(s, dir).aggregateTextTime(
+      AggregateOptions(sortField = SortField.Name,
+        sortDirection = SortDirection.Asc),
+      TimeGranularity.Day))
 
   val aggTextTimeSql: String =
     s"""$starCte,
-       |g AS (
-       |  SELECT strftime(sent_at, '%Y-%m-%d') AS key,
-       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
-       |         CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size
-       |  FROM m WHERE NOT is_deleted AND message_type = 'sms'
-       |    AND sent_at IS NOT NULL
-       |  GROUP BY 1)
-       |SELECT key, msg_count, total_size,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS total_unique
-       |FROM g ORDER BY key ASC LIMIT 100""".stripMargin
+       |${textAggTailSql("strftime(tbl.sent_at, '%Y-%m-%d')", "m tbl",
+      """WHERE NOT tbl.is_deleted AND tbl.message_type = 'sms'
+       |    AND tbl.sent_at IS NOT NULL""".stripMargin)}
+       |ORDER BY key ASC LIMIT 100""".stripMargin
 
   // --- ListMessages (compound filter, paged + enriched) ---------------------
 
@@ -773,6 +789,8 @@ object FacadeQueries {
       "agg_text_contact_names" ->
         (aggTextContactNames _, Some(aggTextContactNamesSql)),
       "agg_text_labels" -> (aggTextLabels _, Some(aggTextLabelsSql)),
+      "agg_text_labels_search" ->
+        (aggTextLabelsSearch _, Some(aggTextLabelsSearchSql)),
       "agg_text_sources" -> (aggTextSources _, Some(aggTextSourcesSql)),
       "agg_text_time" -> (aggTextTime _, Some(aggTextTimeSql)),
       "list_messages" -> (listMessages _, Some(listMessagesSql)),

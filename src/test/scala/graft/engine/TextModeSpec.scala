@@ -119,6 +119,32 @@ class TextModeSpec extends SparkTestBase {
     assert(engine.textSearch("   ", bodies).collect().isEmpty)
   }
 
+  test("textSearch hides BOTH delete kinds (sqlite_text.go:455 LiveMessagesWhere m,true)") {
+    import spark.implicits._
+    val vv = Fixtures.vault(spark,
+      messages = Seq(
+        msg(71, "", "2024-01-01 10:00:00", convId = 1, senderId = Some(1),
+          msgType = Some("sms"), snippet = "live"),
+        msg(72, "", "2024-01-02 10:00:00", convId = 1, senderId = Some(1),
+          msgType = Some("sms"), snippet = "dedup loser",
+          deletedAt = Some("2024-02-01 00:00:00")),
+        msg(73, "", "2024-01-03 10:00:00", convId = 1, senderId = Some(1),
+          msgType = Some("sms"), snippet = "server deleted",
+          deletedFromSourceAt = Some("2024-02-01 00:00:00"))),
+      recipients = Seq(MrRow(71, 1, "from", None), MrRow(72, 1, "from", None),
+        MrRow(73, 1, "from", None)),
+      participants = Seq(
+        PRow(1, Some("a@x.com"), Some("Alice"), None, Some("x.com"))))
+    val bodies = Seq((71L, "pizza live"), (72L, "pizza hidden"),
+      (73L, "pizza gone")).toDF("message_id", "body_text")
+      .withColumn("tokens", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("body_text"), " "))
+      .select(col("message_id"), col("tokens"))
+    val hits = new MsgEngine(vv).textSearch("pizza", bodies).collect()
+    assert(hits.map(_.getAs[Long]("id")).toSeq == Seq(71L),
+      "deleted and source-deleted chats must never surface in text search")
+  }
+
   // ==========================================================================
   // Case-per-reference-test parity for the conversation-list edge cases
   // (textimport/integration_test.go:155-380; duckdb_text.go:108-158;
