@@ -823,9 +823,12 @@ final class MsgEngine(val vault: MsgVault) {
     * source_type, identifier, display_name}, models.go:330-336).
     */
   def listAccounts(): DataFrame =
+    // reference shape exactly (sqlite.go:853-858): display_name
+    // coalesces to '' (NOT the identifier), ordered by identifier
+    // (id tiebreak added for determinism under duplicate identifiers)
     vault.sources.select(col("id"), col("source_type"), col("identifier"),
-      coalesce(col("display_name"), col("identifier")).as("display_name"))
-      .orderBy(col("id").asc)
+      coalesce(col("display_name"), lit("")).as("display_name"))
+      .orderBy(col("identifier").asc, col("id").asc)
 
   /** Unpaged match count for a fast search (reference SearchFastCount
     * engine.go:55-57 — the "N of M results" pagination count).

@@ -510,12 +510,23 @@ class MsgEngineSpec extends SparkTestBase {
     assert(d3.getAs[String]("body_html") == "")
   }
 
-  test("listAccounts lists sources with identifier fallback display name") {
+  test("listAccounts: '' display-name fallback, identifier order (sqlite.go:853-858)") {
     val accts = rows(engine.listAccounts())
     assert(accts.length == 1)
     assert(accts.head.getAs[String]("identifier") == "acct@example.com")
-    assert(accts.head.getAs[String]("display_name") == "acct@example.com")
+    // the reference coalesces a NULL display_name to '' — NOT to the
+    // identifier (that fallback is the participant-name chain's rule)
+    assert(accts.head.getAs[String]("display_name") == "")
     assert(accts.head.getAs[String]("source_type") == "gmail")
+    // ordered by identifier, not id
+    val vv = Fixtures.vault(spark,
+      messages = Seq(msg(1, "m", "2024-01-01 10:00:00")),
+      recipients = Seq(MrRow(1, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))),
+      sources = Seq(SrcRow(1, "zz@x.com", Some("gmail")),
+        SrcRow(2, "aa@x.com", Some("imap"))))
+    assert(new MsgEngine(vv).listAccounts().collect()
+      .map(_.getAs[String]("identifier")).toSeq == Seq("aa@x.com", "zz@x.com"))
   }
 
   test("searchFastCount is the unpaged total for a paged search") {
