@@ -122,14 +122,26 @@ final class MsgEngine(val vault: MsgVault) {
         // Labels view: label: terms filter the grouping column itself
         // (duckdb.go:521-541) — only matching labels become result rows
         labelKeyCol = if (view == ViewType.Labels) Some(key) else None)
+    aggregateTail(joined0, key, msgIn("id"), msgIn("size_estimate"), opts)
+  }
+
+  /** THE shared aggregate tail (reference runAggregation
+    * duckdb.go:773-806) — email-mode views and texts-mode views both
+    * route here, so a sort/limit/rollup parity fix can never fork the
+    * two surfaces: attachment rollup left-join at the message grain,
+    * 6-column AggregateRow, opts-selected sort (count desc default)
+    * with this engine's deterministic key-asc tiebreak, default limit
+    * 100.
+    */
+  private def aggregateTail(joined0: DataFrame, key: Column, idCol: Column,
+      sizeCol: Column, opts: AggregateOptions): DataFrame = {
     val att = vault.attachmentRollup
-    val joined = joined0
-      .join(att, col("__att_mid") === msgIn("id"), "left")
-    val grouped = joined
+    val grouped = joined0
+      .join(att, col("__att_mid") === idCol, "left")
       .groupBy(key.as("key"))
       .agg(
         count(lit(1)).as("count"),
-        coalesce(sum(msgIn("size_estimate")), lit(0L)).as("total_size"),
+        coalesce(sum(sizeCol), lit(0L)).as("total_size"),
         coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
         coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"))
       .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
@@ -885,14 +897,10 @@ final class MsgEngine(val vault: MsgVault) {
       .withColumn("__contact_pid", coalesce(col("sender_id"), col("__f_pid")))
   }
 
-  /** Shared texts-mode aggregate tail — the FULL runAggregation shape
-    * every text view routes through (duckdb_text.go:287-293 →
-    * duckdb.go:784-806): optional search terms over subject/snippet/
-    * sender/key columns, attachment rollup left-join, 6-column
-    * AggregateRow (key, count, total_size, attachment_size,
-    * attachment_count, total_unique), opts-selected sort (count desc
-    * default) with the deterministic key-asc tiebreak this engine adds
-    * everywhere, default limit 100.
+  /** Texts-mode entry to [[aggregateTail]] (duckdb_text.go:287-293
+    * routes every text view through the same runAggregation): applies
+    * the optional search terms over subject/snippet/sender/key columns
+    * first, then the shared 6-column tail keyed by `__tkey`.
     */
   private def textAggTail(keyed0: DataFrame, opts: AggregateOptions,
       labelKey: Boolean = false): DataFrame = {
@@ -903,28 +911,8 @@ final class MsgEngine(val vault: MsgVault) {
         keyCols = Seq(col("__tkey")), idCol = Some(col("id")),
         senderFallback = false,
         labelKeyCol = if (labelKey) Some(col("__tkey")) else None)
-    val att = vault.attachmentRollup
-    val grouped = keyed
-      .join(att, col("__att_mid") === keyed("id"), "left")
-      .groupBy(col("__tkey").as("key"))
-      .agg(count(lit(1)).as("count"),
-        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
-        coalesce(sum(col("__att_size")), lit(0L)).cast("long")
-          .as("attachment_size"),
-        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long")
-          .as("attachment_count"))
-      .withColumn("total_unique", count(lit(1)).over(Window.partitionBy()))
-    val sortCol = opts.sortField match {
-      case SortField.Count => col("count")
-      case SortField.Size => col("total_size")
-      case SortField.AttachmentSize => col("attachment_size")
-      case SortField.Name => col("key")
-    }
-    val ordered = opts.sortDirection match {
-      case SortDirection.Desc => grouped.orderBy(sortCol.desc, col("key").asc)
-      case SortDirection.Asc => grouped.orderBy(sortCol.asc, col("key").asc)
-    }
-    ordered.limit(if (opts.limit > 0) opts.limit else 100)
+    aggregateTail(keyed, col("__tkey"), keyed0("id"), col("size_estimate"),
+      opts)
   }
 
   /** The contact-resolved frame both contact views share: chat messages

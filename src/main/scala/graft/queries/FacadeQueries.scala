@@ -182,7 +182,8 @@ object FacadeQueries {
       |  UNION ALL SELECT id, 'work' FROM m WHERE id % 7 = 0
       |  UNION ALL SELECT id, 'personal' FROM m WHERE id % 2 = 0),
       |att AS (
-      |  SELECT id AS message_id, id % 500 + 10 AS att_size
+      |  SELECT id AS message_id, id % 500 + 10 AS att_size,
+      |         1 AS att_cnt
       |  FROM m WHERE id % 11 = 0)""".stripMargin
 
   // --- SearchFast (metadata search, paged + enriched) -----------------------
@@ -249,7 +250,7 @@ object FacadeQueries {
        |       CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size,
        |       CAST(COALESCE(SUM(att.att_size), 0) AS BIGINT)
        |         AS attachment_size,
-       |       CAST(COUNT(att.message_id) AS BIGINT) AS attachment_count,
+       |       CAST(COALESCE(SUM(att.att_cnt), 0) AS BIGINT) AS attachment_count,
        |       CAST(COUNT(DISTINCT matches.source_id) AS BIGINT)
        |         AS distinct_sources,
        |       (SELECT CAST(COUNT(DISTINCT ml.name) AS BIGINT) FROM ml
@@ -447,7 +448,7 @@ object FacadeQueries {
        |           AS total_size,
        |         CAST(COALESCE(SUM(att.att_size), 0) AS BIGINT)
        |           AS attachment_size,
-       |         CAST(COUNT(att.message_id) AS BIGINT) AS attachment_count
+       |         CAST(COALESCE(SUM(att.att_cnt), 0) AS BIGINT) AS attachment_count
        |  FROM f LEFT JOIN att ON att.message_id = f.id
        |  GROUP BY key)
        |SELECT key, msg_count, total_size, attachment_size, attachment_count,
@@ -456,12 +457,6 @@ object FacadeQueries {
 
   // --- Texts-mode aggregates (contacts / sources / time) --------------------
 
-  /** Contact aggregate (reference TextViewContacts duckdb_text.go:
-    * 196-207): chat types only, contact = COALESCE(sender_id, first
-    * from-recipient) resolved through the participants dim, keyed by
-    * the ADDRESS — COALESCE(NULLIF(phone, ''), email); star phones are
-    * NULL, so the key is the participant email.
-    */
   /** The 6-column AggregateRow shape every text view returns
     * (runAggregation duckdb.go:784-806), as a shared Spark-side select.
     */
@@ -469,6 +464,12 @@ object FacadeQueries {
     df.select(col("key"), col("count").as("msg_count"), col("total_size"),
       col("attachment_size"), col("attachment_count"), col("total_unique"))
 
+  /** Contact aggregate (reference TextViewContacts duckdb_text.go:
+    * 196-207): chat types only, contact = COALESCE(sender_id, first
+    * from-recipient) resolved through the participants dim, keyed by
+    * the ADDRESS — COALESCE(NULLIF(phone, ''), email); star phones are
+    * NULL, so the key is the participant email.
+    */
   def aggTextContacts(s: SparkSession, dir: String): DataFrame =
     textAggCols(engine(s, dir)
       .aggregateTextContacts(AggregateOptions(limit = 25)))
@@ -492,7 +493,7 @@ object FacadeQueries {
        |           AS total_size,
        |         CAST(COALESCE(SUM(att.att_size), 0) AS BIGINT)
        |           AS attachment_size,
-       |         CAST(COUNT(att.message_id) AS BIGINT) AS attachment_count
+       |         CAST(COALESCE(SUM(att.att_cnt), 0) AS BIGINT) AS attachment_count
        |  FROM $from
        |  LEFT JOIN att ON att.message_id = tbl.id
        |  $where
@@ -560,13 +561,26 @@ object FacadeQueries {
       AggregateOptions(searchQuery = "personal",
         sortField = SortField.Name, sortDirection = SortDirection.Asc)))
 
+  // the per-term OR replays compileSearch's FULL match set — subject,
+  // snippet, from-participant email/name, and the key column. The
+  // sender branch is vacuous for 'personal' by construction ("Person N"
+  // does not contain it), but leaving it out would make the oracle
+  // structurally narrower than the engine and a participant-recipe
+  // tweak away from a false mismatch.
   val aggTextLabelsSearchSql: String =
     s"""$starCte,
        |${textAggTailSql("lb.name", "m tbl JOIN ml lb ON lb.message_id = tbl.id",
       """WHERE NOT tbl.is_deleted AND tbl.message_type = 'sms'
        |    AND (contains(lower(tbl.subject), 'personal')
        |         OR contains(lower(tbl.snippet), 'personal')
-       |         OR contains(lower(lb.name), 'personal'))""".stripMargin)}
+       |         OR contains(lower(lb.name), 'personal')
+       |         OR EXISTS (
+       |           SELECT 1 FROM mr JOIN p ON p.pid = mr.participant_id
+       |           WHERE mr.message_id = tbl.id
+       |             AND mr.recipient_type = 'from'
+       |             AND (contains(lower(p.email), 'personal')
+       |                  OR contains(lower(p.pname), 'personal'))))"""
+        .stripMargin)}
        |ORDER BY key ASC LIMIT 100""".stripMargin
 
   /** Time aggregate (duckdb_text.go ViewTime branch), day granularity —
@@ -765,7 +779,7 @@ object FacadeQueries {
        |       CAST(COALESCE(SUM(size_estimate), 0) AS BIGINT) AS total_size,
        |       CAST(COALESCE(SUM(att.att_size), 0) AS BIGINT)
        |         AS attachment_size,
-       |       CAST(COUNT(att.message_id) AS BIGINT) AS attachment_count,
+       |       CAST(COALESCE(SUM(att.att_cnt), 0) AS BIGINT) AS attachment_count,
        |       CAST(COUNT(DISTINCT chats.source_id) AS BIGINT)
        |         AS distinct_sources,
        |       (SELECT CAST(COUNT(DISTINCT ml.name) AS BIGINT) FROM ml
