@@ -147,15 +147,25 @@ object Bench {
     val extLoad =
       if (load1 < 0 || ownCores < 0) -1.0
       else math.max(0.0, math.max(load0, load1) - ownCores)
-    val flagged = load0 > 1.0 || extLoad > 1.5
+    // name WHICH signal fired: BENCH_r10 read flagged:true with
+    // ext_load:0.0 and left the reader to reverse-engineer that the
+    // pre-existing-load check was the trigger
+    val flagReasons =
+      (if (load0 > 1.0) Seq("pre_load") else Nil) ++
+        (if (extLoad > 1.5) Seq("ext_load") else Nil)
+    val flagged = flagReasons.nonEmpty
 
     // when flagged, re-time the 3 slowest queries once each so the artifact
     // carries a second reading the judge can compare without a manual re-run
-    // (under transient load the rerun often lands back in the quiet band)
-    val rerun: Seq[(String, Double)] =
+    // (under transient load the rerun often lands back in the quiet band).
+    // Both readings are reported with the MIN marked authoritative — a
+    // rerun can itself land on a noisy scheduler moment (r10:
+    // export_roundtrip re-timed 0.54→0.90 s), and min-of-both is the same
+    // steady-state estimator the main loop's best-of-4 uses.
+    val rerun: Seq[(String, Double, Double)] =
       if (!flagged) Nil
       else results.filter(_._2 >= 0).sortBy(-_._2).take(3).map {
-        case (name, _) => name -> timedRun(bench(name))
+        case (name, first) => (name, first, timedRun(bench(name)))
       }
 
     // Emit under the consumer's tail budget: try 3-decimal values, then
@@ -169,12 +179,18 @@ object Bench {
     val noiseStr = {
       val rr =
         if (rerun.isEmpty) ""
-        else rerun.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
-          .mkString(",\"rerun\":{", ",", "}")
+        else rerun.map { case (k, first, second) =>
+          val best = if (second >= 0) math.min(first, second) else first
+          "\"" + k + "\":{\"first\":" + fmt(first, 2) +
+            ",\"rerun\":" + fmt(second, 2) + ",\"min\":" + fmt(best, 2) + "}"
+        }.mkString(",\"rerun\":{", ",", "}")
+      val fr =
+        if (flagReasons.isEmpty) ""
+        else flagReasons.mkString(",\"flag_reason\":\"", "+", "\"")
       s""","noise":{"load_before":${fmt(load0, 2)},"load_after":${fmt(load1, 2)},""" +
         s""""own_cores":${fmt(ownCores, 2)},"cgroup_cpu_sec":${fmt(cgSec, 1)},""" +
         s""""wall_sec":${fmt(wallSec, 1)},"ext_load":${fmt(extLoad, 2)},""" +
-        s""""flagged":$flagged$rr}"""
+        s""""flagged":$flagged$fr$rr}"""
     }
     def line(qs: Seq[(String, Double)], dec: Int, other: Double): String = {
       val entries = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) } ++

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, DocQueries, EmbedQueries, ExportQueries, FacadeQueries, MaintenanceQueries, MessageDedupQueries, PipelineQueries, SearchQueries, TemporalQueries}
+import graft.queries.{CoreQueries, DocQueries, EmbedQueries, ExportQueries, FacadeQueries, MaintenanceQueries, MessageDedupQueries, PipelineQueries, PointLookupQueries, SearchQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
     CoreQueries.all ++ DocQueries.all ++ SearchQueries.all ++
       PipelineQueries.all ++ TemporalQueries.all ++ MessageDedupQueries.all ++
       EmbedQueries.all ++ ExportQueries.all ++ MaintenanceQueries.all ++
-      FacadeQueries.all
+      FacadeQueries.all ++ PointLookupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

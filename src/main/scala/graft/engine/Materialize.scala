@@ -49,11 +49,25 @@ object Materialize {
     * cache/storage unboundedly, one entry per page. The ring bounds
     * that: page frames are consumed within a call or two, so anything
     * `retain` materializations old is safely releasable.
+    *
+    * Concurrent-engine caveat: eviction is by COUNT, and a released
+    * checkpoint frame has no lineage to recompute from — a query still
+    * reading a frame when `retain` newer materializations land would
+    * fail irrecoverably mid-flight (persist mode silently recomputes
+    * instead, itself unsound on snapshot-adjacent paths). Concurrent
+    * engines therefore either size `retain` above (max concurrent
+    * queries × pages per query) or set the shared grace knob
+    * `spark.graft.memo.releaseGraceMs` > 0: evicted frames are then
+    * RETIRED and released only after the grace elapses (drained on
+    * subsequent materializations), the same deferred-release contract
+    * the memoized-index artifacts use.
     */
   val RetainConfKey = "spark.graft.page.materialize.retain"
 
   private val retained =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val retiring =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, DataFrame)]()
 
   private def mode(df: DataFrame): String =
     df.sparkSession.conf.get(ConfKey, "localCheckpoint") match {
@@ -81,14 +95,38 @@ object Materialize {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  private def graceMs(df: DataFrame): Long =
+    try df.sparkSession.conf
+      .get("spark.graft.memo.releaseGraceMs", "0").toLong
+    catch { case _: NumberFormatException => 0L }
+
+  /** Release retired frames whose grace deadline has passed. Insertion
+    * order ≠ deadline order when the grace changes between evictions, so
+    * the whole (small) queue is scanned; remove(e) arbitrates concurrent
+    * drainers.
+    */
+  private def drainRetiring(): Unit = {
+    val now = System.currentTimeMillis()
+    val it = retiring.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 <= now && retiring.remove(e)) release(e._2)
+    }
+  }
+
   private def retain(df: DataFrame): DataFrame = {
     val cap =
       try df.sparkSession.conf.get(RetainConfKey, "32").toInt
       catch { case _: NumberFormatException => 32 }
     retained.add(df)
+    drainRetiring()
     while (retained.size > math.max(cap, 1)) {
       val old = retained.poll()
-      if (old != null) release(old)
+      if (old != null) {
+        val g = graceMs(df)
+        if (g <= 0) release(old)
+        else retiring.add((System.currentTimeMillis() + g, old))
+      }
     }
     df
   }

@@ -444,15 +444,20 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def messageSummariesByIds(ids: Seq[Long]): DataFrame = {
     if (ids.isEmpty) return enrich(vault.messages.limit(0))
-    // dedup to the FIRST occurrence's slot: the rank frame joins twice
-    // (page cut, then rank re-attach after enrichment), so a repeated id
-    // — e.g. the same message surfacing from two un-deduped retrieval
-    // legs — would otherwise fan out quadratically (4 rows for 2 copies)
-    val rankDf = spark.createDataFrame(ids.zipWithIndex.distinctBy(_._1))
+    // page + enrich once per DISTINCT id (a repeated id must not be
+    // hydrated twice), but the reference's reassembly loop
+    // (sqlite.go:793-799) walks the ORIGINAL ids and appends one row PER
+    // occurrence — a repeated id, e.g. the same message surfacing from
+    // two un-deduped retrieval legs, yields one output row per slot. So
+    // the page cut joins the distinct ids and the rank re-attach joins
+    // the full (id, rank) list.
+    val distinctIds = spark.createDataFrame(ids.distinct.map(Tuple1(_)))
+      .toDF("__rid")
+    val rankDf = spark.createDataFrame(ids.zipWithIndex)
       .toDF("__rid", "__rank")
     val page = vault.messages
       .filter(filters.liveMessages(hideDeletedFromSource = true))
-      .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
+      .join(broadcast(distinctIds), col("id") === col("__rid"), "inner")
     enrich(page.drop("__rid"))
       .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
       .orderBy(col("__rank").asc)
@@ -717,11 +722,26 @@ final class MsgEngine(val vault: MsgVault) {
   /** Full message detail: participant lists per recipient_type, labels,
     * attachments (reference GetMessage duckdb.go:1790-1963 / sqlite path).
     * Point lookup: the id predicate prunes partitions + row groups.
+    * Null shaping follows getMessageByQueryShared (shared.go:257-268):
+    * subject/snippet/source_conversation_id → '', size_estimate → 0, and
+    * each attachment field coalesced (shared.go:163-166) — a NULL
+    * filename surfaces as '', never null.
     */
   def messageDetail(id: Long): DataFrame = {
     val mr = vault.recipients
     val p = vault.participants
+    val conv = vault.conversations.select(col("id").as("__cv_id"),
+      coalesce(col("source_conversation_id"), lit(""))
+        .as("source_conversation_id"))
     val one = vault.messages.filter(col("id") === id)
+      .withColumn("subject", coalesce(col("subject"), lit("")))
+      .withColumn("snippet", coalesce(col("snippet"), lit("")))
+      .withColumn("size_estimate", coalesce(col("size_estimate"), lit(0L)))
+      .join(broadcast(conv), col("conversation_id") === col("__cv_id"),
+        "left")
+      .withColumn("source_conversation_id",
+        coalesce(col("source_conversation_id"), lit("")))
+      .drop("__cv_id")
     val parties = mr.filter(mr("message_id") === id)
       .join(p, p("id") === mr("participant_id"))
       .groupBy(mr("message_id").as("__d_mid"))
@@ -732,8 +752,12 @@ final class MsgEngine(val vault: MsgVault) {
           p("phone_number"), p("email_address")).as("name")))))
     val atts = vault.attachments.filter(col("message_id") === id)
       .groupBy(col("message_id").as("__a_mid"))
-      .agg(array_sort(collect_list(struct(col("id"), col("filename"),
-        col("mime_type"), col("size"), col("content_hash")))).as("attachments"))
+      .agg(array_sort(collect_list(struct(col("id"),
+        coalesce(col("filename"), lit("")).as("filename"),
+        coalesce(col("mime_type"), lit("")).as("mime_type"),
+        coalesce(col("size"), lit(0L)).as("size"),
+        coalesce(col("content_hash"), lit("")).as("content_hash"))))
+        .as("attachments"))
     val lbls = vault.messageLabels.filter(col("message_id") === id)
       .join(vault.labels, vault.labels("id") === vault.messageLabels("label_id"))
       .groupBy(vault.messageLabels("message_id").as("__l_mid"))
@@ -899,8 +923,12 @@ final class MsgEngine(val vault: MsgVault) {
 
   /** Texts-mode entry to [[aggregateTail]] (duckdb_text.go:287-293
     * routes every text view through the same runAggregation): applies
-    * the optional search terms over subject/snippet/sender/key columns
-    * first, then the shared 6-column tail keyed by `__tkey`.
+    * the optional search terms first, then the shared 6-column tail
+    * keyed by `__tkey`. Text terms match subject/snippet/from-sender —
+    * plus the grouping key ONLY for the Labels view: textAggViewDef
+    * (duckdb_text.go:191-243) sets `keyColumns` on the TextViewLabels
+    * branch alone, so a Sources/Contacts/Time search term that matches
+    * only the key (e.g. "gmail" on Sources) matches NOTHING.
     */
   private def textAggTail(keyed0: DataFrame, opts: AggregateOptions,
       labelKey: Boolean = false): DataFrame = {
@@ -908,7 +936,8 @@ final class MsgEngine(val vault: MsgVault) {
     if (opts.searchQuery.nonEmpty)
       keyed = filters.compileSearch(keyed,
         SearchParser.parse(opts.searchQuery),
-        keyCols = Seq(col("__tkey")), idCol = Some(col("id")),
+        keyCols = if (labelKey) Seq(col("__tkey")) else Nil,
+        idCol = Some(col("id")),
         senderFallback = false,
         labelKeyCol = if (labelKey) Some(col("__tkey")) else None)
     aggregateTail(keyed, col("__tkey"), keyed0("id"), col("size_estimate"),

@@ -71,6 +71,7 @@ object MsgVault {
     "participants" -> Seq(
       "phone_number" -> lit(null).cast(StringType)),
     "conversations" -> Seq(
+      "source_conversation_id" -> lit(null).cast(StringType),
       "title" -> lit(null).cast(StringType),
       "conversation_type" -> lit(null).cast(StringType)),
     "sources" -> Seq(

@@ -202,9 +202,14 @@ object Dedup {
     // the id semi-join rides the same strategy knob as the verify joins
     // below: candIds is O(candidate pairs), and forcing its broadcast
     // at web-scale dup rates is the same driver-collect cliff (the 100×
-    // probe hit Spark's 512M-row broadcast refusal here)
+    // probe hit Spark's 512M-row broadcast refusal here). Default is
+    // ADAPTIVE (no hint): the planner/AQE broadcasts when the candidate
+    // set is genuinely small and falls back to a shuffle join when it is
+    // not — the only default that survives a dense-dup corpus. The hint
+    // (=true) remains an opt-in for bounded-candidate archives where
+    // skipping AQE's size probe shaves the small-case latency.
     val hint = docs.sparkSession.conf
-      .get("spark.graft.dedup.broadcastVerify", "true").toBoolean
+      .get("spark.graft.dedup.broadcastVerify", "false").toBoolean
     def side(d: DataFrame) = if (hint) broadcast(d) else d
     val shingled = docs
       .join(side(candIds), Seq("doc_id"), "left_semi")
@@ -214,16 +219,15 @@ object Dedup {
     // the two broadcast sides are the SAME subplan (aliased, not
     // re-projected) so the broadcast exchange is planned once and reused —
     // candidates are shingled and shipped a single time.
-    // The broadcast HINT is sound while the candidate set is small
+    // The broadcast HINT is sound only while the candidate set is small
     // relative to executor memory — true for archive-style corpora, NOT
     // for a web corpus where 30-50% of docs sit in some near-dup pair:
     // there candIds is O(corpus·dup-rate) and forcing the broadcast
     // collects the whole shingled set to the driver (found by the 100×
     // probe: >1 GiB of task results at 500k docs under a dense dup
-    // fixture). spark.graft.dedup.broadcastVerify=false drops the hint
-    // and lets the planner/AQE pick the join from the REAL runtime size
-    // — broadcast when the candidate set is genuinely small, co-
-    // partitioned shuffle join when it is not.
+    // fixture). That is why the DEFAULT is the un-hinted plan: AQE picks
+    // the join from the REAL runtime size — broadcast when the candidate
+    // set is genuinely small, co-partitioned shuffle join when it is not.
     cand
       .join(side(shingled).as("A"), col("id_a") === col("A.doc_id"))
       .join(side(shingled).as("B"), col("id_b") === col("B.doc_id"))
@@ -333,12 +337,13 @@ object Dedup {
       .distinct()
     val cand = if (materializeCandidates) candLazy.localCheckpoint(true)
       else candLazy
-    // same verify-join strategy knob as [[nearDuplicatesWithBands]]: the
-    // broadcast hints bound driver/executor memory by the CANDIDATE set,
-    // which a dense-dup corpus can grow to O(corpus·dup-rate) — flip
-    // spark.graft.dedup.broadcastVerify=false there and let AQE pick
+    // same verify-join strategy knob as [[nearDuplicatesWithBands]]:
+    // default adaptive (AQE picks from runtime candidate size — survives
+    // dense-dup corpora where candidates grow O(corpus·dup-rate));
+    // spark.graft.dedup.broadcastVerify=true opts back into the forced
+    // hint for bounded-candidate archives
     val hint = fresh.sparkSession.conf
-      .get("spark.graft.dedup.broadcastVerify", "true").toBoolean
+      .get("spark.graft.dedup.broadcastVerify", "false").toBoolean
     def side(d: DataFrame) = if (hint) broadcast(d) else d
     val shingleOf = (d: DataFrame) => d.select(col("doc_id"),
       org.apache.spark.sql.graft.HashingExpressions

@@ -48,9 +48,17 @@ object FacadeQueries {
   private val epochUs = StarFixture.epochUs
 
   /** The synthetic facade star, derived from `documents`. */
-  private[queries] def star(s: SparkSession, dir: String): MsgVault = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("d"))
+  private[queries] def star(s: SparkSession, dir: String): MsgVault =
+    starFromDocs(s, Tables.load(s, dir, "documents"))
+
+  /** [[star]] over an arbitrary documents frame — the reuse hook for the
+    * partitioned-star probe (graft.tools.PartitionedStarProbe), which
+    * derives the same star from a REPLICATED corpus and writes it
+    * through [[graft.engine.CacheBuilder.build]].
+    */
+  private[graft] def starFromDocs(s: SparkSession,
+      docsIn: DataFrame): MsgVault = {
+    val docs = docsIn.select(col("doc_id").cast("long").as("d"))
     val d = col("d")
     val ds = d.cast("string")
 
@@ -125,7 +133,7 @@ object FacadeQueries {
     * re-derived per query), and without the checkpoint every facade
     * run re-plans and re-executes the derivation joins' full lineage.
     */
-  private def engine(s: SparkSession, dir: String): MsgEngine =
+  private[graft] def engine(s: SparkSession, dir: String): MsgEngine =
     memoizedIndex[MsgEngine](s, dir, "facade_engine") {
       val v = star(s, dir)
       // facts only: localCheckpoint yields a LogicalRDD with NO size
@@ -140,8 +148,10 @@ object FacadeQueries {
         attachments = ck(v.attachments)))
     }
 
-  /** Shared star CTEs for the oracles (m / mr / p / ml / att dims). */
-  private val starCte: String =
+  /** Shared star CTEs for the oracles (m / mr / p / ml / att dims) —
+    * [[PointLookupQueries]] reuses it so its oracles replay the SAME star.
+    */
+  private[queries] val starCte: String =
     """WITH m AS (
       |  SELECT doc_id AS id,
       |         doc_id % 3 AS source_id,
@@ -583,6 +593,61 @@ object FacadeQueries {
         .stripMargin)}
        |ORDER BY key ASC LIMIT 100""".stripMargin
 
+  /** The searchQuery path through a NON-label text view — the reference
+    * sets per-term key-column matching ONLY for TextViewLabels
+    * (textAggViewDef duckdb_text.go:191-243 gives only the Labels branch
+    * `keyColumns`), so on Sources/Contacts/Time a text term matches just
+    * subject/snippet/from-participant. Two legs pin both sides of that
+    * rule: "invoice" matches via subject (non-empty buckets); "gmail"
+    * matches ONLY the grouping key and must therefore match NOTHING — an
+    * implementation that wrongly ORs the key into the term's match set
+    * returns the whole gmail-source bucket on the second leg.
+    */
+  def aggTextSourcesSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = engine(s, dir)
+    def leg(q: String, tag: String) =
+      textAggCols(e.aggregateTextSources(AggregateOptions(searchQuery = q)))
+        .withColumn("leg", lit(tag))
+    leg("invoice", "subject").unionByName(leg("gmail", "key"))
+      .orderBy(col("leg").asc, col("msg_count").desc, col("key").asc)
+  }
+
+  private def sourcesSearchLegSql(term: String, tag: String): String =
+    s"""g_$tag AS (
+       |  SELECT CASE tbl.source_id WHEN 0 THEN 'gmail' WHEN 1 THEN 'imap'
+       |              ELSE 'mbox' END AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS msg_count,
+       |         CAST(COALESCE(SUM(tbl.size_estimate), 0) AS BIGINT)
+       |           AS total_size,
+       |         CAST(COALESCE(SUM(att.att_size), 0) AS BIGINT)
+       |           AS attachment_size,
+       |         CAST(COALESCE(SUM(att.att_cnt), 0) AS BIGINT)
+       |           AS attachment_count
+       |  FROM m tbl LEFT JOIN att ON att.message_id = tbl.id
+       |  WHERE NOT tbl.is_deleted AND tbl.message_type = 'sms'
+       |    AND (contains(lower(tbl.subject), '$term')
+       |         OR contains(lower(tbl.snippet), '$term')
+       |         OR EXISTS (
+       |           SELECT 1 FROM mr JOIN p ON p.pid = mr.participant_id
+       |           WHERE mr.message_id = tbl.id
+       |             AND mr.recipient_type = 'from'
+       |             AND (contains(lower(p.email), '$term')
+       |                  OR contains(lower(p.pname), '$term'))))
+       |  GROUP BY 1),
+       |leg_$tag AS (
+       |  SELECT key, msg_count, total_size, attachment_size,
+       |         attachment_count,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM g_$tag) AS total_unique,
+       |         '$tag' AS leg
+       |  FROM g_$tag ORDER BY msg_count DESC, key ASC LIMIT 100)""".stripMargin
+
+  val aggTextSourcesSearchSql: String =
+    s"""$starCte,
+       |${sourcesSearchLegSql("invoice", "subject")},
+       |${sourcesSearchLegSql("gmail", "key")}
+       |SELECT * FROM leg_subject UNION ALL SELECT * FROM leg_key
+       |ORDER BY leg ASC, msg_count DESC, key ASC""".stripMargin
+
   /** Time aggregate (duckdb_text.go ViewTime branch), day granularity —
     * the star's minute-per-doc timestamps span a handful of days, so the
     * day key exercises the bucket arithmetic with multiple output rows.
@@ -647,11 +712,13 @@ object FacadeQueries {
   /** Rank-order preservation under the hash gate (reference
     * GetMessageSummariesByIDs engine.go:34-42): ids arrive ranked (the
     * hybrid-search result path), summaries must come back in exactly that
-    * order, with a repeated id collapsing to its FIRST slot and hidden
-    * ids silently DROPPED — sqlite.go:715-748 applies
+    * order, with a repeated id yielding one row PER occurrence (the
+    * reference reassembly loop sqlite.go:793-799 walks the original ids)
+    * and hidden ids silently DROPPED — sqlite.go:715-748 applies
     * LiveMessagesWhere("m", true), so the list deliberately includes a
-    * dedup-deleted id (194 = 2·97) and a source-deleted id (178 = 2·89)
-    * that must be absent from the output. The oracle carries the same
+    * dedup-deleted id (194 = 2·97), a source-deleted id (178 = 2·89)
+    * that must be absent from the output, and id 402 twice (ranks 0 and
+    * 3 — both slots must surface). The oracle carries the same
     * (id, rank) pairs as a VALUES list and orders by rank — compare.py
     * hard-fails on row-order mismatch, so a pass certifies the order
     * contract, not just the row set.
@@ -668,8 +735,8 @@ object FacadeQueries {
   val messageSummariesSql: String =
     s"""$starCte,
        |r(rid, rnk) AS (
-       |  VALUES (402, 0), (194, 1), (7, 2), (133, 4), (178, 5), (88, 6),
-       |         (260, 7), (19, 8)),
+       |  VALUES (402, 0), (194, 1), (7, 2), (402, 3), (133, 4), (178, 5),
+       |         (88, 6), (260, 7), (19, 8)),
        |lbl AS (
        |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
        |  FROM ml GROUP BY message_id)
@@ -806,6 +873,8 @@ object FacadeQueries {
       "agg_text_labels_search" ->
         (aggTextLabelsSearch _, Some(aggTextLabelsSearchSql)),
       "agg_text_sources" -> (aggTextSources _, Some(aggTextSourcesSql)),
+      "agg_text_sources_search" ->
+        (aggTextSourcesSearch _, Some(aggTextSourcesSearchSql)),
       "agg_text_time" -> (aggTextTime _, Some(aggTextTimeSql)),
       "list_messages" -> (listMessages _, Some(listMessagesSql)),
       "message_summaries_by_ids" ->

@@ -273,15 +273,19 @@ package object queries {
 
   private def drainRetired(): Unit = {
     val now = System.currentTimeMillis()
-    var head = retired.peek()
-    while (head != null && head._1 <= now) {
-      val e = retired.poll()
-      if (e != null) {
-        if (e._1 <= now) {
-          if (!e._2.sparkContext.isStopped) release(e._3)
-        } else retired.add(e) // concurrent-poll race: not yet due
+    // entries are INSERTION-ordered, not deadline-ordered: a grace
+    // lowered between retirements (or differing across sessions sharing
+    // the queue) can put a longer deadline at the head, which a
+    // head-only drain would let block already-due entries behind it —
+    // scan the whole queue instead (it is small: one entry per
+    // superseded artifact still inside its grace window). remove(e)
+    // arbitrates concurrent drainers: only one caller wins each entry.
+    val it = retired.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 <= now && retired.remove(e)) {
+        if (!e._2.sparkContext.isStopped) release(e._3)
       }
-      head = retired.peek()
     }
   }
 

@@ -34,10 +34,10 @@ object Probe100 {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
-      // the 100× leg is exactly the regime where forcing the verify
-      // broadcast is wrong (candidate set scales with the corpus) —
-      // run the adaptive join path the 100 TB guidance prescribes
-      .config("spark.graft.dedup.broadcastVerify", "false")
+      // NO spark.graft.dedup.broadcastVerify override: the probe runs
+      // with the shipped default (adaptive, r11), which is exactly what
+      // the 100× leg exists to certify — the forced hint is the knob
+      // that aborted here when it was the default
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

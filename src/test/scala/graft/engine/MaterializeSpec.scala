@@ -89,6 +89,36 @@ class MaterializeSpec extends SparkTestBase {
     }
   }
 
+  test("releaseGraceMs defers ring eviction; the frame releases after the grace") {
+    // an in-flight query reading an evicted checkpoint frame has no
+    // lineage to recompute from — concurrent engines set the shared
+    // grace knob so eviction retires instead of releasing immediately
+    withMode(Some("persist")) {
+      spark.conf.set(Materialize.RetainConfKey, "1")
+      spark.conf.set("spark.graft.memo.releaseGraceMs", "300")
+      try {
+        import org.apache.spark.sql.functions.lit
+        val first = Materialize.bounded(
+          v.messages.filter(lit(101) === lit(101)).limit(1))
+        val second = Materialize.bounded(
+          v.messages.filter(lit(102) === lit(102)).limit(2))
+        // first is past the cap but inside its grace: still cached
+        assert(first.storageLevel !== StorageLevel.NONE,
+          "grace must defer the release")
+        Thread.sleep(350)
+        // a later materialization drains the due retiree
+        val third = Materialize.bounded(
+          v.messages.filter(lit(103) === lit(103)).limit(3))
+        assert(first.storageLevel === StorageLevel.NONE,
+          "retiree must release once the grace elapses")
+        Seq(second, third).foreach(_.unpersist())
+      } finally {
+        spark.conf.unset(Materialize.RetainConfKey)
+        spark.conf.unset("spark.graft.memo.releaseGraceMs")
+      }
+    }
+  }
+
   test("unknown mode is rejected, not defaulted") {
     withMode(Some("bogus")) {
       intercept[IllegalArgumentException] {

@@ -392,11 +392,13 @@ class MsgEngineSpec extends SparkTestBase {
     assert(engine.messageSummariesByIds(Nil).collect().isEmpty)
   }
 
-  test("messageSummariesByIds: a duplicated id yields ONE row at its first slot") {
-    // the same message surfacing from two un-deduped retrieval legs must
-    // not fan out quadratically through the double rank join
+  test("messageSummariesByIds: a duplicated id yields one row PER occurrence") {
+    // the reference reassembly loop (sqlite.go:793-799) walks the
+    // ORIGINAL ids and appends per occurrence — two slots for a repeated
+    // id — while the page/enrich side must hydrate it only once (no
+    // quadratic fan-out through the double rank join: 2 rows, not 4)
     val out = engine.messageSummariesByIds(Seq(3L, 3L, 1L)).collect()
-    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 1L))
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 3L, 1L))
   }
 
   test("empty-Senders bucket includes a message whose sender has NO address attributes") {
@@ -508,6 +510,45 @@ class MsgEngineSpec extends SparkTestBase {
     val d3 = engine.messageDetail(3L, bodies, None).collect()(0)
     assert(d3.getAs[String]("body_text") == "")
     assert(d3.getAs[String]("body_html") == "")
+  }
+
+  test("messageDetail null shaping: attachment coalesces + source_conversation_id (shared.go:163-166, 257-268)") {
+    import spark.implicits._
+    // an attachment row with every nullable field NULL must surface as
+    // ''/0 inside the attachments array, exactly like fetchAttachments-
+    // Shared's per-column COALESCE — and the detail row carries the
+    // conversation's source_conversation_id ('' when unlinked)
+    val att = Seq((10L, Option.empty[String], Option.empty[String],
+      Option.empty[Long], Option.empty[String]))
+      .toDF("id", "filename", "mime_type", "size", "content_hash")
+      .withColumn("message_id", org.apache.spark.sql.functions.lit(1L))
+    val vv = MsgVault.fromFrames(spark,
+      Seq(msg(1, "m", "2024-01-01 10:00:00", convId = 1)).toDF(),
+      Seq(MrRow(1, 1, "from", None)).toDF(),
+      Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))).toDF(),
+      Seq.empty[LblRow].toDF("id", "name"),
+      Seq.empty[MlRow].toDF(),
+      att,
+      Seq(ConvRow(1, "ext-chat-7", None, None)).toDF(),
+      Seq(SrcRow(1, "acct@example.com", Some("gmail"))).toDF())
+    val d = new MsgEngine(vv).messageDetail(1L).collect()(0)
+    assert(d.getAs[String]("source_conversation_id") == "ext-chat-7")
+    val a = d.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("attachments").head
+    assert(a.getAs[String]("filename") == "")
+    assert(a.getAs[String]("mime_type") == "")
+    assert(a.getAs[Long]("size") == 0L)
+    assert(a.getAs[String]("content_hash") == "")
+    // a message in NO conversation row still details, with '' source id
+    val vv2 = MsgVault.fromFrames(spark,
+      Seq(msg(1, "m", "2024-01-01 10:00:00", convId = 99)).toDF(),
+      Seq(MrRow(1, 1, "from", None)).toDF(),
+      Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))).toDF(),
+      Seq.empty[LblRow].toDF("id", "name"), Seq.empty[MlRow].toDF(),
+      Seq.empty[AttRow].toDF(),
+      Seq(ConvRow(1, "ext-chat-7", None, None)).toDF(),
+      Seq(SrcRow(1, "acct@example.com", Some("gmail"))).toDF())
+    val d2 = new MsgEngine(vv2).messageDetail(1L).collect()(0)
+    assert(d2.getAs[String]("source_conversation_id") == "")
   }
 
   test("listAccounts: '' display-name fallback, identifier order (sqlite.go:853-858)") {

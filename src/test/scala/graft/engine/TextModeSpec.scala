@@ -262,4 +262,17 @@ class TextModeSpec extends SparkTestBase {
     val wa = engine.textStats(searchQuery = "wa ").head()
     assert(wa.getAs[Long]("message_count") == 2) // "wa first", "wa latest"
   }
+
+  test("textAggregate search: non-label views do NOT match the grouping key") {
+    // textAggViewDef (duckdb_text.go:191-243) sets keyColumns ONLY on the
+    // Labels branch — a term that matches nothing but the Sources key
+    // ('whatsapp' appears in no subject/snippet/participant) must match
+    // NOTHING; the subject/snippet branch still admits rows
+    assert(engine.aggregateTextSources(
+      AggregateOptions(searchQuery = "whatsapp")).collect().isEmpty)
+    val bySnip = engine.aggregateTextSources(
+      AggregateOptions(searchQuery = "wa ")).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("count")).toMap
+    assert(bySnip == Map("whatsapp" -> 2L), s"got $bySnip")
+  }
 }
