@@ -79,11 +79,21 @@ object Materialize {
   /** Release one evicted frame: drop its CacheManager entry and, for a
     * reliable checkpoint, delete the checkpoint files (unpersist alone
     * cannot — they live outside the block manager).
+    *
+    * ROOT-ONLY on purpose: `checkpoint(true)` returns a plan whose root
+    * IS the LogicalRDD, so matching the root releases exactly the
+    * artifact the ring owns. Walking the whole analyzed tree (the r10
+    * shape) unpersisted every LogicalRDD the frame was BUILT ON — in a
+    * live engine that is the star's own localCheckpointed tables, which
+    * have no lineage to recompute from, so evicting one page killed
+    * every later query with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (found by
+    * the r11 concurrent-engines soak). The ring must only free what it
+    * owns; anything nested belongs to somebody else.
     */
   private def release(df: DataFrame): Unit =
     try {
       df.unpersist(false)
-      df.queryExecution.analyzed.foreach {
+      df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(false)
           lr.rdd.getCheckpointFile.foreach { f =>

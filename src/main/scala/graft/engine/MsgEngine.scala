@@ -35,8 +35,21 @@ final class MsgEngine(val vault: MsgVault) {
     */
   private def freshAttrs(df: DataFrame): DataFrame = df.toDF(df.columns: _*)
 
+  /** (join, key expr, null guard, search key columns). The 4th element
+    * mirrors getViewDef's `keyColumns` EXACTLY (duckdb.go:705-770): the
+    * RAW columns a search text term additionally matches, set only where
+    * the reference sets them — SenderNames/RecipientNames get the
+    * joined participant's email/display_name/phone_number (the chain's
+    * inputs, NOT the coalesced key: a term matching the phone must
+    * admit a row whose display_name won the coalesce), Recipients gets
+    * email/display_name (no phone), Labels gets the label name, and
+    * Senders/Domains/Time get NONE — for Senders/Domains the key is
+    * subsumed by the default from-participant email branch anyway,
+    * while a Time term genuinely must NOT match the bucket string
+    * (nothing in getViewDef does).
+    */
   private def viewDef(view: ViewType, granularity: TimeGranularity)
-      : (DataFrame => DataFrame, Column, Column) = {
+      : (DataFrame => DataFrame, Column, Column, Seq[Column]) = {
     val mr = freshAttrs(vault.recipients)
     val p = freshAttrs(vault.participants)
     def joinFrom(msg: DataFrame): DataFrame =
@@ -52,22 +65,30 @@ final class MsgEngine(val vault: MsgVault) {
       msg.join(ml, ml("message_id") === msg("id"))
         .join(lb, lb("id") === ml("label_id"))
     }
+    val nameCols =
+      Seq(p("email_address"), p("display_name"), p("phone_number"))
 
     view match {
       case ViewType.Senders =>
-        (joinFrom, p("email_address"), p("email_address").isNotNull)
+        (joinFrom, p("email_address"), p("email_address").isNotNull, Nil)
       case ViewType.SenderNames =>
-        (joinFrom, participantNameOf(p), participantNameOf(p).isNotNull)
+        (joinFrom, participantNameOf(p), participantNameOf(p).isNotNull,
+          nameCols)
       case ViewType.Recipients =>
-        (joinRcpt, p("email_address"), p("email_address").isNotNull)
+        (joinRcpt, p("email_address"), p("email_address").isNotNull,
+          Seq(p("email_address"), p("display_name")))
       case ViewType.RecipientNames =>
-        (joinRcpt, participantNameOf(p), participantNameOf(p).isNotNull)
+        (joinRcpt, participantNameOf(p), participantNameOf(p).isNotNull,
+          nameCols)
       case ViewType.Domains =>
-        (joinFrom, p("domain"), p("domain").isNotNull && p("domain") =!= "")
+        (joinFrom, p("domain"), p("domain").isNotNull && p("domain") =!= "",
+          Nil)
       case ViewType.Labels =>
-        (joinLabels, col("__lbl_name"), col("__lbl_name").isNotNull)
+        (joinLabels, col("__lbl_name"), col("__lbl_name").isNotNull,
+          Seq(col("__lbl_name")))
       case ViewType.Time =>
-        (identity[DataFrame], timeKey(granularity), col("sent_at").isNotNull)
+        (identity[DataFrame], timeKey(granularity), col("sent_at").isNotNull,
+          Nil)
     }
   }
 
@@ -108,16 +129,17 @@ final class MsgEngine(val vault: MsgVault) {
 
   private def aggregateFiltered(view: ViewType, msgIn: DataFrame,
       opts: AggregateOptions, granularity: TimeGranularity): DataFrame = {
-    val (doJoin, key, nullGuard) = viewDef(view, granularity)
+    val (doJoin, key, nullGuard, searchKeyCols) = viewDef(view, granularity)
     // search applies AFTER the view joins so text terms can also match the
-    // grouping key column (reference search-on-key-columns,
-    // duckdb.go:649-655; duckdb_test.go:539-643) — the key only exists
-    // post-join (label name, recipient email, time bucket).
+    // view's key COLUMNS where getViewDef declares them (duckdb.go:705-770
+    // keyColumns through buildAggregateSearchConditions:649-655;
+    // duckdb_test.go:539-643) — those columns only exist post-join
+    // (label name, recipient email/display name).
     var joined0 = doJoin(msgIn).filter(nullGuard)
     if (opts.searchQuery.nonEmpty)
       joined0 = filters.compileSearch(joined0,
         SearchParser.parse(opts.searchQuery),
-        keyCols = Seq(key), idCol = Some(msgIn("id")),
+        keyCols = searchKeyCols, idCol = Some(msgIn("id")),
         senderFallback = false,
         // Labels view: label: terms filter the grouping column itself
         // (duckdb.go:521-541) — only matching labels become result rows

@@ -380,9 +380,16 @@ package object queries {
     * MsgEngine.releaseCaches both call it — an inline second copy is a
     * drift hazard for a recipe this non-obvious).
     */
+  /** ROOT-only, matching Materialize.release: a checkpointed frame's
+    * analyzed plan IS a bare LogicalRDD, so the root match frees exactly
+    * the artifact this release owns. Walking the whole tree would also
+    * unpersist any localCheckpointed frame the artifact was DERIVED
+    * from (an engine's star tables — no lineage, irrecoverable), the
+    * collateral-damage bug the r11 soak caught in the ring's twin.
+    */
   private[graft] def unpersistWithCheckpointLeaves(df: DataFrame): Unit = {
     df.unpersist(false)
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false); ()
       case _ => ()

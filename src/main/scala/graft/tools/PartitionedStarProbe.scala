@@ -1,8 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import graft.engine.{CacheBuilder, MsgEngine, MsgVault}
 import graft.model._
@@ -61,15 +59,24 @@ object PartitionedStarProbe {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    /** numFiles summed over every file scan the executed plan touched. */
-    def filesRead(df: DataFrame): Long = {
-      df.write.format("noop").mode("overwrite").save()
-      def scans(p: SparkPlan): Seq[Long] = p.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          Seq(f.metrics.get("numFiles").map(_.value).getOrElse(0L))
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      }.flatten
-      scans(df.queryExecution.executedPlan).sum
+    /** Input bytes read across EVERY job a thunk runs — the facade's
+      * messages scan executes inside the engine call's own page-
+      * materialization job (and AQE hides scans in leaf QueryStageExec
+      * nodes), so per-plan FileSourceScan metrics on the returned frame
+      * miss it; task-level input metrics see the whole timed path.
+      */
+    def inputBytes(f: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            { bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(800) } // listener bus is async; let it drain
+      finally spark.sparkContext.removeSparkListener(l)
+      bytes.get()
     }
 
     val headline: Seq[(String, MsgEngine => DataFrame)] = Seq(
@@ -130,18 +137,35 @@ object PartitionedStarProbe {
     val years = disk1.vault.messages.select(col("year")).distinct()
       .orderBy(col("year")).collect().map(_.getInt(0)).toSeq
     val midYear = years(years.length / 2)
-    val unpruned = disk1.searchFast("subj",
-      MessageFilter(pagination = Pagination(limit = 20)))
-    val pruned = disk1.searchFast("subj",
-      MessageFilter(timeRange = TimeRange(period = midYear.toString),
-        pagination = Pagination(limit = 20)))
-    val fAll = filesRead(unpruned)
-    val fOne = filesRead(pruned)
-    val (tAll, _) = time(unpruned.write.format("noop").mode("overwrite").save())
-    val (tOne, _) = time(pruned.write.format("noop").mode("overwrite").save())
-    println(f"[partstar] pruning: years=${years.size} unpruned numFiles=$fAll (${tAll}%.3f s) year=$midYear numFiles=$fOne (${tOne}%.3f s)")
-    require(fOne < fAll,
-      s"year-scoped scan must read fewer files ($fOne vs $fAll)")
+    def runAll(): Unit =
+      disk1.searchFast("subj",
+        MessageFilter(pagination = Pagination(limit = 20)))
+        .write.format("noop").mode("overwrite").save()
+    def runOne(): Unit =
+      disk1.searchFast("subj",
+        MessageFilter(timeRange = TimeRange(period = midYear.toString),
+          pagination = Pagination(limit = 20)))
+        .write.format("noop").mode("overwrite").save()
+    runAll(); runOne() // warm (codegen + dim caches)
+    val bAll = inputBytes(runAll())
+    val bOne = inputBytes(runOne())
+    val (tAll, _) = time(runAll())
+    val (tOne, _) = time(runOne())
+    println(f"[partstar] pruning (full facade: page + enrich junctions): years=${years.size} unpruned read=${bAll / 1024} KiB (${tAll}%.3f s) year=$midYear read=${bOne / 1024} KiB (${tOne}%.3f s)")
+    // the hard gate measures the messages SCAN alone — in the enriched
+    // facade the junction/dim reads (not year-partitioned) dominate the
+    // byte count and would let a pruning regression hide inside noise
+    val scanAll = inputBytes {
+      disk1.vault.messages.write.format("noop").mode("overwrite").save()
+    }
+    val scanOne = inputBytes {
+      disk1.vault.messages
+        .filter(col("year").cast("string") === midYear.toString)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"[partstar] pruning (bare messages scan): unpruned=${scanAll / 1024} KiB year=$midYear=${scanOne / 1024} KiB (${100.0 * scanOne / math.max(scanAll, 1)}%.0f%% of the table)")
+    require(scanOne * 2 < scanAll,
+      s"year-scoped messages scan must prune partitions ($scanOne vs $scanAll bytes)")
 
     // ---- one decade on the disk layout ------------------------------------
     if (factor > 1) {

@@ -119,6 +119,28 @@ class MaterializeSpec extends SparkTestBase {
     }
   }
 
+  test("ring eviction releases ONLY the artifact, never nested localCheckpoint bases") {
+    // the r11 concurrent-engines soak bug: release() walked the evicted
+    // page's whole analyzed plan and unpersisted every LogicalRDD in it —
+    // including the engine's own localCheckpointed star tables, which
+    // have no lineage to recompute from. One page eviction then killed
+    // every later query (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    withMode(Some("persist")) {
+      spark.conf.set(Materialize.RetainConfKey, "1")
+      try {
+        import org.apache.spark.sql.functions.lit
+        val base = v.messages.localCheckpoint(true)
+        val p1 = Materialize.bounded(base.filter(lit(201) === lit(201)).limit(3))
+        val p2 = Materialize.bounded(base.filter(lit(202) === lit(202)).limit(4))
+        // p1 is evicted; its release must not touch base's blocks
+        assert(base.count() === 20,
+          "nested localCheckpoint base must survive a ring eviction")
+        Seq(p1, p2).foreach(_.unpersist())
+        base.unpersist()
+      } finally spark.conf.unset(Materialize.RetainConfKey)
+    }
+  }
+
   test("unknown mode is rejected, not defaulted") {
     withMode(Some("bogus")) {
       intercept[IllegalArgumentException] {

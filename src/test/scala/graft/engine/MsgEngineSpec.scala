@@ -92,23 +92,44 @@ class MsgEngineSpec extends SparkTestBase {
     assert(byKey == Map("2024-01" -> 1, "2024-02" -> 2, "2024-03" -> 2))
   }
 
-  test("aggregate search matches the grouping key column (search-on-key-columns)") {
+  test("aggregate search matches key columns only where getViewDef declares them") {
     // "work" appears in no subject/snippet/sender — only in the label name;
-    // reference semantics keep the Work bucket (duckdb_test.go:539-643)
+    // the Labels view declares keyColumns (duckdb.go:760-766), so the Work
+    // bucket survives (duckdb_test.go:600-620)
     val lbl = rows(engine.aggregate(ViewType.Labels,
       AggregateOptions(searchQuery = "work")))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(lbl == Map("Work" -> 1))
-    // time key match: "2024-02" hits only that bucket
+    // the Time view declares NO keyColumns (duckdb.go:767-770): a term
+    // equal to the bucket string matches nothing — the r10 impl wrongly
+    // matched the bucket here
     val tm = rows(engine.aggregate(ViewType.Time,
       AggregateOptions(searchQuery = "2024-02")))
       .map(_.getString(0)).toSet
-    assert(tm == Set("2024-02"))
+    assert(tm == Set.empty[String])
     // ordinary subject search still works post-join
     val senders = rows(engine.aggregate(ViewType.Senders,
       AggregateOptions(searchQuery = "quarterly")))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(senders == Map("alice@a.com" -> 1, "bob@b.org" -> 1))
+    // Recipients declares email+display_name (duckdb.go:737-742): a term
+    // matching only a RECIPIENT's display name admits the row (the from-
+    // participant EXISTS branch alone cannot — it sees senders only)
+    val v2 = Fixtures.vault(spark,
+      messages = Seq(msg(1, "plain", "2024-01-01 10:00:00")),
+      recipients = Seq(MrRow(1, 1, "from", None), MrRow(1, 2, "to", None)),
+      participants = Seq(
+        PRow(1, Some("s@x.com"), Some("Sender"), None, Some("x.com")),
+        PRow(2, Some("r@y.org"), Some("Zelda"), Some("+15550001"), Some("y.org"))))
+    val e2 = new MsgEngine(v2)
+    def keysOf(view: ViewType, q: String): Set[String] =
+      rows(e2.aggregate(view, AggregateOptions(searchQuery = q)))
+        .map(_.getString(0)).toSet
+    assert(keysOf(ViewType.Recipients, "zelda") == Set("r@y.org"))
+    // ...but NOT the recipient's phone (Recipients omits phone_number —
+    // only the *Names views carry it, duckdb.go:727-733,744-750)
+    assert(keysOf(ViewType.Recipients, "15550001") == Set.empty[String])
+    assert(keysOf(ViewType.RecipientNames, "15550001") == Set("Zelda"))
   }
 
   test("subAggregate: drill into one sender across time") {
