@@ -66,8 +66,7 @@ object Materialize {
 
   private val retained =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val retiring =
-    new java.util.concurrent.ConcurrentLinkedQueue[(Long, DataFrame)]()
+  private val retiring = new graft.RetireQueue[DataFrame](release)
 
   private def mode(df: DataFrame): String =
     df.sparkSession.conf.get(ConfKey, "localCheckpoint") match {
@@ -110,33 +109,18 @@ object Materialize {
       .get("spark.graft.memo.releaseGraceMs", "0").toLong
     catch { case _: NumberFormatException => 0L }
 
-  /** Release retired frames whose grace deadline has passed. Insertion
-    * order ≠ deadline order when the grace changes between evictions, so
-    * the whole (small) queue is scanned; remove(e) arbitrates concurrent
-    * drainers.
-    */
-  private def drainRetiring(): Unit = {
-    val now = System.currentTimeMillis()
-    val it = retiring.iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e._1 <= now && retiring.remove(e)) release(e._2)
-    }
-  }
-
   private def retain(df: DataFrame): DataFrame = {
     val cap =
       try df.sparkSession.conf.get(RetainConfKey, "32").toInt
       catch { case _: NumberFormatException => 32 }
     retained.add(df)
-    drainRetiring()
+    retiring.drain()
     while (retained.size > math.max(cap, 1)) {
       val old = retained.poll()
-      if (old != null) {
-        val g = graceMs(df)
-        if (g <= 0) release(old)
-        else retiring.add((System.currentTimeMillis() + g, old))
-      }
+      // the EVICTED frame's session decides its grace: the ring is
+      // JVM-global, so the evicting caller can be a different session
+      // whose grace=0 default must not override the owner's opt-in
+      if (old != null) retiring.retireOrRelease(graceMs(old), old)
     }
     df
   }

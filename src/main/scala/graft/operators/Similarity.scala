@@ -300,6 +300,13 @@ object Similarity {
     * `hashStride = false` keeps the dense-id mod pick for hand-built
     * fixtures where WHICH rows seed the clusters must be predictable.
     */
+  // Flat assignment is O(n·nList) — quadratic overall once nList grows
+  // with the corpus (the r11 100× probe measured 34×/decade at 200k ×
+  // 2000). It stays the DEFAULT because it is exact and the hash-gated
+  // contract; at web scale switch to [[semanticAssignHierarchical]]
+  // explicitly — an approximation (bounded recall loss on cluster-
+  // boundary vectors) must be the caller's informed choice, not a
+  // silent default flip.
   def semanticAssign(emb: DataFrame, id: Column, vec: Column,
       nList: Int, hashStride: Boolean = true): DataFrame = {
     val base = emb.select(id.as("vec_id"), vec.as("embedding"))
@@ -387,6 +394,69 @@ object Similarity {
     base.select(col("vec_id"), col("embedding"),
       explode(org.apache.spark.sql.graft.TopCentroids(
         col("embedding"), centroids, p)).as("cluster"))
+  }
+
+  /** Hierarchical (two-level, IVF-of-centroids) assignment — the
+    * 100 TB scale path for the SemDeDup/knn-graph family. The documented
+    * contract grows nList ∝ corpus to hold the mean cluster size flat,
+    * which makes FLAT assignment O(n·nList) = quadratic overall: the r11
+    * 100× probe measured 34× per decade at 200k × 2000 centroids
+    * (20.3 s, i.e. ~2000 s one decade later). Routing through a
+    * √nList-sized coarse level ([[org.apache.spark.sql.graft.RoutedCentroids]])
+    * drops per-row work to O(rProbe·√nList): each vector ranks the
+    * coarse sample, then argmaxes only the top-`rProbe` groups' member
+    * centroids. `rProbe = nCoarse` reproduces the flat argmax
+    * bit-for-bit (same (score desc, index desc) rule at every level);
+    * smaller rProbe is the standard IVF recall trade — a vector near a
+    * group boundary may land in a neighboring cluster, which for
+    * SemDeDup/knn-graph costs recall (a missed pair), never wrong pairs
+    * (the ε-ball verify still computes exact cosines).
+    *
+    * Everything is deterministic and engine-replayable: the coarse
+    * sample is an index stride over the centroid list, member routing
+    * is the same argmax run driver-side, and the expression's
+    * arithmetic is [[org.apache.spark.sql.graft.CosineSimilarity]]'s
+    * exact index-order fold.
+    */
+  def semanticAssignHierarchical(emb: DataFrame, id: Column, vec: Column,
+      nList: Int, rProbe: Int = 4, hashStride: Boolean = true): DataFrame = {
+    val base = emb.select(id.as("vec_id"), vec.as("embedding"))
+    assignRouted(base, strideCentroids(base, nList, hashStride), rProbe)
+  }
+
+  /** The routed-assignment core over a FROZEN centroid set (the
+    * incremental hook, mirroring [[assignTo]]): coarse level = every
+    * ⌈nList/√nList⌉-th centroid of the list; each centroid routed
+    * driver-side to its nearest coarse row ((s desc, idx desc), the
+    * expression's exact rule — nList·√nList driver cosines, trivial);
+    * per-row assignment via one [[org.apache.spark.sql.graft.RoutedCentroids]]
+    * evaluation. `rProbe` clamps to the coarse count.
+    */
+  def assignRouted(base: DataFrame, centroids: Seq[Seq[Float]],
+      rProbe: Int): DataFrame = {
+    val cents = centroids.map(_.toArray).toArray
+    val nCoarse = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val stride = math.max(1, cents.length / nCoarse)
+    val coarseIdx = cents.indices.by(stride).take(nCoarse).toArray
+    val coarse = coarseIdx.map(cents)
+    val members = Array.fill(coarse.length)(
+      new scala.collection.mutable.ArrayBuffer[Int]())
+    var c = 0
+    while (c < cents.length) {
+      var bg = -1; var bs = Double.NegativeInfinity
+      var g = 0
+      while (g < coarse.length) {
+        val s = cosineLocal(cents(c).toSeq, coarse(g).toSeq)
+        if (s > bs || (s == bs && g > bg)) { bs = s; bg = g }
+        g += 1
+      }
+      members(bg) += c
+      c += 1
+    }
+    val r = math.min(math.max(1, rProbe), coarse.length)
+    base.withColumn("cluster",
+      element_at(org.apache.spark.sql.graft.RoutedCentroids(
+        col("embedding"), cents, coarse, members.map(_.toArray), r, 1), 1))
   }
 
   /** The recurring half of [[semanticDedup]]: within-cluster ε-ball pair

@@ -668,6 +668,39 @@ object DocQueries {
       |GROUP BY dup_id
       |ORDER BY ${duckBucket("dup_id")}, dup_id ASC""".stripMargin
 
+  /** SemDeDup over the ROUTED (two-level) assignment — the O(n·√nList)
+    * scale path ([[Similarity.assignRouted]]) the r11 100× probe
+    * motivated (flat assignment kneed at 34×/decade with nList ∝
+    * corpus; routed runs the same leg 22× faster at 200k×2000).
+    * rProbe = 2 of the ~4 coarse groups, so the APPROXIMATION path —
+    * not the rProbe=all degenerate case that equals flat — is what the
+    * hash certifies: the oracle replays the coarse stride, the member
+    * routing, the per-vector top-2 group probe, and the within-groups
+    * argmax bit-for-bit.
+    */
+  def dedupSemanticRouted(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    bucketOrdered(
+      Similarity.semanticDupes(
+        Similarity.assignRouted(base,
+          Similarity.strideCentroids(base, 16), rProbe = 2),
+        eps = 0.33),
+      col("dup_id"))
+  }
+
+  val dedupSemanticRoutedSql: String =
+    s"""WITH ${duckRoutedAssignedCtes("embeddings", rProbe = 2)},
+      |pairs AS (
+      |  SELECT b.vec_id AS dup_id, a.cluster, a.vec_id AS kept_id,
+      |    ${duckCos("a.embedding", "b.embedding")} AS cosine
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      |SELECT dup_id, min(cluster) AS cluster, min(kept_id) AS kept_id,
+      |       max(cosine) AS max_cosine
+      |FROM pairs WHERE cosine > 0.33
+      |GROUP BY dup_id
+      |ORDER BY ${duckBucket("dup_id")}, dup_id ASC""".stripMargin
+
   // --- §2.10 RRF fusion (on orders: price-rank × recency-rank) ------------
 
   /** Each signal extracts its top-100 with orderBy+limit FIRST — that
@@ -1153,6 +1186,8 @@ object DocQueries {
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _, Some(dedupJaccardPairsSql)),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _, Some(dedupEmbeddingPairsSql)),
     "dedup_semantic" -> (dedupSemantic _, Some(dedupSemanticSql)),
+    "dedup_semantic_routed" ->
+      (dedupSemanticRouted _, Some(dedupSemanticRoutedSql)),
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
     "vector_knn_lsh" -> (vectorKnnLsh _, Some(vectorKnnBruteSql)),
     "vector_knn_ivf" -> (vectorKnnIvf _, Some(vectorKnnIvfSql)),

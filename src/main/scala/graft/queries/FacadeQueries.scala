@@ -135,18 +135,25 @@ object FacadeQueries {
     */
   private[graft] def engine(s: SparkSession, dir: String): MsgEngine =
     memoizedIndex[MsgEngine](s, dir, "facade_engine") {
-      val v = star(s, dir)
-      // facts only: localCheckpoint yields a LogicalRDD with NO size
-      // statistics, and a stat-less 30-row participants dim would stop
-      // auto-broadcasting (every enrich join degrades to a shuffle).
-      // The small dims are Seq/range-derived LocalRelations — already
-      // free to re-derive and exactly-sized for broadcast planning.
-      def ck(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
-      new MsgEngine(v.copy(
-        messages = ck(v.messages), recipients = ck(v.recipients),
-        messageLabels = ck(v.messageLabels),
-        attachments = ck(v.attachments)))
+      checkpointedEngine(star(s, dir))
     }
+
+  /** THE materialized-star engine recipe the verify/bench path and every
+    * probe soak against — one definition, so a change to which tables
+    * checkpoint (or how) cannot silently fork the probes from the
+    * production engine. Facts only: localCheckpoint yields a LogicalRDD
+    * with NO size statistics, and a stat-less 30-row participants dim
+    * would stop auto-broadcasting (every enrich join degrades to a
+    * shuffle). The small dims are Seq/range-derived LocalRelations —
+    * already free to re-derive and exactly-sized for broadcast planning.
+    */
+  private[graft] def checkpointedEngine(v: MsgVault): MsgEngine = {
+    def ck(df: DataFrame) = df.localCheckpoint(true)
+    new MsgEngine(v.copy(
+      messages = ck(v.messages), recipients = ck(v.recipients),
+      messageLabels = ck(v.messageLabels),
+      attachments = ck(v.attachments)))
+  }
 
   /** Shared star CTEs for the oracles (m / mr / p / ml / att dims) —
     * [[PointLookupQueries]] reuses it so its oracles replay the SAME star.

@@ -193,6 +193,53 @@ package object queries {
        |                  ORDER BY s DESC, cid DESC) AS rn FROM scored)
        |  WHERE rn = 1)""".stripMargin
 
+  /** [[duckCentsCtes]] + the TWO-LEVEL assignment replay of
+    * [[graft.operators.Similarity.assignRouted]], ending in an
+    * `assigned` CTE: coarse = every ⌈m/⌈√m⌉⌉-th centroid of the cid
+    * order (first ⌈√m⌉ of them), each centroid routed to its nearest
+    * coarse row (ties → higher gid — the expression's exact rule), each
+    * vector probing its top-`rProbe` coarse groups and argmaxing only
+    * their members (ties → higher cid). Every level replays the Scala
+    * side bit-for-bit, so the hash gate certifies the APPROXIMATION
+    * path itself, not just its verified outputs.
+    */
+  private[queries] def duckRoutedAssignedCtes(src: String,
+      rProbe: Int): String =
+    s"""${duckCentsCtes(src)},
+       |cc AS (SELECT count(*) AS m,
+       |       CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncoarse FROM cents),
+       |coarse AS (
+       |  SELECT row_number() OVER (ORDER BY cid) - 1 AS gid, cvec AS gvec
+       |  FROM cents, cc
+       |  WHERE cid % greatest(1, m // ncoarse) = 0
+       |  QUALIFY row_number() OVER (ORDER BY cid) <= ncoarse),
+       |routedm AS (
+       |  SELECT cid, cvec, gid FROM (
+       |    SELECT c.cid, c.cvec, g.gid,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY ${duckCos("c.cvec", "g.gvec")} DESC, g.gid DESC)
+       |        AS rn
+       |    FROM cents c CROSS JOIN coarse g)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, gid FROM (
+       |    SELECT e.vec_id, g.gid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.embedding", "g.gvec")} DESC, g.gid DESC)
+       |        AS rn
+       |    FROM $src e CROSS JOIN coarse g)
+       |  WHERE rn <= $rProbe),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, r.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.embedding", "r.cvec")} DESC, r.cid DESC)
+       |        AS rn
+       |    FROM $src e
+       |    JOIN probes p ON p.vec_id = e.vec_id
+       |    JOIN routedm r ON r.gid = p.gid)
+       |  WHERE rn = 1)""".stripMargin
+
   // Each entry carries its OWNING session: (a) identityHashCode is not
   // unique, so a hash collision with a dead session's key must be caught
   // by reference comparison instead of serving that session's frames to
@@ -258,8 +305,12 @@ package object queries {
   // `grace` ms later (drained on subsequent memo activity), letting
   // in-flight queries on the old artifact finish. Queries longer than
   // the grace remain exposed by design — documented, bounded staleness.
-  private val retired = new java.util.concurrent.ConcurrentLinkedQueue[
-    (Long, SparkSession, AnyRef)]()
+  // grace/deadline semantics live in the shared graft.RetireQueue (the
+  // Materialize ring uses the same one); the release thunk re-checks the
+  // owner session at drain time — blocks of a stopped session are gone
+  private val retired = new graft.RetireQueue[(SparkSession, AnyRef)]({
+    case (owner, v) => if (!owner.sparkContext.isStopped) release(v)
+  })
 
   private def retireOrRelease(s: SparkSession, owner: SparkSession,
       v: AnyRef): Unit = {
@@ -267,27 +318,10 @@ package object queries {
     val grace =
       try s.conf.get("spark.graft.memo.releaseGraceMs", "0").toLong
       catch { case _: NumberFormatException => 0L }
-    if (grace <= 0) release(v)
-    else retired.add((System.currentTimeMillis() + grace, owner, v))
+    retired.retireOrRelease(grace, (owner, v))
   }
 
-  private def drainRetired(): Unit = {
-    val now = System.currentTimeMillis()
-    // entries are INSERTION-ordered, not deadline-ordered: a grace
-    // lowered between retirements (or differing across sessions sharing
-    // the queue) can put a longer deadline at the head, which a
-    // head-only drain would let block already-due entries behind it —
-    // scan the whole queue instead (it is small: one entry per
-    // superseded artifact still inside its grace window). remove(e)
-    // arbitrates concurrent drainers: only one caller wins each entry.
-    val it = retired.iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e._1 <= now && retired.remove(e)) {
-        if (!e._2.sparkContext.isStopped) release(e._3)
-      }
-    }
-  }
+  private def drainRetired(): Unit = retired.drain()
 
   /** Build-once/search-many memo for derived index structures (inverted
     * index postings, IVF centroid assignment). The reference's FTS5 and

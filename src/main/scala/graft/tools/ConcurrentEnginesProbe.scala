@@ -50,15 +50,9 @@ object ConcurrentEnginesProbe {
     sparkB.conf.set("spark.graft.page.materialize.retain", "4")
     sparkB.conf.set("spark.graft.memo.releaseGraceMs", "1500")
 
-    def mkEngine(s: SparkSession): MsgEngine = {
-      val v = FacadeQueries.starFromDocs(s,
-        Tables.load(s, sfDir, "documents"))
-      def ck(df: DataFrame) = df.localCheckpoint(true)
-      new MsgEngine(v.copy(
-        messages = ck(v.messages), recipients = ck(v.recipients),
-        messageLabels = ck(v.messageLabels),
-        attachments = ck(v.attachments)))
-    }
+    def mkEngine(s: SparkSession): MsgEngine =
+      FacadeQueries.checkpointedEngine(
+        FacadeQueries.starFromDocs(s, Tables.load(s, sfDir, "documents")))
     val engines = Seq(mkEngine(spark), mkEngine(spark), mkEngine(sparkB))
 
     // the op mix: page materialization (ring pressure), aggregate

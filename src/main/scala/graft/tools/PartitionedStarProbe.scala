@@ -121,11 +121,7 @@ object PartitionedStarProbe {
     val (tBuild1, rows1) = time(CacheBuilder.build(spark, star1, out1))
     println(f"[partstar] build 1x: $rows1 msgs in ${tBuild1}%.1f s -> $out1")
     val disk1 = new MsgEngine(MsgVault.open(spark, out1))
-    def ck(df: DataFrame) = df.localCheckpoint(true)
-    val mem1 = new MsgEngine(star1.copy(
-      messages = ck(star1.messages), recipients = ck(star1.recipients),
-      messageLabels = ck(star1.messageLabels),
-      attachments = ck(star1.attachments)))
+    val mem1 = FacadeQueries.checkpointedEngine(star1)
     val memT = benchEngine("mem-1x", mem1)
     val diskT = benchEngine("disk-1x", disk1)
     val memTotal = memT.values.sum

@@ -103,6 +103,14 @@ object ProbeVec100 {
       }
       record("semantic_assign", factor, tAssign, s"nList=$nList")
 
+      // -- routed (two-level) assignment — the O(n·√nList) fix for the
+      //    flat path's measured 34×/decade knee
+      val (tRouted, nRouted) = time {
+        Similarity.semanticAssignHierarchical(d, col("vec_id"),
+          col("embedding"), nList).count()
+      }
+      record("semantic_assign_rt", factor, tRouted, s"routed rProbe=4, n=$nRouted")
+
       // -- within-cluster ε-ball dup report (quadratic within a list)
       val (tDupes, nDupes) =
         time(Similarity.semanticDupes(assigned, 0.95).count())
@@ -122,12 +130,11 @@ object ProbeVec100 {
 
       // -- IVF search: probed fraction held at nProbe/nList = 1/16, so
       //    probed ROWS grow linearly — 8 queries for a measurable read
-      val idxP = idx.copy(assigned = idx.assigned)
       val nProbe = math.max(1, nList / 16)
       val (tSearch, _) = time {
         (0 until 8).foreach { i =>
           val q = query.updated(0, query.head + i * 0.001f)
-          IvfIndex.search(idxP, q, 10, nProbe).count()
+          IvfIndex.search(idx, q, 10, nProbe).count()
         }
       }
       record("ivf_search_x8", factor, tSearch, s"nProbe=$nProbe")
@@ -152,8 +159,8 @@ object ProbeVec100 {
       if (factor > 1) d.unpersist()
     }
 
-    val ops = Seq("semantic_assign", "semantic_dupes", "knn_graph",
-      "ivf_build", "ivf_search_x8", "quantize_int8", "adc_knn")
+    val ops = Seq("semantic_assign", "semantic_assign_rt", "semantic_dupes",
+      "knn_graph", "ivf_build", "ivf_search_x8", "quantize_int8", "adc_knn")
     ops.foreach { name =>
       val decades = factors.sliding(2).collect {
         case Seq(a, b) if results.contains((name, b)) =>
