@@ -427,7 +427,8 @@ final class MsgEngine(val vault: MsgVault) {
         coalesce(col("sp.display_name"), lit("")).as("__sp_name"),
         coalesce(col("sp.phone_number"), lit("")).as("__sp_phone"))
     val conv = vault.conversations.select(col("id").as("__c_id"),
-      col("title").as("conversation_title"))
+      col("title").as("conversation_title"),
+      col("source_conversation_id").as("__c_scid"))
 
     // sideAgg aggregates page-semi-joined junction rows, so it is
     // ≤ page-size (+labels) by construction — broadcast explicitly (its
@@ -441,6 +442,12 @@ final class MsgEngine(val vault: MsgVault) {
       .join(conv, page("conversation_id") === col("__c_id"), "left")
       .select(
         page("id"), page("source_message_id"), page("conversation_id"),
+        // the Gmail thread id (reference MessageSummary models.go:26,
+        // scanned as COALESCE(conv.source_conversation_id, '') in every
+        // list query — duckdb.go:1282) and the source-deletion stamp
+        // (models.go:37 DeletedAt, scanned from deleted_from_source_at)
+        // are part of the summary shape real consumers read
+        coalesce(col("__c_scid"), lit("")).as("source_conversation_id"),
         page("subject"), page("snippet"),
         coalesce(col("__mr_email"), col("__sp_email"), lit("")).as("from_email"),
         coalesce(col("__mr_name"), nullif(col("__sp_name"), lit("")),
@@ -449,6 +456,7 @@ final class MsgEngine(val vault: MsgVault) {
         page("sent_at"), page("size_estimate"), page("has_attachments"),
         page("attachment_count"),
         coalesce(col("labels"), array().cast("array<string>")).as("labels"),
+        page("deleted_from_source_at"),
         coalesce(page("message_type"), lit("")).as("message_type"),
         coalesce(col("conversation_title"), lit("")).as("conversation_title"))
   }

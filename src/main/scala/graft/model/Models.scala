@@ -16,11 +16,21 @@ final case class AggregateRow(
     attachment_count: Long,
     total_unique: Long)
 
-/** Message list-view row (reference models.go:22-41). */
+/** Message list-view row (reference models.go:22-41).
+  * `source_conversation_id` is the Gmail thread id (models.go:26);
+  * `deleted_from_source_at` is the reference's `DeletedAt` field —
+  * their JSON name, but the SCANNED column is deleted_from_source_at
+  * (duckdb.go:1289), so this keeps the unambiguous name (the star also
+  * carries a dedup-loser `deleted_at`, which list surfaces never show).
+  * BodyText (models.go:40) is deliberately absent: it is only populated
+  * on timeline views, served here by the bodies-joining
+  * listConversationMessages overload.
+  */
 final case class MessageSummary(
     id: Long,
     source_message_id: String,
     conversation_id: Long,
+    source_conversation_id: String,
     subject: String,
     snippet: String,
     from_email: String,
@@ -31,6 +41,7 @@ final case class MessageSummary(
     has_attachments: Boolean,
     attachment_count: Int,
     labels: Seq[String],
+    deleted_from_source_at: Option[Timestamp],
     message_type: String,
     conversation_title: String)
 

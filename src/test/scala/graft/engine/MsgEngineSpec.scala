@@ -410,6 +410,10 @@ class MsgEngineSpec extends SparkTestBase {
     val out = engine.messageSummariesByIds(Seq(3L, 1L, 6L)).collect()
     assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 1L, 6L))
     assert(out(1).getAs[String]("from_email") == "alice@a.com")
+    // summary shape parity (models.go:26,37): the Gmail thread id rides
+    // the conversation join; the source-deletion stamp passes through
+    assert(out(1).getAs[String]("source_conversation_id") == "conv-1")
+    assert(out(1).getAs[java.sql.Timestamp]("deleted_from_source_at") == null)
     assert(engine.messageSummariesByIds(Nil).collect().isEmpty)
   }
 
