@@ -301,7 +301,7 @@ object Similarity {
     * fixtures where WHICH rows seed the clusters must be predictable.
     */
   // Flat assignment is O(n·nList) — quadratic overall once nList grows
-  // with the corpus (the r11 100× probe measured 34×/decade at 200k ×
+  // with the corpus (the r11 100× probe measured ~30×/decade at 200k ×
   // 2000). It stays the DEFAULT because it is exact and the hash-gated
   // contract; at web scale switch to [[semanticAssignHierarchical]]
   // explicitly — an approximation (bounded recall loss on cluster-
@@ -400,8 +400,8 @@ object Similarity {
     * 100 TB scale path for the SemDeDup/knn-graph family. The documented
     * contract grows nList ∝ corpus to hold the mean cluster size flat,
     * which makes FLAT assignment O(n·nList) = quadratic overall: the r11
-    * 100× probe measured 34× per decade at 200k × 2000 centroids
-    * (20.3 s, i.e. ~2000 s one decade later). Routing through a
+    * 100× probe measured ~30× per decade at 200k × 2000 centroids
+    * (18.7 s, i.e. ~2000 s one decade later; BASELINE r11 batch 3). Routing through a
     * √nList-sized coarse level ([[org.apache.spark.sql.graft.RoutedCentroids]])
     * drops per-row work to O(rProbe·√nList): each vector ranks the
     * coarse sample, then argmaxes only the top-`rProbe` groups' member

@@ -670,7 +670,7 @@ object DocQueries {
 
   /** SemDeDup over the ROUTED (two-level) assignment — the O(n·√nList)
     * scale path ([[Similarity.assignRouted]]) the r11 100× probe
-    * motivated (flat assignment kneed at 34×/decade with nList ∝
+    * motivated (flat assignment kneed at ~30×/decade with nList ∝
     * corpus; routed runs the same leg 22× faster at 200k×2000).
     * rProbe = 2 of the ~4 coarse groups, so the APPROXIMATION path —
     * not the rProbe=all degenerate case that equals flat — is what the

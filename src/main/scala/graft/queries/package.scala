@@ -315,8 +315,11 @@ package object queries {
   private def retireOrRelease(s: SparkSession, owner: SparkSession,
       v: AnyRef): Unit = {
     if (owner.sparkContext.isStopped) return // blocks already gone
+    // the OWNER's grace, not the evicting caller's: a collision-eviction
+    // can come from a different session whose grace=0 default must not
+    // override the owner's opt-in (same rule as Materialize.retain)
     val grace =
-      try s.conf.get("spark.graft.memo.releaseGraceMs", "0").toLong
+      try owner.conf.get("spark.graft.memo.releaseGraceMs", "0").toLong
       catch { case _: NumberFormatException => 0L }
     retired.retireOrRelease(grace, (owner, v))
   }

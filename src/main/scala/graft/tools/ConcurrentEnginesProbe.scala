@@ -1,8 +1,7 @@
 package graft.tools
 
 import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 import graft.engine.{Materialize, MsgEngine}
 import graft.model._
 import graft.queries.FacadeQueries

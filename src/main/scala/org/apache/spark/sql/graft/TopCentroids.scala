@@ -92,8 +92,8 @@ case class TopCentroids(child: Expression, centroids: Array[Array[Float]],
   * compiled loop, but the loop is still O(nList) per row — and the
   * SemDeDup/knn-graph contract grows nList ∝ corpus to hold the mean
   * cluster size flat, so flat assignment is O(n²/b) overall. The r11
-  * 100× probe measured the knee: 34× per decade at 200k × 2000
-  * centroids (20.3 s; ~2000 s at the next decade). This expression
+  * 100× probe measured the knee: ~30× per decade at 200k × 2000
+  * centroids (18.7 s; ~2000 s at the next decade — BASELINE r11 batch 3). This expression
   * routes each row through a coarse level first (classic IVF-of-
   * centroids): argmax over `coarse` (√nList rows), then argmax over
   * only the routed groups' member centroids — O(rProbe·√nList) per

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** The two-level (routed) centroid assignment — the O(n·√nList) scale
   * path added after the r11 100× probe measured the flat assignment's
-  * 34×/decade knee (nList ∝ corpus ⇒ O(n²/b) overall).
+  * ~30×/decade knee (nList ∝ corpus ⇒ O(n²/b) overall).
   */
 class RoutedCentroidsSpec extends SparkTestBase {
 
@@ -65,16 +65,14 @@ class RoutedCentroidsSpec extends SparkTestBase {
       Similarity.semanticAssign(emb, col("vec_id"), col("embedding"), nList),
       eps).count()
     assert(flatCount > 0, "fixture must produce pairs for the test to bite")
-    val rtPairs = Similarity.semanticDupes(
+    val rtRows = Similarity.semanticDupes(
       Similarity.assignRouted(
         emb.select(col("vec_id"), col("embedding")),
         Similarity.strideCentroids(
           emb.select(col("vec_id"), col("embedding")), nList), 4),
-      eps)
-    rtPairs.collect().foreach { r =>
-      assert(r.getAs[Double]("max_cosine") > eps)
-    }
-    assert(rtPairs.count() >= (flatCount * 7) / 10,
-      s"routed recall collapsed: ${rtPairs.count()} vs flat $flatCount")
+      eps).collect() // once: every assertion reads the local array
+    rtRows.foreach(r => assert(r.getAs[Double]("max_cosine") > eps))
+    assert(rtRows.length >= (flatCount * 7) / 10,
+      s"routed recall collapsed: ${rtRows.length} vs flat $flatCount")
   }
 }
