@@ -923,17 +923,27 @@ final class MsgEngine(val vault: MsgVault) {
       .orderBy(col("sent_at").desc, col("id").desc)
   }
 
-  /** Gmail ids for deletion staging (reference GetGmailIDsByFilter
-    * duckdb.go:1654-1788): always hide-deleted, gmail sources only.
+  /** Gmail ids for deletion staging (reference GetGmailIDsByFilter —
+    * the AUTHORITATIVE SQLite path, sqlite.go:1006-1135; the DuckDB
+    * form is an explicit stale-cache fallback that even delegates to
+    * SQLite when present, duckdb.go:1655-1659): always hide-deleted
+    * (never an opt-in — this feeds remote deletion), STRICT
+    * source_type = 'gmail' (the DuckDB fallback's
+    * COALESCE(source_type,'gmail') legacy-NULL admission is a
+    * fallback-only quirk not mirrored here), recency order
+    * (sent_at DESC, id DESC — semantic once a limit applies: it picks
+    * WHICH messages stage), and pagination.limit honored when > 0.
     */
   def gmailIdsByFilter(filter: MessageFilter): DataFrame = {
     val gmailSources = vault.sources
       .filter(col("source_type") === "gmail")
       .select(col("id").as("__gsid"))
-    filters.compile(filter.copy(hideDeletedFromSource = true))
+    val out = filters.compile(filter.copy(hideDeletedFromSource = true))
       .join(gmailSources, col("source_id") === col("__gsid"), "left_semi")
+      .orderBy(col("sent_at").desc, col("id").desc)
       .select(col("source_message_id"))
-      .orderBy(col("source_message_id").asc)
+    if (filter.pagination.limit > 0) out.limit(filter.pagination.limit)
+    else out
   }
 
   /** Dual-path contact resolution shared by the texts-mode paths: contact

@@ -311,10 +311,14 @@ object FacadeQueries {
   // --- GetGmailIDsByFilter (deletion staging input) --------------------------
 
   /** Always hide-deleted (both kinds), gmail sources only, filtered by
-    * the 'work' label here — the deletion-staging input surface.
+    * the 'work' label here — the deletion-staging input surface. Recency
+    * order + a LIMIT (sqlite.go:1121-1135): with a limit the ordering is
+    * SEMANTIC — it picks which messages stage for deletion — so the
+    * oracle replays sent_at DESC, id DESC and the page cut.
     */
   def gmailIds(s: SparkSession, dir: String): DataFrame =
-    engine(s, dir).gmailIdsByFilter(MessageFilter(label = "work"))
+    engine(s, dir).gmailIdsByFilter(MessageFilter(label = "work",
+      pagination = Pagination(limit = 25)))
 
   val gmailIdsSql: String =
     s"""$starCte
@@ -322,7 +326,7 @@ object FacadeQueries {
        |WHERE NOT is_deleted AND NOT is_src_deleted
        |  AND source_id = 0
        |  AND id IN (SELECT message_id FROM ml WHERE name = 'work')
-       |ORDER BY source_message_id ASC""".stripMargin
+       |ORDER BY sent_at DESC, id DESC LIMIT 25""".stripMargin
 
   // --- ListConversations (texts mode; ordered-FIRST preview) ----------------
 

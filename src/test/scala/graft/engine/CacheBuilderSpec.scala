@@ -153,10 +153,11 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(engine.searchByDomains(Seq("nowhere.invalid")).count() == 0)
   }
 
-  test("gmailIdsByFilter: gmail sources only, source_message_id out") {
+  test("gmailIdsByFilter: gmail sources only, recency-ordered source_message_id out") {
     val engine = new MsgEngine(sourceVault(3))
     val ids = engine.gmailIdsByFilter(MessageFilter()).collect().map(_.getString(0))
-    assert(ids.toSeq == Seq("src-1", "src-2", "src-3"))
+    // sent_at DESC, id DESC (sqlite.go:1121-1135) — months 2,3,4 here
+    assert(ids.toSeq == Seq("src-3", "src-2", "src-1"))
   }
 
   test("aggregateTextContacts: chat messages grouped by resolved contact") {

@@ -154,6 +154,16 @@ class EmptyBucketsSpec extends SparkTestBase {
     assert(ids == Set("src-1", "src-2", "src-3", "src-4", "src-5", "src-6"))
   }
 
+  test("gmailIdsByFilter: recency order, limit honored (sqlite.go:1121-1135)") {
+    // with a limit the ordering is SEMANTIC — it picks which messages
+    // stage for deletion: the two most recent (sent_at desc), not the
+    // lexicographically-first source ids
+    val top = engine.gmailIdsByFilter(
+      MessageFilter(pagination = Pagination(limit = 2)))
+      .collect().map(_.getString(0)).toSeq
+    assert(top == Seq("src-6", "src-5"), s"got $top")
+  }
+
   test("gmailIdsByFilter: combined filters that match nothing yield empty") {
     // duckdb_test.go:1865-1890 — bob sent msg2 (label Work); bob+INBOX→∅
     // here: bob's only message carries Work, so bob+INBOX matches nothing
