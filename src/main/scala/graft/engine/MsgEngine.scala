@@ -839,8 +839,18 @@ final class MsgEngine(val vault: MsgVault) {
 
   /** Point lookup by the source system's message id (reference
     * GetMessageBySourceID engine.go:28 — routed to SQLite there
-    * (duckdb.go:1412-1422), served from the star here). Lowest live id
-    * wins if a source id is duplicated.
+    * (duckdb.go:1412-1422), served from the star here).
+    *
+    * Deliberate divergence, documented (same class as the text-surface
+    * hide-deleted rule at [[compileTextFilter]]): the reference's
+    * by-source-id lookup applies NO visibility filter and takes an
+    * arbitrary first row on duplicates (shared.go:255-297 — point
+    * lookups see everything, like GetMessage). Here the store contract
+    * rules: dedup losers (`deleted_at`) never surface from the star, and
+    * the LOWEST live id wins on a duplicated source id — deterministic
+    * where the reference is row-order-dependent. The
+    * `message_detail_by_source_id` oracle pins the deleted-must-drop leg
+    * of this contract.
     */
   def messageDetailBySourceId(sourceMessageId: String): DataFrame = {
     val hit = vault.messages
@@ -906,21 +916,49 @@ final class MsgEngine(val vault: MsgVault) {
   }
 
   /** Any-participant domain search, date-bounded (reference
-    * SearchByDomains engine.go:72-74, sqlite.go:1149-1194).
+    * SearchByDomains engine.go:72-74, sqlite.go:1149-1194). Four
+    * reference rules, each with its own discriminating oracle leg:
+    *
+    *   - BOTH delete classes hidden (`store.LiveMessagesWhere("m",
+    *     true)`, sqlite.go:1164-1166 — the reference comments that this
+    *     MCP-facing surface must match Search/SearchFast visibility);
+    *   - email-only (`emailOnlyFilterM`, sqlite.go:1163) — chats are
+    *     served by the texts-mode surface;
+    *   - case-insensitive domain match on BOTH sides
+    *     (`LOWER(p_dom.domain) IN (lowercased args)`,
+    *     sqlite.go:1155-1171);
+    *   - paging per executeSearchQuery's contract: default limit 100,
+    *     clamp 1000, offset honored (sqlite.go:1184-1189).
+    *
+    * Date bounds compare at DAY granularity: the reference binds
+    * after/before as `Format("2006-01-02")` date strings against a TEXT
+    * DATETIME column (sqlite.go:1174-1181, schema.sql:119), so `>=`
+    * admits the whole `after` day and `<` excludes the whole `before`
+    * day — mirrored here with date_trunc. Returns the same enriched
+    * MessageSummary page as every search surface (executeSearchQuery,
+    * sqlite.go:1368-1407); id DESC tie-break added to the reference's
+    * ORDER BY sent_at DESC for determinism.
     */
   def searchByDomains(domains: Seq[String],
       after: Option[java.sql.Timestamp] = None,
-      before: Option[java.sql.Timestamp] = None): DataFrame = {
+      before: Option[java.sql.Timestamp] = None,
+      limit: Int = 0, offset: Int = 0): DataFrame = {
+    val lowered = domains.map(_.toLowerCase(java.util.Locale.ROOT))
     val mr = vault.recipients
     val p = vault.participants
     val ids = mr.join(p, p("id") === mr("participant_id"))
-      .filter(p("domain").isin(domains: _*))
+      .filter(lower(p("domain")).isin(lowered: _*))
       .select(mr("message_id")).distinct()
-    var msg = vault.messages.filter(filters.liveMessages(false))
-    after.foreach(t => msg = msg.filter(col("sent_at") >= lit(t)))
-    before.foreach(t => msg = msg.filter(col("sent_at") < lit(t)))
-    msg.join(ids, msg("id") === ids("message_id"), "left_semi")
-      .orderBy(col("sent_at").desc, col("id").desc)
+    var msg = vault.messages
+      .filter(filters.liveMessages(hideDeletedFromSource = true))
+      .filter(filters.emailOnly)
+    after.foreach(t =>
+      msg = msg.filter(col("sent_at") >= date_trunc("DAY", lit(t))))
+    before.foreach(t =>
+      msg = msg.filter(col("sent_at") < date_trunc("DAY", lit(t))))
+    val matched = msg.join(ids, msg("id") === ids("message_id"), "left_semi")
+    pageThenEnrich(matched, Seq(col("sent_at").desc, col("id").desc),
+      MsgEngine.domainSearchLimit(limit), offset, defaultLimit = 100)
   }
 
   /** Gmail ids for deletion staging (reference GetGmailIDsByFilter —
@@ -1263,6 +1301,16 @@ final class MsgEngine(val vault: MsgVault) {
       after = opts.after, before = opts.before,
       withAttachmentsOnly = opts.withAttachmentsOnly,
       hideDeletedFromSource = opts.hideDeletedFromSource)
+}
+
+object MsgEngine {
+  /** SearchByDomains paging contract (sqlite.go:1184-1189): limit <= 0
+    * defaults to 100; anything above 1000 clamps to 1000. Pure so the
+    * spec can pin it — the page materializes before enrichment, so the
+    * clamp is not recoverable from the final plan.
+    */
+  private[engine] def domainSearchLimit(limit: Int): Int =
+    if (limit <= 0) 100 else math.min(limit, 1000)
 }
 
 /** Result handle for the materialized search: count/page/stats all reuse the

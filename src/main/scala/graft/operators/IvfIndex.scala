@@ -26,19 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  final case class Index(centroids: Seq[Seq[Float]], assigned: DataFrame)
+  final case class Index(centroids: Seq[Seq[Float]], assigned: DataFrame) {
+    /** Two-level routing structure for the ROUTED serving/build paths —
+      * built lazily ONCE per index (nList·√nList driver cosines: real at
+      * 1M lists, which is exactly the regime that needs routing) and
+      * reused by every [[IvfIndex.searchRouted]] query; rProbe stays a
+      * per-call knob.
+      */
+    @transient private[graft] lazy val routing: Similarity.RoutedStructure =
+      Similarity.routedStructure(centroids)
+  }
 
   /** Build the index: pick ~`nList` centroids by a deterministic hash
     * stride over the ids (`xxhash64(id) % (n/nList) == 0` — a random-but-
     * reproducible sample needing no global sort; only the sample itself
     * is sorted for a stable centroid order), assign every vector to its
     * max-cosine centroid. `assigned` carries (vec_id, embedding, cluster).
+    *
+    * `rProbe` (opt-in, 0 = exact flat default — same contract as
+    * [[Similarity.semanticAssignHierarchical]]): route the assignment
+    * through the two-level coarse structure. Flat assignment is
+    * O(n·nList) — quadratic overall in the documented regime where
+    * nList ∝ corpus keeps mean list size flat (the r11 100× probe
+    * measured ~30×/decade at 200k × 2000); routing drops per-row work to
+    * O(rProbe·√nList). `rProbe = ⌈√nList⌉` reproduces flat bit-for-bit;
+    * smaller rProbe is the standard IVF build-side approximation
+    * (a boundary vector may land in a neighboring list, costing probe
+    * recall, never wrong scores — search re-ranks with exact cosines).
     */
-  def build(emb: DataFrame, id: Column, vec: Column, nList: Int): Index = {
+  def build(emb: DataFrame, id: Column, vec: Column, nList: Int,
+      rProbe: Int = 0): Index = {
     val base = emb.select(id.as("vec_id"), vec.as("embedding"))
     val centroids = Similarity.centroidSampleBy(base, nList)(stride =>
       pmod(xxhash64(col("vec_id")), lit(stride)))
-    Index(centroids, assign(base, centroids))
+    val assigned =
+      if (rProbe > 0) Similarity.assignRouted(base, centroids, rProbe)
+      else assign(base, centroids)
+    Index(centroids, assigned)
   }
 
   /** Nearest-centroid assignment: per-row argmax of cosine over the
@@ -78,17 +102,65 @@ object IvfIndex {
     // tie-break must MATCH assignment: greatest(struct) sends an exact
     // cosine tie to the HIGHER centroid index, so the probe ranking
     // prefers -i too — ranking the lower duplicate first would probe an
-    // EMPTY list and miss every tied vector at small nProbe
+    // EMPTY list and miss every tied vector at small nProbe.
+    // This flat ranking is driver-side O(nList) per query — fine to
+    // ~10⁵–10⁶ lists (≈1 ms/10⁴ at ~100 ns/dim·cosine over 64 dims),
+    // a real knee past ~1M; [[searchAssignedRouted]] is the scale path.
     val probes = centroids.zipWithIndex
       .sortBy { case (c, i) => (-Similarity.cosineLocal(c, query), -i) }
       .take(nProbe).map(_._2)
+    probeLists(assigned, probes, query, k)
+  }
+
+  /** [[searchAssigned]] with the probe RANKING routed through the same
+    * two-level coarse structure the routed build uses — the de-knee for
+    * nList ∝ corpus, where flat ranking's O(nList) driver cosines per
+    * query become the serving bottleneck (~1M lists): rank the ⌈√nList⌉
+    * coarse rows, keep the top `rProbe` groups, rank only their member
+    * centroids — O(rProbe·√nList) per query. Tie rules match
+    * [[searchAssigned]] and the assignment expression at both levels
+    * ((score desc, index desc)); `rProbe = ⌈√nList⌉` reproduces the flat
+    * probe set exactly. Smaller rProbe is the usual IVF recall trade: a
+    * near-boundary query may rank a neighboring group's list out of its
+    * probe budget — fewer lists scanned, never wrong scores.
+    */
+  def searchAssignedRouted(assigned: DataFrame, centroids: Seq[Seq[Float]],
+      query: Seq[Float], k: Int, nProbe: Int, rProbe: Int): DataFrame =
+    searchWithRouting(assigned, Similarity.routedStructure(centroids),
+      query, k, nProbe, rProbe)
+
+  /** [[search]]'s routed twin over a built [[Index]] — reuses the
+    * index's ONE prepared routing structure, so the per-query driver
+    * cost is O(rProbe·√nList), with no per-call structure rebuild.
+    */
+  def searchRouted(index: Index, query: Seq[Float], k: Int, nProbe: Int,
+      rProbe: Int): DataFrame =
+    searchWithRouting(index.assigned, index.routing, query, k, nProbe,
+      rProbe)
+
+  private def searchWithRouting(assigned: DataFrame,
+      rs: Similarity.RoutedStructure, query: Seq[Float], k: Int,
+      nProbe: Int, rProbe: Int): DataFrame = {
+    val groups = rs.coarse.indices
+      .sortBy(g => (-Similarity.cosineLocal(rs.coarse(g).toSeq, query), -g))
+      .take(rs.clampProbe(rProbe))
+    val probes = groups.flatMap(g => rs.members(g))
+      .sortBy(c => (-Similarity.cosineLocal(rs.cents(c).toSeq, query), -c))
+      .take(nProbe)
+    probeLists(assigned, probes, query, k)
+  }
+
+  /** The shared probe tail: scan ONLY the ranked lists (a partition
+    * filter over [[writeLists]] output), exact cosine re-rank, top-k.
+    */
+  private def probeLists(assigned: DataFrame, probes: Seq[Int],
+      query: Seq[Float], k: Int): DataFrame =
     assigned
       .filter(col("cluster").isin(probes: _*))
       .select(col("vec_id"),
         Similarity.cosine(col("embedding"), typedLit(query)).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
-  }
 
   /** Persist the inverted lists hive-partitioned by cluster (the
     * deployment shape: one directory per list, co-located rows). A probe

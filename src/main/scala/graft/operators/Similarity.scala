@@ -31,7 +31,7 @@ object Similarity {
   /** Driver-side cosine (−2.0 for a zero-norm side, sorting below any
     * real similarity).
     */
-  private[operators] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+  private[graft] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
     val d = dotLocal(a, b)
     val na = math.sqrt(dotLocal(a, a)); val nb = math.sqrt(dotLocal(b, b))
     if (na == 0.0 || nb == 0.0) -2.0 else d / (na * nb)
@@ -434,6 +434,77 @@ object Similarity {
     */
   def assignRouted(base: DataFrame, centroids: Seq[Seq[Float]],
       rProbe: Int): DataFrame = {
+    val rs = routedStructure(centroids)
+    // get() (null on out-of-bounds), not element_at: if every probed
+    // group is member-empty (possible only under duplicated coarse
+    // vectors) the expression now yields an EMPTY array, and a null
+    // cluster drops from downstream cluster joins — the same "no
+    // assignment" the SQL replay produces — where element_at would
+    // raise under ANSI mode.
+    base.withColumn("cluster",
+      get(org.apache.spark.sql.graft.RoutedCentroids(
+        col("embedding"), rs.cents, rs.coarse, rs.members,
+        rs.clampProbe(rProbe), 1),
+        lit(0)))
+  }
+
+  /** Top-p ROUTED multi-assignment — [[semanticAssignMulti]]'s build-side
+    * recall lever at [[assignRouted]]'s O(rProbe·√nList) per-row cost,
+    * for the regime where BOTH knobs grow (nList ∝ corpus for bounded
+    * lists, p > 1 for pair recall). Ranking rule is identical at every
+    * level ((score desc, index desc)); `rProbe = nCoarse` reproduces
+    * [[semanticAssignMulti]] bit-for-bit. May emit FEWER than p rows for
+    * a vector when its probed groups hold fewer than p member centroids
+    * — the routed analogue of semanticAssignMulti's p ≤ nList guard,
+    * and exactly what the SQL replay's `rn <= p` yields.
+    */
+  def assignRoutedMulti(base: DataFrame, centroids: Seq[Seq[Float]],
+      rProbe: Int, p: Int): DataFrame = {
+    require(p >= 1 && p <= centroids.length,
+      s"p ($p) must be in [1, ${centroids.length}]")
+    val rs = routedStructure(centroids)
+    base.select(col("vec_id"), col("embedding"),
+      explode(org.apache.spark.sql.graft.RoutedCentroids(
+        col("embedding"), rs.cents, rs.coarse, rs.members,
+        rs.clampProbe(rProbe), p))
+        .as("cluster"))
+  }
+
+  /** [[semanticAssignMulti]] through the two-level router — the
+    * multi-assign twin of [[semanticAssignHierarchical]].
+    */
+  def semanticAssignMultiRouted(emb: DataFrame, id: Column, vec: Column,
+      nList: Int, p: Int, rProbe: Int,
+      hashStride: Boolean = true): DataFrame = {
+    val base = emb.select(id.as("vec_id"), vec.as("embedding"))
+    val centroids = strideCentroids(base, nList, hashStride)
+    require(p <= centroids.length,
+      s"p ($p) exceeds the ${centroids.length} centroids actually " +
+        s"derived (requested nList=$nList; corpus too small?)")
+    assignRoutedMulti(base, centroids, rProbe, p)
+  }
+
+  /** The two-level routing structure shared by every routed consumer
+    * ([[assignRouted]], [[assignRoutedMulti]],
+    * [[IvfIndex.searchAssignedRouted]]'s driver-side probe ranking):
+    * coarse = every ⌈nList/⌈√nList⌉⌉-th centroid (first ⌈√nList⌉ of the
+    * index order); each centroid routed driver-side to its nearest
+    * coarse row by the expression's exact rule (score desc, index desc).
+    * Building it costs nList·√nList driver cosines — amortized over the
+    * corpus for assignment jobs, and built ONCE per [[IvfIndex.Index]]
+    * ([[IvfIndex.Index.routing]]) for the per-query serving path.
+    * rProbe is a PROBE-TIME knob (clamped via [[RoutedStructure.clampProbe]]),
+    * not part of the structure, so one structure serves every budget.
+    */
+  private[graft] final case class RoutedStructure(
+      cents: Array[Array[Float]], coarse: Array[Array[Float]],
+      coarseIdx: Array[Int], members: Array[Array[Int]]) {
+    def clampProbe(rProbe: Int): Int =
+      math.min(math.max(1, rProbe), coarse.length)
+  }
+
+  private[graft] def routedStructure(
+      centroids: Seq[Seq[Float]]): RoutedStructure = {
     val cents = centroids.map(_.toArray).toArray
     val nCoarse = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
     val stride = math.max(1, cents.length / nCoarse)
@@ -453,10 +524,7 @@ object Similarity {
       members(bg) += c
       c += 1
     }
-    val r = math.min(math.max(1, rProbe), coarse.length)
-    base.withColumn("cluster",
-      element_at(org.apache.spark.sql.graft.RoutedCentroids(
-        col("embedding"), cents, coarse, members.map(_.toArray), r, 1), 1))
+    RoutedStructure(cents, coarse, coarseIdx, members.map(_.toArray))
   }
 
   /** The recurring half of [[semanticDedup]]: within-cluster ε-ball pair

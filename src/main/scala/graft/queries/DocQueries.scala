@@ -588,6 +588,41 @@ object DocQueries {
   val vectorKnnIvfSql: String =
     "SELECT CAST(10 AS BIGINT) AS k, true AS recall_at_10_ok"
 
+  /** The fully-ROUTED IVF serving path: build-side assignment routed
+    * (rProbe=2 of the 4 coarse groups — the nList ∝ corpus knee fix,
+    * [[IvfIndex.build]]) AND query-side probe ranking routed
+    * ([[IvfIndex.searchAssignedRouted]] — the ~1M-list driver-ranking
+    * knee fix). Both approximations active at once, recall-gated vs
+    * brute force like `vector_knn_ivf`. Measured (tools/IvfRecallProbe,
+    * nProbe=14, searchRouted rProbe=3): recall@10 = 1.0 / 0.8 / 0.7 at
+    * sf0.001/0.01/0.1 on this ANN-hostile near-random corpus — gate at
+    * ≥ 0.6 for headroom against testdata regeneration; real clustered
+    * embedding corpora sit far above it.
+    */
+  def vectorKnnIvfRouted(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = queryVector(s, dir)
+    val idx = memoizedIndex(s, dir, "ivf16_routed") {
+      val i = IvfIndex.build(emb, col("vec_id"), col("embedding"),
+        nList = 16, rProbe = 2)
+      val a = i.assigned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      i.copy(assigned = a)
+    }
+    val ivf = IvfIndex.searchRouted(idx, qv, k = 10, nProbe = 14, rProbe = 3)
+      .select(col("vec_id"))
+    val exact = Similarity.bruteForceKnn(emb, col("vec_id"),
+      col("embedding"), qv, k = 10).select(col("vec_id"))
+    ivf.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+      .select(lit(10L).as("k"),
+        (col("__hits").cast("double") / 10.0 >= 0.6).as("recall_at_10_ok"))
+  }
+
+  val vectorKnnIvfRoutedSql: String =
+    "SELECT CAST(10 AS BIGINT) AS k, true AS recall_at_10_ok"
+
   /** Raw-SQL vector search (§3.2 surface × §2.10 operator): the user's
     * SQL string runs over the registered views with the codegen'd
     * `cosine_similarity` injected as a first-class SQL function
@@ -1191,6 +1226,8 @@ object DocQueries {
     "vector_knn_brute" -> (vectorKnnBrute _, Some(vectorKnnBruteSql)),
     "vector_knn_lsh" -> (vectorKnnLsh _, Some(vectorKnnBruteSql)),
     "vector_knn_ivf" -> (vectorKnnIvf _, Some(vectorKnnIvfSql)),
+    "vector_knn_ivf_routed" ->
+      (vectorKnnIvfRouted _, Some(vectorKnnIvfRoutedSql)),
     "sql_vector_search" -> (sqlVectorSearch _, Some(vectorKnnBruteSql)),
     "rrf_fusion" -> (rrfFusion _, Some(rrfFusionSql)),
     "stream_tumbling" -> (streamTumbling _, Some(streamTumblingSql)),

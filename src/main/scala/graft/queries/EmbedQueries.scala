@@ -153,6 +153,41 @@ object EmbedQueries {
        |SELECT vec_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 5
        |ORDER BY vec_id ASC, rnk ASC""".stripMargin
 
+  /** knn graph over a ROUTED top-p multi-assignment
+    * ([[Similarity.semanticAssignMultiRouted]] — both scale levers at
+    * once: p = 2 for pair recall, two-level routing for the
+    * nList ∝ corpus assignment knee). The oracle replays BOTH routing
+    * levels AND the top-p cut in SQL (duckRoutedAssignedCtes at
+    * rProbe = 2, p = 2 — genuinely approximate: rProbe < the 4 coarse
+    * groups), plus the shared-list pair dedup the multi-assignment
+    * makes necessary — so the hash gate certifies the approximation
+    * path itself, exactly like `dedup_semantic_routed`.
+    */
+  def knnGraphRouted(s: SparkSession, dir: String): DataFrame =
+    orderedAtTail(
+      Similarity.knnGraph(
+        Similarity.semanticAssignMultiRouted(
+          t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), nList = 16, p = 2, rProbe = 2),
+        k = 5, dedupCandidates = true),
+      col("vec_id").asc, col("rnk").asc)
+
+  val knnGraphRoutedSql: String =
+    s"""WITH ${duckRoutedAssignedCtes("embeddings", rProbe = 2, p = 2)},
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    max(${duckCos("a.embedding", "b.embedding")}) AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM pairs)
+       |SELECT vec_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 5
+       |ORDER BY vec_id ASC, rnk ASC""".stripMargin
+
   /** Quantized ANN (ADC): approximate cosine over the int8 codes picks 50
     * candidates from a scan that touches a quarter of the float32 bytes;
     * the wide vectors are read for those 50 rows only
@@ -252,6 +287,7 @@ object EmbedQueries {
     "embed_delta" -> (embedDelta _, Some(embedDeltaSql)),
     "embed_outliers" -> (embedOutliers _, Some(embedOutliersSql)),
     "knn_graph" -> (knnGraph _, Some(knnGraphSql)),
+    "knn_graph_routed" -> (knnGraphRouted _, Some(knnGraphRoutedSql)),
     "vector_knn_adc" -> (vectorKnnAdc _, Some(vectorKnnAdcSql)),
     "vector_index_delta" -> (vectorIndexDelta _, Some(vectorIndexDeltaSql)))
 }

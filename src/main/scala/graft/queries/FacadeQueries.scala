@@ -283,15 +283,37 @@ object FacadeQueries {
 
   // --- SearchByDomains (any-participant domain, date-bounded) ---------------
 
+  /** One discriminating leg per reference rule (sqlite.go:1149-1194):
+    *
+    *   - CAPITALIZED domain arg ("Alpha.COM") — the reference lowercases
+    *     both sides; a case-sensitive match would return ZERO rows, so
+    *     the entire non-empty result witnesses the rule.
+    *   - both delete classes hidden — the fixture's d%97 (deleted) and
+    *     d%89 (source-deleted) rows land inside the page window at every
+    *     SF (e.g. d=291 deleted, d=267 src-deleted at 500 docs; d=1455 /
+    *     d=1335 in the sf0.1 top page) and must NOT surface.
+    *   - email-only — d%12==0 rows (alpha-matching sms) would otherwise
+    *     fill the page.
+    *   - paging — limit=0 exercises the DEFAULT 100 (bites at sf0.1
+    *     where the window holds ~360 matches); offset=3 drops the three
+    *     newest at every SF.
+    *   - DAY-granular bounds — after = epoch+300min (07:33 raw) truncates
+    *     to the 11-15 midnight, admitting d∈[107,300) (page-visible at
+    *     500 docs, where all ~96 matches fit in one page); before =
+    *     epoch+2000min truncates to the 11-16 midnight, cutting
+    *     d∈[1547,2000) off the TOP of the sf0.1 page.
+    */
   def searchByDomains(s: SparkSession, dir: String): DataFrame = {
-    val afterMs = epochUs / 1000 + 100 * 60000L
-    val beforeMs = epochUs / 1000 + 400 * 60000L
+    val afterMs = epochUs / 1000 + 300 * 60000L
+    val beforeMs = epochUs / 1000 + 2000 * 60000L
     engine(s, dir)
-      .searchByDomains(Seq("alpha.com"),
+      .searchByDomains(Seq("Alpha.COM"),
         after = Some(new java.sql.Timestamp(afterMs)),
-        before = Some(new java.sql.Timestamp(beforeMs)))
-      .select(col("id"), col("source_message_id"), col("subject"),
-        col("sent_at"))
+        before = Some(new java.sql.Timestamp(beforeMs)),
+        limit = 0, offset = 3)
+      .select(col("id"), col("subject"), col("from_email"), col("from_name"),
+        col("sent_at"), array_join(col("labels"), ",").as("labels"),
+        col("conversation_title"))
   }
 
   val searchByDomainsSql: String =
@@ -299,14 +321,30 @@ object FacadeQueries {
        |ids AS (
        |  SELECT DISTINCT mr.message_id FROM mr
        |  JOIN p ON p.pid = mr.participant_id
-       |  WHERE p.dom = 'alpha.com')
-       |SELECT m.id, m.source_message_id, m.subject, m.sent_at
-       |FROM m
-       |WHERE NOT m.is_deleted
-       |  AND m.sent_at >= make_timestamp(${epochUs + 100L * 60000000L})
-       |  AND m.sent_at <  make_timestamp(${epochUs + 400L * 60000000L})
-       |  AND m.id IN (SELECT message_id FROM ids)
-       |ORDER BY m.sent_at DESC, m.id DESC""".stripMargin
+       |  WHERE lower(p.dom) IN (lower('Alpha.COM'))),
+       |matches AS (
+       |  SELECT * FROM m
+       |  WHERE NOT m.is_deleted AND NOT m.is_src_deleted
+       |    AND m.message_type = 'email'
+       |    AND m.sent_at >= date_trunc('day',
+       |          make_timestamp(${epochUs + 300L * 60000000L}))
+       |    AND m.sent_at <  date_trunc('day',
+       |          make_timestamp(${epochUs + 2000L * 60000000L}))
+       |    AND m.id IN (SELECT message_id FROM ids)),
+       |pg AS (
+       |  SELECT * FROM matches
+       |  ORDER BY sent_at DESC, id DESC LIMIT 100 OFFSET 3),
+       |lbl AS (
+       |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
+       |  FROM ml GROUP BY message_id)
+       |SELECT pg.id, pg.subject, p.email AS from_email, p.pname AS from_name,
+       |       pg.sent_at, COALESCE(lbl.lbls, '') AS labels,
+       |       'conv-' || CAST(pg.conversation_id AS VARCHAR)
+       |         AS conversation_title
+       |FROM pg
+       |JOIN p ON p.pid = (pg.id * 7) % 30
+       |LEFT JOIN lbl ON lbl.message_id = pg.id
+       |ORDER BY pg.sent_at DESC, pg.id DESC""".stripMargin
 
   // --- GetGmailIDsByFilter (deletion staging input) --------------------------
 

@@ -202,9 +202,15 @@ package object queries {
     * their members (ties → higher cid). Every level replays the Scala
     * side bit-for-bit, so the hash gate certifies the APPROXIMATION
     * path itself, not just its verified outputs.
+    *
+    * `p` (default 1) replays [[graft.operators.Similarity.assignRoutedMulti]]:
+    * the `assigned` CTE keeps each vector's top-p probed-member centroids
+    * instead of the argmax — and, like the expression's truncated output,
+    * naturally yields FEWER than p rows when the probed groups hold
+    * fewer members.
     */
   private[queries] def duckRoutedAssignedCtes(src: String,
-      rProbe: Int): String =
+      rProbe: Int, p: Int = 1): String =
     s"""${duckCentsCtes(src)},
        |cc AS (SELECT count(*) AS m,
        |       CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncoarse FROM cents),
@@ -238,7 +244,7 @@ package object queries {
        |    FROM $src e
        |    JOIN probes p ON p.vec_id = e.vec_id
        |    JOIN routedm r ON r.gid = p.gid)
-       |  WHERE rn = 1)""".stripMargin
+       |  WHERE rn <= $p)""".stripMargin
 
   // Each entry carries its OWNING session: (a) identityHashCode is not
   // unique, so a hash collision with a dead session's key must be caught

@@ -35,6 +35,23 @@ object IvfRecallProbe {
           .collect().map(_.getAs[Long]("vec_id")).toSet
         println(f"[ivf] $dir nProbe=$np%2d recall@10=${(got & exact).size / 10.0}%.1f")
       }
+      // routed build (assignment approximation) × routed probe ranking —
+      // the data behind vector_knn_ivf_routed's parameter/gate choice
+      val rIdx = IvfIndex.build(emb, col("vec_id"), col("embedding"),
+        nList = 16, rProbe = 2)
+      for (np <- Seq(12, 14, 16)) {
+        val flatGot = IvfIndex.search(rIdx, qv, k = 10, nProbe = np)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        println(f"[ivf-rb] $dir build(rProbe=2) flat-search nProbe=$np%2d " +
+          f"recall@10=${(flatGot & exact).size / 10.0}%.1f")
+        for (rp <- Seq(2, 3, 4)) {
+          val got = IvfIndex.searchRouted(rIdx, qv, k = 10, nProbe = np,
+            rProbe = rp)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+          println(f"[ivf-rr] $dir build(rProbe=2) routed-search rP=$rp " +
+            f"nProbe=$np%2d recall@10=${(got & exact).size / 10.0}%.1f")
+        }
+      }
     }
     spark.stop()
   }

@@ -128,6 +128,29 @@ object ProbeVec100 {
         .count()
       record("ivf_build", factor, tBuild, s"assigned=$na (lazy half)")
 
+      // -- r12 rollout legs: the routed fix applied to the BUILD path.
+      //    Apples-to-apples full builds (centroid draw + materialized
+      //    assignment); flat is the O(n·nList) knee ProbeVec100 found at
+      //    r11, routed is the O(n·rProbe·√nList) replacement.
+      val (tBuildFlat, _) = time {
+        IvfIndex.build(d, col("vec_id"), col("embedding"), nList)
+          .assigned.count()
+      }
+      record("ivf_build_flat", factor, tBuildFlat, "flat draw+assign")
+      val (tBuildRt, _) = time {
+        IvfIndex.build(d, col("vec_id"), col("embedding"), nList, rProbe = 4)
+          .assigned.count()
+      }
+      record("ivf_build_rt", factor, tBuildRt, "routed rProbe=4 draw+assign")
+
+      // -- knnGraph's build side: top-p multi-assignment, flat vs routed
+      val (tMulti, nMulti) = time(Similarity.semanticAssignMulti(
+        d, col("vec_id"), col("embedding"), nList, p = 2).count())
+      record("assign_multi_p2", factor, tMulti, s"rows=$nMulti")
+      val (tMultiRt, nMultiRt) = time(Similarity.semanticAssignMultiRouted(
+        d, col("vec_id"), col("embedding"), nList, p = 2, rProbe = 4).count())
+      record("assign_multi_p2_rt", factor, tMultiRt, s"rows=$nMultiRt")
+
       // -- IVF search: probed fraction held at nProbe/nList = 1/16, so
       //    probed ROWS grow linearly — 8 queries for a measurable read
       val nProbe = math.max(1, nList / 16)
@@ -159,8 +182,54 @@ object ProbeVec100 {
       if (factor > 1) d.unpersist()
     }
 
+    // -- ivf_search's OTHER knee: driver-side probe RANKING is O(nList)
+    //    cosines per query (fine at 2k lists, ~1M is the wall). Pure
+    //    driver microbench, flat vs routed-with-PREPARED-structure
+    //    (Index.routing builds once per index) — the data behind the
+    //    BASELINE crossover note.
+    {
+      val rnd = new scala.util.Random(7)
+      val dim = 64
+      for (nl <- Seq(2000, 20000, 200000)) {
+        val cents: Seq[Seq[Float]] =
+          Seq.fill(nl)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+        val q: Seq[Float] = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+        val reps = 20
+        val (tFlat, _) = time {
+          var i = 0
+          while (i < reps) {
+            cents.zipWithIndex
+              .sortBy { case (c, j) => (-Similarity.cosineLocal(c, q), -j) }
+              .take(16)
+            i += 1
+          }
+        }
+        val (tPrep, rs) = time(Similarity.routedStructure(cents))
+        val (tRouted, _) = time {
+          var i = 0
+          while (i < reps) {
+            val groups = rs.coarse.indices
+              .sortBy(g =>
+                (-Similarity.cosineLocal(rs.coarse(g).toSeq, q), -g))
+              .take(rs.clampProbe(8))
+            groups.flatMap(g => rs.members(g))
+              .sortBy(c =>
+                (-Similarity.cosineLocal(rs.cents(c).toSeq, q), -c))
+              .take(16)
+            i += 1
+          }
+        }
+        println(f"[probevec100] rank_crossover nList=$nl%7d " +
+          f"flat=${tFlat / reps * 1000}%8.2f ms/q  " +
+          f"routed(rP=8)=${tRouted / reps * 1000}%8.2f ms/q  " +
+          f"prep_once=${tPrep}%6.2f s")
+      }
+    }
+
     val ops = Seq("semantic_assign", "semantic_assign_rt", "semantic_dupes",
-      "knn_graph", "ivf_build", "ivf_search_x8", "quantize_int8", "adc_knn")
+      "knn_graph", "ivf_build", "ivf_build_flat", "ivf_build_rt",
+      "assign_multi_p2", "assign_multi_p2_rt",
+      "ivf_search_x8", "quantize_int8", "adc_knn")
     ops.foreach { name =>
       val decades = factors.sliding(2).collect {
         case Seq(a, b) if results.contains((name, b)) =>

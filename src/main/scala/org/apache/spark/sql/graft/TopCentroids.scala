@@ -334,6 +334,15 @@ object TopCentroids {
       }
       r += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(bestI)
+    // Unlike the flat form (whose candidate set is ALL centroids, so p
+    // slots always fill), the probed groups' member union can hold fewer
+    // than p centroids — emit only the filled slots rather than
+    // Int.MinValue sentinels (a downstream explode/join would treat a
+    // sentinel as a real cluster id). Mirrors the SQL replay, where
+    // `rn <= p` over fewer candidates simply yields fewer rows.
+    var filled = p
+    while (filled > 0 && bestI(filled - 1) == Int.MinValue) filled -= 1
+    UnsafeArrayData.fromPrimitiveArray(
+      if (filled == p) bestI else java.util.Arrays.copyOf(bestI, filled))
   }
 }

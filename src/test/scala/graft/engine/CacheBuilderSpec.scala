@@ -146,10 +146,13 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("attachments").length == 1)
   }
 
-  test("searchByDomains matches any participant role") {
+  test("searchByDomains matches any participant role, email-only, any case") {
     val engine = new MsgEngine(sourceVault(6))
-    // z.net is only ever a 'to' recipient
-    assert(engine.searchByDomains(Seq("z.net")).count() == 6)
+    // z.net is only ever a 'to' recipient; i%3==0 rows are imessage and
+    // the surface is email-only (sqlite.go:1163) → 4 of 6 surface
+    assert(engine.searchByDomains(Seq("z.net")).count() == 4)
+    // case-insensitive on BOTH sides (sqlite.go:1155-1171)
+    assert(engine.searchByDomains(Seq("Z.NET")).count() == 4)
     assert(engine.searchByDomains(Seq("nowhere.invalid")).count() == 0)
   }
 

@@ -474,7 +474,10 @@ class MsgEngineSpec extends SparkTestBase {
   test("messageDetailBySourceId resolves the live message; misses are empty") {
     val hit = rows(engine.messageDetailBySourceId("src-2"))
     assert(hit.length == 1 && hit.head.getAs[String]("subject") == "Re: Quarterly report")
-    // deleted_at loser (msg 4, src-4) is invisible to the lookup
+    // deleted_at loser (msg 4, src-4) is invisible to the lookup — the
+    // DOCUMENTED divergence from shared.go:255-297 (reference point
+    // lookups see everything; the store contract hides dedup losers) —
+    // see the messageDetailBySourceId scaladoc
     assert(rows(engine.messageDetailBySourceId("src-4")).isEmpty)
     assert(rows(engine.messageDetailBySourceId("no-such-id")).isEmpty)
   }
@@ -601,6 +604,29 @@ class MsgEngineSpec extends SparkTestBase {
     val paged = rows(engine.searchFast("quarterly",
       MessageFilter(pagination = Pagination(limit = 1))))
     assert(paged.length == 1 && total > paged.length)
+  }
+
+  test("searchByDomains: Search/SearchFast visibility, any case, paging clamp (sqlite.go:1149-1194)") {
+    // a.com touches msgs 1 (from alice), 2 (to alice), 3 (from alice, to
+    // dave), 4 (deleted — hidden), 5 (src-deleted — hidden too: the
+    // reference comments this MCP-facing surface must match Search/
+    // SearchFast visibility, i.e. LiveMessagesWhere("m", true))
+    val out = rows(engine.searchByDomains(Seq("A.COM"))) // case-insensitive
+    assert(out.map(_.getAs[Long]("id")) == Seq(3L, 2L, 1L)) // sent_at DESC
+    assert(out.head.getAs[String]("from_email") == "alice@a.com") // enriched
+    // honored limit + offset (executeSearchQuery contract)
+    assert(rows(engine.searchByDomains(Seq("a.com"), limit = 2))
+      .map(_.getAs[Long]("id")) == Seq(3L, 2L))
+    assert(rows(engine.searchByDomains(Seq("a.com"), limit = 2, offset = 2))
+      .map(_.getAs[Long]("id")) == Seq(1L))
+    // limit<=0 defaults to 100; >1000 clamps to 1000 (sqlite.go:1184-1189).
+    // Pinned on the pure helper: the page materializes before enrichment,
+    // so the clamp is not recoverable from the final plan.
+    assert(MsgEngine.domainSearchLimit(5000) == 1000)
+    assert(MsgEngine.domainSearchLimit(1000) == 1000)
+    assert(MsgEngine.domainSearchLimit(0) == 100)
+    assert(MsgEngine.domainSearchLimit(-1) == 100)
+    assert(MsgEngine.domainSearchLimit(7) == 7)
   }
 
   test("search cache: page hits reuse the match set; a new search misses") {
