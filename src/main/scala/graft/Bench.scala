@@ -66,6 +66,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Whole-suite cooldown: driver benches run minutes after the build's
+    // own test suite and inherit its 1-min loadavg tail — r10/r11/r12
+    // driver readings ALL self-flagged `pre_load` for exactly this
+    // (load_before 2-3, ext_load ~0). The tail decays with τ = 60 s and
+    // this JVM idles while waiting, so a pre_load-only signal clears in
+    // ~1-3 min; genuinely external load survives the deadline and still
+    // flags below. SPARK_GRAFT_NO_COOLDOWN=1 skips (dev iteration).
+    val loadAtLaunch = loadAvg()
+    val cooldownSec: Double =
+      if (sys.env.contains("SPARK_GRAFT_NO_COOLDOWN")) 0.0
+      else {
+        val t0 = System.nanoTime()
+        val deadline = t0 + 300L * 1000L * 1000L * 1000L
+        while (loadAvg() > 1.0 && System.nanoTime() < deadline)
+          Thread.sleep(15000)
+        (System.nanoTime() - t0) / 1e9
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // fewer shuffle partitions than cores at bench scale: 600k-row
@@ -187,7 +205,9 @@ object Bench {
       val fr =
         if (flagReasons.isEmpty) ""
         else flagReasons.mkString(",\"flag_reason\":\"", "+", "\"")
-      s""","noise":{"load_before":${fmt(load0, 2)},"load_after":${fmt(load1, 2)},""" +
+      s""","noise":{"load_at_launch":${fmt(loadAtLaunch, 2)},""" +
+        s""""cooldown_sec":${fmt(cooldownSec, 0)},""" +
+        s""""load_before":${fmt(load0, 2)},"load_after":${fmt(load1, 2)},""" +
         s""""own_cores":${fmt(ownCores, 2)},"cgroup_cpu_sec":${fmt(cgSec, 1)},""" +
         s""""wall_sec":${fmt(wallSec, 1)},"ext_load":${fmt(extLoad, 2)},""" +
         s""""flagged":$flagged$fr$rr}"""

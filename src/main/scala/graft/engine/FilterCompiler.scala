@@ -110,8 +110,12 @@ final class FilterCompiler(v: MsgVault) {
 
     // scalar predicates first — these push down to the scan
     filter.conversationId.foreach(id => msg = msg.filter(col("conversation_id") === id))
-    filter.after.foreach(t => msg = msg.filter(col("sent_at") >= lit(t)))
-    filter.before.foreach(t => msg = msg.filter(col("sent_at") < lit(t)))
+    // bounds are second-truncated per the reference's uniform
+    // Format("2006-01-02 15:04:05") binding — see FilterCompiler.secTrunc
+    filter.after.foreach(t =>
+      msg = msg.filter(col("sent_at") >= lit(FilterCompiler.secTrunc(t))))
+    filter.before.foreach(t =>
+      msg = msg.filter(col("sent_at") < lit(FilterCompiler.secTrunc(t))))
     if (filter.withAttachmentsOnly) msg = msg.filter(col("has_attachments") === true)
     sourceScope(filter.sourceId, filter.sourceIds).foreach(c => msg = msg.filter(c))
     if (filter.timeRange.period.nonEmpty) {
@@ -399,6 +403,19 @@ final class FilterCompiler(v: MsgVault) {
 }
 
 object FilterCompiler {
+
+  /** Second-truncated time bound: every reference engine binds After /
+    * Before as `Format("2006-01-02 15:04:05")` — a whole-second string —
+    * uniformly across email, stats, text and search surfaces
+    * (duckdb.go:563-567,658-663,861-866, duckdb_text.go:85-95,
+    * sqlite.go:200-204). Callers passing sub-second timestamps must see
+    * the same window the reference admits, so the bound is floored to
+    * the second before binding (TZ-independent, unlike the day-granular
+    * searchByDomains bounds).
+    */
+  def secTrunc(t: java.sql.Timestamp): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      t.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
 
   /** display_name → phone → email fallback chain (reference
     * shared.go:32-43 participantNameExpr) — columns must be qualified

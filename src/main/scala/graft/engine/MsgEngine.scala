@@ -120,8 +120,10 @@ final class MsgEngine(val vault: MsgVault) {
       filter.copy(hideDeletedFromSource = true) else filter
     var msg = filters.compile(f)
     opts.sourceId.foreach(v => msg = msg.filter(col("source_id") === v))
-    opts.after.foreach(t => msg = msg.filter(col("sent_at") >= lit(t)))
-    opts.before.foreach(t => msg = msg.filter(col("sent_at") < lit(t)))
+    opts.after.foreach(t =>
+      msg = msg.filter(col("sent_at") >= lit(FilterCompiler.secTrunc(t))))
+    opts.before.foreach(t =>
+      msg = msg.filter(col("sent_at") < lit(FilterCompiler.secTrunc(t))))
     if (opts.withAttachmentsOnly)
       msg = msg.filter(col("has_attachments") === true)
     aggregateFiltered(view, msg, opts, granularity)
@@ -420,6 +422,11 @@ final class MsgEngine(val vault: MsgVault) {
         min_by(col("__e_email"), col("__e_pid")).as("__mr_email"),
         min_by(col("__e_name"), col("__e_pid")).as("__mr_name"),
         min_by(col("__e_phone"), col("__e_pid")).as("__mr_phone"),
+        // labels sorted by name: the reference hydrates labels in raw
+        // scan order with no ORDER BY (shared.go:54-95
+        // fetchLabelsForMessageList), i.e. SQLite storage order —
+        // nondeterministic from a Parquet star, so we pin name order
+        // (documented divergence; same choice as messageDetail)
         array_sort(collect_list(col("__e_lbl"))).as("labels"))
     val senderP = vault.participants.alias("sp")
       .select(col("sp.id").as("__sp_id"),
@@ -934,7 +941,13 @@ final class MsgEngine(val vault: MsgVault) {
     * after/before as `Format("2006-01-02")` date strings against a TEXT
     * DATETIME column (sqlite.go:1174-1181, schema.sql:119), so `>=`
     * admits the whole `after` day and `<` excludes the whole `before`
-    * day — mirrored here with date_trunc. Returns the same enriched
+    * day — mirrored here with date_trunc. NOTE the TZ assumption:
+    * date_trunc('DAY', ...) truncates in spark.sql.session.timeZone,
+    * while Go's Format renders the day in the time value's OWN location
+    * — the two agree when callers pass timestamps in the session zone
+    * (our engines pin UTC); a caller whose Go-side time carried a
+    * different location could see its window shift by up to one day at
+    * the boundary. Returns the same enriched
     * MessageSummary page as every search surface (executeSearchQuery,
     * sqlite.go:1368-1407); id DESC tie-break added to the reference's
     * ORDER BY sent_at DESC for determinism.
@@ -1304,13 +1317,15 @@ final class MsgEngine(val vault: MsgVault) {
 }
 
 object MsgEngine {
-  /** SearchByDomains paging contract (sqlite.go:1184-1189): limit <= 0
-    * defaults to 100; anything above 1000 clamps to 1000. Pure so the
-    * spec can pin it — the page materializes before enrichment, so the
-    * clamp is not recoverable from the final plan.
+  /** SearchByDomains paging contract (sqlite.go:1184-1189): anything
+    * above 1000 clamps to 1000; limit <= 0 passes through UNCHANGED so
+    * pageThenEnrich's defaultLimit = 100 remains the single owner of the
+    * reference default (two live defaults would mask drift). Pure so the
+    * spec can pin the clamp — the page materializes before enrichment,
+    * so it is not recoverable from the final plan.
     */
   private[engine] def domainSearchLimit(limit: Int): Int =
-    if (limit <= 0) 100 else math.min(limit, 1000)
+    if (limit <= 0) limit else math.min(limit, 1000)
 }
 
 /** Result handle for the materialized search: count/page/stats all reuse the

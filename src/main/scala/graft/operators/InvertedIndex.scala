@@ -53,33 +53,67 @@ object InvertedIndex {
     * compact doc-length table `(doc_id, dl)`, which together are
     * everything BM25 needs without touching the corpus. Same token
     * normalization contract as [[build]].
+    *
+    * `withDl = true` additionally embeds the document length in each
+    * posting (`struct<doc_id, tf, dl>`) — FTS5 keeps lengths in a
+    * separate %_docsize table it point-reads per matched doc, but in
+    * Spark that lookup is a join whose stream side scans the WHOLE
+    * doc-length table per query; denormalizing one int into each posting
+    * makes query cost ∝ matched postings at any corpus size (the
+    * ProbeFts100 decade tables are the evidence). The doclens table is
+    * still returned for corpus stats ([[corpusStats]], computed once per
+    * snapshot).
     */
-  def buildRanked(docs: DataFrame, id: Column, toks: Column)
-      : (DataFrame, DataFrame) = {
-    val exploded = docs.select(id.as("doc_id"), explode(toks).as("token"))
-    val index = exploded
+  def buildRanked(docs: DataFrame, id: Column, toks: Column,
+      withDl: Boolean = false): (DataFrame, DataFrame) = {
+    val base = docs.select(id.as("doc_id"), toks.as("__toks"))
+    val exploded = base.select(col("doc_id"),
+      explode(col("__toks")).as("token"),
+      size(col("__toks")).cast("double").as("dl"))
+    val perDoc = exploded
       .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val posting =
+      if (withDl) struct(col("doc_id"), col("tf"), col("dl"))
+      else struct(col("doc_id"), col("tf"))
+    val index = perDoc
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
-    val doclens = docs.select(id.as("doc_id"),
-      size(toks).cast("double").as("dl"))
+        sort_array(collect_list(posting)).as("postings"))
+    val doclens = base.select(col("doc_id"),
+      size(col("__toks")).cast("double").as("dl"))
     (index, doclens)
+  }
+
+  /** Corpus constants for [[bm25Search]]: total docs + mean doc length,
+    * one blocking pass over the doc-length table. Callers serving many
+    * queries over one index snapshot precompute this once — without it
+    * every query re-pays an O(corpus) doclens aggregate just to learn
+    * two scalars that are fixed per snapshot (the knee ProbeFts100
+    * measures: the postings lookup is flat per decade, the stats scan
+    * is linear).
+    */
+  def corpusStats(doclens: DataFrame): (Long, Double) = {
+    val statsRow =
+      doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val n = statsRow.getAs[Long]("n")
+    // avg over zero rows is null — empty corpus must not NPE
+    (n, if (statsRow.isNullAt(1)) 0.0 else statsRow.getAs[Double]("avgdl"))
   }
 
   /** BM25 top-k through the index: matched index rows → exploded
     * (doc, tf) → per-doc score sum → TakeOrdered. Corpus stats (N,
-    * avgdl) come from the doc-length table; df from the index row.
-    * Same formula as [[graft.functions.Fts.bm25]] (k1/b defaults).
+    * avgdl) come from the doc-length table — or from a precomputed
+    * [[corpusStats]] snapshot (`statsOpt`), which keeps the per-query
+    * cost ∝ matched postings instead of corpus size; df from the index
+    * row. Same formula as [[graft.functions.Fts.bm25]] (k1/b defaults).
+    * A supplied stats pair MUST describe `doclens` as passed.
     */
   def bm25Search(index: DataFrame, doclens: DataFrame, terms: Seq[String],
-      limit: Int = 100, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      limit: Int = 100, k1: Double = 1.2, b: Double = 0.75,
+      statsOpt: Option[(Long, Double)] = None): DataFrame = {
     val lower = terms.map(_.toLowerCase).distinct
-    val statsRow = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
-    val n = statsRow.getAs[Long]("n")
-    // avg over zero rows is null — empty corpus must not NPE
-    val avgdl = if (statsRow.isNullAt(1)) 0.0 else statsRow.getAs[Double]("avgdl")
+    val (n, avgdl) = statsOpt.getOrElse(corpusStats(doclens))
     val dfs = index.filter(col("token").isin(lower: _*))
       .select(col("token"), col("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -90,11 +124,26 @@ object InvertedIndex {
     val idfCol = lower.foldLeft(when(lit(false), 0.0)) { (acc, t) =>
       acc.when(col("token") === t, idf(t))
     }.otherwise(0.0)
-    index.filter(col("token").isin(lower: _*))
+    // an index built withDl needs no doclens join at query time — the
+    // per-posting length rides in the index row (see buildRanked)
+    val hasDl = index.schema("postings").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) =>
+        s.fieldNames.contains("dl")
+      case _ => false
+    }
+    val matched = index.filter(col("token").isin(lower: _*))
       .select(idfCol.as("__idf"), explode(col("postings")).as("p"))
-      .select(col("p.doc_id").as("doc_id"),
-        col("p.tf").cast("double").as("__tf"), col("__idf"))
-      .join(doclens, "doc_id")
+    val scored =
+      if (hasDl)
+        matched.select(col("p.doc_id").as("doc_id"),
+          col("p.tf").cast("double").as("__tf"), col("__idf"),
+          col("p.dl").as("dl"))
+      else
+        matched.select(col("p.doc_id").as("doc_id"),
+          col("p.tf").cast("double").as("__tf"), col("__idf"))
+          .join(doclens, "doc_id")
+    scored
       .withColumn("__score",
         col("__idf") * col("__tf") * (k1 + 1.0) /
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))

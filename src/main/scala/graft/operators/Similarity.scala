@@ -437,15 +437,18 @@ object Similarity {
     val rs = routedStructure(centroids)
     // get() (null on out-of-bounds), not element_at: if every probed
     // group is member-empty (possible only under duplicated coarse
-    // vectors) the expression now yields an EMPTY array, and a null
-    // cluster drops from downstream cluster joins — the same "no
-    // assignment" the SQL replay produces — where element_at would
-    // raise under ANSI mode.
+    // vectors) the expression now yields an EMPTY array — where
+    // element_at would raise under ANSI mode. The unassignable row is
+    // then DROPPED (cluster IS NOT NULL), so the relation's cardinality
+    // matches the SQL replay's `assigned` CTE exactly (an inner join on
+    // the argmax row): a consumer counting assigned rows sees the same
+    // number either way, not a phantom NULL-cluster row.
     base.withColumn("cluster",
       get(org.apache.spark.sql.graft.RoutedCentroids(
         col("embedding"), rs.cents, rs.coarse, rs.members,
         rs.clampProbe(rProbe), 1),
         lit(0)))
+      .filter(col("cluster").isNotNull)
   }
 
   /** Top-p ROUTED multi-assignment — [[semanticAssignMulti]]'s build-side

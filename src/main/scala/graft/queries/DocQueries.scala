@@ -705,8 +705,11 @@ object DocQueries {
 
   /** SemDeDup over the ROUTED (two-level) assignment — the O(n·√nList)
     * scale path ([[Similarity.assignRouted]]) the r11 100× probe
-    * motivated (flat assignment kneed at ~30×/decade with nList ∝
-    * corpus; routed runs the same leg 22× faster at 200k×2000).
+    * motivated (flat assignment kneed at ~25-30×/decade with nList ∝
+    * corpus; routed runs the same leg 3.6× faster at 200k×2000 —
+    * 17.4 → 4.84 s, decade ratio 7.1 vs 25.4, per the r13 re-measure
+    * with honest forcing: r11's "22×/0.84 s" reading timed a
+    * column-pruned no-op, see BASELINE Round 13).
     * rProbe = 2 of the ~4 coarse groups, so the APPROXIMATION path —
     * not the rProbe=all degenerate case that equals flat — is what the
     * hash certifies: the oracle replays the coarse stride, the member

@@ -46,8 +46,8 @@ object IvfRecallProbe {
           f"recall@10=${(flatGot & exact).size / 10.0}%.1f")
         for (rp <- Seq(2, 3, 4)) {
           val got = IvfIndex.searchRouted(rIdx, qv, k = 10, nProbe = np,
-            rProbe = rp)
-          .collect().map(_.getAs[Long]("vec_id")).toSet
+              rProbe = rp)
+            .collect().map(_.getAs[Long]("vec_id")).toSet
           println(f"[ivf-rr] $dir build(rProbe=2) routed-search rP=$rp " +
             f"nProbe=$np%2d recall@10=${(got & exact).size / 10.0}%.1f")
         }

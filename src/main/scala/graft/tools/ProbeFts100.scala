@@ -1,0 +1,204 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Fts, TextFunctions}
+import graft.operators.InvertedIndex
+import graft.sources.Tables
+
+/** Dev tool: 100× growth probe for the search/FTS family — the last
+  * operator family without decade-growth evidence (reference scale
+  * behavior: FTS5 at archive scale, sqlite.go:1319-1461). 100× of sf0.1
+  * documents ≈ 500k docs.
+  *
+  * Replication transform: the same per-copy BIJECTIVE token renaming as
+  * Probe100 (`t → t + "x" + i` — suffix INSIDE the token so the
+  * tokenizer cannot detach a shared marker), applied at EVERY factor
+  * including 1× so query terms are like-for-like across decades: the
+  * copy-0 term `<t>x0` has identical df/tf/postings at 1×, 10×, 100×.
+  * That separates the two cost regimes this probe exists to certify:
+  *
+  *   - SCOPED index lookups (exact term, copy-0): matched postings are
+  *     CONSTANT per decade — the 100 TB selling point is that query
+  *     cost follows postings, not corpus. Expect ~flat.
+  *   - GROWING lookups (prefix `<t>x` spans every copy's variant):
+  *     matched postings ∝ factor — honest linear work.
+  *   - SCAN paths (Fts.bm25Search, prefix-phrase filter): linear by
+  *     design; recorded as the witness the index paths are measured
+  *     against.
+  *
+  * The indexed BM25 leg runs twice: with corpus stats precomputed once
+  * per snapshot (the [[InvertedIndex.corpusStats]] contract) and with
+  * the legacy per-query stats aggregate — the latter re-scans the
+  * doc-length table every query, the exact linear-per-query knee the
+  * stats handle removes. The ranked index is built `withDl = true`, so
+  * scoring never joins the corpus-sized doc-length table.
+  *
+  * Usage: runMain graft.tools.ProbeFts100 [sfDir] [maxFactor]
+  * Prints one line per (op, factor) plus per-decade growth ratios.
+  */
+object ProbeFts100 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxFactor = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.maxResultSize", "4g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n1 = docs1.count()
+
+    // rename applies at EVERY factor (unlike Probe100) — see class doc
+    def replicate(factor: Int): DataFrame =
+      spark.range(factor).crossJoin(docs1)
+        .select(
+          (col("id") * n1 * 10 + col("doc_id")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("x"), col("id").cast("string"))), " ")
+            .as("text"))
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    // query vocabulary: 3 mid-frequency base tokens of the 1× corpus
+    // (most-frequent tokens saturate every doc — a top-k over them is
+    // floor-bound; rank 20-22 keeps postings meaningful but selective)
+    val baseTerms: Seq[String] = docs1
+      .select(explode(TextFunctions.wsTokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc)
+      .limit(25).collect().map(_.getString(0)).slice(20, 23).toSeq
+    val scoped = baseTerms.map(_ + "x0")
+    val prefix = baseTerms.head + "x"
+    // two consecutive tokens of the lowest-id doc → copy-0 phrase
+    val firstToks = docs1.orderBy(col("doc_id").asc).limit(1)
+      .select(TextFunctions.wsTokens(col("text"))).head()
+      .getAs[scala.collection.Seq[String]](0)
+    val phrase = firstToks.take(2).map(_ + "x0").mkString(" ")
+    println(s"[probefts100] terms=$scoped prefix=$prefix phrase='$phrase'")
+
+    val toksCol = TextFunctions.wsTokens(lower(col("text")))
+    val factors = Seq(1, 10, 100).filter(_ <= maxFactor)
+    val results = scala.collection.mutable.Map.empty[(String, Int), Double]
+    def record(name: String, factor: Int, sec: Double, note: String): Unit = {
+      results((name, factor)) = sec
+      println(f"[probefts100] $name%-20s ${factor}%4dx ${sec}%8.2f s  ($note)")
+    }
+
+    // warm once at 1× (codegen + catalog + JIT)
+    {
+      val d = replicate(1)
+      InvertedIndex.build(d, col("doc_id"), toksCol).count()
+      val (ri, dl) = InvertedIndex.buildRanked(d, col("doc_id"), toksCol,
+        withDl = true)
+      InvertedIndex.bm25Search(ri, dl, scoped,
+        statsOpt = Some(InvertedIndex.corpusStats(dl))).count()
+      InvertedIndex.matchingIds(ri, Seq(prefix), prefix = true).count()
+      Fts.bm25Search(d.select(col("doc_id"), toksCol.as("toks")),
+        col("doc_id"), col("toks"), scoped).count()
+      d.filter(Fts.prefixPhraseMatch(toksCol, phrase)).count()
+    }
+
+    factors.foreach { factor =>
+      val d = replicate(factor)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = d.count()
+      println(s"[probefts100] factor=$factor rows=$n")
+
+      // -- index builds (linear expected: one shuffle over all tokens)
+      val (tBuild, _) = time(
+        InvertedIndex.build(d, col("doc_id"), toksCol).count())
+      record("fts_build", factor, tBuild, "plain index agg")
+      val (tRanked, rankedPair) = time {
+        val p = InvertedIndex.buildRanked(d, col("doc_id"), toksCol,
+          withDl = true)
+        p._1.count()
+        p
+      }
+      record("fts_build_ranked", factor, tRanked, "tf+dl postings")
+      val (rankedIdx, doclens) = rankedPair
+
+      // -- persist token-sorted: term/prefix predicates become
+      //    row-group skips on the Parquet sort column (the serve shape)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory(s"graft_fts_probe_${factor}x").toString
+      val (tWrite, _) = time(InvertedIndex.write(rankedIdx, idxDir))
+      record("fts_index_write", factor, tWrite, "zstd, 16 buckets")
+      val disk = InvertedIndex.read(spark, idxDir)
+      val dlDir = java.nio.file.Files
+        .createTempDirectory(s"graft_fts_dl_${factor}x").toString
+      doclens.write.mode("overwrite").parquet(dlDir)
+      val diskDl = spark.read.parquet(dlDir)
+
+      // -- corpus stats: once per snapshot (linear, paid at build time)
+      val (tStats, stats) = time(InvertedIndex.corpusStats(diskDl))
+      record("fts_corpus_stats", factor, tStats,
+        f"n=${stats._1} avgdl=${stats._2}%.1f")
+
+      // -- SCOPED indexed BM25 ×8: postings constant per decade →
+      //    expect flat (this is the claim under test)
+      val (tBm, _) = time((0 until 8).foreach(_ =>
+        InvertedIndex.bm25Search(disk, diskDl, scoped,
+          statsOpt = Some(stats)).count()))
+      record("bm25_idx_x8", factor, tBm, "scoped, stats precomputed")
+
+      // -- same WITHOUT precomputed stats: each query re-aggregates the
+      //    doc-length table — the linear-per-query knee, kept as the
+      //    measured justification for the stats handle
+      val (tBmNs, _) = time((0 until 8).foreach(_ =>
+        InvertedIndex.bm25Search(disk, diskDl, scoped).count()))
+      record("bm25_idx_nostats_x8", factor, tBmNs, "per-query stats agg")
+
+      // -- exact-term AND ids ×8 (scoped → flat expected)
+      val (tIds, nIds) = time {
+        var last = 0L
+        (0 until 8).foreach(_ => last =
+          InvertedIndex.matchingIds(disk, scoped, prefix = false).count())
+        last
+      }
+      record("fts_ids_term_x8", factor, tIds, s"matched=$nIds")
+
+      // -- prefix ids ×8 (matches every copy's variant → honest linear
+      //    in matched postings)
+      val (tPre, nPre) = time {
+        var last = 0L
+        (0 until 8).foreach(_ => last =
+          InvertedIndex.matchingIds(disk, Seq(prefix), prefix = true).count())
+        last
+      }
+      record("fts_ids_prefix_x8", factor, tPre, s"matched=$nPre")
+
+      // -- scan-path witnesses (linear by design)
+      val toksDf = d.select(col("doc_id"), toksCol.as("toks"))
+      val (tScan, _) = time(Fts.bm25Search(toksDf, col("doc_id"),
+        col("toks"), scoped).count())
+      record("bm25_scan", factor, tScan, "full-scan BM25")
+      val (tPhrase, nPhrase) =
+        time(d.filter(Fts.prefixPhraseMatch(toksCol, phrase)).count())
+      record("phrase_scan", factor, tPhrase, s"hits=$nPhrase")
+
+      d.unpersist()
+    }
+
+    val ops = Seq("fts_build", "fts_build_ranked", "fts_index_write",
+      "fts_corpus_stats", "bm25_idx_x8", "bm25_idx_nostats_x8",
+      "fts_ids_term_x8", "fts_ids_prefix_x8", "bm25_scan", "phrase_scan")
+    ops.foreach { name =>
+      val decades = factors.sliding(2).collect {
+        case Seq(a, b) if results.contains((name, b)) =>
+          f"${b}x/${a}x=${results((name, b)) / results((name, a))}%.1f"
+      }.mkString("  ")
+      println(s"[probefts100] growth $name: $decades  (linear decade = ~10)")
+    }
+    spark.stop()
+  }
+}

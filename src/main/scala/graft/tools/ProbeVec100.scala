@@ -104,10 +104,17 @@ object ProbeVec100 {
       record("semantic_assign", factor, tAssign, s"nList=$nList")
 
       // -- routed (two-level) assignment — the O(n·√nList) fix for the
-      //    flat path's measured 34×/decade knee
+      //    flat path's measured 34×/decade knee.
+      //    FORCING NOTE (r13): these comparison legs must aggregate over
+      //    the cluster column — a bare count() lets Catalyst prune the
+      //    assignment expression away entirely (the r12-written legs
+      //    timed a no-op: ivf_build_flat read 0.21 s at 100× while the
+      //    materialized flat assignment read 18.1 s for the same work).
+      def forceAssigned(df: DataFrame): Long =
+        df.agg(count(col("cluster"))).head().getLong(0)
       val (tRouted, nRouted) = time {
-        Similarity.semanticAssignHierarchical(d, col("vec_id"),
-          col("embedding"), nList).count()
+        forceAssigned(Similarity.semanticAssignHierarchical(d, col("vec_id"),
+          col("embedding"), nList))
       }
       record("semantic_assign_rt", factor, tRouted, s"routed rProbe=4, n=$nRouted")
 
@@ -133,13 +140,13 @@ object ProbeVec100 {
       //    assignment); flat is the O(n·nList) knee ProbeVec100 found at
       //    r11, routed is the O(n·rProbe·√nList) replacement.
       val (tBuildFlat, _) = time {
-        IvfIndex.build(d, col("vec_id"), col("embedding"), nList)
-          .assigned.count()
+        forceAssigned(
+          IvfIndex.build(d, col("vec_id"), col("embedding"), nList).assigned)
       }
       record("ivf_build_flat", factor, tBuildFlat, "flat draw+assign")
       val (tBuildRt, _) = time {
-        IvfIndex.build(d, col("vec_id"), col("embedding"), nList, rProbe = 4)
-          .assigned.count()
+        forceAssigned(IvfIndex.build(d, col("vec_id"), col("embedding"),
+          nList, rProbe = 4).assigned)
       }
       record("ivf_build_rt", factor, tBuildRt, "routed rProbe=4 draw+assign")
 
@@ -186,8 +193,10 @@ object ProbeVec100 {
     //    cosines per query (fine at 2k lists, ~1M is the wall). Pure
     //    driver microbench, flat vs routed-with-PREPARED-structure
     //    (Index.routing builds once per index) — the data behind the
-    //    BASELINE crossover note.
-    {
+    //    BASELINE crossover note. Arg 3 "nocross" skips (~12 min, all
+    //    driver-side — no reason to re-pay it when only the Spark legs
+    //    changed).
+    if (!args.lift(2).contains("nocross")) {
       val rnd = new scala.util.Random(7)
       val dim = 64
       for (nl <- Seq(2000, 20000, 200000)) {

@@ -133,6 +133,41 @@ class DeepSearchSpec extends SparkTestBase {
       .map(_.getAs[Long]("id")).toSeq == Seq(3L))
   }
 
+  test("searchDeep visibility: dedup losers always hidden; HideDeleted also hides source-deleted") {
+    // reference pin: duckdb_test.go:478-512 TestDuckDBEngine_SearchHideDeleted
+    // — the deep path respects q.HideDeleted (one source-deleted message
+    // drops from 5 hits to 4). Our plumbing routes the same gate through
+    // MessageFilter.hideDeletedFromSource (liveMessages at
+    // FilterCompiler.scala compile); dedup losers (deleted_at) are hidden
+    // under BOTH settings (store/live_messages.go:17-19).
+    val vv = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1, "report one", "2024-01-01 10:00:00"),
+        msg(2, "report two", "2024-02-01 10:00:00",
+          deletedFromSourceAt = Some("2024-06-01 00:00:00")),
+        msg(3, "report three", "2024-03-01 10:00:00",
+          deletedAt = Some("2024-06-01 00:00:00")), // dedup loser
+        msg(4, "report four", "2024-04-01 10:00:00")),
+      recipients = (1 to 4).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val bodies = {
+      val out = java.nio.file.Files.createTempDirectory("graft_bodies_hd").toString
+      CacheBuilder.buildBodies(spark,
+        (1 to 4).map(i => (i.toLong, s"shared revenue body $i"))
+          .toDF("message_id", "body_text"), out)
+      spark.read.parquet(s"$out/message_bodies")
+    }
+    val engine = new MsgEngine(vv)
+    // default: the source-deleted row (2) surfaces, the dedup loser (3)
+    // never does — reference Search without HideDeleted returns all 5
+    assert(engine.searchDeep("revenue", bodies).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(4L, 2L, 1L)) // sent_at desc
+    // HideDeleted: the source-deleted row drops too
+    assert(engine.searchDeep("revenue", bodies,
+      MessageFilter(hideDeletedFromSource = true)).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(4L, 1L))
+  }
+
   test("search keyset pages equal search offset pages (fast + deep)") {
     val many = Fixtures.vault(spark,
       messages = (1 to 15).map(i =>

@@ -157,6 +157,26 @@ class MsgEngineSpec extends SparkTestBase {
       Map("alice@a.com" -> 1, "bob@b.org" -> 1, "dave@a.com" -> 1))
   }
 
+  test("after/before bounds are second-truncated (reference Format binding)") {
+    // every reference engine binds After/Before as
+    // Format("2006-01-02 15:04:05") — whole seconds (duckdb.go:563-567,
+    // sqlite.go:200-204) — so a sub-second `after` must admit rows from
+    // the start of its second, and a sub-second `before` must exclude
+    // from the start of its second. Pure helper + compile-path checks.
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-02-01 00:00:00")
+    val sub = new Timestamp(t.getTime + 500) // 00:00:00.500
+    assert(FilterCompiler.secTrunc(sub) == t)
+    assert(FilterCompiler.secTrunc(t) == t)
+    // fixture row 3 sits exactly at a sent_at that a full-precision
+    // bound would exclude but the truncated bound admits
+    val exact = rows(engine.filters.compile(
+      MessageFilter(after = Some(sub)))).map(_.getAs[Long]("id")).toSet
+    val whole = rows(engine.filters.compile(
+      MessageFilter(after = Some(t)))).map(_.getAs[Long]("id")).toSet
+    assert(exact == whole, "sub-second after must behave as its second")
+  }
+
   test("sender filter matches chat sender via sender_id (dual path)") {
     val out = rows(engine.filters.compile(MessageFilter(sender = "+447700900123")))
     assert(out.map(_.getAs[Long]("id")) == Seq(6))
@@ -619,13 +639,15 @@ class MsgEngineSpec extends SparkTestBase {
       .map(_.getAs[Long]("id")) == Seq(3L, 2L))
     assert(rows(engine.searchByDomains(Seq("a.com"), limit = 2, offset = 2))
       .map(_.getAs[Long]("id")) == Seq(1L))
-    // limit<=0 defaults to 100; >1000 clamps to 1000 (sqlite.go:1184-1189).
-    // Pinned on the pure helper: the page materializes before enrichment,
-    // so the clamp is not recoverable from the final plan.
+    // >1000 clamps to 1000 (sqlite.go:1184-1189). Pinned on the pure
+    // helper: the page materializes before enrichment, so the clamp is
+    // not recoverable from the final plan. limit<=0 passes through —
+    // pageThenEnrich's defaultLimit=100 is the single owner of the
+    // reference default (exercised by the no-limit call above).
     assert(MsgEngine.domainSearchLimit(5000) == 1000)
     assert(MsgEngine.domainSearchLimit(1000) == 1000)
-    assert(MsgEngine.domainSearchLimit(0) == 100)
-    assert(MsgEngine.domainSearchLimit(-1) == 100)
+    assert(MsgEngine.domainSearchLimit(0) == 0)
+    assert(MsgEngine.domainSearchLimit(-1) == -1)
     assert(MsgEngine.domainSearchLimit(7) == 7)
   }
 

@@ -75,6 +75,24 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("withDl index (no doclens join) + precomputed stats match the join path") {
+    // the 100 TB serve shape: dl embedded per posting and corpus stats
+    // computed once per snapshot — scoring must be bit-equal to the
+    // legacy per-query doclens-join path on the same index contents
+    val terms = Seq("spark", "join")
+    val (plain, doclens) = InvertedIndex.buildRanked(
+      docs, col("doc_id"), TextFunctions.wsTokens(col("text")))
+    val (withDl, doclens2) = InvertedIndex.buildRanked(
+      docs, col("doc_id"), TextFunctions.wsTokens(col("text")), withDl = true)
+    val stats = InvertedIndex.corpusStats(doclens2)
+    val legacy = InvertedIndex.bm25Search(plain, doclens, terms, limit = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val fused = InvertedIndex.bm25Search(withDl, doclens2, terms, limit = 50,
+      statsOpt = Some(stats))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(legacy.nonEmpty && legacy.toSeq == fused.toSeq)
+  }
+
   test("persisted index round-trips and serves lookups") {
     val out = java.nio.file.Files.createTempDirectory("graft_idx").toString
     InvertedIndex.write(index, out, buckets = 4)

@@ -107,7 +107,9 @@ class RoutedCentroidsSpec extends SparkTestBase {
     // synthetic empty group 0 (reachable only under duplicated coarse
     // vectors in real structures; the expression must still be safe):
     // rProbe=1 probes g0 → no candidates → EMPTY array, and the
-    // assignRouted get() contract turns that into a null cluster
+    // assignRouted get() contract turns that into a null cluster (which
+    // assignRouted then DROPS, matching the SQL replay's inner-join
+    // cardinality — the null never reaches a consumer)
     val empty0 = Array(Array.empty[Int], Array(0, 1))
     val r1 = df.select(
       RoutedCentroids(col("v"), coarse, coarse, empty0, 1, 1).as("a"),
