@@ -30,7 +30,17 @@ object HybridSearch {
   /** @param docs    (id, tokens) corpus for the lexical branch
     * @param vectors (id, embedding) corpus for the semantic branch
     * @param preFilter optional id-set DataFrame (single `id` column) both
-    *        branches are semi-joined against (reference hybrid/filter.go)
+    *        branches are semi-joined against (reference hybrid/filter.go).
+    *        Like the reference vector.Filter ("values are pre-resolved to
+    *        IDs at the Go layer", backend.go:44-47), resolution is the
+    *        CALLER's: note the reference's own engines disagree on
+    *        repeated same-field tokens — the SQLite/DuckDB query engines
+    *        OR them within a dimension (IN clause,
+    *        sqlite.go:1464-1469, what FilterCompiler mirrors), while the
+    *        vector backend ANDs one OR-group per token
+    *        (backend.go:48-57). Both are expressible here: one id-set
+    *        per token chained as successive semi-joins = AND-of-OR; one
+    *        merged id-set = OR.
     */
   /** Both k-trimmed branches plus their lazy saturation probes. */
   private final case class Branches(bm25: DataFrame, ann: DataFrame,

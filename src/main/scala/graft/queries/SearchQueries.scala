@@ -91,6 +91,39 @@ object SearchQueries {
       col("rank").asc)
   }
 
+  /** Same ranking (and the SAME oracle SQL) as [[bm25Rank]], answered
+    * through the persistent ranked index instead of a corpus scan — the
+    * serving shape ProbeFts100 certifies flat-per-decade for scoped
+    * terms (BASELINE Round 13): postings carry tf AND dl
+    * (`buildRanked(withDl = true)`), corpus stats are a one-time
+    * snapshot, so the per-query plan touches matched index rows only —
+    * no corpus scan, no doclens join, no per-query stats aggregate.
+    * Score parity with the scan path is exact in practice: per-(doc,
+    * term) partial scores are the same doubles, and the two-term sum is
+    * order-independent (IEEE addition is commutative); the displayed
+    * score rounds to 6 decimals like every BM25 surface.
+    */
+  def bm25RankIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (index, doclens, stats) =
+      memoizedIndex(s, dir, "bm25_ranked_idx_" + terms.mkString("_")) {
+        val docs = t(s, dir, "documents")
+        val (i, dl) = graft.operators.InvertedIndex.buildRanked(
+          docs, col("doc_id"), TextFunctions.wsTokens(lower(col("text"))),
+          withDl = true)
+        val ip = i.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ip.count()
+        val dlp = dl.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dlp.count()
+        (ip, dlp, graft.operators.InvertedIndex.corpusStats(dlp))
+      }
+    orderedAtTail(
+      graft.operators.InvertedIndex.bm25Search(index, doclens, terms,
+        limit = 100, statsOpt = Some(stats))
+        .select(col("doc_id"), round(col("bm25_score"), 6).as("bm25_score"),
+          col("rank")),
+      col("rank").asc)
+  }
+
   val bm25RankSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |stats AS (
@@ -325,6 +358,7 @@ object SearchQueries {
     "fts_phrase" -> (ftsPhrase _, Some(ftsPhraseSql)),
     "fts_prefix_phrase" -> (ftsPrefixPhrase _, Some(ftsPrefixPhraseSql)),
     "bm25_rank" -> (bm25Rank _, Some(bm25RankSql)),
+    "bm25_rank_indexed" -> (bm25RankIndexed _, Some(bm25RankSql)),
     "hybrid_rrf" -> (hybridRrf _, Some(hybridRrfSql)),
     "hybrid_rrf_boosted" -> (hybridRrfBoosted _, Some(hybridRrfBoostedSql)))
 }
