@@ -160,6 +160,13 @@ object InvertedIndex {
     * each matched token row with the query-term indexes it satisfies;
     * exploding postings and counting distinct satisfied terms per doc
     * gives the AND. Returns a single-column (doc_id) frame.
+    *
+    * Works on BOTH index shapes: plain ([[build]] — bare doc-id
+    * postings) and ranked ([[buildRanked]] — struct postings). The
+    * struct case must project `doc_id` out BEFORE the AND grouping:
+    * grouping by the raw struct would split a doc across (tf, dl)
+    * variants and silently break the all-terms count (a doc whose terms
+    * carry different tfs would never reach `hits == terms.length`).
     */
   def matchingIds(index: DataFrame, terms: Seq[String],
       prefix: Boolean): DataFrame = {
@@ -170,10 +177,18 @@ object InvertedIndex {
     val matchedIdx = array_compact(array(lower.zipWithIndex.map {
       case (t, i) => when(pred(t), i)
     }: _*))
+    val structPostings = index.schema("postings").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) =>
+        s.fieldNames.contains("doc_id")
+      case _ => false
+    }
     index
       .filter(lower.map(pred).reduce(_ || _))
       .select(col("postings"), explode(matchedIdx).as("__term"))
-      .select(explode(col("postings")).as("doc_id"), col("__term"))
+      .select(explode(col("postings")).as("__p"), col("__term"))
+      .select((if (structPostings) col("__p.doc_id") else col("__p"))
+        .as("doc_id"), col("__term"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("__term")).as("__hits"))
       .filter(col("__hits") === lower.length)

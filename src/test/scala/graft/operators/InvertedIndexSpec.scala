@@ -75,6 +75,30 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("matchingIds answers identically on plain and ranked (struct-postings) indexes") {
+    // r13 review finding: exploding struct postings used to group the
+    // AND count per (doc, tf, dl) — a doc whose terms carry different
+    // tfs never reached hits == terms.length. The struct case must
+    // project doc_id before grouping. Fixture makes the corner bite:
+    // doc 1 has tf=2 for one term, tf=1 for the others.
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "apple banana banana cherry"),
+      (2L, "apple banana cherry"),
+      (3L, "apple banana")) // missing cherry — must NOT match
+      .toDF("doc_id", "text")
+    val toks = TextFunctions.wsTokens(col("text"))
+    val plainIdx = InvertedIndex.build(mixed, col("doc_id"), toks)
+    val (rankedIdx, _) =
+      InvertedIndex.buildRanked(mixed, col("doc_id"), toks, withDl = true)
+    val terms = Seq("apple", "banana", "cherry")
+    def ids(idx: org.apache.spark.sql.DataFrame) =
+      InvertedIndex.matchingIds(idx, terms, prefix = false)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(plainIdx) == Set(1L, 2L))
+    assert(ids(rankedIdx) == Set(1L, 2L))
+  }
+
   test("withDl index (no doclens join) + precomputed stats match the join path") {
     // the 100 TB serve shape: dl embedded per posting and corpus stats
     // computed once per snapshot — scoring must be bit-equal to the
