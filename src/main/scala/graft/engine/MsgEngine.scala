@@ -282,9 +282,14 @@ final class MsgEngine(val vault: MsgVault) {
       case MessageSortField.Size => col("size_estimate")
       case MessageSortField.Subject => col("subject")
     }
+    // subject and sent_at are nullable sort keys and the reference's
+    // ORDER BY is bare (duckdb.go:1218-1233): DuckDB's default null
+    // order puts NULLs LAST on both directions, Spark's asc is
+    // nulls-first — spelled out on both branches (fidelity audit r13;
+    // same rule as listConversations / timelineOrdering)
     val ordered = filter.sorting.direction match {
-      case SortDirection.Desc => Seq(sortCol.desc, col("id").desc)
-      case SortDirection.Asc => Seq(sortCol.asc, col("id").asc)
+      case SortDirection.Desc => Seq(sortCol.desc_nulls_last, col("id").desc)
+      case SortDirection.Asc => Seq(sortCol.asc_nulls_last, col("id").asc)
     }
     pageThenEnrich(filters.compile(filter), ordered,
       filter.pagination.limit, filter.pagination.offset, defaultLimit = 500)
@@ -478,6 +483,17 @@ final class MsgEngine(val vault: MsgVault) {
     * DROPPED, which is the documented caller contract ("treat absent
     * rows as deleted, skip"); unlike [[messageDetail]], which is a
     * point lookup with no visibility filter (shared.go WHERE m.id = ?).
+    *
+    * Label hydration on a REPEATED id mirrors a reference quirk
+    * (fidelity audit r13): fetchLabelsForMessageList builds its
+    * id→slot map last-wins (shared.go:62-68 `idToIndex[msg.ID] = i`
+    * over the reassembled occurrence list), so labels append only to
+    * the LAST occurrence of a duplicated id — earlier occurrences keep
+    * nil labels. Deterministic, observable API behavior, so it is
+    * mirrored (same standard as listConversations' phantom
+    * participant), not "fixed": only the final slot of each id carries
+    * the label array; earlier slots carry the empty array (the shape
+    * nil serializes to everywhere the summary is consumed).
     */
   def messageSummariesByIds(ids: Seq[Long]): DataFrame = {
     if (ids.isEmpty) return enrich(vault.messages.limit(0))
@@ -490,15 +506,76 @@ final class MsgEngine(val vault: MsgVault) {
     // the full (id, rank) list.
     val distinctIds = spark.createDataFrame(ids.distinct.map(Tuple1(_)))
       .toDF("__rid")
-    val rankDf = spark.createDataFrame(ids.zipWithIndex)
-      .toDF("__rid", "__rank")
+    // Scala's toMap keeps the LAST value per key — the exact last-wins
+    // rule of the reference's idToIndex (shared.go:62-68)
+    val lastSlot = ids.zipWithIndex.toMap
+    val rankDf = spark.createDataFrame(
+      ids.zipWithIndex.map { case (id, i) => (id, i, lastSlot(id) == i) })
+      .toDF("__rid", "__rank", "__lbl_last")
     val page = vault.messages
       .filter(filters.liveMessages(hideDeletedFromSource = true))
       .join(broadcast(distinctIds), col("id") === col("__rid"), "inner")
     enrich(page.drop("__rid"))
       .join(broadcast(rankDf), col("id") === col("__rid"), "inner")
+      .withColumn("labels", when(col("__lbl_last"), col("labels"))
+        .otherwise(array().cast("array<string>")))
       .orderBy(col("__rank").asc)
-      .drop("__rid", "__rank")
+      .drop("__rid", "__rank", "__lbl_last")
+  }
+
+  /** The composed find_similar_messages surface (reference MCP handler
+    * mcp/handlers.go:398-485 over engine.go + the sqlitevec backend) —
+    * r12 verdict ask #4's audited surface, now a first-class operator:
+    *
+    *   1. the SEED vector loads from the full store, un-filtered — an
+    *      embedding outlives its message's soft-delete
+    *      (sqlitevec/backend.go:300-305), so a deleted or
+    *      filtered-out seed still queries;
+    *   2. CANDIDATES are live messages (BOTH delete classes,
+    *      backend.go:662-770: the empty-filter fast path over-fetches
+    *      and drops deleted hits until k live ones remain; a populated
+    *      filter enforces liveness inline) intersected with the
+    *      structured filter (account/after/before/has_attachment —
+    *      handlers.go:488+, applied "at the backend level");
+    *   3. the seed is excluded and the top-`limit` live hits are ranked
+    *      (score DESC; sqlitevec distance ASC == cosine DESC, vec_id
+    *      ASC tie-break for determinism);
+    *   4. the ranked ids hydrate through [[messageSummariesByIds]] —
+    *      order-preserving, silently dropping ids hidden at hydration
+    *      time (a no-op here since candidates are already live; the
+    *      reference pays the same re-check, sqlite.go:715-748).
+    *
+    * Limit contract ([[MsgEngine.similarMessagesLimit]], pure +
+    * spec-pinned): absent → caller passes the default 20; negative → 0
+    * (limitArg handlers.go:822-834 maps v<0 to 0 — an EMPTY page, not
+    * the default); >1000 clamps to maxLimit (handlers.go:26); an
+    * operator-configured `maxPage` > 0 clamps again
+    * (MaxPageSizeHybridClamp, handlers.go:411-413). A missing seed
+    * vector yields the empty page (documented divergence: the MCP edge
+    * surfaces a vector_not_found error; a DataFrame API has no error
+    * channel worth a throw on an id-typo-shaped input —
+    * [[graft.operators.VectorIndex.findSimilar]] owns that rule).
+    *
+    * Scale: one narrow candidate semi-join (live+filtered ids) feeding
+    * the codegen cosine scan + TakeOrderedAndProject — no shuffle; the
+    * driver materializes only the ≤1000-id rank list (the reference
+    * handler is equally driver-side); hydration touches `limit` rows.
+    */
+  def findSimilarMessages(vectors: DataFrame, seedId: Long,
+      limit: Int = 20, maxPage: Int = 0,
+      structured: Option[Column] = None): DataFrame = {
+    val lim = MsgEngine.similarMessagesLimit(limit, maxPage)
+    if (lim == 0) return messageSummariesByIds(Seq.empty)
+    val liveIds = structured.foldLeft(
+        vault.messages.filter(filters.liveMessages(hideDeletedFromSource = true)))(
+        _.filter(_))
+      .select(col("id").as("__live_id"))
+    val candidates = vectors.join(liveIds,
+      col("message_id") === col("__live_id"), "left_semi")
+    val rankedIds = graft.operators.VectorIndex
+      .findSimilar(vectors, candidates, seedId, lim)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    messageSummariesByIds(rankedIds)
   }
 
   // -------------------------------------------------------------- search
@@ -1211,9 +1288,17 @@ final class MsgEngine(val vault: MsgVault) {
       case TextSortField.Name => col("title")
       case TextSortField.LastMessage => col("last_message_at")
     }
+    // NULLS LAST on BOTH directions: DuckDB's default_null_order is
+    // NULLS_LAST regardless of ASC/DESC (the reference's bare
+    // "ORDER BY last_message_at ASC" puts an all-NULL-sent_at
+    // conversation LAST), where Spark's asc is nulls-FIRST. Only
+    // last_message_at is nullable here (title is coalesced,
+    // message_count never null); fidelity audit r13 vs
+    // duckdb_text.go:108-122.
     val ordered = filter.sortDirection match {
-      case SortDirection.Asc => Seq(sortCol.asc, col("conversation_id").asc)
-      case _ => Seq(sortCol.desc, col("conversation_id").asc)
+      case SortDirection.Asc =>
+        Seq(sortCol.asc_nulls_last, col("conversation_id").asc)
+      case _ => Seq(sortCol.desc_nulls_last, col("conversation_id").asc)
     }
     var page = rowsDf.orderBy(ordered: _*)
     if (filter.pagination.offset > 0) page = page.offset(filter.pagination.offset)
@@ -1261,8 +1346,14 @@ final class MsgEngine(val vault: MsgVault) {
     */
   private def timelineOrdering(filter: TextFilter): Seq[Column] =
     filter.sortDirection match {
-      case SortDirection.Desc => Seq(col("sent_at").desc, col("id").desc)
-      case _ => Seq(col("sent_at").asc, col("id").asc)
+      // nulls-last explicit on ASC: DuckDB's default_null_order puts a
+      // NULL sent_at LAST on both directions (fidelity audit r13,
+      // duckdb_text.go:315-320); Spark's bare asc is nulls-first.
+      // desc_nulls_last is Spark's desc default — spelled out so the
+      // two branches visibly carry the same null rule.
+      case SortDirection.Desc =>
+        Seq(col("sent_at").desc_nulls_last, col("id").desc)
+      case _ => Seq(col("sent_at").asc_nulls_last, col("id").asc)
     }
 
   /** Texts-mode full-text search (reference TextSearch
@@ -1326,6 +1417,19 @@ object MsgEngine {
     */
   private[engine] def domainSearchLimit(limit: Int): Int =
     if (limit <= 0) limit else math.min(limit, 1000)
+
+  /** find_similar_messages limit contract (mcp/handlers.go:822-834
+    * limitArg + :411-413 MaxPageSizeHybridClamp + :26 maxLimit): a
+    * NEGATIVE limit maps to 0 — an empty page, NOT the default (the
+    * default-20 substitution happens only when the arg is absent, which
+    * for a Scala API is the default parameter value); above 1000 clamps
+    * to 1000; a configured maxPage > 0 clamps once more. Pure so the
+    * spec pins every branch.
+    */
+  private[engine] def similarMessagesLimit(limit: Int, maxPage: Int): Int = {
+    val capped = if (limit < 0) 0 else math.min(limit, 1000)
+    if (maxPage > 0) math.min(capped, maxPage) else capped
+  }
 }
 
 /** Result handle for the materialized search: count/page/stats all reuse the

@@ -244,6 +244,27 @@ object VectorIndex {
     * an empty result, not a crash — this is an API-facing path.
     */
   def findSimilar(vectors: DataFrame, seedId: Long, k: Int): DataFrame =
+    findSimilar(vectors, vectors, seedId, k)
+
+  /** [[findSimilar]] with a separate candidate frame — the shape the
+    * composed surface needs: the reference loads the seed vector from
+    * the vector STORE with no liveness or filter check (an embedding
+    * outlives its message's soft-delete, sqlitevec/backend.go:300-305),
+    * while Search's candidates are constrained to live messages passing
+    * the structured filter (backend.go:662-770 — the empty-filter fast
+    * path over-fetches and drops deleted hits; resolveFilter enforces
+    * the deletion check inline otherwise). Passing the filtered frame
+    * as `candidates` and the full store as `vectors` reproduces exactly
+    * that split; a seed excluded by the FILTER still seeds the query.
+    *
+    * Seed exclusion is pre-search here where the reference over-fetches
+    * k+1 and drops the seed post-search (mcp/handlers.go:437-455) —
+    * set-equivalent: removing the seed from the top-(k+1) of all
+    * candidates equals the top-k of the non-seed candidates, whether or
+    * not the seed ranks among its own neighbours.
+    */
+  def findSimilar(vectors: DataFrame, candidates: DataFrame, seedId: Long,
+      k: Int): DataFrame =
     vectors.filter(col("message_id") === seedId)
       .select(col("embedding")).head(1).headOption match {
       // a seed row with a NULL stored embedding (failed embed left the
@@ -252,7 +273,7 @@ object VectorIndex {
       case Some(row) if !row.isNullAt(0) =>
         val seed = row.getAs[scala.collection.Seq[Float]](0).toSeq
         Similarity.bruteForceKnn(
-          vectors.filter(col("message_id") =!= seedId),
+          candidates.filter(col("message_id") =!= seedId),
           col("message_id"), col("embedding"), seed, k)
       case _ =>
         vectors.select(col("message_id").as("vec_id"),

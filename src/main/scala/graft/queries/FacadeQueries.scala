@@ -771,6 +771,13 @@ object FacadeQueries {
     * (id, rank) pairs as a VALUES list and orders by rank — compare.py
     * hard-fails on row-order mismatch, so a pass certifies the order
     * contract, not just the row set.
+    *
+    * The duplicated id doubles as the discriminating leg for the
+    * label last-wins quirk (fidelity audit r13, shared.go:62-68): 402
+    * is divisible by 2 and 3 so it CARRIES labels (INBOX, personal) —
+    * the rank-3 slot must show them and the rank-0 slot must show ''
+    * (the oracle replays the rule with a MAX(rnk)-per-id join). A
+    * fixture id without labels would pass both behaviors silently.
     */
   def messageSummaries(s: SparkSession, dir: String): DataFrame =
     engine(s, dir)
@@ -788,13 +795,16 @@ object FacadeQueries {
        |         (88, 6), (260, 7), (19, 8)),
        |lbl AS (
        |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
-       |  FROM ml GROUP BY message_id)
+       |  FROM ml GROUP BY message_id),
+       |lastr AS (SELECT rid, MAX(rnk) AS mx FROM r GROUP BY rid)
        |SELECT m.id, m.subject, m.snippet, p.email AS from_email,
        |       p.pname AS from_name, m.sent_at,
-       |       COALESCE(lbl.lbls, '') AS labels,
+       |       CASE WHEN r.rnk = lastr.mx THEN COALESCE(lbl.lbls, '')
+       |            ELSE '' END AS labels,
        |       'conv-' || CAST(m.conversation_id AS VARCHAR)
        |         AS conversation_title
        |FROM r
+       |JOIN lastr ON lastr.rid = r.rid
        |JOIN m ON m.id = r.rid
        |  AND NOT m.is_deleted AND NOT m.is_src_deleted
        |JOIN p ON p.pid = (m.id * 7) % 30
@@ -904,9 +914,74 @@ object FacadeQueries {
        |FROM chats
        |LEFT JOIN att ON att.message_id = chats.id""".stripMargin
 
+  // --- find_similar_messages (seed → live+filtered KNN → hydration) --------
+
+  /** The COMPOSED MCP surface (reference mcp/handlers.go:398-485) on the
+    * facade star, with one discriminating fixture leg per backend rule
+    * (verified present in the top page at ALL THREE SFs before pinning
+    * seed 36):
+    *
+    *   - seed exclusion: vec_id 36 never surfaces though it is its own
+    *     nearest neighbour;
+    *   - liveness at SEARCH time (sqlitevec/backend.go:655-710): a
+    *     delete-class id ranks inside the unfiltered top page at every
+    *     SF (e.g. 291 = 3·97 at sf0.001, 1261 = 13·97 at sf0.1) and
+    *     must be replaced by the next live hit, not dropped from a
+    *     fixed page;
+    *   - the structured before-bound (vector.Filter.Before,
+    *     backend.go:77) reshapes the page at every SF (ids ≥ 300 rank
+    *     in the unfiltered top-12) — candidates only; the seed loads
+    *     regardless;
+    *   - the maxPage clamp: limit 15 requested, operator clamp 12
+    *     (MaxPageSizeHybridClamp) — the oracle takes 12.
+    *
+    * Hydration order IS the rank order (compare.py's hard row-order
+    * gate certifies it); labels ride [[graft.engine.MsgEngine.messageSummariesByIds]].
+    */
+  def similarMessages(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir).findSimilarMessages(
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("message_id"), col("embedding")),
+      seedId = 36L, limit = 15, maxPage = 12,
+      structured = Some(col("sent_at") <
+        timestamp_micros(lit(epochUs + 300L * 60000000L))))
+      .select(col("id"), col("subject"), col("from_email"),
+        col("from_name"), col("sent_at"),
+        array_join(col("labels"), ",").as("labels"),
+        col("conversation_title"))
+
+  val similarMessagesSql: String =
+    s"""$starCte,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 36),
+       |hits AS (
+       |  SELECT e.vec_id,
+       |         row_number() OVER (
+       |           ORDER BY ${duckCos("e.embedding", "q.qv")} DESC,
+       |                    e.vec_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN q
+       |  JOIN m ON m.id = e.vec_id
+       |    AND NOT m.is_deleted AND NOT m.is_src_deleted
+       |    AND m.sent_at < make_timestamp(${epochUs + 300L * 60000000L})
+       |  WHERE e.vec_id <> 36
+       |  QUALIFY rn <= 12),
+       |lbl AS (
+       |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
+       |  FROM ml GROUP BY message_id)
+       |SELECT m.id, m.subject, p.email AS from_email,
+       |       p.pname AS from_name, m.sent_at,
+       |       COALESCE(lbl.lbls, '') AS labels,
+       |       'conv-' || CAST(m.conversation_id AS VARCHAR)
+       |         AS conversation_title
+       |FROM hits
+       |JOIN m ON m.id = hits.vec_id
+       |JOIN p ON p.pid = (m.id * 7) % 30
+       |LEFT JOIN lbl ON lbl.message_id = m.id
+       |ORDER BY hits.rn ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Map(
       "search_fast" -> (searchFast _, Some(searchFastSql)),
+      "similar_messages" -> (similarMessages _, Some(similarMessagesSql)),
       "search_fast_stats" -> (searchFastStats _, Some(searchFastStatsSql)),
       "search_by_domains" -> (searchByDomains _, Some(searchByDomainsSql)),
       "gmail_ids_by_filter" -> (gmailIds _, Some(gmailIdsSql)),

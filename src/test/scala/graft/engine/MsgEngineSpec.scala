@@ -444,6 +444,70 @@ class MsgEngineSpec extends SparkTestBase {
     // quadratic fan-out through the double rank join: 2 rows, not 4)
     val out = engine.messageSummariesByIds(Seq(3L, 3L, 1L)).collect()
     assert(out.map(_.getAs[Long]("id")).toSeq == Seq(3L, 3L, 1L))
+    // label hydration is LAST-WINS on a duplicated id (fidelity audit
+    // r13, shared.go:62-68: idToIndex[msg.ID] = i over the occurrence
+    // list, so labels append only to the final slot): msg 3 carries
+    // INBOX, which must surface on the rank-1 slot ONLY
+    assert(out.map(_.getAs[scala.collection.Seq[String]]("labels").toSeq)
+      .toSeq == Seq(Seq(), Seq("INBOX"), Seq("INBOX", "Work")))
+  }
+
+  test("findSimilarMessages: live-at-search-time candidates, un-filtered seed, clamped page") {
+    // the composed MCP surface (mcp/handlers.go:398-485 over the
+    // sqlitevec backend). 2-d embeddings make every ranking hand-checkable
+    // against cosine; ids 4 (dedup loser) and 5 (source-deleted) get the
+    // BEST scores so a visibility miss would be loud.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vectors = Seq(
+      (1L, Seq(1f, 0f)), // live; the seed for most legs
+      (2L, Seq(0.9f, 0.1f)), // live, cos≈0.994
+      (3L, Seq(0.5f, 0.5f)), // live, cos≈0.707
+      (4L, Seq(1f, 0f)), // dedup-deleted, cos=1: MUST be dropped at search
+      (5L, Seq(0.99f, 0.01f)), // source-deleted, cos≈1: dropped too
+      (6L, Seq(0f, 1f)) // live chat, cos=0
+    ).toDF("message_id", "embedding")
+      .select(col("message_id"), col("embedding").cast("array<float>"))
+
+    // deleted ids outrank everything yet never occupy page slots —
+    // liveness applies at SEARCH time (sqlitevec/backend.go:655-710:
+    // over-fetch + drop until k LIVE hits), so the page stays full
+    val page = engine.findSimilarMessages(vectors, seedId = 1L, limit = 2)
+      .collect()
+    assert(page.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L))
+
+    // a soft-deleted SEED still queries: its embedding outlives the
+    // message (sqlitevec/backend.go:300-305) — and cannot surface itself
+    val fromDeleted = engine.findSimilarMessages(vectors, seedId = 4L,
+      limit = 3).collect()
+    assert(fromDeleted.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+
+    // the structured filter constrains CANDIDATES only (vector.Filter,
+    // backend.go:69-81 applied in resolveFilter); a seed that itself
+    // fails the bound still seeds the query
+    val bounded = engine.findSimilarMessages(vectors, seedId = 2L,
+      limit = 5, structured = Some(col("sent_at") < Fixtures.ts("2024-02-01 00:00:00")))
+      .collect()
+    assert(bounded.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+
+    // maxPage clamps after the limit cap (MaxPageSizeHybridClamp,
+    // handlers.go:411-413); negative limit → 0 → empty page (limitArg
+    // handlers.go:822-834); a vectorless seed → empty page, not a crash
+    assert(engine.findSimilarMessages(vectors, seedId = 1L, limit = 5,
+      maxPage = 1).collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    assert(engine.findSimilarMessages(vectors, seedId = 1L, limit = -3)
+      .collect().isEmpty)
+    assert(engine.findSimilarMessages(vectors, seedId = 99L, limit = 5)
+      .collect().isEmpty)
+
+    // the pure limit contract, every branch (similarMessagesLimit)
+    assert(MsgEngine.similarMessagesLimit(-1, 0) == 0)
+    assert(MsgEngine.similarMessagesLimit(0, 0) == 0)
+    assert(MsgEngine.similarMessagesLimit(20, 0) == 20)
+    assert(MsgEngine.similarMessagesLimit(5000, 0) == 1000)
+    assert(MsgEngine.similarMessagesLimit(15, 12) == 12)
+    assert(MsgEngine.similarMessagesLimit(15, 0) == 15)
+    assert(MsgEngine.similarMessagesLimit(5000, 2000) == 1000)
   }
 
   test("empty-Senders bucket includes a message whose sender has NO address attributes") {

@@ -79,6 +79,52 @@ class TextModeSpec extends SparkTestBase {
     assert(wa == Seq(2L))
   }
 
+  test("NULL sent_at sorts LAST on both directions (DuckDB default_null_order)") {
+    // fidelity audit r13: the reference's bare ORDER BY last_message_at
+    // (duckdb_text.go:108-122) runs under DuckDB's NULLS_LAST default on
+    // BOTH directions, where Spark's bare asc is nulls-FIRST. A chat
+    // conversation whose every message has NULL sent_at must list last
+    // under Asc+LastMessage (and under the default Desc), not first.
+    val v2 = Fixtures.vault(spark,
+      messages = Seq(
+        msg(41, "", "2024-01-01 10:00:00", convId = 1, senderId = Some(1),
+          msgType = Some("imessage"), snippet = "dated"),
+        msg(42, "", "2024-01-02 10:00:00", convId = 2, senderId = Some(1),
+          msgType = Some("imessage"), snippet = "dated too")
+          .copy(sent_at = null),
+        msg(43, "", "2024-01-03 10:00:00", convId = 1, senderId = Some(1),
+          msgType = Some("imessage"), snippet = "later")),
+      recipients = Seq(MrRow(41, 1, "from", None), MrRow(42, 1, "from", None),
+        MrRow(43, 1, "from", None)),
+      participants = Seq(
+        PRow(1, Some("a@x.com"), Some("Alice"), None, Some("x.com"))),
+      conversations = Seq(
+        ConvRow(1, "conv-1", Some("Dated"), Some("direct")),
+        ConvRow(2, "conv-2", Some("Undated"), Some("direct"))))
+    val e2 = new MsgEngine(v2)
+    val asc = e2.listConversations(TextFilter(
+      sortDirection = SortDirection.Asc)).collect()
+    assert(asc.map(_.getAs[Long]("conversation_id")).toSeq == Seq(1L, 2L))
+    val desc = e2.listConversations().collect()
+    assert(desc.map(_.getAs[Long]("conversation_id")).toSeq == Seq(1L, 2L))
+    // same rule on the timeline sort (duckdb_text.go:315-320): the
+    // undated message of a mixed conversation rides last under ASC
+    val v3 = Fixtures.vault(spark,
+      messages = Seq(
+        msg(51, "", "2024-01-05 10:00:00", convId = 1, senderId = Some(1),
+          msgType = Some("imessage"), snippet = "dated"),
+        msg(52, "", "2024-01-01 10:00:00", convId = 1, senderId = Some(1),
+          msgType = Some("imessage"), snippet = "undated")
+          .copy(sent_at = null)),
+      recipients = Seq(MrRow(51, 1, "from", None), MrRow(52, 1, "from", None)),
+      participants = Seq(
+        PRow(1, Some("a@x.com"), Some("Alice"), None, Some("x.com"))),
+      conversations = Seq(ConvRow(1, "conv-1", Some("Mixed"), Some("direct"))))
+    val tl = new MsgEngine(v3).listConversationMessages(1L,
+      TextFilter(sortDirection = SortDirection.Asc)).collect()
+    assert(tl.map(_.getAs[Long]("id")).toSeq == Seq(51L, 52L))
+  }
+
   test("listConversationMessages: ascending timeline, paged, enriched") {
     val timeline = engine.listConversationMessages(1L,
       TextFilter(sortDirection = SortDirection.Asc)).collect()
