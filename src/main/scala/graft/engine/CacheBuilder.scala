@@ -11,15 +11,46 @@ import org.apache.spark.sql.functions._
   * Faithful mechanics:
   *   - messages hive-partitioned by year, zstd (build_cache.go:289-315),
   *     with derived year/month columns (build_cache.go:305-306);
-  *     dedup losers (deleted_at) excluded at export (build_cache.go:308)
+  *     dedup losers (deleted_at) AND undated rows (sent_at IS NULL)
+  *     excluded at export (build_cache.go:308's WHERE — r13 builder
+  *     audit: an undated row would otherwise land in a null year
+  *     partition the reference never creates, and the id watermark is
+  *     likewise taken over DATED rows only, build_cache.go:156, so an
+  *     undated row stays PENDING and exports on the build after it
+  *     gains a sent_at instead of being skipped forever)
   *   - every build writes under its own `batch=` partition and overwrites
   *     it — the idempotent-retry equivalent of the reference's
   *     `incr_<watermark>` junction shards (build_cache.go:258-263,
   *     326-383); dimensions fully rewritten
   *   - id-watermark incremental builds via `_last_sync.json`
-  *     {last_message_id, schema_version}; schema-version mismatch forces a
-  *     full rebuild (build_cache.go:118-263, 127-143)
+  *     {last_message_id, last_sync_at, schema_version}; schema-version
+  *     mismatch forces a full rebuild (build_cache.go:118-263, 127-143)
+  *   - [[staleness]] mirrors the reference freshness gate
+  *     (tui.go:197-330): new dated ids → incremental; any
+  *     source-deletion or dedup-hide stamped at/after the recorded
+  *     last_sync_at → FULL rebuild (the stale row is already exported
+  *     and only a rebuild removes/updates it); a cache whose state file
+  *     exists but whose required tables lost their files → FULL rebuild
+  *     (build_cache.go:196-204's backfill)
   *   - post-write row-count verification (build_cache.go:467-476)
+  *
+  * Documented divergences (r13 builder audit, all unobservable through
+  * the query surface or deliberate):
+  *   - junction exports are semi-joined to the EXPORTED message slice on
+  *     BOTH full and incremental builds, where the reference exports raw
+  *     / by `message_id > watermark` (build_cache.go:326-383) and thereby
+  *     ships dangling junction rows for dedup-losing/undated messages —
+  *     unreachable through every query path — and would DUPLICATE a
+  *     late-dated message's junction rows (full shard + increment), an
+  *     observable fan-out this engine's exactly-once rule closes (the
+  *     rationale comment sits on the junction writer in [[build]]).
+  *   - an EMPTY full rebuild fails loudly here where the reference
+  *     tolerates a zero-message database (build_cache.go:190-204,
+  *     462-476: exports run, the count guard is skipped, state is
+  *     written) — the reference can serve an incomplete cache from its
+  *     SQLite engine; this library has no fallback engine, and a
+  *     zero-file partitioned Spark write would leave a star
+  *     [[MsgVault.open]] cannot even schema-infer.
   *
   * Scale: the messages write shuffles once on `year` (partitionBy);
   * incremental runs touch only `id > watermark` rows — Parquet min/max on
@@ -27,10 +58,21 @@ import org.apache.spark.sql.functions._
   */
 object CacheBuilder {
   // v2: batch-partitioned layout (batch=full / batch=w<watermark> dirs) —
-  // the idempotent-retry shard scheme; v1 caches force a full rebuild
-  val SchemaVersion = 2
+  // the idempotent-retry shard scheme; v1 caches force a full rebuild.
+  // v3: undated (sent_at IS NULL) rows excluded from export + state gains
+  // last_sync_at — v2 caches may hold a null-year partition the
+  // incremental path cannot remove, so the version bump forces the
+  // rebuild that drops it (the reference's cacheSchemaVersion policy,
+  // build_cache.go:31-35).
+  val SchemaVersion = 3
 
-  final case class SyncState(lastMessageId: Long, schemaVersion: Int)
+  /** `lastSyncAtSec`: UTC epoch seconds captured BEFORE the export
+    * started (second-truncated like the reference's cacheWatermark,
+    * build_cache.go:246-250) — any deletion stamped during or after the
+    * build compares >= it and flags the cache stale next check.
+    */
+  final case class SyncState(lastMessageId: Long, schemaVersion: Int,
+      lastSyncAtSec: Long)
 
   private def statePath(dir: String) = Paths.get(dir, "_last_sync.json")
 
@@ -43,7 +85,9 @@ object CacheBuilder {
         .findFirstMatchIn(s).map(_.group(1).toLong)
       val v = """"schema_version"\s*:\s*(\d+)""".r
         .findFirstMatchIn(s).map(_.group(1).toInt)
-      for (i <- id; sv <- v) yield SyncState(i, sv)
+      val at = """"last_sync_at"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toLong)
+      for (i <- id; sv <- v) yield SyncState(i, sv, at.getOrElse(0L))
     }
   }
 
@@ -51,12 +95,16 @@ object CacheBuilder {
     * crashed-before-state-write scenario CacheBuilderSpec simulates).
     */
   private[engine] def writeStateForTest(dir: String, lastId: Long): Unit =
-    writeState(dir, SyncState(lastId, SchemaVersion))
+    writeState(dir, SyncState(lastId, SchemaVersion, nowSec()))
+
+  private def nowSec(): Long = System.currentTimeMillis() / 1000L
 
   private def writeState(dir: String, st: SyncState): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(statePath(dir),
-      s"""{"last_message_id":${st.lastMessageId},"schema_version":${st.schemaVersion}}"""
+      (s"""{"last_message_id":${st.lastMessageId},""" +
+        s""""last_sync_at":${st.lastSyncAtSec},""" +
+        s""""schema_version":${st.schemaVersion}}""")
         .getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
@@ -67,10 +115,88 @@ object CacheBuilder {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
-  /** Max id over the input, None when empty (Row.getLong would NPE). */
-  private def maxId(input: MsgVault): Option[Long] = {
-    val row = input.messages.agg(max(col("id"))).head()
-    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  /** Staleness verdict (reference cacheStaleness, tui.go:180-195). */
+  final case class Staleness(needsBuild: Boolean, fullRebuild: Boolean,
+      reasons: Seq[String])
+
+  /** The freshness gate, rule-for-rule from the reference's
+    * cacheNeedsBuild (tui.go:197-330) plus buildCache's own
+    * missing-table backfill (build_cache.go:196-204):
+    *
+    *   - no/unparseable/version-mismatched state → full rebuild;
+    *   - new DATED ids past the watermark (MAX(id) over
+    *     `deleted_from_source_at IS NULL AND sent_at IS NOT NULL`,
+    *     tui.go:236-239) → incremental;
+    *   - any source-deletion stamped >= last_sync_at, or any dedup-hide
+    *     (`deleted_at`, with dfs NULL so a doubly-deleted row reports
+    *     once, tui.go:292-316) stamped >= last_sync_at → FULL rebuild:
+    *     those rows are already in the exported star and only a rebuild
+    *     updates/removes them;
+    *   - state present but a required table directory holds no files →
+    *     FULL rebuild (a partial cache must be backfilled, not
+    *     incremented over).
+    *
+    * One aggregate scan computes all three message-side signals.
+    */
+  def staleness(spark: SparkSession, input: MsgVault,
+      outDir: String): Staleness =
+    readState(outDir).filter(_.schemaVersion == SchemaVersion) match {
+      case None => Staleness(needsBuild = true, fullRebuild = true,
+        Seq("no sync state"))
+      case Some(st) =>
+        val syncAt = new java.sql.Timestamp(st.lastSyncAtSec * 1000L)
+        val row = input.messages.agg(
+          max(when(col("deleted_from_source_at").isNull &&
+            col("sent_at").isNotNull, col("id"))).as("mx"),
+          sum(when(col("deleted_from_source_at") >= lit(syncAt), 1L)
+            .otherwise(0L)).as("del"),
+          sum(when(col("deleted_at") >= lit(syncAt) &&
+            col("deleted_from_source_at").isNull, 1L)
+            .otherwise(0L)).as("hid")).head()
+        val maxDated = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val deletedSince = if (row.isNullAt(1)) 0L else row.getLong(1)
+        val hiddenSince = if (row.isNullAt(2)) 0L else row.getLong(2)
+        // empty database + empty cache = fresh (tui.go:247-249) — a
+        // "missing tables" verdict here would force a rebuild that
+        // [[build]] then fails on (0 live messages)
+        if (maxDated == 0 && st.lastMessageId == 0)
+          return Staleness(needsBuild = false, fullRebuild = false, Nil)
+        var reasons = Seq.empty[String]
+        if (maxDated > st.lastMessageId)
+          reasons :+= s"${maxDated - st.lastMessageId} new messages"
+        var full = false
+        if (deletedSince > 0) { full = true
+          reasons :+= s"$deletedSince deletions" }
+        if (hiddenSince > 0) { full = true
+          reasons :+= s"$hiddenSince dedup-hidden" }
+        if (!full && missingRequiredParquet(spark, outDir)) { full = true
+          reasons :+= "missing cache tables" }
+        Staleness(reasons.nonEmpty, full, reasons)
+    }
+
+  private val RequiredTables = Seq("messages", "message_recipients",
+    "message_labels", "attachments", "participants", "labels",
+    "conversations", "sources")
+
+  /** True when any required table directory holds no parquet files
+    * (reference missingRequiredParquet, build_cache.go:503-524) — a
+    * cache that lost a table must full-rebuild; incrementing over it
+    * would silently drop every pre-loss row of that table.
+    */
+  private def missingRequiredParquet(spark: SparkSession,
+      outDir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    !RequiredTables.forall { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$t")
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.endsWith(".parquet")
+        found
+      }
+    }
   }
 
   /** Build or incrementally refresh the cache at `outDir` from normalized
@@ -84,10 +210,17 @@ object CacheBuilder {
     * or front builds with its own lock (the streaming face,
     * [[streamBuild]], gets this for free from the checkpoint).
     */
-  def build(spark: SparkSession, input: MsgVault, outDir: String): Long = {
-    val prior = readState(outDir).filter(_.schemaVersion == SchemaVersion)
+  def build(spark: SparkSession, input: MsgVault, outDir: String,
+      forceFull: Boolean = false): Long = {
+    val prior =
+      if (forceFull) None // the reference's --full-rebuild / staleness
+      else readState(outDir).filter(_.schemaVersion == SchemaVersion)
     val watermark = prior.map(_.lastMessageId).getOrElse(Long.MinValue)
     val fullRebuild = prior.isEmpty
+    // captured BEFORE the export starts (build_cache.go:246-250): a
+    // deletion stamped during the build compares >= this and flags the
+    // cache stale on the next staleness() check
+    val buildWatermarkSec = nowSec()
 
     // ONE persisted snapshot of the input's new slice: the watermark and
     // the export both derive from it. Computing the watermark from a
@@ -111,17 +244,28 @@ object CacheBuilder {
     // before the tail would pin the whole new-slice snapshot for the
     // session — and a retried build would pin a second copy on top
     try {
-    val stats = newRows.agg(max(col("id")).as("mx"),
-      sum(when(col("deleted_at").isNull, 1L).otherwise(0L)).as("live")).head()
+    // the watermark advances over DATED rows only (the reference's
+    // maxIDQuery, build_cache.go:156: MAX(id) WHERE sent_at IS NOT
+    // NULL — deleted rows included): an undated row stays BELOW the
+    // watermark and exports on the build after it gains a sent_at; the
+    // exported count excludes both dedup losers and undated rows (the
+    // COPY's WHERE, build_cache.go:308)
+    val stats = newRows.agg(
+      max(when(col("sent_at").isNotNull, col("id"))).as("mx"),
+      sum(when(col("deleted_at").isNull && col("sent_at").isNotNull, 1L)
+        .otherwise(0L)).as("live")).head()
     val newWatermark = if (stats.isNullAt(0)) watermark else stats.getLong(0)
     val newCount = if (stats.isNullAt(1)) 0L else stats.getLong(1)
 
     if (newCount == 0 && !fullRebuild) {
       // an all-deleted (dedup-loser) tail still ADVANCES the watermark:
-      // needsBuild keys on max id over ALL rows, so leaving the state
-      // behind would re-trigger a full-scan no-op build forever
+      // needsBuild keys on max DATED id, so leaving the state behind
+      // would re-trigger a full-scan no-op build forever (the reference
+      // writes state on this path too — its COPY just exports 0 rows,
+      // build_cache.go:462-496)
       if (newWatermark > watermark)
-        writeState(outDir, SyncState(newWatermark, SchemaVersion))
+        writeState(outDir,
+          SyncState(newWatermark, SchemaVersion, buildWatermarkSec))
       return 0L
     }
     // fail BEFORE any write: an empty full rebuild would otherwise emit a
@@ -131,10 +275,11 @@ object CacheBuilder {
     require(newCount > 0,
       s"cache build found 0 live messages in the input for $outDir")
 
-    // dedup losers excluded at export; later source-deletions stay visible
-    // until next build (reference duckdb.go:31-34)
+    // dedup losers and undated rows excluded at export
+    // (build_cache.go:308); later source-deletions stay visible until
+    // the staleness gate forces the next full rebuild (tui.go:262-316)
     val liveNew = newRows
-      .filter(col("deleted_at").isNull)
+      .filter(col("deleted_at").isNull && col("sent_at").isNotNull)
       .withColumn("year", year(col("sent_at")))
       .withColumn("month", month(col("sent_at")))
 
@@ -177,13 +322,24 @@ object CacheBuilder {
      else msgWriter.option("partitionOverwriteMode", "dynamic"))
       .parquet(s"$outDir/messages")
 
+    // Junction rows are written EXACTLY ONCE, for exported messages
+    // only (semi-join on BOTH full and incremental builds). The
+    // reference exports junctions raw on a full rebuild and by
+    // `message_id > watermark` on increments (build_cache.go:326-383),
+    // which (a) ships dangling rows for dedup-losing/undated messages
+    // — unreachable, every query path enters junctions through the
+    // messages table — and (b) DUPLICATES a pending undated message's
+    // junction rows when it later gains a date (raw full shard + the
+    // increment both carry them), which WOULD be observable as join
+    // fan-out. The uniform semi-join closes both; its cost on a full
+    // build is one shuffle of each junction against the message-id
+    // projection, the same key the bucketed layout co-locates anyway.
     def junction(name: String, df: DataFrame): Unit = {
       if (fullRebuild) // clear any prior layout; Overwrite below only
         deleteDir(spark, s"$outDir/$name") // replaces this batch's subdir
-      val rows = if (fullRebuild) df
-        else df.join(liveNew.select(col("id").as("__mid")),
+      df.join(liveNew.select(col("id").as("__mid")),
           df("message_id") === col("__mid"), "left_semi")
-      rows.write.mode(SaveMode.Overwrite)
+        .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd")
         .parquet(s"$outDir/$name/batch_$batchTag")
     }
@@ -213,7 +369,8 @@ object CacheBuilder {
         s"cache build wrote 0 message rows to $outDir (batch $batchTag)")
     }
 
-    writeState(outDir, SyncState(newWatermark, SchemaVersion))
+    writeState(outDir,
+      SyncState(newWatermark, SchemaVersion, buildWatermarkSec))
     newCount
     } finally graft.queries.unpersistWithCheckpointLeaves(newRows)
   }
@@ -433,7 +590,10 @@ object CacheBuilder {
     val streamId =
       graft.streaming.VectorStreaming.streamIdentity(spark, checkpoint)
     val q = spark.readStream.schema(schema).parquet(srcDir)
-      .filter(col("deleted_at").isNull)
+      // same export gate as the batch face (build_cache.go:308): no
+      // dedup losers, no undated rows (an undated row would create the
+      // null year partition the reference never emits)
+      .filter(col("deleted_at").isNull && col("sent_at").isNotNull)
       .withColumn("year", year(col("sent_at")))
       .withColumn("month", month(col("sent_at")))
       .writeStream
@@ -456,11 +616,12 @@ object CacheBuilder {
     q.awaitTermination()
   }
 
-  /** Freshness gate (reference cacheNeedsBuild cmd/query.go:50-66). */
-  def needsBuild(input: MsgVault, outDir: String): Boolean =
-    readState(outDir) match {
-      case Some(st) if st.schemaVersion == SchemaVersion =>
-        maxId(input).exists(_ > st.lastMessageId)
-      case _ => true
-    }
+  /** Boolean face of [[staleness]] (reference cacheNeedsBuild,
+    * tui.go:197-330) — callers that also want the full-vs-incremental
+    * verdict should call [[staleness]] and pass its `fullRebuild`
+    * through to [[build]]'s `forceFull`.
+    */
+  def needsBuild(spark: SparkSession, input: MsgVault,
+      outDir: String): Boolean =
+    staleness(spark, input, outDir).needsBuild
 }

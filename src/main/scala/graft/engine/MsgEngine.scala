@@ -155,7 +155,12 @@ final class MsgEngine(val vault: MsgVault) {
     * two surfaces: attachment rollup left-join at the message grain,
     * 6-column AggregateRow, opts-selected sort (count desc default)
     * with this engine's deterministic key-asc tiebreak, default limit
-    * 100.
+    * 100. Limit edge (r13 audit): the reference substitutes 100 only
+    * when Limit == 0 and would pass a NEGATIVE limit straight into SQL
+    * (a DuckDB binder error); no reference caller can produce one
+    * (MCP limitArg floors at 0, the TUI uses fixed pages), so this
+    * engine folds limit <= 0 into the same 100 default rather than
+    * mirror an error path.
     */
   private def aggregateTail(joined0: DataFrame, key: Column, idCol: Column,
       sizeCol: Column, opts: AggregateOptions): DataFrame = {
@@ -556,10 +561,16 @@ final class MsgEngine(val vault: MsgVault) {
     * channel worth a throw on an id-typo-shaped input —
     * [[graft.operators.VectorIndex.findSimilar]] owns that rule).
     *
-    * Scale: one narrow candidate semi-join (live+filtered ids) feeding
-    * the codegen cosine scan + TakeOrderedAndProject — no shuffle; the
-    * driver materializes only the ≤1000-id rank list (the reference
-    * handler is equally driver-side); hydration touches `limit` rows.
+    * Scale: one semi-join of the vector store against the live+filtered
+    * id projection feeds the codegen cosine scan +
+    * TakeOrderedAndProject. The semi-join broadcasts when the
+    * structured filter is selective; with no/loose filter both sides
+    * are corpus-sized and it hash-shuffles on message_id — one
+    * exchange of two narrow (id / id+vector) projections, the honest
+    * minimum for an exact liveness gate. The top-k itself adds no
+    * exchange (per-partition partial top-k), the driver materializes
+    * only the ≤1000-id rank list (the reference handler is equally
+    * driver-side), and hydration touches `limit` rows.
     */
   def findSimilarMessages(vectors: DataFrame, seedId: Long,
       limit: Int = 20, maxPage: Int = 0,
@@ -1127,7 +1138,13 @@ final class MsgEngine(val vault: MsgVault) {
 
   /** TextEngine.TextAggregate, method-for-method (text_engine.go:15-16):
     * dispatch over the five reference views (textAggViewDef
-    * duckdb_text.go:191-243).
+    * duckdb_text.go:191-243). Liveness: the reference's TextAggregate
+    * WHERE carries NO LiveMessagesWhere in either engine
+    * (duckdb_text.go:255-262, sqlite_text.go:316-330) — this engine
+    * hides dedup losers on every text surface per the store contract;
+    * the full rationale lives on [[compileTextFilter]] (r13 audit
+    * confirmed the two reference engines agree with each other, so the
+    * divergence is ours alone and stays deliberate).
     */
   def textAggregate(view: TextViewType,
       opts: AggregateOptions = AggregateOptions(),

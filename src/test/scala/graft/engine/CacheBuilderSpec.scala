@@ -33,10 +33,10 @@ class CacheBuilderSpec extends SparkTestBase {
 
     val n1 = CacheBuilder.build(spark, sourceVault(6), out)
     assert(n1 == 6)
-    assert(!CacheBuilder.needsBuild(sourceVault(6), out))
+    assert(!CacheBuilder.needsBuild(spark, sourceVault(6), out))
 
     // grow the source → freshness gate trips → incremental exports only new ids
-    assert(CacheBuilder.needsBuild(sourceVault(9), out))
+    assert(CacheBuilder.needsBuild(spark, sourceVault(9), out))
     val n2 = CacheBuilder.build(spark, sourceVault(9), out)
     assert(n2 == 3)
 
@@ -50,7 +50,7 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(9L))
 
     // schema-version bump forces rebuild
-    assert(!CacheBuilder.needsBuild(sourceVault(9), out))
+    assert(!CacheBuilder.needsBuild(spark, sourceVault(9), out))
   }
 
   test("full rebuild truncates stale incremental partitions under session-dynamic overwrite") {
@@ -86,10 +86,10 @@ class CacheBuilderSpec extends SparkTestBase {
             deletedAt = Some("2024-02-11 10:00:00"))),
       recipients = (1 to 8).map(i => MrRow(i.toLong, 1L, "from", None)),
       participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
-    assert(CacheBuilder.needsBuild(withDeletedTail, out))
+    assert(CacheBuilder.needsBuild(spark, withDeletedTail, out))
     assert(CacheBuilder.build(spark, withDeletedTail, out) == 0L)
     assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(8L))
-    assert(!CacheBuilder.needsBuild(withDeletedTail, out)) // converged
+    assert(!CacheBuilder.needsBuild(spark, withDeletedTail, out)) // converged
     // the star itself is unchanged
     assert(MsgVault.open(spark, out).messages.count() == 6)
   }
@@ -125,6 +125,104 @@ class CacheBuilderSpec extends SparkTestBase {
     // nothing half-written, no state
     assert(!new java.io.File(s"$out/messages").exists())
     assert(CacheBuilder.readState(out).isEmpty)
+  }
+
+  test("undated rows are excluded from export and stay PENDING below the watermark") {
+    // reference build_cache.go:308 (COPY WHERE sent_at IS NOT NULL) +
+    // :156 (the id watermark is MAX(id) over DATED rows): an undated
+    // message must not land in a null year partition, and must export on
+    // the build after it gains a sent_at instead of being skipped forever
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_nd").toString
+    val undated6 = Fixtures.vault(spark,
+      messages = (1 to 5).map(i =>
+        msg(i.toLong, s"subject $i", "2024-01-10 10:00:00")) :+
+        msg(6L, "undated", "2024-02-10 10:00:00").copy(sent_at = null),
+      recipients = (1 to 6).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    assert(CacheBuilder.build(spark, undated6, out) == 5)
+    assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(5L),
+      "watermark must not advance past the undated row")
+    val star1 = MsgVault.open(spark, out)
+    assert(star1.messages.count() == 5)
+    assert(star1.messages.filter(col("year").isNull).isEmpty,
+      "no null year partition may exist")
+    // junction rows of the undated message are NOT shipped dangling
+    assert(star1.recipients.count() == 5)
+
+    // the row gains a date upstream → the freshness gate trips and the
+    // increment exports exactly it
+    val dated6 = Fixtures.vault(spark,
+      messages = (1 to 6).map(i =>
+        msg(i.toLong, s"subject $i", "2024-01-10 10:00:00")),
+      recipients = (1 to 6).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    assert(CacheBuilder.needsBuild(spark, dated6, out))
+    assert(CacheBuilder.build(spark, dated6, out) == 1)
+    val star2 = MsgVault.open(spark, out)
+    assert(star2.messages.count() == 6)
+    // the late-dated message's junction rows appear EXACTLY once — the
+    // reference's raw full export + `message_id > watermark` increment
+    // would carry them twice here (join fan-out); the uniform semi-join
+    // closes that corner
+    assert(star2.recipients.count() == 6)
+    assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(6L))
+  }
+
+  test("staleness: post-build deletions and dedup-hides force a FULL rebuild") {
+    // reference tui.go:262-316: an already-exported row that is
+    // source-deleted or dedup-hidden AFTER the build is stale in parquet;
+    // only a full rebuild updates/removes it
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_st").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+    assert(!CacheBuilder.needsBuild(spark, sourceVault(6), out))
+
+    // a deletion stamped AFTER the build (fixture uses a far-future
+    // stamp so the test is independent of wall-clock)
+    val withLateDeletes = Fixtures.vault(spark,
+      messages = (1 to 6).map { i =>
+        val m = msg(i.toLong, s"subject $i", "2024-01-10 10:00:00")
+        if (i == 2) m.copy(deleted_at = Some(ts("2031-01-01 00:00:00")))
+        else if (i == 3)
+          m.copy(deleted_from_source_at = Some(ts("2031-01-01 00:00:00")))
+        else m
+      },
+      recipients = (1 to 6).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val st = CacheBuilder.staleness(spark, withLateDeletes, out)
+    assert(st.needsBuild && st.fullRebuild)
+    assert(st.reasons.exists(_.contains("deletions")) &&
+      st.reasons.exists(_.contains("dedup-hidden")))
+    // the forced rebuild drops the dedup loser and carries the
+    // source-deletion stamp into the star
+    CacheBuilder.build(spark, withLateDeletes, out, forceFull = true)
+    val star = MsgVault.open(spark, out)
+    assert(star.messages.count() == 5, "dedup loser must leave the star")
+    assert(star.messages
+      .filter(col("id") === 3 && col("deleted_from_source_at").isNotNull)
+      .count() == 1, "source-deletion stamp must reach the star")
+    // rebuilt state is fresh again (the fixture stamps are in the
+    // future, so they stay >= last_sync_at — the gate keeps reporting
+    // them until the stamps age past the watermark, exactly like the
+    // reference's time-based check; assert the message-side signals)
+    val st2 = CacheBuilder.staleness(spark, sourceVault(6), out)
+    assert(!st2.needsBuild)
+  }
+
+  test("a cache missing a required table forces a FULL rebuild (self-heal)") {
+    // reference build_cache.go:196-204: incrementing over a cache that
+    // lost a table would silently drop every pre-loss row of that table
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_mt").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+    // lose the labels table (e.g. a partial copy/restore)
+    val lbl = new org.apache.hadoop.fs.Path(s"$out/labels")
+    lbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lbl, true)
+    val st = CacheBuilder.staleness(spark, sourceVault(6), out)
+    assert(st.needsBuild && st.fullRebuild)
+    assert(st.reasons.exists(_.contains("missing cache tables")))
+    CacheBuilder.build(spark, sourceVault(6), out, forceFull = true)
+    assert(MsgVault.open(spark, out).labels.count() == 1)
+    assert(!CacheBuilder.needsBuild(spark, sourceVault(6), out))
   }
 
   test("engine over a built cache answers the flagship aggregate") {

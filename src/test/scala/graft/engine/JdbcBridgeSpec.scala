@@ -112,7 +112,7 @@ class JdbcBridgeSpec extends SparkTestBase {
     assert(att("b@y.org") == 1L) // attachment rollup joined below the agg
 
     // incremental rebuild is a no-op while the OLTP watermark is unchanged
-    assert(!CacheBuilder.needsBuild(vaultIn, out))
+    assert(!CacheBuilder.needsBuild(spark, vaultIn, out))
     assert(CacheBuilder.fromJdbc(spark, url, out, numPartitions = 3) == 0L)
   }
 }
