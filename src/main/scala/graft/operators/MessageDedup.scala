@@ -126,6 +126,18 @@ object MessageDedup {
   private val isSentCopy: Column =
     col("has_sent_label") || col("is_from_me") || col("matched_identity")
 
+  /** Rank columns shared by the survivor sort and the prefix-class
+    * window (the archived_at rule needs the tie-SET these define).
+    */
+  private def sentRank: Column =
+    when(col("__any_sent") && !isSentCopy, 1).otherwise(0)
+  private def rawRank: Column = when(col("has_raw"), 0).otherwise(1)
+  private def prefRank(cfg: Config): Column =
+    cfg.sourcePreference.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (st, i)) =>
+        acc.when(col("source_type") === st, i)
+      }.otherwise(cfg.sourcePreference.length)
+
   /** Survivor ordering within a group (dedup.go:769-822), as window sort
     * keys — row_number 1 is the survivor:
     *   1. sent copies first when the group has any (the candidate-set
@@ -135,25 +147,27 @@ object MessageDedup {
     *   2. source-type preference (unknown types last),
     *   3. has raw MIME,
     *   4. more labels,
-    *   5. earliest archived_at — considered only when EVERY group member
-    *      has one (the reference compares archived_at only when both
-    *      sides are non-zero, dedup.go isBetter; with any null in the
-    *      group the comparison falls through to id),
+    *   5. archived_at — the reference's isBetter compares it only when
+    *      BOTH sides are non-zero and otherwise falls to id, which makes
+    *      the pairwise fold non-transitive; but selectSurvivor folds the
+    *      group in id-ASC order (store/dedup.go:143 `ORDER BY m.id`), and
+    *      that fold has an exact closed form (r13 audit): within the
+    *      tie-set on keys 1-4, IF the lowest-id member has NULL
+    *      archived_at it survives (a later member can never beat it — the
+    *      both-non-zero guard fails and its id is higher); OTHERWISE the
+    *      minimum non-null archived_at survives (nulls never displace a
+    *      dated best, a smaller date always does). Expressed as: archived
+    *      participates (nulls last) unless the class ANCHOR — first id of
+    *      the tie-set, `__class_anchor_null` — is null,
     *   6. lowest id.
     */
-  private def survivorOrder(cfg: Config): Seq[Column] = {
-    val prefExpr = cfg.sourcePreference.zipWithIndex
-      .foldLeft(when(lit(false), 0)) { case (acc, (st, i)) =>
-        acc.when(col("source_type") === st, i)
-      }.otherwise(cfg.sourcePreference.length)
-    Seq(
-      when(col("__any_sent") && !isSentCopy, 1).otherwise(0).asc,
-      prefExpr.asc,
-      when(col("has_raw"), 0).otherwise(1).asc,
-      col("label_count").desc,
-      when(!col("__any_null_archived"), col("archived_at")).asc_nulls_last,
-      col("id").asc)
-  }
+  private def survivorOrder(cfg: Config): Seq[Column] = Seq(
+    sentRank.asc,
+    prefRank(cfg).asc,
+    rawRank.asc,
+    col("label_count").desc,
+    when(!col("__class_anchor_null"), col("archived_at")).asc_nulls_last,
+    col("id").asc)
 
   /** Group, pick the survivor, and tag each member with its winner_id —
     * shared by both passes. One shuffle on the key; two window passes over
@@ -165,8 +179,13 @@ object MessageDedup {
       .withColumn("__gsize", count(lit(1)).over(gw))
       .filter(col("__gsize") > 1)
       .withColumn("__any_sent", max(isSentCopy).over(gw))
-      .withColumn("__any_null_archived",
-        max(col("archived_at").isNull).over(gw))
+      // the prefix-CLASS anchor (survivorOrder key 5): first id of the
+      // tie-set on keys 1-4; ordered first() with the default running
+      // frame returns the partition's first row's value for every row
+      .withColumn("__class_anchor_null",
+        first(col("archived_at").isNull).over(
+          Window.partitionBy(key, sentRank, prefRank(cfg), rawRank,
+            col("label_count")).orderBy(col("id"))))
       .withColumn("__rn", row_number().over(gw.orderBy(survivorOrder(cfg): _*)))
       .withColumn("winner_id", min(when(col("__rn") === 1, col("id"))).over(gw))
   }

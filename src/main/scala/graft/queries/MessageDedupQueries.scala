@@ -183,7 +183,9 @@ object MessageDedupQueries {
   /** Shared oracle CTEs: reconstruct the star arithmetically, replay both
     * dedup passes with the survivor ordering of dedup.go:769-822 (sent
     * copies first when the group has any, source preference, has-raw,
-    * label count, archived_at only when every member has one, id).
+    * label count, the archived_at CLASS-ANCHOR rule — the exact closed form
+    * of dedup.go's id-ASC isBetter fold, see MessageDedup.survivorOrder —
+    * then id).
     * `arch` keeps the archived_at ORDER as a small integer (d % 17) —
     * same comparisons as the timestamp it derives from.
     */
@@ -216,11 +218,24 @@ object MessageDedupQueries {
       |  SELECT *,
       |         COUNT(*) OVER w AS gsize,
       |         MAX(CASE WHEN has_sent OR is_from_me THEN 1 ELSE 0 END)
-      |           OVER w = 1 AS any_sent,
-      |         MAX(CASE WHEN arch IS NULL THEN 1 ELSE 0 END) OVER w = 1
-      |           AS any_null_arch
+      |           OVER w = 1 AS any_sent
       |  FROM m WHERE mid IS NOT NULL
       |  WINDOW w AS (PARTITION BY mid)),
+      |p1c AS (
+      |  -- the prefix-CLASS anchor: dedup.go's isBetter compares
+      |  -- archived_at only when both sides are non-zero, and the id-ASC
+      |  -- fold (store ORDER BY m.id) reduces to: a NULL-archived
+      |  -- lowest-id class member survives; otherwise min archived_at
+      |  SELECT *, FIRST_VALUE(arch IS NULL) OVER (
+      |      PARTITION BY mid,
+      |        CASE WHEN any_sent AND NOT (has_sent OR is_from_me)
+      |             THEN 1 ELSE 0 END,
+      |        CASE source_type WHEN 'gmail' THEN 0 WHEN 'imap' THEN 1
+      |             WHEN 'mbox' THEN 2 ELSE 5 END,
+      |        CASE WHEN has_raw THEN 0 ELSE 1 END,
+      |        label_count
+      |      ORDER BY id) AS anchor_null
+      |  FROM p1g WHERE gsize > 1),
       |p1r AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY mid ORDER BY
       |      CASE WHEN any_sent AND NOT (has_sent OR is_from_me)
@@ -229,9 +244,9 @@ object MessageDedupQueries {
       |           WHEN 'mbox' THEN 2 ELSE 5 END,
       |      CASE WHEN has_raw THEN 0 ELSE 1 END,
       |      label_count DESC,
-      |      CASE WHEN NOT any_null_arch THEN arch END ASC NULLS LAST,
+      |      CASE WHEN NOT anchor_null THEN arch END ASC NULLS LAST,
       |      id) AS rn
-      |  FROM p1g WHERE gsize > 1),
+      |  FROM p1c),
       |p1 AS (
       |  SELECT id, source_id, source_type, mid AS group_key,
       |         'message-id' AS key_type,
@@ -242,11 +257,20 @@ object MessageDedupQueries {
       |  SELECT *,
       |         COUNT(*) OVER w AS gsize,
       |         MAX(CASE WHEN has_sent OR is_from_me THEN 1 ELSE 0 END)
-      |           OVER w = 1 AS any_sent,
-      |         MAX(CASE WHEN arch IS NULL THEN 1 ELSE 0 END) OVER w = 1
-      |           AS any_null_arch
+      |           OVER w = 1 AS any_sent
       |  FROM m WHERE mid IS NULL AND id % 4 = 3
       |  WINDOW w AS (PARTITION BY id // 8)),
+      |p2c AS (
+      |  SELECT *, FIRST_VALUE(arch IS NULL) OVER (
+      |      PARTITION BY id // 8,
+      |        CASE WHEN any_sent AND NOT (has_sent OR is_from_me)
+      |             THEN 1 ELSE 0 END,
+      |        CASE source_type WHEN 'gmail' THEN 0 WHEN 'imap' THEN 1
+      |             WHEN 'mbox' THEN 2 ELSE 5 END,
+      |        CASE WHEN has_raw THEN 0 ELSE 1 END,
+      |        label_count
+      |      ORDER BY id) AS anchor_null
+      |  FROM p2g WHERE gsize > 1),
       |p2r AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id // 8 ORDER BY
       |      CASE WHEN any_sent AND NOT (has_sent OR is_from_me)
@@ -255,9 +279,9 @@ object MessageDedupQueries {
       |           WHEN 'mbox' THEN 2 ELSE 5 END,
       |      CASE WHEN has_raw THEN 0 ELSE 1 END,
       |      label_count DESC,
-      |      CASE WHEN NOT any_null_arch THEN arch END ASC NULLS LAST,
+      |      CASE WHEN NOT anchor_null THEN arch END ASC NULLS LAST,
       |      id) AS rn
-      |  FROM p2g WHERE gsize > 1),
+      |  FROM p2c),
       |p2 AS (
       |  SELECT id, source_id, source_type,
       |         sha256('Subject: c' || CAST(id // 8 AS VARCHAR) || chr(10) ||
@@ -307,10 +331,88 @@ object MessageDedupQueries {
        |WHERE l.id <> l.winner_id AND l.source_type = 'gmail'
        |ORDER BY ${duckBucket("l.id")}, loser_id ASC""".stripMargin
 
+  /** Dedicated oracle for the archived_at CLASS-ANCHOR rule (r13 audit —
+    * dedup.go:815-818's both-non-zero guard under the store's id-ASC
+    * fold, see MessageDedup.survivorOrder key 5). The shared star above
+    * structurally cannot discriminate it: its only multi-member prefix
+    * classes are the same-source pairs {4k, 4k+2}, and a two-member
+    * class agrees under the anchor rule and the group-wide
+    * any-null-disables approximation alike (divergence needs >= 3
+    * class members with mixed null/dated archived_at). Here every group
+    * is FOUR same-class members (one source, no labels/raw/sent), arch
+    * is a scrambled bijection of id with nulls on id % 3 == 0 — every
+    * group holds a null, so the old approximation would ALWAYS fall to
+    * lowest-id while the anchor rule picks min-arch whenever the anchor
+    * is dated: maximally discriminating.
+    */
+  def dedupArchRule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("d"))
+    val d = col("d")
+    val messages = docs.select(
+      d.as("id"), lit(0L).as("source_id"), lit(1L).as("conversation_id"),
+      concat(lit("src-"), d.cast("string")).as("source_message_id"),
+      concat(lit("g"), expr("d div 4").cast("string")).as("rfc822_message_id"),
+      lit("email").as("message_type"), lit("s").as("subject"),
+      lit("").as("snippet"),
+      timestamp_micros(lit(epochUs) + d * 1000000L).as("sent_at"),
+      lit(100L).as("size_estimate"), lit(false).as("has_attachments"),
+      lit(0).as("attachment_count"),
+      lit(null).cast("timestamp").as("deleted_at"),
+      lit(null).cast("timestamp").as("deleted_from_source_at"),
+      lit(false).as("is_from_me"),
+      when(d % 3 =!= 0,
+        timestamp_micros(lit(epochUs) + ((d * 7) % 23) * 1000000L))
+        .as("archived_at"))
+    val none = docs.filter(lit(false))
+    val v = MsgVault.fromFrames(s, messages,
+      none.select(d.as("message_id"), d.as("participant_id"),
+        lit("from").as("recipient_type"),
+        lit(null).cast("string").as("display_name")),
+      none.select(d.as("id"), lit(null).cast("string").as("email_address"),
+        lit(null).cast("string").as("display_name"),
+        lit(null).cast("string").as("phone_number"),
+        lit(null).cast("string").as("domain")),
+      Seq.empty[(Long, String)].toDF("id", "name"),
+      none.select(d.as("message_id"), d.as("label_id")),
+      none.select(d.as("id"), d.as("message_id"), lit("").as("filename"),
+        lit("").as("mime_type"), lit(0L).as("size"),
+        lit("").as("content_hash")),
+      Seq((1L, "conv-1")).toDF("id", "source_conversation_id"),
+      Seq((0L, "a@example.com", "gmail")).toDF("id", "identifier", "source_type"))
+    bucketOrdered(
+      MessageDedup.scan(v, MessageDedup.Config(sourceIds = Seq(0L)))
+        .select(col("id"), col("group_key"), col("winner_id")),
+      col("id"))
+  }
+
+  val dedupArchRuleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS id, 'g' || CAST(doc_id // 4 AS VARCHAR) AS mid,
+       |         CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 7) % 23 END AS arch
+       |  FROM documents),
+       |g AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY mid) AS gsize,
+       |         FIRST_VALUE(arch IS NULL) OVER (PARTITION BY mid ORDER BY id)
+       |           AS anchor_null
+       |  FROM m),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY mid ORDER BY
+       |      CASE WHEN NOT anchor_null THEN arch END ASC NULLS LAST,
+       |      id) AS rn
+       |  FROM g WHERE gsize > 1)
+       |SELECT id, mid AS group_key,
+       |       MIN(CASE WHEN rn = 1 THEN id END) OVER (PARTITION BY mid)
+       |         AS winner_id
+       |FROM r
+       |ORDER BY ${duckBucket("id")}, id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "msg_dedup_scan" -> (dedupScan _, Some(dedupScanSql)),
     "msg_dedup_losers" -> (dedupLosers _, Some(dedupLosersSql)),
     "msg_dedup_label_transfers" ->
       (dedupLabelTransfers _, Some(dedupLabelTransfersSql)),
+    "msg_dedup_arch_rule" -> (dedupArchRule _, Some(dedupArchRuleSql)),
     "msg_dedup_remote" -> (dedupRemote _, Some(dedupRemoteSql)))
 }

@@ -108,6 +108,54 @@ class MessageDedupSpec extends SparkTestBase {
     assert(scanned.collect().forall(_.getAs[Long]("winner_id") == 2L))
   }
 
+  test("archived_at class-anchor rule: the exact id-ASC fold of isBetter") {
+    // dedup.go:815-818 compares archived_at only when BOTH sides are
+    // non-zero; with the store's ORDER BY m.id fold that reduces to:
+    // NULL-archived lowest-id class member survives, else min
+    // archived_at (r13 audit). Three same-class members (same source
+    // type, no raw, no labels, no sent copies):
+    //   id 1 arch=05:00, id 2 arch=NULL, id 3 arch=01:00
+    // exact rule → id 3 (min non-null arch; the null at id 2 never
+    // displaces a dated best and never disables the comparison);
+    // the old any-null-disables approximation would have picked id 1.
+    def m(id: Long, arch: Option[String]) =
+      msg(id, "dup", "2024-01-01 10:00:00")
+        .copy(rfc822_message_id = Some("<arch@x>"),
+          archived_at = arch.map(Fixtures.ts))
+    val v = Fixtures.vault(spark,
+      Seq(m(1, Some("2024-02-01 05:00:00")), m(2, None),
+        m(3, Some("2024-02-01 01:00:00"))),
+      recipients = (1 to 3).map(i => MrRow(i.toLong, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    val scanned = MessageDedup.scan(v, MessageDedup.Config(sourceIds = Seq(1L)))
+    assert(scanned.collect().forall(_.getAs[Long]("winner_id") == 3L))
+
+    // NULL-archived ANCHOR: id 1 arch=NULL survives although id 2
+    // carries the earliest date — a dated later member can never beat
+    // the undated anchor (both-non-zero guard fails, higher id loses)
+    val v2 = Fixtures.vault(spark,
+      Seq(m(1, None), m(2, Some("2024-02-01 01:00:00")), m(3, None)),
+      recipients = (1 to 3).map(i => MrRow(i.toLong, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))))
+    val scanned2 = MessageDedup.scan(v2, MessageDedup.Config(sourceIds = Seq(1L)))
+    assert(scanned2.collect().forall(_.getAs[Long]("winner_id") == 1L))
+
+    // the rule is scoped to the prefix CLASS: a null-archived member
+    // that loses on label count does not anchor the class — the dated
+    // pair still compares archived_at (min arch wins, not min id)
+    val v3 = Fixtures.vault(spark,
+      Seq(m(1, None), m(2, Some("2024-02-01 05:00:00")),
+        m(3, Some("2024-02-01 01:00:00"))),
+      recipients = (1 to 3).map(i => MrRow(i.toLong, 1, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), None, None, Some("x.com"))),
+      labels = Seq(LblRow(1, "A")),
+      // ids 2 and 3 carry a label; the null-arch id 1 has none → it is
+      // in a LOWER class; ids 2,3's class anchor (id 2) is dated
+      messageLabels = Seq(MlRow(2, 1), MlRow(3, 1)))
+    val scanned3 = MessageDedup.scan(v3, MessageDedup.Config(sourceIds = Seq(1L)))
+    assert(scanned3.collect().forall(_.getAs[Long]("winner_id") == 3L))
+  }
+
   test("identity match marks sent copies per-source only") {
     val messages = Seq(
       msg(1, "dup", "2024-01-01 10:00:00").copy(rfc822_message_id = Some("<dup@x>")),
