@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    max-seq-wins does not, and keeps the full audit trail the
   *    reference loses on each move.
   *
-  * Status machine (manifest.go:20-26 + executor.go:146-215):
-  * pending → in_progress | cancelled; in_progress → completed | failed;
-  * failed → in_progress (retry, executor.go resumable execution).
+  * Status machine (manifest.go:20-26, 350-368 + executor.go:146-215):
+  * pending → in_progress | cancelled; in_progress → completed | failed
+  * | cancelled; failed/completed/cancelled terminal. Mid-run resume
+  * re-enters an in_progress manifest without a transition
+  * (executor.go:152 accepts pending OR in_progress and nothing else).
   *
   * Safety invariants enforced at STAGE time, not execute time:
   *  - gmail-only candidates (GetGmailIDsByFilter scopes to gmail
@@ -38,10 +40,19 @@ object DeletionStaging {
   val Failed = "failed"
   val Cancelled = "cancelled"
 
+  // the reference's MoveManifest edge set (manifest.go:350-368: from ∈
+  // {pending, in_progress} only) as driven by its two callers — the
+  // executor (pending→in_progress, in_progress→completed|failed,
+  // executor.go:156-205) and CancelManifest (pending|in_progress →
+  // cancelled, manifest.go:386-407). FAILED IS TERMINAL (r13 audit —
+  // executor.go:152 refuses failed manifests; the "resumable execution"
+  // path re-enters a manifest still IN_PROGRESS via its checkpoint,
+  // which is a re-read, not a transition). The r12-era failed →
+  // in_progress retry edge was a misreading and is gone.
   private val legal: Map[String, Set[String]] = Map(
     Pending -> Set(InProgress, Cancelled),
-    InProgress -> Set(Completed, Failed),
-    Failed -> Set(InProgress),
+    InProgress -> Set(Completed, Failed, Cancelled),
+    Failed -> Set.empty,
     Completed -> Set.empty,
     Cancelled -> Set.empty)
 
@@ -198,15 +209,25 @@ object DeletionStaging {
   def headers(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(headersDir(baseDir))
 
-  /** Archive-side execution effect: soft-delete the manifest's members
-    * in a message frame (the store half of executor.go — the Gmail API
-    * half is the upstream producer's). Keyed on (source_message_id,
-    * source_id) — NOT the id alone: remote deletion is per-account, and
-    * a same-id message in a different source must never be touched
-    * (that is exactly the same-source invariant the dedup-remote
-    * candidates enforce upstream). Member rows are deduped before the
-    * join so a repeated member can neither multiply message rows nor
-    * double-count stats. Returns (messages-with-deleted_at, stats row
+  /** Archive-side execution effect: mark the manifest's members
+    * SOURCE-deleted in a message frame (the store half of executor.go —
+    * the Gmail API half is the upstream producer's). The column is
+    * `deleted_from_source_at`, NOT `deleted_at` (r13 audit:
+    * store/messages.go:797-801,834-836 — a remote deletion records
+    * "gone from the source server"; the row stays visible in default
+    * views until a caller opts into hideDeletedFromSource, exactly
+    * unlike a dedup hide), and it is stamped UNCONDITIONALLY on a hit —
+    * the reference UPDATE overwrites an existing timestamp on
+    * re-execution. Keyed on (source_message_id, source_id) — a
+    * documented divergence from the reference's UN-scoped global UPDATE
+    * (`WHERE source_message_id = ?` touches every account): remote
+    * deletion is per-account, and a same-id message in a different
+    * source must never be touched — the same-source invariant the
+    * dedup-remote candidates enforce upstream; the reference only
+    * avoids cross-account damage because Gmail ids rarely collide
+    * across mailboxes. Member rows are deduped before the join so a
+    * repeated member can neither multiply message rows nor double-count
+    * stats. Returns (messages-with-deleted_from_source_at, stats row
     * (succeeded, failed)) where failed counts members with no archive
     * row (executor.go tracks them as FailedIDs).
     *
@@ -219,16 +240,16 @@ object DeletionStaging {
     * executed in one pass.
     */
   def execute(messages: DataFrame, manifestMembers: DataFrame,
-      deletedAt: java.sql.Timestamp): (DataFrame, DataFrame) = {
+      deletedFromSourceAt: java.sql.Timestamp): (DataFrame, DataFrame) = {
     val ids = manifestMembers
       .select(col("gmail_id"), col("source_id").as("__m_src")).distinct()
     val marked = messages
       .join(broadcast(ids.withColumn("__hit", lit(true))),
         messages("source_message_id") === ids("gmail_id") &&
           messages("source_id") === ids("__m_src"), "left")
-      .withColumn("deleted_at",
-        when(col("__hit") && col("deleted_at").isNull, lit(deletedAt))
-          .otherwise(col("deleted_at")))
+      .withColumn("deleted_from_source_at",
+        when(col("__hit"), lit(deletedFromSourceAt))
+          .otherwise(col("deleted_from_source_at")))
       .drop("gmail_id", "__hit", "__m_src")
     val archive = messages
       .select(col("source_message_id").as("gmail_id"),

@@ -448,9 +448,13 @@ object Export {
       // filepath.Base FIRST, sanitize second — the reference's order
       // (attachments.go:170: SanitizeFilename(filepath.Base(original))),
       // so "dir/file.pdf" exports as "file.pdf", not "dir_file.pdf".
-      // Base: drop trailing slashes, keep the last path segment.
-      val baseName =
-        regexp_replace(regexp_replace(col("__fn"), "/+$", ""), "^.*/", "")
+      // Base: drop trailing slashes, keep the last path segment — with
+      // Go's all-separators corner (r13 audit): Base("///") is "/", so
+      // a slashes-only filename sanitizes to "_" rather than falling
+      // back to the content hash.
+      val baseName = when(col("__fn").rlike("^/+$"), lit("/"))
+        .otherwise(
+          regexp_replace(regexp_replace(col("__fn"), "/+$", ""), "^.*/", ""))
       val s = sanitizeFilename(baseName)
       when(s.isNull || s === "" || s === ".", col("content_hash")).otherwise(s)
     }

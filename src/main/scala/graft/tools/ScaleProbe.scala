@@ -361,10 +361,10 @@ object ScaleProbe {
         .select(col("source_message_id").as("gmail_id"), col("source_id"))
       val (marked, stats) = DeletionStaging.execute(
         m.select(col("source_message_id"), col("source_id"),
-          col("deleted_at")),
+          lit(null).cast("timestamp").as("deleted_from_source_at")),
         members, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
       stats.count()
-      marked.filter(col("deleted_at").isNotNull).count()
+      marked.filter(col("deleted_from_source_at").isNotNull).count()
     }
     delExec(m1) // warm
     time("deletion execute 1x")(delExec(m1))

@@ -295,7 +295,8 @@ class ExportDeletionSpec extends SparkTestBase {
     val att = Seq(
       (1L, "dir/sub/file.pdf", h, 1L), // basename, not dir_sub_file.pdf
       (2L, "trailing/slashes///", h, 1L), // Base drops trailing slashes
-      (3L, "mixed/dir/we:ird.pdf", h, 1L)) // base then ':' sanitized
+      (3L, "mixed/dir/we:ird.pdf", h, 1L), // base then ':' sanitized
+      (4L, "///", h, 1L)) // Go Base("///") = "/" -> sanitized "_", NOT the hash
       .toDF("id", "fn", "hash", "sz")
     val got = Export.attachmentZipManifest(att, col("id"), col("fn"),
       col("hash"), col("sz"))
@@ -304,6 +305,7 @@ class ExportDeletionSpec extends SparkTestBase {
     assert(got(1L) == "file.pdf")
     assert(got(2L) == "slashes")
     assert(got(3L) == "we_ird.pdf")
+    assert(got(4L) == "_")
   }
 
   // --- output path guard ----------------------------------------------------
@@ -372,20 +374,28 @@ class ExportDeletionSpec extends SparkTestBase {
     }
     DeletionStaging.transition(spark, base, "m1", DeletionStaging.InProgress)
     DeletionStaging.transition(spark, base, "m1", DeletionStaging.Failed)
-    // failed -> in_progress is the resumable-execution retry edge
-    DeletionStaging.transition(spark, base, "m1", DeletionStaging.InProgress)
-    DeletionStaging.transition(spark, base, "m1", DeletionStaging.Completed)
-    // completed is terminal
+    // FAILED IS TERMINAL (executor.go:152 refuses failed manifests;
+    // MoveManifest refuses from=failed, manifest.go:351-356 — the
+    // resume path re-enters an IN_PROGRESS manifest, no transition)
     intercept[IllegalArgumentException] {
       DeletionStaging.transition(spark, base, "m1", DeletionStaging.InProgress)
     }
     val st = DeletionStaging.currentStatus(spark, base).collect()
-    assert(st.head.getAs[String]("status") == DeletionStaging.Completed)
-    // cancelled is terminal too
+    assert(st.head.getAs[String]("status") == DeletionStaging.Failed)
+    // in_progress -> cancelled is legal (cancel-deletion cancels
+    // in-progress batches, manifest.go:386-407); cancelled is terminal
     DeletionStaging.stage(spark, base, "m2", "x", mkCandidates(2))
+    DeletionStaging.transition(spark, base, "m2", DeletionStaging.InProgress)
     DeletionStaging.transition(spark, base, "m2", DeletionStaging.Cancelled)
     intercept[IllegalArgumentException] {
       DeletionStaging.transition(spark, base, "m2", DeletionStaging.InProgress)
+    }
+    // the full happy path still walks to completed, which is terminal
+    DeletionStaging.stage(spark, base, "m3", "x", mkCandidates(2))
+    DeletionStaging.transition(spark, base, "m3", DeletionStaging.InProgress)
+    DeletionStaging.transition(spark, base, "m3", DeletionStaging.Completed)
+    intercept[IllegalArgumentException] {
+      DeletionStaging.transition(spark, base, "m3", DeletionStaging.InProgress)
     }
     // unknown manifests are refused
     intercept[IllegalArgumentException] {
@@ -393,29 +403,35 @@ class ExportDeletionSpec extends SparkTestBase {
     }
   }
 
-  test("execute soft-deletes members, reports missing ids as failed") {
+  test("execute marks members SOURCE-deleted, reports missing ids as failed") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_del4").toString
     // candidates: g-1 (source 1), g-2 (source 0), g-3 (source 1)
     DeletionStaging.stage(spark, base, "m1", "x", mkCandidates(3))
     // archive has g-1 in BOTH sources (only source 1 is staged),
-    // g-2 (already deleted), not g-3
+    // g-2 (already source-deleted), not g-3
     val messages = Seq(
       ("g-1", 1L, null.asInstanceOf[java.sql.Timestamp]),
       ("g-1", 9L, null.asInstanceOf[java.sql.Timestamp]), // other source
       ("g-2", 0L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
       ("g-other", 1L, null.asInstanceOf[java.sql.Timestamp]))
-      .toDF("source_message_id", "source_id", "deleted_at")
+      .toDF("source_message_id", "source_id", "deleted_from_source_at")
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     val (marked, stats) = DeletionStaging.execute(messages,
       DeletionStaging.members(spark, base, "m1"), ts)
     val del = marked.collect().map(r =>
       (r.getString(0), r.getLong(1)) ->
-        Option(r.getAs[java.sql.Timestamp]("deleted_at"))).toMap
-    assert(del(("g-1", 1L)).contains(ts)) // newly soft-deleted
+        Option(r.getAs[java.sql.Timestamp]("deleted_from_source_at"))).toMap
+    // the column is deleted_from_source_at, NOT deleted_at — a remote
+    // deletion records "gone from the source server"
+    // (store/messages.go:797-801); the row stays visible in default
+    // views until hideDeletedFromSource
+    assert(del(("g-1", 1L)).contains(ts)) // newly marked
     // SAME id, DIFFERENT source: must NOT be touched (per-account rule)
     assert(del(("g-1", 9L)).isEmpty)
-    assert(del(("g-2", 0L)).exists(_.before(ts))) // already deleted: untouched
+    // re-execution OVERWRITES an existing stamp — the reference UPDATE
+    // is unconditional (store/messages.go:834-836)
+    assert(del(("g-2", 0L)).contains(ts))
     assert(del(("g-other", 1L)).isEmpty) // non-member: untouched
     assert(marked.count() == 4) // no row multiplication
     val st = stats.head()
