@@ -164,13 +164,63 @@ object Mime {
 
   val extractMessageIdUdf: UserDefinedFunction = udf(extractMessageId _)
 
+  /** StripHTML (reference mime/parse.go:292-346), the GetBodyText
+    * fallback for HTML-only messages: drop script/style/head subtrees,
+    * block tags → newline (both opening and closing, so `</p><p>`
+    * separates), strip remaining tags, decode entities, CR → LF,
+    * NBSP → space, collapse intra-line runs, cap blank runs at one
+    * empty line, trim. Entity decoding covers the named set the Go
+    * test corpus exercises plus all numeric forms — Go's
+    * html.UnescapeString knows the full HTML5 table; extending the map
+    * is mechanical if a corpus needs more.
+    */
+  def stripHtml(rawHtml: String): String = {
+    if (rawHtml == null) return null
+    var text = "(?is)<script[^>]*>.*?</script>".r.replaceAllIn(rawHtml, "")
+    text = "(?is)<style[^>]*>.*?</style>".r.replaceAllIn(text, "")
+    text = "(?is)<head[^>]*>.*?</head>".r.replaceAllIn(text, "")
+    text = ("(?i)<(/?)(p|div|br|hr|h[1-6]|li|tr|td|th|blockquote|pre|" +
+      "table|ul|ol|dl|dt|dd)[^>]*>").r.replaceAllIn(text, "\n")
+    text = "<[^>]*>".r.replaceAllIn(text, "")
+    val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
+      "reg" -> "®", "trade" -> "™", "hellip" -> "…",
+      "mdash" -> "—", "ndash" -> "–", "rsquo" -> "’",
+      "lsquo" -> "‘", "rdquo" -> "”", "ldquo" -> "“")
+    text = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(text, m => {
+      val e = m.group(1)
+      val rep =
+        if (e.startsWith("#x") || e.startsWith("#X"))
+          try new String(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+          catch { case _: Exception => m.matched }
+        else if (e.startsWith("#"))
+          try new String(Character.toChars(Integer.parseInt(e.drop(1))))
+          catch { case _: Exception => m.matched }
+        else named.getOrElse(e, m.matched)
+      java.util.regex.Matcher.quoteReplacement(rep)
+    })
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+      .replace("\u00A0", " ")
+    text = text.split("\n", -1)
+      .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      .mkString("\n")
+    while (text.contains("\n\n\n")) text = text.replace("\n\n\n", "\n\n")
+    text.trim
+  }
+
+  val stripHtmlUdf: UserDefinedFunction = udf(stripHtml _)
+
   /** Body text from raw (inflated) MIME — the reference's
     * `mime.Parse(raw).GetBodyText()` path (shared.go:209-215), covering
     * the dominant archive shapes: single-part plain text, with
     * quoted-printable and base64 transfer decodings. Multipart messages
-    * return the first text/plain part; unparseable input returns null.
-    * (A full MIME tree walk is out of scope — bodies are materialized at
-    * ingest in this engine; see CacheBuilder.buildBodies.)
+    * return the first text/plain part; ⁺r13 parity — an HTML-ONLY
+    * message (single-part text/html, or multipart with no text/plain
+    * part) returns [[stripHtml]] of the HTML body, the GetBodyText
+    * fallback (parse.go:350-358: prefer plain, fall back to stripped
+    * HTML); unparseable input returns null. (A full MIME tree walk is
+    * out of scope — bodies are materialized at ingest in this engine;
+    * see CacheBuilder.buildBodies.)
     */
   def extractBodyText(raw: Array[Byte]): String = {
     if (raw == null) return null
@@ -191,13 +241,17 @@ object Mime {
       val boundary = """(?i)boundary="?([^";\s]+)"?""".r
         .findFirstMatchIn(ctypeRaw).map(_.group(1)).getOrElse(return null)
       val parts = body.split(java.util.regex.Pattern.quote("--" + boundary))
+      // prefer text/plain; fall back to a stripped text/html part — the
+      // GetBodyText preference order (parse.go:350-358)
       val textPart = parts.find(_.toLowerCase.contains("text/plain"))
+        .orElse(parts.find(_.toLowerCase.contains("text/html")))
         .getOrElse(return null)
       return extractBodyText(
         textPart.dropWhile(c => c == '\r' || c == '\n')
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     }
-    headers.getOrElse("Content-Transfer-Encoding", "").toLowerCase.trim match {
+    val decoded =
+      headers.getOrElse("Content-Transfer-Encoding", "").toLowerCase.trim match {
       case "base64" =>
         try new String(java.util.Base64.getMimeDecoder.decode(body.trim),
           java.nio.charset.StandardCharsets.UTF_8)
@@ -218,6 +272,7 @@ object Mime {
         new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       case _ => body
     }
+    if (ctype.startsWith("text/html")) stripHtml(decoded) else decoded
   }
 
   val extractBodyTextUdf: UserDefinedFunction = udf(extractBodyText _)

@@ -32,6 +32,58 @@ class TextAndMimeSpec extends SparkTestBase {
     assert(Mime.extractBodyText(b("no header split")) == null)
   }
 
+  test("stripHtml mirrors the reference pipeline (parse_test.go:264-330 cases)") {
+    val cases = Seq(
+      "<p>Hello</p>" -> "Hello",
+      "<div><span>Nested</span></div>" -> "Nested",
+      "No tags" -> "No tags",
+      "<b>Bold</b> and <i>italic</i>" -> "Bold and italic",
+      "" -> "",
+      "<script>alert('xss')</script>Text" -> "Text",
+      "<style>.class{color:red}</style>Content" -> "Content",
+      "<head><title>Title</title></head>Body" -> "Body",
+      "Line1\r\nLine2\r\nLine3" -> "Line1\nLine2\nLine3",
+      "Multiple\n\n\n\nNewlines" -> "Multiple\n\nNewlines",
+      "Hello&nbsp;World" -> "Hello World",
+      "Tom &amp; Jerry" -> "Tom & Jerry",
+      "5 &lt; 10 &gt; 3" -> "5 < 10 > 3",
+      "&quot;quoted&quot;" -> "\"quoted\"",
+      "&#169; 2024" -> "© 2024",
+      "&#x2022; bullet" -> "• bullet",
+      "Line1<br>Line2" -> "Line1\nLine2",
+      "Line1<br/>Line2" -> "Line1\nLine2",
+      "<p>Para1</p><p>Para2</p>" -> "Para1\n\nPara2",
+      "<div>Block1</div><div>Block2</div>" -> "Block1\n\nBlock2",
+      "<h1>Title</h1><p>Content</p>" -> "Title\n\nContent",
+      "Hello    World" -> "Hello World",
+      "Hello&nbsp;&nbsp;&nbsp;World" -> "Hello World",
+      "<pre>  code  here  </pre>" -> "code here",
+      ("<html><head><style>.x{}</style></head><body>\n\t\t\t<p>Hello,</p>\n" +
+        "\t\t\t<p>This is a <b>test</b> email with &amp; special chars.</p>\n" +
+        "\t\t\t<br>\n\t\t\t<p>Thanks!</p>\n\t\t\t</body></html>") ->
+        "Hello,\n\nThis is a test email with & special chars.\n\nThanks!")
+    for ((in, want) <- cases)
+      assert(Mime.stripHtml(in) == want, s"stripHtml($in)")
+  }
+
+  test("extractBodyText falls back to stripped HTML when no plain part exists") {
+    // GetBodyText preference (parse.go:350-358): plain first, stripped
+    // HTML second — both the single-part text/html shape and a
+    // multipart with only an html alternative
+    val single = "Content-Type: text/html; charset=utf-8\r\n\r\n" +
+      "<p>html <b>only</b></p>"
+    assert(Mime.extractBodyText(b(single)) == "html only")
+    val multiHtmlOnly =
+      "Content-Type: multipart/alternative; boundary=\"YY\"\r\n\r\n" +
+        "--YY\r\nContent-Type: text/html\r\n\r\n<p>second &amp; best</p>\r\n--YY--"
+    assert(Mime.extractBodyText(b(multiHtmlOnly)) == "second & best")
+    // a plain part still wins over an earlier html part (existing case
+    // above pins it); an html part with quoted-printable decodes FIRST
+    val qpHtml = "Content-Type: text/html\r\n" +
+      "Content-Transfer-Encoding: quoted-printable\r\n\r\n<p>caf=C3=A9</p>"
+    assert(Mime.extractBodyText(b(qpHtml)) == "café")
+  }
+
   test("embedAll: per-partition batching preserves ids and is partition-independent") {
     val rows = (1L to 100L).map(i => (i, s"document number $i")).toDF("id", "text")
     val client = Embed.deterministicClient(dim = 8)
