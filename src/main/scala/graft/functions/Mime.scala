@@ -277,31 +277,35 @@ object Mime {
 
   val extractBodyTextUdf: UserDefinedFunction = udf(extractBodyText _)
 
-  /** Embedding preprocessing (reference vector/embed/preprocess.go:38-80):
-    * strip quoted-reply tails and signature blocks, prepend "Subject: ",
-    * truncate to maxChars code points.
+  /** Embedding preprocessing (reference vector/embed/preprocess.go:15-80,
+    * exact regexes): REMOVE — not cut at — reply preambles ("On …
+    * wrote:" plus the quoted lines that follow) and standalone quoted
+    * lines anywhere in the text (r13 audit: the pre-r13 version cut the
+    * body at the first marker, silently dropping the author's own text
+    * AFTER a quoted block, and invented "From:"/"Original Message"
+    * markers the reference does not have); strip the signature tail
+    * from the "\n--\s*\n" delimiter; trim; prepend "Subject: " when
+    * non-empty; truncate to maxChars code points (runes, not bytes —
+    * preprocess.go:71-79), with maxChars <= 0 disabling truncation like
+    * the reference. Both strip flags default ON
+    * (vector/config.go:50-66).
     */
-  def preprocessForEmbedding(subject: String, body: String, maxChars: Int): String = {
-    val b0 = if (body == null) "" else body
-    // cut at the first quoted-reply marker line
-    val replyMarkers = Seq(
-      "(?m)^On .{0,200} wrote:\\s*$".r,
-      "(?m)^-{2,}\\s*Original Message\\s*-{2,}".r,
-      "(?m)^From: .*$".r,
-      "(?m)^>".r)
-    val cutAt = replyMarkers
-      .flatMap(_.findFirstMatchIn(b0).map(_.start))
-      .reduceOption(math.min)
-      .getOrElse(b0.length)
-    var text = b0.substring(0, cutAt)
-    // strip signature from the canonical "-- " delimiter on
-    val sigIdx = "(?m)^-- ?$".r.findFirstMatchIn(text).map(_.start)
-    text = sigIdx.fold(text)(text.substring(0, _)).trim
-    val full =
-      (if (subject != null && subject.nonEmpty) s"Subject: $subject\n\n" else "") + text
-    // truncate by code points (the reference truncates runes)
-    if (full.codePointCount(0, full.length) <= maxChars) full
-    else full.substring(0, full.offsetByCodePoints(0, maxChars))
+  def preprocessForEmbedding(subject: String, body: String, maxChars: Int,
+      stripQuotes: Boolean = true, stripSignatures: Boolean = true): String = {
+    var s = if (body == null) "" else body
+    if (stripQuotes) {
+      s = "(?m)^On [^\n]+wrote:\\s*\n(?:>+[ \t]?.*\n?)+".r.replaceAllIn(s, "")
+      s = "(?m)^>+[ \t]?.*\n?".r.replaceAllIn(s, "")
+    }
+    if (stripSignatures)
+      s = "\n--\\s*\n[\\s\\S]*\\z".r.replaceAllIn(s, "")
+    s = s.trim
+    val combined =
+      (if (subject != null && subject.nonEmpty) s"Subject: $subject\n\n"
+       else "") + s
+    if (maxChars <= 0) return combined
+    if (combined.codePointCount(0, combined.length) <= maxChars) combined
+    else combined.substring(0, combined.offsetByCodePoints(0, maxChars))
   }
 
   val preprocessForEmbeddingUdf: UserDefinedFunction =

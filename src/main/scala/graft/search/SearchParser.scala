@@ -188,8 +188,15 @@ object SearchParser {
     tokens.toSeq
   }
 
-  private val dateFormats = Seq("yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "dd/MM/yyyy")
-    .map(DateTimeFormatter.ofPattern)
+  // STRICT resolver ('u' = proleptic year, required by STRICT): Go's
+  // time.Parse ERRORS on impossible calendar dates (Feb 29 of a
+  // non-leap year, April 31) and the operator then drops the filter —
+  // Java's default SMART resolver would silently coerce them to the
+  // month's last day instead (r13 audit)
+  private val dateFormats =
+    Seq("uuuu-MM-dd", "uuuu/MM/dd", "MM/dd/uuuu", "dd/MM/uuuu")
+      .map(p => DateTimeFormatter.ofPattern(p)
+        .withResolverStyle(java.time.format.ResolverStyle.STRICT))
 
   private[search] def parseDate(value: String): Option[LocalDateTime] = {
     val v = value.trim

@@ -287,4 +287,35 @@ class DeepSearchSpec extends SparkTestBase {
     val t = Mime.preprocessForEmbedding(null, emoji, 3)
     assert(t == "ab😀")
   }
+
+  test("embedding preprocessing REMOVES quote blocks — text after them survives (r13 parity)") {
+    // preprocess.go:15-29 removes matching blocks/lines; it does NOT cut
+    // the body at the first marker. The author's text after a quoted
+    // block must survive (the pre-r13 cut-at-marker version dropped it).
+    val interleaved = "Top reply.\n\nOn Jan 2 Bob wrote:\n> quoted a\n>> nested\n" +
+      "My inline answer.\n\n> stray quote line\nClosing thought."
+    assert(Mime.preprocessForEmbedding(null, interleaved, 8000) ==
+      "Top reply.\n\nMy inline answer.\n\nClosing thought.")
+
+    // "From:" / "Original Message" lines are NOT markers in the
+    // reference — they stay
+    val fwd = "See below.\nFrom: Carol <c@x.com>\nbody of forward"
+    assert(Mime.preprocessForEmbedding(null, fwd, 8000) == fwd)
+
+    // quote lines without the space after '>' and nested '>>' both strip
+    assert(Mime.preprocessForEmbedding(null, ">no space\n>>nested\nkeep", 8000)
+      == "keep")
+
+    // maxChars <= 0 disables truncation (preprocess.go:56-58)
+    val long = "x" * 50
+    assert(Mime.preprocessForEmbedding(null, long, 0) == long)
+    assert(Mime.preprocessForEmbedding(null, long, -1) == long)
+
+    // signature delimiter with trailing spaces ("--  ") still matches
+    // (the reference's \s* arm); a "--" with no preceding newline does
+    // not (reSigDelim requires \n--)
+    assert(Mime.preprocessForEmbedding(null, "a\n--  \nsig", 8000) == "a")
+    assert(Mime.preprocessForEmbedding(null, "-- \nnot a sig tail", 8000)
+      == "-- \nnot a sig tail")
+  }
 }

@@ -72,6 +72,19 @@ class SearchParserSpec extends AnyFunSuite {
     val q = SearchParser.parse("after:2024-01-15 before:2024/12/31", now)
     assert(q.afterDate.contains(LocalDateTime.of(2024, 1, 15, 0, 0)))
     assert(q.beforeDate.contains(LocalDateTime.of(2024, 12, 31, 0, 0)))
+    // ambiguous slashed dates read MM/dd first (Go format order,
+    // parser.go:316-321); unambiguous ones fall through to dd/MM
+    assert(SearchParser.parse("after:04/12/2024", now).afterDate
+      .contains(LocalDateTime.of(2024, 4, 12, 0, 0)))
+    assert(SearchParser.parse("after:25/12/2024", now).afterDate
+      .contains(LocalDateTime.of(2024, 12, 25, 0, 0)))
+    // impossible calendar dates DROP the filter like Go's time.Parse
+    // error path — they must not coerce to the month's last day
+    // (Java's SMART resolver would; we pin STRICT)
+    assert(SearchParser.parse("before:2025-02-29", now).beforeDate.isEmpty)
+    assert(SearchParser.parse("before:31/04/2026", now).beforeDate.isEmpty)
+    assert(SearchParser.parse("before:2024-02-29", now).beforeDate
+      .contains(LocalDateTime.of(2024, 2, 29, 0, 0))) // real leap day parses
   }
 
   test("older_than/newer_than relative dates") {
