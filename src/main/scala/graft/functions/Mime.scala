@@ -164,6 +164,26 @@ object Mime {
 
   val extractMessageIdUdf: UserDefinedFunction = udf(extractMessageId _)
 
+  /** Structural MIME sanity — the audit's stand-in for the reference's
+    * `mime.Parse(rawData)` sample check (cmd/verify.go:241-247, enmime):
+    * a recognizable header section (at least one "Key: value" line)
+    * followed by the blank-line separator. enmime is tolerant far beyond
+    * this, so the proxy errs toward flagging less than the reference
+    * would accept, never more: bytes that fail THIS check would fail any
+    * MIME parser.
+    */
+  def looksLikeMime(raw: Array[Byte]): Boolean = raw != null && {
+    val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val crlfEnd = s.indexOf("\r\n\r\n")
+    val lfEnd = s.indexOf("\n\n")
+    val headerEnd =
+      if (crlfEnd >= 0 && lfEnd >= 0) math.min(crlfEnd, lfEnd)
+      else math.max(crlfEnd, lfEnd)
+    headerEnd > 0 && parseHeaders(s.substring(0, headerEnd)).nonEmpty
+  }
+
+  val looksLikeMimeUdf: UserDefinedFunction = udf(looksLikeMime _)
+
   /** StripHTML (reference mime/parse.go:292-346), the GetBodyText
     * fallback for HTML-only messages: drop script/style/head subtrees,
     * block tags → newline (both opening and closing, so `</p><p>`

@@ -18,12 +18,18 @@ object ArchiveVerify {
 
   /** Per-source audit over live messages joined to the raw sidecar:
     * n_messages, n_with_raw, n_raw_ok (stored bytes inflate cleanly —
-    * plain blobs count as ok when present), n_raw_corrupt, and the
-    * coverage percentage (2 dp, matching the report format of
-    * verify.go:141-150).
+    * plain blobs count as ok when present), n_raw_corrupt,
+    * ⁺r13 n_mime_ok (the inflated bytes also pass the structural MIME
+    * check — the reference's second sample verification,
+    * `mime.Parse(rawData)` at verify.go:241-247: a blob can inflate
+    * cleanly yet not be a message; [[Mime.looksLikeMime]] is the
+    * tolerant structural proxy), and the coverage percentage (2 dp,
+    * matching the report format of verify.go:141-150).
     *
     * Scale shape: one scan of each side, the inflate UDF touches only
-    * rows that HAVE raw bytes, and the rollup output is |sources| rows.
+    * rows that HAVE raw bytes (and runs ONCE per blob — the mime check
+    * reads the same inflated column), and the rollup output is
+    * |sources| rows.
     */
   def auditRaw(messages: DataFrame, raw: DataFrame,
       sources: DataFrame): DataFrame = {
@@ -31,15 +37,19 @@ object ArchiveVerify {
       .select(col("id"), col("source_id"))
     val checked = raw.select(col("message_id"),
       when(col("compression") === "zlib",
-        Mime.inflateUdf(col("raw_data")).isNotNull)
-        .otherwise(col("raw_data").isNotNull).as("__raw_ok"))
+        Mime.inflateUdf(col("raw_data")))
+        .otherwise(col("raw_data")).as("__bytes"))
+      .select(col("message_id"),
+        col("__bytes").isNotNull.as("__raw_ok"),
+        Mime.looksLikeMimeUdf(col("__bytes")).as("__mime_ok"))
       // one verdict per message even when the sidecar holds duplicate
       // blob rows (a crashed re-ingest can append a second copy — the
       // exact state an audit exists to catch): ANDed, so a message is ok
       // only when EVERY stored blob inflates, and the left join below
       // cannot multiply live rows (n_messages stays = live count,
       // raw_pct stays <= 100)
-      .groupBy(col("message_id")).agg(min(col("__raw_ok")).as("__raw_ok"))
+      .groupBy(col("message_id")).agg(min(col("__raw_ok")).as("__raw_ok"),
+        min(col("__mime_ok")).as("__mime_ok"))
     live.join(checked, live("id") === checked("message_id"), "left")
       .groupBy(col("source_id"))
       .agg(
@@ -48,7 +58,9 @@ object ArchiveVerify {
           .as("n_with_raw"),
         sum(when(col("__raw_ok") === true, 1L).otherwise(0L)).as("n_raw_ok"),
         sum(when(col("__raw_ok") === false, 1L).otherwise(0L))
-          .as("n_raw_corrupt"))
+          .as("n_raw_corrupt"),
+        sum(when(col("__raw_ok") === true && col("__mime_ok") === true, 1L)
+          .otherwise(0L)).as("n_mime_ok"))
       // LEFT join: a live message whose source row is missing (deleted or
       // corrupt) is referential breakage the audit must REPORT, not a
       // row-drop condition — it surfaces as source_type '(unknown)'

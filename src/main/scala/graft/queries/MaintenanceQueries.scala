@@ -15,36 +15,48 @@ import graft.streaming.SinkCompaction
   */
 object MaintenanceQueries {
 
-  /** Full-archive raw-MIME audit with planted corruption: the dedup
-    * star's raw sidecar, with every zlib blob of a doc where
-    * d % 31 == 2 truncated to its first 4 bytes (a deflate stream that
-    * cannot inflate). The audit must report EXACTLY those as corrupt —
-    * per source — while counting coverage over live messages. Oracle:
-    * pure arithmetic over the same residue classes.
+  /** Full-archive raw-MIME audit with TWO planted defect classes: every
+    * zlib blob of a doc where d % 31 == 2 truncated to its first 4
+    * bytes (a deflate stream that cannot inflate → n_raw_corrupt), and
+    * every PLAIN blob of a doc where d % 13 == 3 replaced with
+    * structureless bytes (inflates/reads fine but is not a message —
+    * the class the reference's mime.Parse sample check catches,
+    * verify.go:241-247 → counted out of n_mime_ok). The audit must
+    * report EXACTLY those, per source, while counting coverage over
+    * live messages. Oracle: pure arithmetic over the same residue
+    * classes.
     */
   def archiveVerify(s: SparkSession, dir: String): DataFrame = {
     val (v, raw) = MessageDedupQueries.star(s, dir)
     val planted = raw.withColumn("raw_data",
       when(col("compression") === "zlib" && col("message_id") % 31 === 2,
         expr("substring(raw_data, 1, 4)")).otherwise(col("raw_data")))
+      .withColumn("raw_data",
+        when(col("compression").isNull && col("message_id") % 13 === 3,
+          lit("structureless bytes, no header block"
+            .getBytes("ISO-8859-1"))).otherwise(col("raw_data")))
     orderedAtTail(
       ArchiveVerify.auditRaw(v.messages, planted, v.sources)
         .select(col("source_id"), col("source_type"), col("n_messages"),
           col("n_with_raw"), col("n_raw_ok"), col("n_raw_corrupt"),
-          col("raw_pct")),
+          col("n_mime_ok"), col("raw_pct")),
       col("source_id").asc)
   }
 
   // the star's residue classes, replayed: live = d%97<>0; has_raw =
   // d%4 in (1,3) or d%6=0; zlib = d%8 in (1,3); corrupt plant =
-  // zlib and d%31=2; source_id per the star's member shuffle
+  // zlib and d%31=2; structure plant = plain (has_raw, not zlib) and
+  // d%13=3; source_id per the star's member shuffle
   val archiveVerifySql: String =
     """WITH m AS (
       |  SELECT doc_id AS id,
       |         CASE WHEN doc_id % 4 = 1 THEN (doc_id // 4 + 1) % 3
       |              ELSE (doc_id // 4) % 3 END AS source_id,
       |         (doc_id % 4 IN (1, 3)) OR (doc_id % 6 = 0) AS has_raw,
-      |         (doc_id % 8 IN (1, 3)) AND doc_id % 31 = 2 AS corrupt
+      |         (doc_id % 8 IN (1, 3)) AND doc_id % 31 = 2 AS corrupt,
+      |         ((doc_id % 4 IN (1, 3)) OR (doc_id % 6 = 0))
+      |           AND NOT (doc_id % 8 IN (1, 3)) AND doc_id % 13 = 3
+      |           AS mime_bad
       |  FROM documents WHERE doc_id % 97 <> 0)
       |SELECT source_id,
       |       CASE source_id WHEN 0 THEN 'gmail' WHEN 1 THEN 'imap'
@@ -56,9 +68,11 @@ object MaintenanceQueries {
       |         AS BIGINT) AS n_raw_ok,
       |       CAST(SUM(CASE WHEN has_raw AND corrupt THEN 1 ELSE 0 END)
       |         AS BIGINT) AS n_raw_corrupt,
+      |       CAST(SUM(CASE WHEN has_raw AND NOT corrupt AND NOT mime_bad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_mime_ok,
       |       CAST((SUM(CASE WHEN has_raw THEN 1 ELSE 0 END) * 20000
-      |             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 100.0
-      |         AS raw_pct
+      |             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |         / 100.0 AS raw_pct
       |FROM m GROUP BY source_id ORDER BY source_id ASC""".stripMargin
 
   /** Encoding repair over a fixture whose raw subject bytes are planted
