@@ -82,14 +82,21 @@ object HybridSearch {
       () => bm25.count() > k, () => ann.count() > k)
   }
 
+  /** @param limit page size — the reference separates the page LIMIT
+    *        from the per-signal pool K (FusedRequest.Limit vs
+    *        KPerSignal, fused.go:186-191); negative means "same as k",
+    *        the historical behavior of this API.
+    */
   def fusedSearch(docs: DataFrame, id: Column, tokens: Column,
       vectors: DataFrame, vecId: Column, vec: Column,
       terms: Seq[String], queryVec: Seq[Float], k: Int = 20,
       rrfK: Int = 60, preFilter: Option[DataFrame] = None,
-      statsOpt: Option[graft.functions.Fts.CorpusStats] = None): Result = {
+      statsOpt: Option[graft.functions.Fts.CorpusStats] = None,
+      limit: Int = -1): Result = {
     val b = branches(docs, id, tokens, vectors, vecId, vec, terms, queryVec,
       k, preFilter, statsOpt)
-    val fused = Similarity.rrfFuse(b.bm25, b.ann, "id", "rank", rrfK, k)
+    val fused = Similarity.rrfFuse(b.bm25, b.ann, "id", "rank", rrfK,
+      if (limit < 0) k else limit)
     new Result(fused, b.bm25Sat(), b.annSat())
   }
 
@@ -104,9 +111,16 @@ object HybridSearch {
     * @param subjects      (id, subject text) lookup — left-joined onto the
     *        pool; rows with NULL/empty subjects never boost
     *        (fused_test.go:1070-1123)
-    * @param subjectTerms  case-insensitive substring terms; empty terms are
-    *        skipped, and `boostFactor <= 1.0` disables the boost entirely
-    *        (fused.go:465: both are the reference's inactive conditions)
+    * @param subjectTerms  substring terms; empty terms are skipped, and
+    *        `boostFactor <= 1.0` disables the boost entirely
+    *        (fused.go:465: both are the reference's inactive conditions).
+    *        Documented divergence (r13 audit): the reference lowercases
+    *        the SUBJECT but not the term (fused.go:483-488
+    *        `strings.Contains(lower, term)`), so any term carrying an
+    *        uppercase letter can never boost there — an obvious
+    *        one-sided-fold slip, not a semantic; this engine folds both
+    *        sides (case-insensitive match), which is what that code
+    *        plainly intends.
     * Output adds a `subject_boosted` flag per row (the reference's
     * SubjectBoosted explain field).
     */

@@ -184,6 +184,47 @@ object VectorIndex {
   def needsRebuild(dir: String, fingerprint: String): Boolean =
     !readState(dir).exists(_.fingerprint == fingerprint)
 
+  /** [[resolveActive]]'s verdict — the reference's four-way
+    * ResolveActiveForFingerprint contract (generations.go:27-49): a
+    * serving caller needs to distinguish "index usable" from the three
+    * distinct failure stories it reports to the user.
+    */
+  sealed trait IndexResolution
+  object IndexResolution {
+    /** Active and fingerprint-compatible. */
+    final case class Ready(state: IndexState) extends IndexResolution
+    /** Active exists but was built under a DIFFERENT config fingerprint
+      * (ErrIndexStale — serve refuses rather than answering from the
+      * wrong embedding space).
+      */
+    final case class Stale(active: String, configured: String)
+      extends IndexResolution
+    /** No active generation, but a build is in flight (ErrIndexBuilding
+      * — "try again soon", not "not configured").
+      */
+    case object Building extends IndexResolution
+    /** Neither active nor building (ErrNotEnabled). */
+    case object NotEnabled extends IndexResolution
+  }
+
+  /** Resolve the generation a serving caller may use
+    * (generations.go:27-49, rule-for-rule): an empty `fingerprint`
+    * skips the staleness check (the reference treats "" as
+    * unconstrained); with no active generation, an in-flight build
+    * resolves Building, else NotEnabled.
+    */
+  def resolveActive(dir: String,
+      fingerprint: String = ""): IndexResolution =
+    readState(dir) match {
+      case Some(st) =>
+        if (fingerprint.nonEmpty && st.fingerprint != fingerprint)
+          IndexResolution.Stale(st.fingerprint, fingerprint)
+        else IndexResolution.Ready(st)
+      case None =>
+        if (readBuilding(dir).nonEmpty) IndexResolution.Building
+        else IndexResolution.NotEnabled
+    }
+
   /** Serving-state summary for the active generation (reference
     * GenerationSummary stats.go:37-46).
     */

@@ -274,6 +274,37 @@ class DeepSearchSpec extends SparkTestBase {
     assert(VectorIndex.active(spark, dir).get.count() == 3L)
   }
 
+  test("resolveActive: the four-way serving contract (generations.go:27-49)") {
+    import graft.operators.VectorIndex.IndexResolution._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecres").toString
+    val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("message_id", "embedding")
+
+    // nothing at all → NotEnabled
+    assert(VectorIndex.resolveActive(dir) == NotEnabled)
+    assert(VectorIndex.resolveActive(dir, "fp-a") == NotEnabled)
+
+    // build in flight, no active yet → Building ("try again soon",
+    // distinct from not-configured)
+    VectorIndex.beginGeneration(dir, model = "m", dimension = 2)
+    assert(VectorIndex.resolveActive(dir, "fp-a") == Building)
+
+    // active + matching fingerprint → Ready; empty fingerprint skips
+    // the staleness check (the reference's unconstrained mode)
+    VectorIndex.completeGeneration(vecs, dir, "fp-a")
+    assert(VectorIndex.resolveActive(dir, "fp-a")
+      .isInstanceOf[Ready])
+    assert(VectorIndex.resolveActive(dir).isInstanceOf[Ready])
+
+    // active under a DIFFERENT config fingerprint → Stale, never served
+    assert(VectorIndex.resolveActive(dir, "fp-b") == Stale("fp-a", "fp-b"))
+
+    // a rebuild in flight does NOT shadow the live generation — active
+    // still resolves (generations.go checks building only when no
+    // active exists)
+    VectorIndex.beginGeneration(dir, model = "m", dimension = 2)
+    assert(VectorIndex.resolveActive(dir, "fp-a").isInstanceOf[Ready])
+  }
+
   test("embedding preprocessing strips quoted replies and signatures") {
     val body = "Here is my reply.\n\nOn Mon, Jan 1, 2024 someone wrote:\n> old text\n> more old"
     val out = Mime.preprocessForEmbedding("Re: plans", body, 8000)
