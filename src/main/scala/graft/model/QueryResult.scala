@@ -62,24 +62,33 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
     s"""{"columns":$cols,"rows":$rws,"row_count":$rowCount}"""
   }
 
-  /** RFC4180-ish CSV with header (query.go csv path). */
+  /** RFC4180-ish CSV with header (query.go csv path). Quote condition
+    * mirrors Go's encoding/csv fieldNeedsQuotes: delimiter, quote, CR
+    * or LF (r13 audit added the CR leg).
+    */
   def toCsv: String = {
     def esc(s: String): String =
-      if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+      if (s.contains(",") || s.contains("\"") || s.contains("\n") ||
+        s.contains("\r"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     (columns.map(esc) +: rows.map(_.map(v => esc(cell(v)))))
       .map(_.mkString(",")).mkString("\n")
   }
 
-  /** Column-aligned text table (query.go table path). */
+  /** Column-aligned text table (query.go table path, writeTable
+    * :206-262 exactly): every column left-padded to width — INCLUDING
+    * the last, the reference's %-*s pads trailing spaces too — and the
+    * "(N rows)" trailer line (r13 audit restored both).
+    */
   def toTable: String = {
     val all = columns.map(c => c: String) +: rows.map(_.map(cell))
     val widths = columns.indices.map(i => all.map(_(i).length).max)
     def fmt(row: Seq[String]): String =
-      row.zip(widths).map { case (s, w) => s.padTo(w, ' ') }.mkString("  ").stripTrailing()
+      row.zip(widths).map { case (s, w) => s.padTo(w, ' ') }.mkString("  ")
     val sep = widths.map("-" * _).mkString("  ")
-    (fmt(columns) +: sep +: rows.map(r => fmt(r.map(cell)))).mkString("\n")
+    ((fmt(columns) +: sep +: rows.map(r => fmt(r.map(cell)))) :+
+      s"($rowCount rows)").mkString("\n")
   }
 }
 

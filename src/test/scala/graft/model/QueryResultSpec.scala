@@ -22,13 +22,25 @@ class QueryResultSpec extends SparkTestBase {
     assert(tricky.toCsv == "a\n\"say \"\"hi\"\"\"")
   }
 
-  test("table: aligned columns with separator") {
+  test("table: aligned columns with separator and the (N rows) trailer") {
     val lines = qr.toTable.split("\n")
     assert(lines(0).startsWith("id") && lines(0).contains("name"))
     assert(lines(1).matches("[- ]+"))
-    assert(lines.length == 4)
+    // header + separator + 2 rows + the reference's "(N rows)" trailer
+    // (query.go writeTable:260-261)
+    assert(lines.length == 5)
+    assert(lines.last == "(2 rows)")
     // all rows padded to equal prefix width per column
     assert(lines(2).indexOf("alice") == lines(3).indexOf("bob,jr"))
+    // the LAST column pads trailing spaces too (Go's %-*s) — every body
+    // line is the same full width
+    assert(lines(2).length == lines(3).length &&
+      lines(2).length == lines(1).length)
+  }
+
+  test("csv quotes fields containing CR like Go's encoding/csv") {
+    val r = QueryResult(Seq("v"), Seq(Seq("a\rb")))
+    assert(r.toCsv == "v\n\"a\rb\"")
   }
 
   test("json escapes control characters and nulls") {
