@@ -85,17 +85,19 @@ object Embed {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     rows.select("id", "text").as[(Long, String)]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
+        // one retry ladder, reused by the batch call and each downshift
+        // singleton: (vectors, attemptsUsed) or (error, attemptsUsed)
+        def tryEmbed(texts: Seq[String]): (Either[String, Seq[Array[Float]]], Int) = {
           var attempt = 0
           var result: Option[Seq[Array[Float]]] = None
           var lastErr = ""
           while (result.isEmpty && attempt < maxAttempts) {
             attempt += 1
             try {
-              val vecs = client.embed(batch.map(_._2))
-              if (vecs.length != batch.length)
+              val vecs = client.embed(texts)
+              if (vecs.length != texts.length)
                 throw new IllegalStateException(
-                  s"short reply: ${vecs.length} vectors for ${batch.length} texts")
+                  s"short reply: ${vecs.length} vectors for ${texts.length} texts")
               result = Some(vecs)
             } catch {
               case scala.util.control.NonFatal(e) =>
@@ -104,17 +106,90 @@ object Embed {
                   Thread.sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x…
             }
           }
-          result match {
-            case Some(vecs) =>
+          (result.toRight(lastErr), attempt)
+        }
+        it.grouped(batchSize).flatMap { batch =>
+          tryEmbed(batch.map(_._2)) match {
+            case (Right(vecs), n) =>
               batch.iterator.zip(vecs.iterator).map { case ((id, _), v) =>
-                EmbedOutcome(id, Some(v), attempt, None)
+                EmbedOutcome(id, Some(v), n, None)
               }
-            case None =>
+            case (Left(_), n) if batch.length > 1 =>
+              // DOWNSHIFT (reference downshiftDrain, worker.go:581-690):
+              // a batch that keeps failing may hold ONE poison input
+              // (413 too-large, 422 unprocessable) — walking the same
+              // rows one at a time preserves every non-poison row's
+              // work instead of failing all of them together. The
+              // reference's deferred-drop bookkeeping (don't destroy
+              // work when the 4xx is endpoint-wide) maps onto this
+              // outcome model for free: per-row outcomes carry each
+              // singleton's own error, and when EVERY singleton failed
+              // the caller's failed() set is the whole batch — exactly
+              // the all-released state — while a mixed result marks
+              // only the poison rows.
+              batch.iterator.map { case (id, text) =>
+                tryEmbed(Seq(text)) match {
+                  case (Right(v), m) => EmbedOutcome(id, Some(v.head), n + m, None)
+                  case (Left(err), m) => EmbedOutcome(id, None, n + m, Some(err))
+                }
+              }
+            case (Left(err), n) =>
               batch.iterator.map { case (id, _) =>
-                EmbedOutcome(id, None, attempt, Some(lastErr))
+                EmbedOutcome(id, None, n, Some(err))
               }
           }
         }
+      }
+  }
+
+  /** Input row of [[embedInputs]]: the preprocessed text plus the
+    * reference's per-chunk metadata (SourceCharLen in RUNES of the
+    * final text, Truncated; worker.go:481-487) and the EMPTY flag —
+    * the reference drops empty-text ids from the queue with no vector
+    * (worker.go:476-479), and missing/flagged rows are the caller's to
+    * route the same way.
+    */
+  final case class EmbedInputRow(id: Long, text: String,
+      source_char_len: Int, truncated: Boolean, empty: Boolean)
+
+  /** The worker's input-assembly contract (embedBatch,
+    * worker.go:446-487), as one distributed pass over
+    * (id, subject, body_text, body_html) rows:
+    *
+    *   1. body = body_text, falling back to StripHTML(body_html) when
+    *      the plaintext is empty — "HTML-only messages would otherwise
+    *      get subject-only embeddings" (worker.go:466-470);
+    *   2. text = Preprocess(subject, body, maxChars) (quote/signature
+    *      strips per [[graft.functions.Mime.preprocessForEmbedding]]);
+    *   3. source_char_len counts RUNES of the truncated text, never
+    *      bytes (the reference's explicit comment, worker.go:481-485);
+    *   4. whitespace-only text flags `empty` instead of embedding.
+    */
+  def embedInputs(spark: SparkSession, msgs: DataFrame,
+      maxChars: Int = 8000, stripQuotes: Boolean = true,
+      stripSignatures: Boolean = true): Dataset[EmbedInputRow] = {
+    import spark.implicits._
+    msgs.select(
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("subject"),
+      org.apache.spark.sql.functions.col("body_text"),
+      org.apache.spark.sql.functions.col("body_html"))
+      .as[(Long, String, String, String)]
+      .map { case (id, subject, bodyText, bodyHtml) =>
+        val bt = if (bodyText == null) "" else bodyText
+        val bh = if (bodyHtml == null) "" else bodyHtml
+        val body =
+          if (bt.isEmpty && bh.nonEmpty) graft.functions.Mime.stripHtml(bh)
+          else bt
+        val full = graft.functions.Mime.preprocessForEmbedding(
+          subject, body, 0, stripQuotes, stripSignatures)
+        val runes = full.codePointCount(0, full.length)
+        val truncated = maxChars > 0 && runes > maxChars
+        val text =
+          if (truncated) full.substring(0, full.offsetByCodePoints(0, maxChars))
+          else full
+        EmbedInputRow(id, text, text.codePointCount(0, text.length),
+          truncated, text.trim.isEmpty)
       }
   }
 

@@ -76,13 +76,60 @@ class EmbedQuantizeSpec extends SparkTestBase {
         throw new RuntimeException("connection refused")
     }
     val rows = (1 to 4).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .coalesce(1) // deterministic batching: two 2-row batches
     val out = Embed.embedAllResilient(spark, rows, dead,
       batchSize = 2, maxAttempts = 2, backoffMs = 1L)
     assert(Embed.succeeded(out).count() == 0)
     val failures = Embed.failed(out).collect()
     assert(failures.length == 4)
-    assert(failures.forall(f => f.attempts == 2 &&
+    // 2 batch attempts + 2 downshift-singleton attempts per row: the
+    // all-failed downshift is the reference's "nothing embedded →
+    // endpoint-wide" verdict, reported per row
+    assert(failures.forall(f => f.attempts == 4 &&
       f.error.get.contains("connection refused")))
+  }
+
+  test("embedAllResilient: downshift isolates a poison input, the rest of its batch embeds") {
+    // reference downshiftDrain (worker.go:581-690): a batch that keeps
+    // failing may hold ONE poison row — singleton walk preserves the
+    // other rows' work instead of failing the whole batch with it
+    val poison = new Embed.EmbedClient {
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        if (texts.exists(_.contains("POISON")))
+          throw new RuntimeException("413 payload too large (non-retryable)")
+        texts.map(t => Array(t.length.toFloat))
+      }
+    }
+    val rows = Seq((1L, "aa"), (2L, "POISON-doc"), (3L, "cccc"))
+      .toDF("id", "text").coalesce(1)
+    val out = Embed.embedAllResilient(spark, rows, poison,
+      batchSize = 3, maxAttempts = 2, backoffMs = 1L).collect()
+    val byId = out.map(o => o.id -> o).toMap
+    assert(byId(1L).embedding.exists(_.head == 2.0f))
+    assert(byId(3L).embedding.exists(_.head == 4.0f))
+    assert(byId(2L).embedding.isEmpty &&
+      byId(2L).error.exists(_.contains("413")))
+  }
+
+  test("embedInputs assembles the worker's exact input contract") {
+    // worker.go:446-487: plaintext body preferred; HTML-only falls back
+    // to StripHTML; runes not bytes; whitespace-only flags empty
+    val msgs = Seq(
+      (1L, "s1", "plain body", "<p>html</p>"), // plain wins
+      (2L, "s2", "", "<p>html <b>only</b></p>"), // HTML fallback
+      (3L, "", "", ""), // nothing → empty
+      (4L, "s4", "😀😀😀😀", ""), // runes: 4 emoji = 4, not 8 UTF-16 units
+      (5L, null.asInstanceOf[String], "x" * 50, "")) // truncation flag
+      .toDF("id", "subject", "body_text", "body_html")
+    val out = Embed.embedInputs(spark, msgs, maxChars = 30)
+      .collect().map(r => r.id -> r).toMap
+    assert(out(1L).text == "Subject: s1\n\nplain body" && !out(1L).empty)
+    assert(out(2L).text == "Subject: s2\n\nhtml only")
+    assert(out(3L).empty && out(3L).text == "")
+    assert(out(4L).source_char_len == "Subject: s4\n\n".length + 4)
+    assert(out(5L).truncated && out(5L).source_char_len == 30 &&
+      out(5L).text == "x" * 30)
+    assert(!out(1L).truncated && !out(4L).truncated)
   }
 
   test("embedAllResilient: a short reply is a failure, not silent row loss") {
