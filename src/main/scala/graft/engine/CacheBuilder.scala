@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *     dedup losers (deleted_at) AND undated rows (sent_at IS NULL)
   *     excluded at export (build_cache.go:308's WHERE — r13 builder
   *     audit: an undated row would otherwise land in a null year
-  *     partition the reference never creates, and the id watermark is
-  *     likewise taken over DATED rows only, build_cache.go:156, so an
-  *     undated row stays PENDING and exports on the build after it
-  *     gains a sent_at instead of being skipped forever)
+  *     partition the reference never creates). The id watermark is
+  *     taken over DATED rows only (build_cache.go:156), so an undated
+  *     row above every dated id in its batch stays PENDING and exports
+  *     once dated — but one BELOW a dated id in the same batch is
+  *     passed over permanently (the watermark moves past it; the
+  *     reference's MAX(id)-over-dated watermark behaves identically,
+  *     r13 review find — mirrored, and the spec pins BOTH cases)
   *   - every build writes under its own `batch=` partition and overwrites
   *     it — the idempotent-retry equivalent of the reference's
   *     `incr_<watermark>` junction shards (build_cache.go:258-263,
@@ -150,8 +153,17 @@ object CacheBuilder {
             col("sent_at").isNotNull, col("id"))).as("mx"),
           sum(when(col("deleted_from_source_at") >= lit(syncAt), 1L)
             .otherwise(0L)).as("del"),
+          // disjointness leg corrected vs tui.go:292-316 (r13 review
+          // find): the reference guards the dedup-hide count with
+          // `deleted_from_source_at IS NULL`, which keeps the two
+          // reasons disjoint but MISSES a hide landing on a row whose
+          // dfs stamp is OLD (pre-watermark) — that loser would stay in
+          // the star with no rebuild signal. Excluding only rows the
+          // del leg already counted (dfs >= syncAt) preserves
+          // single-counting AND catches the old-dfs case.
           sum(when(col("deleted_at") >= lit(syncAt) &&
-            col("deleted_from_source_at").isNull, 1L)
+            (col("deleted_from_source_at").isNull ||
+              col("deleted_from_source_at") < lit(syncAt)), 1L)
             .otherwise(0L)).as("hid")).head()
         val maxDated = if (row.isNullAt(0)) 0L else row.getLong(0)
         val deletedSince = if (row.isNullAt(1)) 0L else row.getLong(1)
@@ -219,8 +231,18 @@ object CacheBuilder {
     val fullRebuild = prior.isEmpty
     // captured BEFORE the export starts (build_cache.go:246-250): a
     // deletion stamped during the build compares >= this and flags the
-    // cache stale on the next staleness() check
-    val buildWatermarkSec = nowSec()
+    // cache stale on the next staleness() check. ONLY a FULL rebuild may
+    // advance it (r13 review find — documented divergence): an
+    // INCREMENTAL applies no deletions, so stamping `now` here would
+    // permanently erase the signal of a deletion that landed between
+    // builds when an operator runs a bare incremental without checking
+    // [[staleness]] first; the reference stamps every build
+    // (build_cache.go:479-486) and shares exactly that loss on a bare
+    // `build-cache` run. last_sync_at therefore means "deletion state
+    // fully applied as of" — the semantics the gate actually needs.
+    val buildWatermarkSec =
+      if (fullRebuild) nowSec()
+      else prior.map(_.lastSyncAtSec).getOrElse(nowSec())
 
     // ONE persisted snapshot of the input's new slice: the watermark and
     // the export both derive from it. Computing the watermark from a
@@ -246,10 +268,13 @@ object CacheBuilder {
     try {
     // the watermark advances over DATED rows only (the reference's
     // maxIDQuery, build_cache.go:156: MAX(id) WHERE sent_at IS NOT
-    // NULL — deleted rows included): an undated row stays BELOW the
-    // watermark and exports on the build after it gains a sent_at; the
-    // exported count excludes both dedup losers and undated rows (the
-    // COPY's WHERE, build_cache.go:308)
+    // NULL — deleted rows included): an undated TAIL stays below the
+    // watermark and exports once dated, while an undated row below a
+    // dated id in the same batch is passed over permanently — exactly
+    // the reference's behavior (r13 review confirmed the shared
+    // semantics; see the class scaladoc). The exported count excludes
+    // both dedup losers and undated rows (the COPY's WHERE,
+    // build_cache.go:308)
     val stats = newRows.agg(
       max(when(col("sent_at").isNotNull, col("id"))).as("mx"),
       sum(when(col("deleted_at").isNull && col("sent_at").isNotNull, 1L)
@@ -504,11 +529,21 @@ object CacheBuilder {
     * incrementally refresh) the Parquet analytics star at `outDir`. The
     * missing first step of a real migration — everything downstream
     * (engine queries, views, search) runs unchanged off the built star.
+    *
+    * Routes through the FULL [[staleness]] gate first (r13 review find —
+    * this is the reference's own entry flow, cmd/query.go:50-57 +
+    * tui.go: cacheNeedsBuild decides fullRebuild and buildCache receives
+    * it): post-build deletions/dedup-hides and missing tables force the
+    * full rebuild a bare incremental could never deliver.
     */
   def fromJdbc(spark: SparkSession, url: String, outDir: String,
       props: java.util.Properties = new java.util.Properties,
-      numPartitions: Int = 8): Long =
-    build(spark, openJdbc(spark, url, props, numPartitions), outDir)
+      numPartitions: Int = 8): Long = {
+    val vault = openJdbc(spark, url, props, numPartitions)
+    val st = staleness(spark, vault, outDir)
+    if (!st.needsBuild) 0L
+    else build(spark, vault, outDir, forceFull = st.fullRebuild)
+  }
 
   /** FTS-emulation sidecar: `message_bodies` with a precomputed `tokens`
     * array (unicode61-ish: lowercase, split on non-alphanumerics,

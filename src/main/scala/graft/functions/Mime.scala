@@ -207,7 +207,7 @@ object Mime {
       "reg" -> "®", "trade" -> "™", "hellip" -> "…",
       "mdash" -> "—", "ndash" -> "–", "rsquo" -> "’",
       "lsquo" -> "‘", "rdquo" -> "”", "ldquo" -> "“")
-    text = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(text, m => {
+    text = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(text, m => {
       val e = m.group(1)
       val rep =
         if (e.startsWith("#x") || e.startsWith("#X"))

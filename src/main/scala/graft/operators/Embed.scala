@@ -87,11 +87,12 @@ object Embed {
       .mapPartitions { it =>
         // one retry ladder, reused by the batch call and each downshift
         // singleton: (vectors, attemptsUsed) or (error, attemptsUsed)
-        def tryEmbed(texts: Seq[String]): (Either[String, Seq[Array[Float]]], Int) = {
+        def tryEmbed(texts: Seq[String],
+            attempts: Int): (Either[String, Seq[Array[Float]]], Int) = {
           var attempt = 0
           var result: Option[Seq[Array[Float]]] = None
           var lastErr = ""
-          while (result.isEmpty && attempt < maxAttempts) {
+          while (result.isEmpty && attempt < attempts) {
             attempt += 1
             try {
               val vecs = client.embed(texts)
@@ -102,14 +103,14 @@ object Embed {
             } catch {
               case scala.util.control.NonFatal(e) =>
                 lastErr = String.valueOf(e.getMessage)
-                if (attempt < maxAttempts)
+                if (attempt < attempts)
                   Thread.sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x…
             }
           }
           (result.toRight(lastErr), attempt)
         }
         it.grouped(batchSize).flatMap { batch =>
-          tryEmbed(batch.map(_._2)) match {
+          tryEmbed(batch.map(_._2), maxAttempts) match {
             case (Right(vecs), n) =>
               batch.iterator.zip(vecs.iterator).map { case ((id, _), v) =>
                 EmbedOutcome(id, Some(v), n, None)
@@ -119,16 +120,20 @@ object Embed {
               // a batch that keeps failing may hold ONE poison input
               // (413 too-large, 422 unprocessable) — walking the same
               // rows one at a time preserves every non-poison row's
-              // work instead of failing all of them together. The
-              // reference's deferred-drop bookkeeping (don't destroy
-              // work when the 4xx is endpoint-wide) maps onto this
-              // outcome model for free: per-row outcomes carry each
-              // singleton's own error, and when EVERY singleton failed
-              // the caller's failed() set is the whole batch — exactly
-              // the all-released state — while a mixed result marks
-              // only the poison rows.
+              // work instead of failing all of them together. Each
+              // singleton gets ONE try, not the full ladder (r13
+              // review find): poison detection needs one call, the
+              // batch ladder already retried transients, and a full
+              // per-singleton ladder would multiply a dead endpoint's
+              // cost by batchSize in calls AND backoff sleeps — the
+              // failed side output is the retry channel (the caller's
+              // queue-drain loop re-runs it). The reference's
+              // deferred-drop bookkeeping maps onto the outcome model:
+              // when EVERY singleton fails the caller's failed() set is
+              // the whole batch (the all-released state); a mixed
+              // result marks only the poison rows.
               batch.iterator.map { case (id, text) =>
-                tryEmbed(Seq(text)) match {
+                tryEmbed(Seq(text), 1) match {
                   case (Right(v), m) => EmbedOutcome(id, Some(v.head), n + m, None)
                   case (Left(err), m) => EmbedOutcome(id, None, n + m, Some(err))
                 }

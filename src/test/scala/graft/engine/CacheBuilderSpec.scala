@@ -168,6 +168,90 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(6L))
   }
 
+  test("an undated row BELOW a dated id in its batch is passed over (reference semantics)") {
+    // build_cache.go:156's MAX(id)-over-dated watermark moves past an
+    // undated row when a higher dated id shares its batch — mirrored
+    // exactly; the pending behavior holds only for undated TAILS
+    // (previous test). r13 review pinned this second case.
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_nd2").toString
+    val v = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1L, "dated", "2024-01-10 10:00:00"),
+        msg(2L, "undated mid", "2024-02-10 10:00:00").copy(sent_at = null),
+        msg(3L, "dated later", "2024-03-10 10:00:00")),
+      recipients = (1 to 3).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    assert(CacheBuilder.build(spark, v, out) == 2)
+    assert(CacheBuilder.readState(out).map(_.lastMessageId).contains(3L),
+      "the dated max advances the watermark past the undated row")
+    // the row gains a date — but its id sits below the watermark: no
+    // freshness trip, no export (the reference behaves identically)
+    val dated = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1L, "dated", "2024-01-10 10:00:00"),
+        msg(2L, "undated mid", "2024-02-10 10:00:00"),
+        msg(3L, "dated later", "2024-03-10 10:00:00")),
+      recipients = (1 to 3).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    assert(!CacheBuilder.needsBuild(spark, dated, out))
+    assert(MsgVault.open(spark, out).messages.count() == 2)
+  }
+
+  test("staleness: an incremental build must NOT erase a pending deletion signal") {
+    // r13 review find: last_sync_at advances only on FULL rebuilds — an
+    // incremental applies no deletions, so stamping `now` would hide a
+    // deletion that landed between builds from every future check (the
+    // reference loses exactly this on a bare `build-cache` run)
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_ls").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+    // a deletion lands AFTER the build (future-stamped fixture), and new
+    // mail arrives too
+    def withDeleteAnd(upTo: Int) = Fixtures.vault(spark,
+      messages = (1 to upTo).map { i =>
+        val m = msg(i.toLong, s"subject $i", "2024-01-10 10:00:00")
+        if (i == 2)
+          m.copy(deleted_from_source_at = Some(ts("2031-01-01 00:00:00")))
+        else m
+      },
+      recipients = (1 to upTo).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    // operator runs a bare incremental (no staleness consult) on the
+    // grown source: the increment exports, the signal SURVIVES
+    assert(CacheBuilder.build(spark, withDeleteAnd(8), out) == 2L)
+    val st = CacheBuilder.staleness(spark, withDeleteAnd(8), out)
+    assert(st.needsBuild && st.fullRebuild,
+      "the deletion signal must survive an incremental build")
+
+    // dedup-hide on a row with an OLD dfs stamp still trips the gate
+    // (the corrected disjointness leg; the reference's dfs-IS-NULL
+    // guard would miss it)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cache_ls2").toString
+    val oldDfs = Fixtures.vault(spark,
+      messages = (1 to 4).map { i =>
+        val m = msg(i.toLong, s"s$i", "2024-01-10 10:00:00")
+        // id 2 was source-deleted long ago (pre-build stamp)
+        if (i == 2)
+          m.copy(deleted_from_source_at = Some(ts("2020-01-01 00:00:00")))
+        else m
+      },
+      recipients = (1 to 4).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    CacheBuilder.build(spark, oldDfs, out2)
+    val hidLate = Fixtures.vault(spark,
+      messages = (1 to 4).map { i =>
+        val m = msg(i.toLong, s"s$i", "2024-01-10 10:00:00")
+        if (i == 2) m.copy(
+          deleted_from_source_at = Some(ts("2020-01-01 00:00:00")),
+          deleted_at = Some(ts("2031-01-01 00:00:00"))) // the late hide
+        else m
+      },
+      recipients = (1 to 4).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val st2 = CacheBuilder.staleness(spark, hidLate, out2)
+    assert(st2.needsBuild && st2.fullRebuild &&
+      st2.reasons.exists(_.contains("dedup-hidden")))
+  }
+
   test("staleness: post-build deletions and dedup-hides force a FULL rebuild") {
     // reference tui.go:262-316: an already-exported row that is
     // source-deleted or dedup-hidden AFTER the build is stale in parquet;

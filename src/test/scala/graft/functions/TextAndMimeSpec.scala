@@ -50,6 +50,7 @@ class TextAndMimeSpec extends SparkTestBase {
       "&quot;quoted&quot;" -> "\"quoted\"",
       "&#169; 2024" -> "© 2024",
       "&#x2022; bullet" -> "• bullet",
+      "&#X2022; caps" -> "• caps", // uppercase-X hex form (r13 review find)
       "Line1<br>Line2" -> "Line1\nLine2",
       "Line1<br/>Line2" -> "Line1\nLine2",
       "<p>Para1</p><p>Para2</p>" -> "Para1\n\nPara2",

@@ -82,10 +82,12 @@ class EmbedQuantizeSpec extends SparkTestBase {
     assert(Embed.succeeded(out).count() == 0)
     val failures = Embed.failed(out).collect()
     assert(failures.length == 4)
-    // 2 batch attempts + 2 downshift-singleton attempts per row: the
+    // 2 batch attempts + ONE downshift-singleton try per row (the
+    // singleton walk probes for poison, it does not re-run the ladder —
+    // a dead endpoint must not cost batchSize extra ladders); the
     // all-failed downshift is the reference's "nothing embedded →
     // endpoint-wide" verdict, reported per row
-    assert(failures.forall(f => f.attempts == 4 &&
+    assert(failures.forall(f => f.attempts == 3 &&
       f.error.get.contains("connection refused")))
   }
 
