@@ -165,13 +165,20 @@ object CacheBuilder {
             (col("deleted_from_source_at").isNull ||
               col("deleted_from_source_at") < lit(syncAt)), 1L)
             .otherwise(0L)).as("hid")).head()
-        val maxDated = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val maxDatedOpt = if (row.isNullAt(0)) None else Some(row.getLong(0))
+        val maxDated = maxDatedOpt.getOrElse(0L)
         val deletedSince = if (row.isNullAt(1)) 0L else row.getLong(1)
         val hiddenSince = if (row.isNullAt(2)) 0L else row.getLong(2)
         // empty database + empty cache = fresh (tui.go:247-249) — a
         // "missing tables" verdict here would force a rebuild that
-        // [[build]] then fails on (0 live messages)
-        if (maxDated == 0 && st.lastMessageId == 0)
+        // [[build]] then fails on (0 live messages). Guarded on the
+        // aggregate being NULL (genuinely no dated live rows), not on
+        // maxDated == 0 (r13 review find): the reference's SQLite ids
+        // start at 1 so the conflation is invisible there, but this
+        // engine's frames can legitimately carry id 0, and a vault
+        // whose only message has id 0 must still run the deletion and
+        // missing-table checks.
+        if (maxDatedOpt.isEmpty && st.lastMessageId == 0)
           return Staleness(needsBuild = false, fullRebuild = false, Nil)
         var reasons = Seq.empty[String]
         if (maxDated > st.lastMessageId)
@@ -412,7 +419,12 @@ object CacheBuilder {
   def buildBucketed(spark: SparkSession, input: MsgVault,
       db: String = "graft_star", buckets: Int = 64): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    val live = input.messages.filter(col("deleted_at").isNull)
+    // same export gate as the directory star (build_cache.go:308, r13
+    // review find — this face had kept the pre-r13 filter): no dedup
+    // losers, no undated rows, and junction rows only for exported
+    // messages — the two deployment shapes must answer identically
+    val live = input.messages
+      .filter(col("deleted_at").isNull && col("sent_at").isNotNull)
       .withColumn("year", year(col("sent_at")))
       .withColumn("month", month(col("sent_at")))
     live.write.mode(SaveMode.Overwrite)
@@ -421,7 +433,9 @@ object CacheBuilder {
     Seq("message_recipients" -> input.recipients,
       "message_labels" -> input.messageLabels,
       "attachments" -> input.attachments).foreach { case (n, df) =>
-      df.write.mode(SaveMode.Overwrite)
+      df.join(live.select(col("id").as("__mid")),
+          df("message_id") === col("__mid"), "left_semi")
+        .write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "message_id").sortBy("message_id")
         .option("compression", "zstd").saveAsTable(s"$db.$n")
     }

@@ -82,6 +82,16 @@ object Mime {
       else seg.head.toUpper + seg.tail.toLowerCase
     }.mkString("-")
 
+  /** Index of the blank-line header/body separator: the earlier of the
+    * first CRLFCRLF and the first LFLF when both exist, else whichever
+    * exists, else -1 — the one scan every raw-MIME helper in this file
+    * shares (r13 review: was four near-identical inline copies).
+    */
+  private def headerEnd(s: String): Int = {
+    val a = s.indexOf("\r\n\r\n"); val b = s.indexOf("\n\n")
+    if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+  }
+
   /** Parse a header section into ordered (canonicalKey, value) pairs,
     * folding RFC822 continuation lines (leading space/tab).
     */
@@ -121,18 +131,13 @@ object Mime {
   def normalizeRawMime(raw: Array[Byte]): Array[Byte] = {
     if (raw == null) return null
     val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val crlfEnd = s.indexOf("\r\n\r\n")
-    val lfEnd = s.indexOf("\n\n")
-    val headerEnd =
-      if (crlfEnd >= 0 && lfEnd >= 0) math.min(crlfEnd, lfEnd)
-      else if (crlfEnd >= 0) crlfEnd
-      else lfEnd
-    if (headerEnd == -1) return raw
+    val hEnd = headerEnd(s)
+    if (hEnd == -1) return raw
     val bodyStart =
-      if (s.startsWith("\r\n\r\n", headerEnd)) headerEnd + 4
-      else if (s.startsWith("\n\n", headerEnd)) headerEnd + 2
+      if (s.startsWith("\r\n\r\n", hEnd)) hEnd + 4
+      else if (s.startsWith("\n\n", hEnd)) hEnd + 2
       else return raw
-    val headers = parseHeaders(s.substring(0, headerEnd))
+    val headers = parseHeaders(s.substring(0, hEnd))
       .filterNot { case (k, _) => transportHeaders.contains(k) }
     val sorted = headers.sortBy(_._1)
     val sb = new StringBuilder
@@ -152,11 +157,8 @@ object Mime {
   def extractMessageId(raw: Array[Byte]): String = {
     if (raw == null) return null
     val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val headerEnd = {
-      val a = s.indexOf("\r\n\r\n"); val b = s.indexOf("\n\n")
-      if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
-    }
-    val section = if (headerEnd >= 0) s.substring(0, headerEnd) else s
+    val hEnd = headerEnd(s)
+    val section = if (hEnd >= 0) s.substring(0, hEnd) else s
     parseHeaders(section)
       .collectFirst { case ("Message-Id", v) if v.nonEmpty => v }
       .orNull
@@ -174,12 +176,8 @@ object Mime {
     */
   def looksLikeMime(raw: Array[Byte]): Boolean = raw != null && {
     val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val crlfEnd = s.indexOf("\r\n\r\n")
-    val lfEnd = s.indexOf("\n\n")
-    val headerEnd =
-      if (crlfEnd >= 0 && lfEnd >= 0) math.min(crlfEnd, lfEnd)
-      else math.max(crlfEnd, lfEnd)
-    headerEnd > 0 && parseHeaders(s.substring(0, headerEnd)).nonEmpty
+    val hEnd = headerEnd(s)
+    hEnd > 0 && parseHeaders(s.substring(0, hEnd)).nonEmpty
   }
 
   val looksLikeMimeUdf: UserDefinedFunction = udf(looksLikeMime _)
@@ -245,14 +243,11 @@ object Mime {
   def extractBodyText(raw: Array[Byte]): String = {
     if (raw == null) return null
     val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val headerEnd = {
-      val a = s.indexOf("\r\n\r\n"); val b = s.indexOf("\n\n")
-      if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
-    }
-    if (headerEnd < 0) return null
-    val headers = parseHeaders(s.substring(0, headerEnd)).toMap
-    val bodyStart = if (s.startsWith("\r\n\r\n", headerEnd)) headerEnd + 4
-      else headerEnd + 2
+    val hEnd = headerEnd(s)
+    if (hEnd < 0) return null
+    val headers = parseHeaders(s.substring(0, hEnd)).toMap
+    val bodyStart = if (s.startsWith("\r\n\r\n", hEnd)) hEnd + 4
+      else hEnd + 2
     var body = s.substring(bodyStart)
     val ctypeRaw = headers.getOrElse("Content-Type", "text/plain")
     val ctype = ctypeRaw.toLowerCase

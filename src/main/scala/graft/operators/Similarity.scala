@@ -64,6 +64,13 @@ object Similarity {
       k: Int): DataFrame =
     candidates.select(col("vec_id"),
       cosine(col("__v"), typedLit(query)).as("score"))
+      // unscoreable rows (NULL embedding from a failed embed, or a
+      // zero vector — cosine yields null for both) must not OCCUPY
+      // top-k slots when the scoreable pool underfills k: the
+      // reference backend cannot return such a row because no vector
+      // row exists for it (r13 review find — desc ordering alone only
+      // pushes nulls last, it does not exclude them)
+      .filter(col("score").isNotNull)
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
 

@@ -192,17 +192,29 @@ object SearchParser {
   // time.Parse ERRORS on impossible calendar dates (Feb 29 of a
   // non-leap year, April 31) and the operator then drops the filter —
   // Java's default SMART resolver would silently coerce them to the
-  // month's last day instead (r13 audit)
-  private val dateFormats =
-    Seq("uuuu-MM-dd", "uuuu/MM/dd", "MM/dd/uuuu", "dd/MM/uuuu")
-      .map(p => DateTimeFormatter.ofPattern(p)
-        .withResolverStyle(java.time.format.ResolverStyle.STRICT))
+  // month's last day instead (r13 audit). Each format also carries a
+  // SHAPE guard (r13 review find): Go's layout elements are
+  // fixed-width (exactly 4 year digits, exactly 2 month/day digits),
+  // while Java's `uuuu` happily parses a 5+-digit year — without the
+  // guard "12345-01-02" would apply an impossible-future filter where
+  // the reference drops the filter entirely.
+  private val dateFormats = Seq(
+    "uuuu-MM-dd" -> """^\d{4}-\d{2}-\d{2}$""".r,
+    "uuuu/MM/dd" -> """^\d{4}/\d{2}/\d{2}$""".r,
+    "MM/dd/uuuu" -> """^\d{2}/\d{2}/\d{4}$""".r,
+    "dd/MM/uuuu" -> """^\d{2}/\d{2}/\d{4}$""".r)
+    .map { case (p, re) =>
+      (DateTimeFormatter.ofPattern(p)
+        .withResolverStyle(java.time.format.ResolverStyle.STRICT), re)
+    }
 
   private[search] def parseDate(value: String): Option[LocalDateTime] = {
     val v = value.trim
-    dateFormats.view.flatMap { f =>
-      try Some(LocalDate.parse(v, f).atStartOfDay)
-      catch { case _: Exception => None }
+    dateFormats.view.flatMap { case (f, shape) =>
+      if (shape.findFirstIn(v).isEmpty) None
+      else
+        try Some(LocalDate.parse(v, f).atStartOfDay)
+        catch { case _: Exception => None }
     }.headOption
   }
 
