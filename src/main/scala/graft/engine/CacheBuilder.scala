@@ -69,10 +69,11 @@ object CacheBuilder {
   // build_cache.go:31-35).
   val SchemaVersion = 3
 
-  /** `lastSyncAtSec`: UTC epoch seconds captured BEFORE the export
-    * started (second-truncated like the reference's cacheWatermark,
-    * build_cache.go:246-250) — any deletion stamped during or after the
-    * build compares >= it and flags the cache stale next check.
+  /** `lastSyncAtSec`: UTC epoch seconds captured when the build started
+    * (second-truncated like the reference's cacheWatermark,
+    * build_cache.go:246-250). Build METADATA only — [[staleness]]
+    * compares the star's own rows against the input's deletion state
+    * instead of trusting timestamps.
     */
   final case class SyncState(lastMessageId: Long, schemaVersion: Int,
       lastSyncAtSec: Long)
@@ -122,24 +123,33 @@ object CacheBuilder {
   final case class Staleness(needsBuild: Boolean, fullRebuild: Boolean,
       reasons: Seq[String])
 
-  /** The freshness gate, rule-for-rule from the reference's
-    * cacheNeedsBuild (tui.go:197-330) plus buildCache's own
-    * missing-table backfill (build_cache.go:196-204):
+  /** The freshness gate — the reference's cacheNeedsBuild
+    * (tui.go:197-330) with its deletion legs made EXACT (r13, third
+    * review round):
     *
     *   - no/unparseable/version-mismatched state → full rebuild;
     *   - new DATED ids past the watermark (MAX(id) over
     *     `deleted_from_source_at IS NULL AND sent_at IS NOT NULL`,
     *     tui.go:236-239) → incremental;
-    *   - any source-deletion stamped >= last_sync_at, or any dedup-hide
-    *     (`deleted_at`, with dfs NULL so a doubly-deleted row reports
-    *     once, tui.go:292-316) stamped >= last_sync_at → FULL rebuild:
-    *     those rows are already in the exported star and only a rebuild
-    *     updates/removes them;
     *   - state present but a required table directory holds no files →
-    *     FULL rebuild (a partial cache must be backfilled, not
-    *     incremented over).
+    *     FULL rebuild (build_cache.go:196-204's backfill — checked
+    *     before the star-compare legs, which need a readable star);
+    *   - any input deletion state the STAR has not applied → FULL
+    *     rebuild. The reference approximates this with timestamps
+    *     (deleted_* >= LastSyncAt), which both loses signals (a bare
+    *     incremental advances the stamp past an unapplied deletion)
+    *     and fires spuriously (a never-exported dedup loser keeps
+    *     tripping rebuilds). This gate compares the star itself:
+    *     a dedup-hidden input row still PRESENT in the star, or a
+    *     source-deleted input row whose star copy lacks the dfs stamp,
+    *     is stale — timestamp-free, no false positives, no lost
+    *     signals (the r12-era last_sync_at field stays in the state
+    *     file as build metadata only).
     *
-    * One aggregate scan computes all three message-side signals.
+    * Scale: one narrow aggregate over the input + one join of the
+    * input's deleted rows (id, two stamps) against the star's
+    * (id, dfs) projection — two columns off columnar storage; the
+    * deleted side is the small side of the join.
     */
   def staleness(spark: SparkSession, input: MsgVault,
       outDir: String): Staleness =
@@ -147,49 +157,53 @@ object CacheBuilder {
       case None => Staleness(needsBuild = true, fullRebuild = true,
         Seq("no sync state"))
       case Some(st) =>
-        val syncAt = new java.sql.Timestamp(st.lastSyncAtSec * 1000L)
         val row = input.messages.agg(
           max(when(col("deleted_from_source_at").isNull &&
-            col("sent_at").isNotNull, col("id"))).as("mx"),
-          sum(when(col("deleted_from_source_at") >= lit(syncAt), 1L)
-            .otherwise(0L)).as("del"),
-          // disjointness leg corrected vs tui.go:292-316 (r13 review
-          // find): the reference guards the dedup-hide count with
-          // `deleted_from_source_at IS NULL`, which keeps the two
-          // reasons disjoint but MISSES a hide landing on a row whose
-          // dfs stamp is OLD (pre-watermark) — that loser would stay in
-          // the star with no rebuild signal. Excluding only rows the
-          // del leg already counted (dfs >= syncAt) preserves
-          // single-counting AND catches the old-dfs case.
-          sum(when(col("deleted_at") >= lit(syncAt) &&
-            (col("deleted_from_source_at").isNull ||
-              col("deleted_from_source_at") < lit(syncAt)), 1L)
-            .otherwise(0L)).as("hid")).head()
+            col("sent_at").isNotNull, col("id"))).as("mx")).head()
         val maxDatedOpt = if (row.isNullAt(0)) None else Some(row.getLong(0))
         val maxDated = maxDatedOpt.getOrElse(0L)
-        val deletedSince = if (row.isNullAt(1)) 0L else row.getLong(1)
-        val hiddenSince = if (row.isNullAt(2)) 0L else row.getLong(2)
         // empty database + empty cache = fresh (tui.go:247-249) — a
         // "missing tables" verdict here would force a rebuild that
         // [[build]] then fails on (0 live messages). Guarded on the
         // aggregate being NULL (genuinely no dated live rows), not on
-        // maxDated == 0 (r13 review find): the reference's SQLite ids
-        // start at 1 so the conflation is invisible there, but this
-        // engine's frames can legitimately carry id 0, and a vault
-        // whose only message has id 0 must still run the deletion and
-        // missing-table checks.
+        // maxDated == 0: the reference's SQLite ids start at 1 so the
+        // conflation is invisible there, but this engine's frames can
+        // legitimately carry id 0.
         if (maxDatedOpt.isEmpty && st.lastMessageId == 0)
           return Staleness(needsBuild = false, fullRebuild = false, Nil)
+        if (missingRequiredParquet(spark, outDir))
+          return Staleness(needsBuild = true, fullRebuild = true,
+            Seq("missing cache tables"))
+
+        val delInput = input.messages
+          .filter(col("deleted_at").isNotNull ||
+            col("deleted_from_source_at").isNotNull)
+          .select(col("id").as("__d_id"),
+            col("deleted_at").isNotNull.as("__d_hid"),
+            col("deleted_from_source_at").isNotNull.as("__d_dfs"))
+        val starMsgs = spark.read.parquet(s"$outDir/messages")
+          .select(col("id"), col("deleted_from_source_at").as("__s_dfs"))
+        val cmp = starMsgs
+          .join(delInput, col("id") === col("__d_id"))
+          .agg(
+            // a dedup loser still present in the star must LEAVE it
+            coalesce(sum(when(col("__d_hid"), 1L).otherwise(0L)), lit(0L))
+              .as("hid"),
+            // a source-deletion whose stamp never reached the star copy
+            coalesce(sum(when(!col("__d_hid") && col("__d_dfs") &&
+              col("__s_dfs").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("del")).head()
+        val hiddenStale = cmp.getLong(0)
+        val deletedStale = cmp.getLong(1)
+
         var reasons = Seq.empty[String]
         if (maxDated > st.lastMessageId)
           reasons :+= s"${maxDated - st.lastMessageId} new messages"
         var full = false
-        if (deletedSince > 0) { full = true
-          reasons :+= s"$deletedSince deletions" }
-        if (hiddenSince > 0) { full = true
-          reasons :+= s"$hiddenSince dedup-hidden" }
-        if (!full && missingRequiredParquet(spark, outDir)) { full = true
-          reasons :+= "missing cache tables" }
+        if (deletedStale > 0) { full = true
+          reasons :+= s"$deletedStale deletions" }
+        if (hiddenStale > 0) { full = true
+          reasons :+= s"$hiddenStale dedup-hidden" }
         Staleness(reasons.nonEmpty, full, reasons)
     }
 
@@ -236,20 +250,12 @@ object CacheBuilder {
       else readState(outDir).filter(_.schemaVersion == SchemaVersion)
     val watermark = prior.map(_.lastMessageId).getOrElse(Long.MinValue)
     val fullRebuild = prior.isEmpty
-    // captured BEFORE the export starts (build_cache.go:246-250): a
-    // deletion stamped during the build compares >= this and flags the
-    // cache stale on the next staleness() check. ONLY a FULL rebuild may
-    // advance it (r13 review find — documented divergence): an
-    // INCREMENTAL applies no deletions, so stamping `now` here would
-    // permanently erase the signal of a deletion that landed between
-    // builds when an operator runs a bare incremental without checking
-    // [[staleness]] first; the reference stamps every build
-    // (build_cache.go:479-486) and shares exactly that loss on a bare
-    // `build-cache` run. last_sync_at therefore means "deletion state
-    // fully applied as of" — the semantics the gate actually needs.
-    val buildWatermarkSec =
-      if (fullRebuild) nowSec()
-      else prior.map(_.lastSyncAtSec).getOrElse(nowSec())
+    // build metadata only (the reference's cacheWatermark,
+    // build_cache.go:246-250, fed ITS timestamp-based staleness
+    // heuristic): since the r13 third review round, [[staleness]]
+    // compares the star itself against the input's deletion state —
+    // exact, timestamp-free — so this stamp no longer gates anything
+    val buildWatermarkSec = nowSec()
 
     // ONE persisted snapshot of the input's new slice: the watermark and
     // the export both derive from it. Computing the watermark from a
@@ -422,23 +428,31 @@ object CacheBuilder {
     // same export gate as the directory star (build_cache.go:308, r13
     // review find — this face had kept the pre-r13 filter): no dedup
     // losers, no undated rows, and junction rows only for exported
-    // messages — the two deployment shapes must answer identically
-    val live = input.messages
+    // messages — the two deployment shapes must answer identically.
+    // SNAPSHOTTED like build()'s newRows (second review round): the
+    // frame is read four times (messages write + three junction
+    // semi-joins); recomputing it from a LIVE source between writes
+    // would let a message inserted mid-build pass a junction semi-join
+    // while being absent from the already-written messages table — a
+    // torn star.
+    val live = Materialize.snapshot(input.messages
       .filter(col("deleted_at").isNull && col("sent_at").isNotNull)
       .withColumn("year", year(col("sent_at")))
-      .withColumn("month", month(col("sent_at")))
-    live.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "id").sortBy("id")
-      .option("compression", "zstd").saveAsTable(s"$db.messages")
-    Seq("message_recipients" -> input.recipients,
-      "message_labels" -> input.messageLabels,
-      "attachments" -> input.attachments).foreach { case (n, df) =>
-      df.join(live.select(col("id").as("__mid")),
-          df("message_id") === col("__mid"), "left_semi")
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, "message_id").sortBy("message_id")
-        .option("compression", "zstd").saveAsTable(s"$db.$n")
-    }
+      .withColumn("month", month(col("sent_at"))))
+    try {
+      live.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "id").sortBy("id")
+        .option("compression", "zstd").saveAsTable(s"$db.messages")
+      Seq("message_recipients" -> input.recipients,
+        "message_labels" -> input.messageLabels,
+        "attachments" -> input.attachments).foreach { case (n, df) =>
+        df.join(live.select(col("id").as("__mid")),
+            df("message_id") === col("__mid"), "left_semi")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "message_id").sortBy("message_id")
+          .option("compression", "zstd").saveAsTable(s"$db.$n")
+      }
+    } finally graft.queries.unpersistWithCheckpointLeaves(live)
     Seq("participants" -> input.participants, "labels" -> input.labels,
       "conversations" -> input.conversations, "sources" -> input.sources)
       .foreach { case (n, df) =>

@@ -63,13 +63,17 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
   }
 
   /** RFC4180-ish CSV with header (query.go csv path). Quote condition
-    * mirrors Go's encoding/csv fieldNeedsQuotes: delimiter, quote, CR
-    * or LF (r13 audit added the CR leg).
+    * mirrors Go's encoding/csv fieldNeedsQuotes in full (r13, two
+    * review rounds): delimiter, quote, CR or LF anywhere; a field whose
+    * FIRST rune is unicode whitespace (leading-space subjects are
+    * common and the reference quotes them); and the literal field
+    * `\.` (Go's Postgres-dump guard).
     */
   def toCsv: String = {
     def esc(s: String): String =
-      if (s.contains(",") || s.contains("\"") || s.contains("\n") ||
-        s.contains("\r"))
+      if (s == "\\." || s.contains(",") || s.contains("\"") ||
+        s.contains("\n") || s.contains("\r") ||
+        (s.nonEmpty && Character.isWhitespace(s.codePointAt(0))))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     (columns.map(esc) +: rows.map(_.map(v => esc(cell(v)))))

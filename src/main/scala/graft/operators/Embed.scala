@@ -163,7 +163,11 @@ object Embed {
     *
     *   1. body = body_text, falling back to StripHTML(body_html) when
     *      the plaintext is empty — "HTML-only messages would otherwise
-    *      get subject-only embeddings" (worker.go:466-470);
+    *      get subject-only embeddings" (worker.go:466-470). The check is
+    *      the reference's EXACT `body == ""` — a whitespace-only
+    *      plaintext part (e.g. "\n") blocks the fallback there too and
+    *      embeds subject-only; mirrored rather than "improved" with a
+    *      trim (r13 third review round considered and kept);
     *   2. text = Preprocess(subject, body, maxChars) (quote/signature
     *      strips per [[graft.functions.Mime.preprocessForEmbedding]]);
     *   3. source_char_len counts RUNES of the truncated text, never

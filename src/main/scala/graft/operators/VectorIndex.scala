@@ -225,6 +225,33 @@ object VectorIndex {
         else IndexResolution.NotEnabled
     }
 
+  /** The throwing face of [[resolveActive]] for serve paths (each arm's
+    * message mirrors the reference error the MCP/hybrid layers surface:
+    * ErrIndexStale / ErrIndexBuilding / ErrNotEnabled,
+    * vector/errors.go via generations.go:27-49). Returns the active
+    * generation's vectors when Ready.
+    */
+  def serveActive(spark: SparkSession, dir: String,
+      fingerprint: String = ""): DataFrame =
+    resolveActive(dir, fingerprint) match {
+      case IndexResolution.Ready(st) =>
+        spark.read.parquet(s"$dir/gen=${st.active}")
+      case IndexResolution.Stale(active, configured) =>
+        throw new IllegalStateException(
+          s"vector index is stale: active generation fingerprint " +
+            s"'$active' != configured '$configured' — rebuild before " +
+            "serving (reference ErrIndexStale: never answer from the " +
+            "wrong embedding space)")
+      case IndexResolution.Building =>
+        throw new IllegalStateException(
+          "vector index is building; retry when the generation " +
+            "activates (reference ErrIndexBuilding)")
+      case IndexResolution.NotEnabled =>
+        throw new IllegalStateException(
+          "vector search is not enabled: no index generations exist " +
+            "(reference ErrNotEnabled)")
+    }
+
   /** Serving-state summary for the active generation (reference
     * GenerationSummary stats.go:37-46).
     */

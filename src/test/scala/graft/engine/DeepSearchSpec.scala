@@ -303,6 +303,25 @@ class DeepSearchSpec extends SparkTestBase {
     // active exists)
     VectorIndex.beginGeneration(dir, model = "m", dimension = 2)
     assert(VectorIndex.resolveActive(dir, "fp-a").isInstanceOf[Ready])
+
+    // the throwing serve face: Ready serves the generation's vectors;
+    // Stale/NotEnabled refuse with the reference's error story
+    assert(VectorIndex.serveActive(spark, dir, "fp-a").count() == 1L)
+    val stale = intercept[IllegalStateException] {
+      VectorIndex.serveActive(spark, dir, "fp-b")
+    }
+    assert(stale.getMessage.contains("stale"))
+    val offDir = java.nio.file.Files.createTempDirectory("graft_vecres2").toString
+    assert(intercept[IllegalStateException] {
+      VectorIndex.serveActive(spark, offDir)
+    }.getMessage.contains("not enabled"))
+
+    // and the composed engine surface refuses the same way BEFORE any
+    // search work (handlers.go:429-438 resolve-then-search order)
+    assert(intercept[IllegalStateException] {
+      new MsgEngine(v).findSimilarMessages(dir, "fp-b", seedId = 1L,
+        limit = 5, maxPage = 0, structured = None)
+    }.getMessage.contains("stale"))
   }
 
   test("embedding preprocessing strips quoted replies and signatures") {

@@ -43,6 +43,17 @@ class QueryResultSpec extends SparkTestBase {
     assert(r.toCsv == "v\n\"a\rb\"")
   }
 
+  test("csv quotes leading-whitespace fields and the literal backslash-dot") {
+    // Go fieldNeedsQuotes: first-rune unicode whitespace, and the
+    // Postgres-dump guard field `\.`
+    val r = QueryResult(Seq("a", "b", "c"),
+      Seq(Seq(" lead", "\\.", "plain")))
+    assert(r.toCsv == "a,b,c\n\" lead\",\"\\.\",plain")
+    // tab is whitespace too; trailing space alone does not quote
+    val r2 = QueryResult(Seq("x", "y"), Seq(Seq("\tt", "trail ")))
+    assert(r2.toCsv == "x,y\n\"\tt\",trail ")
+  }
+
   test("json escapes control characters and nulls") {
     val r = QueryResult(Seq("v"), Seq(Seq("a\n\"b\""), Seq(null)))
     assert(r.toJson == """{"columns":["v"],"rows":[["a\n\"b\""],[null]],"row_count":2}""")
