@@ -47,13 +47,23 @@ import org.apache.spark.sql.functions._
   *     late-dated message's junction rows (full shard + increment), an
   *     observable fan-out this engine's exactly-once rule closes (the
   *     rationale comment sits on the junction writer in [[build]]).
-  *   - an EMPTY full rebuild fails loudly here where the reference
+  *   - an empty FIRST build fails loudly here where the reference
   *     tolerates a zero-message database (build_cache.go:190-204,
   *     462-476: exports run, the count guard is skipped, state is
   *     written) — the reference can serve an incomplete cache from its
   *     SQLite engine; this library has no fallback engine, and a
   *     zero-file partitioned Spark write would leave a star
-  *     [[MsgVault.open]] cannot even schema-infer.
+  *     [[MsgVault.open]] cannot even schema-infer. A full rebuild of an
+  *     EMPTIED archive (prior cache exists) instead rewrites every
+  *     table as a schema-complete empty parquet — the staleness gate's
+  *     verdict must converge, and an empty-but-readable star is this
+  *     engine's honest form of the reference's empty cache.
+  *   - [[staleness]] READS the star (the exact deletion compare), so
+  *     the SINGLE-WRITER contract extends to it: do not run the gate
+  *     concurrently with a build on the same outDir — a half-written
+  *     star can fail the read or return a spuriously fresh verdict.
+  *     (The gate→build sequence is inherently serial anyway: the
+  *     verdict feeds the build's forceFull.)
   *
   * Scale: the messages write shuffles once on `year` (partitionBy);
   * incremental runs touch only `id > watermark` rows — Parquet min/max on
@@ -157,30 +167,22 @@ object CacheBuilder {
       case None => Staleness(needsBuild = true, fullRebuild = true,
         Seq("no sync state"))
       case Some(st) =>
-        val row = input.messages.agg(
-          max(when(col("deleted_from_source_at").isNull &&
-            col("sent_at").isNotNull, col("id"))).as("mx")).head()
-        val maxDatedOpt = if (row.isNullAt(0)) None else Some(row.getLong(0))
-        val maxDated = maxDatedOpt.getOrElse(0L)
-        // empty database + empty cache = fresh (tui.go:247-249) — a
-        // "missing tables" verdict here would force a rebuild that
-        // [[build]] then fails on (0 live messages). Guarded on the
-        // aggregate being NULL (genuinely no dated live rows), not on
-        // maxDated == 0: the reference's SQLite ids start at 1 so the
-        // conflation is invisible there, but this engine's frames can
-        // legitimately carry id 0.
-        if (maxDatedOpt.isEmpty && st.lastMessageId == 0)
-          return Staleness(needsBuild = false, fullRebuild = false, Nil)
         if (missingRequiredParquet(spark, outDir))
           return Staleness(needsBuild = true, fullRebuild = true,
             Seq("missing cache tables"))
+        val row = input.messages.agg(
+          max(when(col("deleted_from_source_at").isNull &&
+            col("sent_at").isNotNull, col("id"))).as("mx")).head()
+        val maxDated = if (row.isNullAt(0)) 0L else row.getLong(0)
 
+        // the input side of the compare: every row carrying ANY
+        // deletion state (small — deletions are the exception)
         val delInput = input.messages
           .filter(col("deleted_at").isNotNull ||
             col("deleted_from_source_at").isNotNull)
           .select(col("id").as("__d_id"),
             col("deleted_at").isNotNull.as("__d_hid"),
-            col("deleted_from_source_at").isNotNull.as("__d_dfs"))
+            col("deleted_from_source_at").as("__d_dfs"))
         val starMsgs = spark.read.parquet(s"$outDir/messages")
           .select(col("id"), col("deleted_from_source_at").as("__s_dfs"))
         val cmp = starMsgs
@@ -189,19 +191,36 @@ object CacheBuilder {
             // a dedup loser still present in the star must LEAVE it
             coalesce(sum(when(col("__d_hid"), 1L).otherwise(0L)), lit(0L))
               .as("hid"),
-            // a source-deletion whose stamp never reached the star copy
-            coalesce(sum(when(!col("__d_hid") && col("__d_dfs") &&
-              col("__s_dfs").isNull, 1L).otherwise(0L)), lit(0L))
+            // a source-deletion stamp the star copy does not CARRY —
+            // null-ness is not enough (r13 fourth review round): an
+            // un-delete-then-re-delete leaves the star holding the OLD
+            // stamp, which every detail/paging surface serves verbatim,
+            // so the values must match, not just both be non-null
+            coalesce(sum(when(!col("__d_hid") && col("__d_dfs").isNotNull &&
+              (col("__s_dfs").isNull || col("__s_dfs") =!= col("__d_dfs")),
+              1L).otherwise(0L)), lit(0L))
               .as("del")).head()
         val hiddenStale = cmp.getLong(0)
         val deletedStale = cmp.getLong(1)
+        // the UN-delete direction: a star row still carrying a dfs
+        // stamp whose input copy has none (restored upstream) — the
+        // stamped star rows are the small probe side
+        val undeleted = starMsgs.filter(col("__s_dfs").isNotNull)
+          .join(input.messages
+            .select(col("id").as("__i_id"),
+              col("deleted_from_source_at").as("__i_dfs"),
+              col("deleted_at").as("__i_hid")),
+            col("id") === col("__i_id"), "left")
+          // a row that ALSO became a dedup loser is the hid leg's
+          .filter(col("__i_hid").isNull && col("__i_dfs").isNull)
+          .count()
 
         var reasons = Seq.empty[String]
         if (maxDated > st.lastMessageId)
           reasons :+= s"${maxDated - st.lastMessageId} new messages"
         var full = false
-        if (deletedStale > 0) { full = true
-          reasons :+= s"$deletedStale deletions" }
+        if (deletedStale + undeleted > 0) { full = true
+          reasons :+= s"${deletedStale + undeleted} deletions" }
         if (hiddenStale > 0) { full = true
           reasons :+= s"$hiddenStale dedup-hidden" }
         Staleness(reasons.nonEmpty, full, reasons)
@@ -245,6 +264,11 @@ object CacheBuilder {
     */
   def build(spark: SparkSession, input: MsgVault, outDir: String,
       forceFull: Boolean = false): Long = {
+    // whether ANY valid prior cache exists — kept separately from
+    // `prior` (which forceFull erases) so the empty-rebuild path can
+    // distinguish a FIRST build from an EMPTIED archive
+    val hadState =
+      readState(outDir).exists(_.schemaVersion == SchemaVersion)
     val prior =
       if (forceFull) None // the reference's --full-rebuild / staleness
       else readState(outDir).filter(_.schemaVersion == SchemaVersion)
@@ -306,20 +330,51 @@ object CacheBuilder {
           SyncState(newWatermark, SchemaVersion, buildWatermarkSec))
       return 0L
     }
-    // fail BEFORE any write: an empty full rebuild would otherwise emit a
-    // zero-file dataset whose read-back dies in schema inference instead
-    // of this message (reference requires >0 exported rows,
-    // build_cache.go:467-476)
-    require(newCount > 0,
-      s"cache build found 0 live messages in the input for $outDir")
-
     // dedup losers and undated rows excluded at export
     // (build_cache.go:308); later source-deletions stay visible until
-    // the staleness gate forces the next full rebuild (tui.go:262-316)
+    // the staleness gate forces the next full rebuild
     val liveNew = newRows
       .filter(col("deleted_at").isNull && col("sent_at").isNotNull)
       .withColumn("year", year(col("sent_at")))
       .withColumn("month", month(col("sent_at")))
+
+    if (newCount == 0) {
+      // full rebuild with nothing live. Two distinct stories (r13
+      // fourth review round):
+      //  - FIRST build (no prior cache): fail loudly BEFORE any write —
+      //    a zero-file partitioned dataset's read-back dies in schema
+      //    inference instead of a clear message (the reference
+      //    tolerates it because its SQLite engine can still serve;
+      //    this library has no fallback engine).
+      //  - an EMPTIED archive (prior cache exists; the staleness gate
+      //    demanded the rebuild because every exported row was deleted
+      //    or hidden upstream): the rebuild MUST converge — refusing
+      //    would loop the gate's verdict forever while the star keeps
+      //    serving deleted rows. Rewrite every table as a
+      //    schema-complete EMPTY parquet (unpartitioned: a partitioned
+      //    write of zero rows emits no files) and record the dated
+      //    watermark so the gate reads fresh on the next check.
+      require(hadState,
+        s"cache build found 0 live messages in the input for $outDir")
+      for (t <- RequiredTables) deleteDir(spark, s"$outDir/$t")
+      liveNew.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$outDir/messages")
+      Seq("message_recipients" -> input.recipients,
+        "message_labels" -> input.messageLabels,
+        "attachments" -> input.attachments).foreach { case (n, df) =>
+        df.limit(0).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$outDir/$n/batch_full")
+      }
+      Seq("participants" -> input.participants, "labels" -> input.labels,
+        "conversations" -> input.conversations, "sources" -> input.sources)
+        .foreach { case (n, df) =>
+          df.write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd").parquet(s"$outDir/$n")
+        }
+      writeState(outDir, SyncState(math.max(newWatermark, 0L),
+        SchemaVersion, buildWatermarkSec))
+      return 0L
+    }
 
     // idempotent-retry shards — a build that crashed mid-write and is
     // re-run REPLACES its own partial output instead of appending a

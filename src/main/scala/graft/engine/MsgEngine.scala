@@ -572,20 +572,6 @@ final class MsgEngine(val vault: MsgVault) {
     * only the ≤1000-id rank list (the reference handler is equally
     * driver-side), and hydration touches `limit` rows.
     */
-  /** [[findSimilarMessages]] served from a generation-managed index
-    * directory — the full reference handler flow (handlers.go:429-455:
-    * resolve the ACTIVE generation first, then search it): a stale /
-    * building / absent index throws the reference's corresponding
-    * refusal via [[graft.operators.VectorIndex.serveActive]] instead of
-    * silently answering from the wrong embedding space.
-    */
-  def findSimilarMessages(indexDir: String, fingerprint: String,
-      seedId: Long, limit: Int, maxPage: Int,
-      structured: Option[Column]): DataFrame =
-    findSimilarMessages(
-      graft.operators.VectorIndex.serveActive(spark, indexDir, fingerprint),
-      seedId, limit, maxPage, structured)
-
   def findSimilarMessages(vectors: DataFrame, seedId: Long,
       limit: Int = 20, maxPage: Int = 0,
       structured: Option[Column] = None): DataFrame = {
@@ -602,6 +588,20 @@ final class MsgEngine(val vault: MsgVault) {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     messageSummariesByIds(rankedIds)
   }
+
+  /** [[findSimilarMessages]] served from a generation-managed index
+    * directory — the full reference handler flow (handlers.go:429-455:
+    * resolve the ACTIVE generation first, then search it): a stale /
+    * building / absent index throws the reference's corresponding
+    * refusal via [[graft.operators.VectorIndex.serveActive]] instead of
+    * silently answering from the wrong embedding space.
+    */
+  def findSimilarMessages(indexDir: String, fingerprint: String,
+      seedId: Long, limit: Int, maxPage: Int,
+      structured: Option[Column]): DataFrame =
+    findSimilarMessages(
+      graft.operators.VectorIndex.serveActive(spark, indexDir, fingerprint),
+      seedId, limit, maxPage, structured)
 
   // -------------------------------------------------------------- search
 

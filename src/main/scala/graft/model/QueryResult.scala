@@ -63,17 +63,23 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
   }
 
   /** RFC4180-ish CSV with header (query.go csv path). Quote condition
-    * mirrors Go's encoding/csv fieldNeedsQuotes in full (r13, two
+    * mirrors Go's encoding/csv fieldNeedsQuotes in full (r13, three
     * review rounds): delimiter, quote, CR or LF anywhere; a field whose
-    * FIRST rune is unicode whitespace (leading-space subjects are
-    * common and the reference quotes them); and the literal field
-    * `\.` (Go's Postgres-dump guard).
+    * FIRST rune satisfies Go's unicode.IsSpace (leading-space subjects
+    * are common and the reference quotes them — NOTE Java's
+    * Character.isWhitespace is NOT that set: it excludes the
+    * non-breaking/figure spaces Go includes and includes the 0x1C-0x1F
+    * separators Go excludes, hence the three-legged predicate); and the
+    * literal field `\.` (Go's Postgres-dump guard).
     */
   def toCsv: String = {
+    def goIsSpace(cp: Int): Boolean =
+      (Character.isWhitespace(cp) && !(cp >= 0x1C && cp <= 0x1F)) ||
+        Character.isSpaceChar(cp) || cp == 0x85
     def esc(s: String): String =
       if (s == "\\." || s.contains(",") || s.contains("\"") ||
         s.contains("\n") || s.contains("\r") ||
-        (s.nonEmpty && Character.isWhitespace(s.codePointAt(0))))
+        (s.nonEmpty && goIsSpace(s.codePointAt(0))))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     (columns.map(esc) +: rows.map(_.map(v => esc(cell(v)))))

@@ -198,10 +198,11 @@ class CacheBuilderSpec extends SparkTestBase {
   }
 
   test("staleness: an incremental build must NOT erase a pending deletion signal") {
-    // r13 review find: last_sync_at advances only on FULL rebuilds — an
-    // incremental applies no deletions, so stamping `now` would hide a
-    // deletion that landed between builds from every future check (the
-    // reference loses exactly this on a bare `build-cache` run)
+    // the gate compares the STAR against the input's deletion state
+    // (exact, timestamp-free), so a bare incremental — which applies no
+    // deletions — cannot clear a pending signal no matter what it
+    // stamps; the reference's timestamp heuristic loses exactly this on
+    // a bare `build-cache` run
     val out = java.nio.file.Files.createTempDirectory("graft_cache_ls").toString
     CacheBuilder.build(spark, sourceVault(6), out)
     // a deletion lands AFTER the build (future-stamped fixture), and new
@@ -284,12 +285,79 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(star.messages
       .filter(col("id") === 3 && col("deleted_from_source_at").isNotNull)
       .count() == 1, "source-deletion stamp must reach the star")
-    // rebuilt state is fresh again (the fixture stamps are in the
-    // future, so they stay >= last_sync_at — the gate keeps reporting
-    // them until the stamps age past the watermark, exactly like the
-    // reference's time-based check; assert the message-side signals)
-    val st2 = CacheBuilder.staleness(spark, sourceVault(6), out)
-    assert(!st2.needsBuild)
+    // the input the star was rebuilt FROM reads fresh: the applied
+    // deletions no longer count as stale (star-compare has no
+    // timestamp-aging caveats)
+    val st2 = CacheBuilder.staleness(spark, withLateDeletes, out)
+    assert(!st2.needsBuild,
+      "an APPLIED deletion must not keep tripping the gate")
+    // while an input claiming id 3 was never deleted reports stale the
+    // OTHER way — the star carries a dfs stamp that input lacks (the
+    // un-delete leg; the reference's timestamp heuristic misses this
+    // direction entirely)
+    val st3 = CacheBuilder.staleness(spark, sourceVault(6), out)
+    assert(st3.needsBuild && st3.fullRebuild &&
+      st3.reasons.exists(_.contains("deletions")))
+  }
+
+  test("an EMPTIED archive full-rebuilds to a readable empty star and converges") {
+    // r13 fourth review round: refusing the forced rebuild would loop
+    // the gate's verdict forever while the star kept serving deleted
+    // rows; the first-build-empty case stays loud
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_em").toString
+    CacheBuilder.build(spark, sourceVault(3), out)
+    val allGone = Fixtures.vault(spark,
+      messages = (1 to 3).map(i =>
+        msg(i.toLong, s"s$i", "2024-01-10 10:00:00",
+          deletedAt = Some("2031-01-01 00:00:00"))),
+      recipients = (1 to 3).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val st = CacheBuilder.staleness(spark, allGone, out)
+    assert(st.fullRebuild && st.reasons.exists(_.contains("dedup-hidden")))
+    assert(CacheBuilder.build(spark, allGone, out, forceFull = true) == 0L)
+    // the empty star stays READABLE (schema-complete empty tables)
+    assert(MsgVault.open(spark, out).messages.count() == 0L)
+    // and the gate converges
+    assert(!CacheBuilder.needsBuild(spark, allGone, out))
+    // a FIRST build on an empty input still fails loudly
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cache_em2").toString
+    intercept[IllegalArgumentException] {
+      CacheBuilder.build(spark, allGone, fresh)
+    }
+  }
+
+  test("staleness: un-delete and re-delete stamp changes both trip the gate") {
+    // the exact compare is on VALUES, not null-ness (r13 fourth review
+    // round): a star holding a stale dfs stamp — older, newer, or one
+    // that was cleared upstream — must rebuild; the reference's
+    // timestamp heuristic catches the re-delete but not the un-delete
+    def v(dfs: Option[String]) = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1L, "s1", "2024-01-10 10:00:00"),
+        msg(2L, "s2", "2024-01-10 10:00:00",
+          deletedFromSourceAt = dfs)),
+      recipients = (1 to 2).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_ud").toString
+    CacheBuilder.build(spark, v(Some("2030-01-01 00:00:00")), out)
+    // matching stamp → fresh
+    assert(!CacheBuilder.needsBuild(spark, v(Some("2030-01-01 00:00:00")), out))
+    // UN-deleted upstream (stamp cleared) → the star still hides it
+    // under hideDeletedFromSource → rebuild
+    val un = CacheBuilder.staleness(spark, v(None), out)
+    assert(un.fullRebuild && un.reasons.exists(_.contains("deletions")))
+    CacheBuilder.build(spark, v(None), out, forceFull = true)
+    assert(!CacheBuilder.needsBuild(spark, v(None), out))
+    // RE-deleted with a NEW stamp → value mismatch vs the star → rebuild
+    val re = CacheBuilder.staleness(spark, v(Some("2031-06-01 00:00:00")), out)
+    assert(re.fullRebuild && re.reasons.exists(_.contains("deletions")))
+    CacheBuilder.build(spark, v(Some("2031-06-01 00:00:00")), out,
+      forceFull = true)
+    // stamp value now agrees — and an OLD-vs-NEW mismatch also trips
+    assert(!CacheBuilder.needsBuild(spark,
+      v(Some("2031-06-01 00:00:00")), out))
+    assert(CacheBuilder.staleness(spark,
+      v(Some("2032-01-01 00:00:00")), out).fullRebuild)
   }
 
   test("a cache missing a required table forces a FULL rebuild (self-heal)") {
