@@ -95,7 +95,10 @@ object CacheBuilder {
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), "UTF-8")
-      val id = """"last_message_id"\s*:\s*(\d+)""".r
+      // signed: a watermark of Long.MinValue (empty rebuild, no dated
+      // rows ever) must round-trip so a later id-0 row still compares
+      // greater (r13 fifth review round)
+      val id = """"last_message_id"\s*:\s*(-?\d+)""".r
         .findFirstMatchIn(s).map(_.group(1).toLong)
       val v = """"schema_version"\s*:\s*(\d+)""".r
         .findFirstMatchIn(s).map(_.group(1).toInt)
@@ -150,11 +153,17 @@ object CacheBuilder {
     *     incremental advances the stamp past an unapplied deletion)
     *     and fires spuriously (a never-exported dedup loser keeps
     *     tripping rebuilds). This gate compares the star itself:
-    *     a dedup-hidden input row still PRESENT in the star, or a
-    *     source-deleted input row whose star copy lacks the dfs stamp,
-    *     is stale — timestamp-free, no false positives, no lost
-    *     signals (the r12-era last_sync_at field stays in the state
-    *     file as build metadata only).
+    *     a dedup-hidden input row still PRESENT in the star; a
+    *     source-deleted input row whose star copy lacks — or carries a
+    *     DIFFERENT — dfs stamp; and a star row still stamped after its
+    *     input copy was un-deleted. Timestamp-free, no false
+    *     positives (the r12-era last_sync_at field stays in the state
+    *     file as build metadata only). The one direction the cheap
+    *     legs cannot see is a RESTORED dedup-hidden row (absent from
+    *     the star, no deletion state, id below the watermark) —
+    *     `deepRestoreCheck = true` buys it with a corpus-sized
+    *     anti-join; the reference's heuristic cannot see it at any
+    *     price.
     *
     * Scale: one narrow aggregate over the input + one join of the
     * input's deleted rows (id, two stamps) against the star's
@@ -162,7 +171,7 @@ object CacheBuilder {
     * deleted side is the small side of the join.
     */
   def staleness(spark: SparkSession, input: MsgVault,
-      outDir: String): Staleness =
+      outDir: String, deepRestoreCheck: Boolean = false): Staleness =
     readState(outDir).filter(_.schemaVersion == SchemaVersion) match {
       case None => Staleness(needsBuild = true, fullRebuild = true,
         Seq("no sync state"))
@@ -173,7 +182,7 @@ object CacheBuilder {
         val row = input.messages.agg(
           max(when(col("deleted_from_source_at").isNull &&
             col("sent_at").isNotNull, col("id"))).as("mx")).head()
-        val maxDated = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val maxDatedOpt = if (row.isNullAt(0)) None else Some(row.getLong(0))
 
         // the input side of the compare: every row carrying ANY
         // deletion state (small — deletions are the exception)
@@ -203,26 +212,49 @@ object CacheBuilder {
         val hiddenStale = cmp.getLong(0)
         val deletedStale = cmp.getLong(1)
         // the UN-delete direction: a star row still carrying a dfs
-        // stamp whose input copy has none (restored upstream) — the
-        // stamped star rows are the small probe side
+        // stamp whose input copy carries NO deletion state (restored
+        // upstream) or is gone entirely — expressed as an anti-join
+        // against the already-built delInput (r13 fifth review round:
+        // the earlier left join probed the full messages table; both
+        // sides here are small)
         val undeleted = starMsgs.filter(col("__s_dfs").isNotNull)
-          .join(input.messages
-            .select(col("id").as("__i_id"),
-              col("deleted_from_source_at").as("__i_dfs"),
-              col("deleted_at").as("__i_hid")),
-            col("id") === col("__i_id"), "left")
-          // a row that ALSO became a dedup loser is the hid leg's
-          .filter(col("__i_hid").isNull && col("__i_dfs").isNull)
+          .join(delInput, col("id") === col("__d_id"), "left_anti")
           .count()
+        // the UN-HIDE direction — a dedup-hidden row RESTORED upstream
+        // (deleted_at cleared) is absent from the star and carries no
+        // deletion state, so the legs above cannot see it, and its id
+        // sits below the watermark so no incremental re-exports it.
+        // Detecting it needs an anti-join of the input's live dated
+        // rows against the star's ids — both sides corpus-sized, hence
+        // OPT-IN (the reference's timestamp heuristic cannot see this
+        // direction at any price; an operator restoring hidden rows
+        // runs the deep check or forces a rebuild)
+        val restored = if (!deepRestoreCheck) 0L
+          else input.messages
+            .filter(col("deleted_at").isNull &&
+              col("deleted_from_source_at").isNull &&
+              col("sent_at").isNotNull &&
+              col("id") <= st.lastMessageId)
+            .select(col("id"))
+            .join(starMsgs.select(col("id")), Seq("id"), "left_anti")
+            .count()
 
         var reasons = Seq.empty[String]
-        if (maxDated > st.lastMessageId)
-          reasons :+= s"${maxDated - st.lastMessageId} new messages"
+        // Option-guarded (fifth round): with NO dated live rows at all
+        // the aggregate is NULL, and a default-0 compared against an
+        // empty-rebuild watermark of Long.MinValue would report
+        // phantom "new messages" forever
+        maxDatedOpt.foreach { maxDated =>
+          if (maxDated > st.lastMessageId)
+            reasons :+= s"${maxDated - st.lastMessageId} new messages"
+        }
         var full = false
         if (deletedStale + undeleted > 0) { full = true
           reasons :+= s"${deletedStale + undeleted} deletions" }
         if (hiddenStale > 0) { full = true
           reasons :+= s"$hiddenStale dedup-hidden" }
+        if (restored > 0) { full = true
+          reasons :+= s"$restored restored" }
         Staleness(reasons.nonEmpty, full, reasons)
     }
 
@@ -264,14 +296,19 @@ object CacheBuilder {
     */
   def build(spark: SparkSession, input: MsgVault, outDir: String,
       forceFull: Boolean = false): Long = {
-    // whether ANY valid prior cache exists — kept separately from
-    // `prior` (which forceFull erases) so the empty-rebuild path can
-    // distinguish a FIRST build from an EMPTIED archive
+    // whether ANY prior cache exists — a parseable state file of ANY
+    // version, or table files on disk (an operator-deleted/corrupt
+    // state must not turn an emptied-archive rebuild into the eternal
+    // first-build refusal; r13 fifth review round). Kept separately
+    // from `prior` (which forceFull and version mismatches erase) so
+    // the empty-rebuild path can distinguish a FIRST build from an
+    // EMPTIED archive.
+    val state0 = readState(outDir)
     val hadState =
-      readState(outDir).exists(_.schemaVersion == SchemaVersion)
+      state0.isDefined || !missingRequiredParquet(spark, outDir)
     val prior =
       if (forceFull) None // the reference's --full-rebuild / staleness
-      else readState(outDir).filter(_.schemaVersion == SchemaVersion)
+      else state0.filter(_.schemaVersion == SchemaVersion)
     val watermark = prior.map(_.lastMessageId).getOrElse(Long.MinValue)
     val fullRebuild = prior.isEmpty
     // build metadata only (the reference's cacheWatermark,
@@ -371,8 +408,12 @@ object CacheBuilder {
           df.write.mode(SaveMode.Overwrite)
             .option("compression", "zstd").parquet(s"$outDir/$n")
         }
-      writeState(outDir, SyncState(math.max(newWatermark, 0L),
-        SchemaVersion, buildWatermarkSec))
+      // the watermark verbatim — clamping MinValue to 0 would conflate
+      // "no dated rows" with "max dated id is 0" and permanently skip
+      // an id-0 row dated later (readState's regex accepts the signed
+      // value; r13 fifth review round)
+      writeState(outDir,
+        SyncState(newWatermark, SchemaVersion, buildWatermarkSec))
       return 0L
     }
 

@@ -324,6 +324,70 @@ class CacheBuilderSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       CacheBuilder.build(spark, allGone, fresh)
     }
+
+    // an operator-deleted state file must NOT turn the emptied-archive
+    // rebuild back into the eternal first-build refusal — the table
+    // files on disk prove a prior cache existed (r13 fifth review)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_last_sync.json"))
+    assert(CacheBuilder.build(spark, allGone, out, forceFull = true) == 0L)
+    assert(MsgVault.open(spark, out).messages.count() == 0L)
+
+    assert(!CacheBuilder.needsBuild(spark, allGone, out))
+
+    // the signed "no dated rows" watermark floor: an archive emptied
+    // down to an UNDATED row records Long.MinValue (not a clamped 0),
+    // so an id-0 row dated later still compares greater and exports —
+    // and the Option-guarded new-ids leg keeps the empty state fresh
+    // instead of phantom "new messages" (r13 fifth review)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cache_em3").toString
+    def oneRow(sentAt: Option[String]) = Fixtures.vault(spark,
+      messages = Seq(sentAt.fold(
+        msg(0L, "zero", "2024-01-10 10:00:00").copy(sent_at = null))(
+        ts0 => msg(0L, "zero", ts0))),
+      recipients = Seq(MrRow(0L, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    CacheBuilder.build(spark,
+      Fixtures.vault(spark,
+        messages = Seq(msg(1L, "seed", "2024-01-10 10:00:00")),
+        recipients = Seq(MrRow(1L, 1L, "from", None)),
+        participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com")))),
+      out2)
+    // the archive shrinks to a single UNDATED id-0 row: forced empty
+    // rebuild records the MinValue floor
+    assert(CacheBuilder.build(spark, oneRow(None), out2, forceFull = true) == 0L)
+    assert(CacheBuilder.readState(out2).map(_.lastMessageId)
+      .contains(Long.MinValue))
+    assert(!CacheBuilder.needsBuild(spark, oneRow(None), out2))
+    // the row gains a date: id 0 > MinValue trips the gate and exports
+    assert(CacheBuilder.needsBuild(spark, oneRow(Some("2024-01-10 10:00:00")), out2))
+    assert(CacheBuilder.build(spark,
+      oneRow(Some("2024-01-10 10:00:00")), out2) == 1L)
+    assert(MsgVault.open(spark, out2).messages.count() == 1L)
+  }
+
+  test("deepRestoreCheck sees a restored dedup-hidden row the cheap legs cannot") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_rs").toString
+    def v(hideTwo: Boolean) = Fixtures.vault(spark,
+      messages = (1 to 3).map { i =>
+        val m = msg(i.toLong, s"s$i", "2024-01-10 10:00:00")
+        if (i == 2 && hideTwo) m.copy(deleted_at = Some(ts("2024-02-01 00:00:00")))
+        else m
+      },
+      recipients = (1 to 3).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    CacheBuilder.build(spark, v(hideTwo = true), out) // id 2 never exported
+    // upstream RESTORES id 2 (deleted_at cleared): no deletion state
+    // remains, its id sits below the watermark — invisible to the
+    // cheap legs (and to the reference's heuristic)
+    assert(!CacheBuilder.staleness(spark, v(hideTwo = false), out).needsBuild)
+    val deep = CacheBuilder.staleness(spark, v(hideTwo = false), out,
+      deepRestoreCheck = true)
+    assert(deep.needsBuild && deep.fullRebuild &&
+      deep.reasons.exists(_.contains("restored")))
+    CacheBuilder.build(spark, v(hideTwo = false), out, forceFull = true)
+    assert(MsgVault.open(spark, out).messages.count() == 3L)
+    assert(!CacheBuilder.staleness(spark, v(hideTwo = false), out,
+      deepRestoreCheck = true).needsBuild)
   }
 
   test("staleness: un-delete and re-delete stamp changes both trip the gate") {
