@@ -155,15 +155,32 @@ object CacheBuilder {
     *     tripping rebuilds). This gate compares the star itself:
     *     a dedup-hidden input row still PRESENT in the star; a
     *     source-deleted input row whose star copy lacks — or carries a
-    *     DIFFERENT — dfs stamp; and a star row still stamped after its
-    *     input copy was un-deleted. Timestamp-free, no false
-    *     positives (the r12-era last_sync_at field stays in the state
-    *     file as build metadata only). The one direction the cheap
+    *     DIFFERENT — dfs stamp; a star row still stamped after its
+    *     input copy was un-deleted; and a dfs-stamped DATED live row
+    *     ABSENT from the star — the arrive-and-source-delete-between-
+    *     builds case (r13 advisor find): its dfs stamp hides it from
+    *     the new-ids watermark leg while the rebuilt star's export
+    *     would carry it. Timestamp-free, no false positives (the
+    *     r12-era last_sync_at field stays in the state file as build
+    *     metadata only). The one deletion-shaped direction the cheap
     *     legs cannot see is a RESTORED dedup-hidden row (absent from
     *     the star, no deletion state, id below the watermark) —
     *     `deepRestoreCheck = true` buys it with a corpus-sized
     *     anti-join; the reference's heuristic cannot see it at any
     *     price.
+    *
+    * Known divergence (r13 advisor, documented): the reference gate
+    * carries a fourth signal this model cannot — `sync_runs
+    * .messages_updated` since the last build forces a FULL rebuild
+    * (tui.go:319-349), catching in-place CONTENT rewrites of
+    * already-exported rows. MsgVault input has no sync_runs ledger and
+    * rows carry no content-version stamp, so an upstream re-sync that
+    * rewrites an existing id's content (same id, same deletion state)
+    * serves stale from the star until any other signal fires. An
+    * operator replaying such a re-sync should pass `forceFull = true`;
+    * a content-hash compare leg would cost a corpus-sized join per
+    * consult (the same price class as deepRestoreCheck) and is not
+    * implemented.
     *
     * Scale: one narrow aggregate over the input + one join of the
     * input's deleted rows (id, two stamps) against the star's
@@ -191,7 +208,8 @@ object CacheBuilder {
             col("deleted_from_source_at").isNotNull)
           .select(col("id").as("__d_id"),
             col("deleted_at").isNotNull.as("__d_hid"),
-            col("deleted_from_source_at").as("__d_dfs"))
+            col("deleted_from_source_at").as("__d_dfs"),
+            col("sent_at").isNotNull.as("__d_dated"))
         val starMsgs = spark.read.parquet(s"$outDir/messages")
           .select(col("id"), col("deleted_from_source_at").as("__s_dfs"))
         val cmp = starMsgs
@@ -219,6 +237,21 @@ object CacheBuilder {
         // sides here are small)
         val undeleted = starMsgs.filter(col("__s_dfs").isNotNull)
           .join(delInput, col("id") === col("__d_id"), "left_anti")
+          .count()
+        // the ARRIVE-AND-SOURCE-DELETE direction (r13 advisor find): a
+        // row that entered the input AND got its dfs stamp before any
+        // build ran is invisible to every leg above — dfs-stamped, so
+        // the new-ids max skips it; never exported, so the star
+        // inner-join misses it. A rebuild's export (deleted_at IS NULL
+        // AND sent_at IS NOT NULL) WOULD carry it, stamp visible on
+        // detail/paging surfaces, so omitting it is a real divergence
+        // from the rebuilt star. Cheap: left_anti of the already-built
+        // delInput (small, narrow) against the star's id projection.
+        val neverExported = delInput
+          .filter(!col("__d_hid") && col("__d_dfs").isNotNull &&
+            col("__d_dated"))
+          .join(starMsgs.select(col("id").as("__d_id")),
+            Seq("__d_id"), "left_anti")
           .count()
         // the UN-HIDE direction — a dedup-hidden row RESTORED upstream
         // (deleted_at cleared) is absent from the star and carries no
@@ -249,8 +282,8 @@ object CacheBuilder {
             reasons :+= s"${maxDated - st.lastMessageId} new messages"
         }
         var full = false
-        if (deletedStale + undeleted > 0) { full = true
-          reasons :+= s"${deletedStale + undeleted} deletions" }
+        if (deletedStale + undeleted + neverExported > 0) { full = true
+          reasons :+= s"${deletedStale + undeleted + neverExported} deletions" }
         if (hiddenStale > 0) { full = true
           reasons :+= s"$hiddenStale dedup-hidden" }
         if (restored > 0) { full = true

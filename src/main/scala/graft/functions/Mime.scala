@@ -168,16 +168,19 @@ object Mime {
 
   /** Structural MIME sanity — the audit's stand-in for the reference's
     * `mime.Parse(rawData)` sample check (cmd/verify.go:241-247, enmime):
-    * a recognizable header section (at least one "Key: value" line)
-    * followed by the blank-line separator. enmime is tolerant far beyond
-    * this, so the proxy errs toward flagging less than the reference
-    * would accept, never more: bytes that fail THIS check would fail any
-    * MIME parser.
+    * a recognizable header section (at least one "Key: value" line). A
+    * blank-line separator is NOT required — RFC 5322 permits header-only
+    * messages with no body, and enmime parses them (r13 advisor find:
+    * requiring the separator flagged blobs the reference verifies
+    * clean). When no separator exists the whole blob is read as the
+    * header section. enmime is tolerant beyond even this, so the proxy
+    * still errs toward flagging no more than the reference would.
     */
   def looksLikeMime(raw: Array[Byte]): Boolean = raw != null && {
     val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
     val hEnd = headerEnd(s)
-    hEnd > 0 && parseHeaders(s.substring(0, hEnd)).nonEmpty
+    val section = if (hEnd >= 0) s.substring(0, hEnd) else s
+    parseHeaders(section).nonEmpty
   }
 
   val looksLikeMimeUdf: UserDefinedFunction = udf(looksLikeMime _)

@@ -390,6 +390,37 @@ class CacheBuilderSpec extends SparkTestBase {
       deepRestoreCheck = true).needsBuild)
   }
 
+  test("staleness: a row that arrives AND is source-deleted between builds trips the gate") {
+    // r13 advisor find: the row's dfs stamp hides it from the new-ids
+    // watermark leg (maxDated skips dfs-stamped rows, tui.go:236-239),
+    // and it was never exported so the star inner-join legs miss it —
+    // yet a rebuild's export (deleted_at IS NULL AND sent_at IS NOT
+    // NULL) carries it, stamp visible on detail surfaces. The gate must
+    // see the divergence from the star a rebuild would produce.
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_ad").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+    assert(!CacheBuilder.needsBuild(spark, sourceVault(6), out))
+    // id 7 arrives and is source-deleted before any build runs
+    val arrivedDeleted = Fixtures.vault(spark,
+      messages = (1 to 6).map(i =>
+        msg(i.toLong, s"subject $i", "2024-01-10 10:00:00")) :+
+        msg(7L, "ghost", "2024-02-10 10:00:00",
+          deletedFromSourceAt = Some("2024-02-11 10:00:00")),
+      recipients = (1 to 7).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    val st = CacheBuilder.staleness(spark, arrivedDeleted, out)
+    assert(st.needsBuild && st.fullRebuild &&
+      st.reasons.exists(_.contains("deletions")),
+      "arrive-and-source-delete between builds must force a rebuild")
+    // the rebuild exports it, stamp and all, and the gate converges
+    CacheBuilder.build(spark, arrivedDeleted, out, forceFull = true)
+    val star = MsgVault.open(spark, out)
+    assert(star.messages
+      .filter(col("id") === 7 && col("deleted_from_source_at").isNotNull)
+      .count() == 1, "rebuilt star must carry the arrived-deleted row")
+    assert(!CacheBuilder.needsBuild(spark, arrivedDeleted, out))
+  }
+
   test("staleness: un-delete and re-delete stamp changes both trip the gate") {
     // the exact compare is on VALUES, not null-ness (r13 fourth review
     // round): a star holding a stale dfs stamp — older, newer, or one

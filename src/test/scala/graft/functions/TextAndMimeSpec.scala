@@ -146,4 +146,19 @@ class TextAndMimeSpec extends SparkTestBase {
     assert(out(1L) > 0.0 && out(1L) < 1.0)
     assert(out(3L) == 0.5) // no tokens → mean weight 0 → sigmoid(0)
   }
+
+  test("looksLikeMime accepts header-only messages (no blank-line separator)") {
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // RFC 5322 permits a message of headers alone; enmime parses these,
+    // so flagging them would over-report defects (r13 advisor find)
+    assert(Mime.looksLikeMime(b("Subject: hi\nFrom: a@x.com")))
+    assert(Mime.looksLikeMime(b("Subject: hi\r\nFrom: a@x.com\r\n")))
+    // the usual header+body form still passes
+    assert(Mime.looksLikeMime(b("Subject: hi\n\nbody text")))
+    // structureless bytes (no Key: value line anywhere) still fail —
+    // the archive_verify planted-defect class depends on this
+    assert(!Mime.looksLikeMime(b("structureless bytes, no header block")))
+    assert(!Mime.looksLikeMime(b("")))
+    assert(!Mime.looksLikeMime(null))
+  }
 }
