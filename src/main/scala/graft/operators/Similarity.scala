@@ -576,7 +576,7 @@ object Similarity {
     * quadratic pair stream.
     */
   def knnGraph(assigned: DataFrame, k: Int,
-      dedupCandidates: Boolean = false): DataFrame = {
+      dedupCandidates: Boolean = false, clusterHint: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = assigned.select(col("cluster"), col("vec_id"),
       col("embedding").as("__ea"))
@@ -584,7 +584,45 @@ object Similarity {
       col("embedding").as("__eb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val pairs = a.join(b, "cluster")
+    // The pair-generation exchange hashes on `cluster` alone, so its
+    // parallelism is bounded by the cluster count — with nList below
+    // the core count (small corpora, or a bench at local[32]) the whole
+    // quadratic cosine stage lands on a handful of tasks, which is both
+    // slow and high-variance (r13: knn_graph_routed 1.37-1.87 s on ≤5
+    // busy tasks). When the caller tells us the cluster count is below
+    // ~2 tasks/core, SALT the join: the a-side key gains
+    // hash(vec_id) % S, the b-side replicates each row S times — the
+    // standard skew treatment, trading an S× replication of one side's
+    // narrow shuffle for S× stage parallelism. At real scale nList
+    // grows with the corpus (√n rule) past the core count and S
+    // computes to 1 — the salt self-disables and the plan is the
+    // original single exchange.
+    val salt =
+      if (clusterHint <= 0) 1
+      else {
+        val cores = assigned.sparkSession.sparkContext.defaultParallelism
+        math.max(1, math.min(32,
+          math.ceil(2.0 * cores / clusterHint).toInt))
+      }
+    val pairsRaw =
+      if (salt <= 1) a.join(b, Seq("cluster"))
+      else {
+        // explicit partition COUNT too: the join would otherwise plan
+        // its exchange at spark.sql.shuffle.partitions, which a bench
+        // or small job may hold well under the core count — the salt
+        // raises key cardinality but the partition count caps the
+        // parallelism it buys. Pre-partitioning both sides identically
+        // means the join adds no exchange of its own.
+        val n = assigned.sparkSession.sparkContext.defaultParallelism
+        val aS = a.withColumn("__salt",
+          pmod(hash(col("vec_id")), lit(salt)))
+          .repartition(n, col("cluster"), col("__salt"))
+        val bS = b.withColumn("__salt",
+          explode(array((0 until salt).map(lit): _*)))
+          .repartition(n, col("cluster"), col("__salt"))
+        aS.join(bS, Seq("cluster", "__salt"))
+      }
+    val pairs = pairsRaw
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("__ea"), col("__eb")).as("cosine"))
@@ -598,11 +636,20 @@ object Similarity {
     // hashpartitioning(vec_id, neighbor_id) would NOT satisfy the window
     // (no prefix property) and the pair stream would shuffle twice.
     val uniq =
-      if (dedupCandidates)
-        pairs.repartition(col("vec_id"))
+      if (dedupCandidates) {
+        // when the salt path raised the pair stage's parallelism, keep
+        // the dedup/window exchange at the same width — defaulting to
+        // spark.sql.shuffle.partitions here would funnel the full pair
+        // stream back into a handful of sort tasks
+        val byVec =
+          if (salt <= 1) pairs.repartition(col("vec_id"))
+          else pairs.repartition(
+            assigned.sparkSession.sparkContext.defaultParallelism,
+            col("vec_id"))
+        byVec
           .groupBy(col("vec_id"), col("neighbor_id"))
           .agg(max(col("cosine")).as("cosine"))
-      else pairs
+      } else pairs
     uniq
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

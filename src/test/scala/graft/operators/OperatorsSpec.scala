@@ -410,6 +410,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.groupBy(r => (r._1, r._3)).values.forall(_.length == 1))
   }
 
+  test("knnGraph salted pair stage (clusterHint) returns the unsalted graph exactly") {
+    // the salt raises pair-stage parallelism when clusters < cores
+    // (r14); it must be a pure physical rewrite — same pair set, each
+    // pair generated exactly once per shared list, identical ranks
+    val emb = (0L until 40L).map(i =>
+      (i, Seq((math.cos(i * 0.37)).toFloat, (math.sin(i * 0.37)).toFloat,
+        ((i % 7).toFloat) / 7.0f, ((i % 3).toFloat) / 3.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.semanticAssignMulti(emb, col("vec_id"),
+      col("embedding"), nList = 4, p = 2)
+    def rows(hint: Int) = Similarity.knnGraph(assigned, k = 3,
+      dedupCandidates = true, clusterHint = hint)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val unsalted = rows(0)
+    val salted = rows(4) // 4 clusters << local cores → salt kicks in
+    assert(salted == unsalted)
+  }
+
   test("adcKnn: int8 candidate scan recovers the brute-force top-k on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
