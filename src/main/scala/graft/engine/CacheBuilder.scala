@@ -114,6 +114,76 @@ object CacheBuilder {
   private[engine] def writeStateForTest(dir: String, lastId: Long): Unit =
     writeState(dir, SyncState(lastId, SchemaVersion, nowSec()))
 
+  // ------------------------------------------- bounded restore check
+
+  private def restoreCheckPath(dir: String) =
+    Paths.get(dir, "_restore_check.json")
+
+  /** Coverage floor of the bounded restore-check chain: every live
+    * dated id ≤ this value was proven present in the star by a prior
+    * check (or is awaiting one — MinValue before the first).
+    */
+  def readRestoreCheckFloor(dir: String): Long = {
+    val p = restoreCheckPath(dir)
+    if (!Files.exists(p)) Long.MinValue
+    else """"covered_to"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1).toLong).getOrElse(Long.MinValue)
+  }
+
+  /** Incremental form of the opt-in deep restore check (r13 advice #6):
+    * instead of anti-joining the FULL live corpus against the full star
+    * id set per consult, probe only
+    *
+    *   - ids above the previous check's recorded coverage floor
+    *     (`_restore_check.json`, advanced only on a CLEAN check so a
+    *     detected-but-not-yet-rebuilt restore stays visible), plus
+    *   - a recent-id window below the watermark (`recentWindow` ids) —
+    *     restores cluster in recent mail (un-trashing something just
+    *     deleted), and the window re-probes that hot range every run.
+    *
+    * BOTH join sides prune to `id > floor` (a star row outside the
+    * range cannot match a probe id inside it), so on Parquet the scan
+    * is a min/max row-group skip — the probe costs O(new since last
+    * check + window), not O(corpus).
+    *
+    * Honesty bound: a restore of an id at or below the floor and
+    * outside the window is INVISIBLE to this check — the exhaustive
+    * `staleness(deepRestoreCheck = true)` remains the only probe that
+    * sees every restore, at full-corpus price. Returns the count of
+    * restored rows found (> 0 ⇒ force a full rebuild).
+    */
+  def boundedRestoreCheck(spark: SparkSession, input: MsgVault,
+      outDir: String, recentWindow: Long = 0L): Long = {
+    val st = readState(outDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sync state at $outDir — build before checking"))
+    val prevCovered = readRestoreCheckFloor(outDir)
+    val windowFloor =
+      if (recentWindow <= 0) Long.MaxValue
+      else if (st.lastMessageId < Long.MinValue + recentWindow) Long.MinValue
+      else st.lastMessageId - recentWindow
+    val floor = math.min(prevCovered, windowFloor)
+    val restored =
+      if (floor >= st.lastMessageId) 0L
+      else {
+        val probe = input.messages
+          .filter(col("deleted_at").isNull &&
+            col("deleted_from_source_at").isNull &&
+            col("sent_at").isNotNull &&
+            col("id") > floor && col("id") <= st.lastMessageId)
+          .select(col("id"))
+        val starIds = spark.read.parquet(s"$outDir/messages")
+          .filter(col("id") > floor).select(col("id"))
+        probe.join(starIds, Seq("id"), "left_anti").count()
+      }
+    if (restored == 0L)
+      Files.write(restoreCheckPath(outDir),
+        s"""{"covered_to":${st.lastMessageId}}""".getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    restored
+  }
+
   private def nowSec(): Long = System.currentTimeMillis() / 1000L
 
   private def writeState(dir: String, st: SyncState): Unit = {
@@ -166,8 +236,9 @@ object CacheBuilder {
     *     legs cannot see is a RESTORED dedup-hidden row (absent from
     *     the star, no deletion state, id below the watermark) —
     *     `deepRestoreCheck = true` buys it with a corpus-sized
-    *     anti-join; the reference's heuristic cannot see it at any
-    *     price.
+    *     anti-join; [[boundedRestoreCheck]] buys the recent slice of
+    *     it at O(new + window) per consult; the reference's heuristic
+    *     cannot see it at any price.
     *
     * Known divergence (r13 advisor, documented): the reference gate
     * carries a fourth signal this model cannot — `sync_runs
@@ -435,8 +506,10 @@ object CacheBuilder {
         df.limit(0).write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$outDir/$n/batch_full")
       }
-      Seq("participants" -> input.participants, "labels" -> input.labels,
-        "conversations" -> input.conversations, "sources" -> input.sources)
+      (Seq("participants" -> input.participants, "labels" -> input.labels,
+        "conversations" -> input.conversations, "sources" -> input.sources) ++
+        input.conversationParticipants
+          .map("conversation_participants" -> _))
         .foreach { case (n, df) =>
           df.write.mode(SaveMode.Overwrite)
             .option("compression", "zstd").parquet(s"$outDir/$n")
@@ -514,9 +587,15 @@ object CacheBuilder {
     junction("message_labels", input.messageLabels)
     junction("attachments", input.attachments)
 
-    // dimensions: full rewrite every build (build_cache.go:385-457)
-    Seq("participants" -> input.participants, "labels" -> input.labels,
-      "conversations" -> input.conversations, "sources" -> input.sources)
+    // dimensions: full rewrite every build (build_cache.go:385-457).
+    // conversation_participants exports whenever the input carries it —
+    // closing the reference's own TODO (duckdb_text.go:135: "use
+    // conversation_participants table once exported to Parquet");
+    // conversation-grain, so it rewrites with the dims, and absence
+    // (legacy inputs) just leaves the membership fallback in place.
+    (Seq("participants" -> input.participants, "labels" -> input.labels,
+      "conversations" -> input.conversations, "sources" -> input.sources) ++
+      input.conversationParticipants.map("conversation_participants" -> _))
       .foreach { case (n, df) =>
         df.write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$outDir/$n")
@@ -582,8 +661,9 @@ object CacheBuilder {
           .option("compression", "zstd").saveAsTable(s"$db.$n")
       }
     } finally graft.queries.unpersistWithCheckpointLeaves(live)
-    Seq("participants" -> input.participants, "labels" -> input.labels,
-      "conversations" -> input.conversations, "sources" -> input.sources)
+    (Seq("participants" -> input.participants, "labels" -> input.labels,
+      "conversations" -> input.conversations, "sources" -> input.sources) ++
+      input.conversationParticipants.map("conversation_participants" -> _))
       .foreach { case (n, df) =>
         df.write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").saveAsTable(s"$db.$n")
@@ -602,7 +682,11 @@ object CacheBuilder {
       messageLabels = spark.table(s"$db.message_labels"),
       attachments = spark.table(s"$db.attachments"),
       conversations = spark.table(s"$db.conversations"),
-      sources = spark.table(s"$db.sources"))
+      sources = spark.table(s"$db.sources"),
+      conversationParticipants =
+        if (spark.catalog.tableExists(s"$db.conversation_participants"))
+          Some(spark.table(s"$db.conversation_participants"))
+        else None)
 
   /** Canonical type casts applied to JDBC reads: OLTP engines differ in
     * what they hand back over JDBC (SQLite stores timestamps as TEXT and

@@ -1288,20 +1288,37 @@ final class MsgEngine(val vault: MsgVault) {
     */
   def listConversations(filter: TextFilter = TextFilter()): DataFrame = {
     val msg = compileTextFilter(filter)
-    val stats = msg.groupBy(col("conversation_id"))
+    val baseStats = msg.groupBy(col("conversation_id"))
       .agg(count(lit(1)).as("message_count"),
-        // deliberate reference parity, imprecision included: the
-        // reference counts COALESCE(sender_id, 0) (duckdb_text.go:136,
-        // with its own TODO to use conversation_participants), so ALL
+        // fallback path (no junction in the star): reference parity,
+        // imprecision included — the reference counts
+        // COALESCE(sender_id, 0) (duckdb_text.go:136), so ALL
         // null-sender messages collapse into one phantom participant.
-        // The dual-path contact resolution (withContactPid) could do
-        // better, but would diverge from the numbers users see today.
         countDistinct(coalesce(col("sender_id"), lit(0L)))
-          .as("participant_count"),
+          .as("__sender_count"),
         max(col("sent_at")).as("last_message_at"),
         max_by(col("snippet"), struct(col("sent_at"), col("id")))
           .as("__preview"),
         min_by(col("source_id"), col("id")).as("__src_id"))
+    // participant_count: when the star carries the membership junction
+    // (exported since r14 — the reference's own TODO,
+    // duckdb_text.go:135), the count is TRUE membership — a member who
+    // never sent a message in the filter window still counts, which the
+    // sender-derived fallback cannot see. Junction rows per
+    // conversation, the same rule as the reference's denormalized
+    // participant_count (store/subset.go:423-427).
+    val stats = vault.conversationParticipants match {
+      case Some(cp) =>
+        val members = cp.groupBy(col("conversation_id").as("__cp_cid"))
+          .agg(count(lit(1)).as("__member_count"))
+        baseStats
+          .join(members, col("conversation_id") === col("__cp_cid"), "left")
+          .withColumn("participant_count",
+            coalesce(col("__member_count"), lit(0L)))
+          .drop("__cp_cid", "__member_count", "__sender_count")
+      case None =>
+        baseStats.withColumnRenamed("__sender_count", "participant_count")
+    }
     val conv = vault.conversations.select(col("id").as("__c_id"),
       coalesce(col("title"), lit("")).as("title"))
     val src = vault.sources.select(col("id").as("__s_id"),

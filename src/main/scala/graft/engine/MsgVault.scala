@@ -24,7 +24,14 @@ final case class MsgVault(
     messageLabels: DataFrame,
     attachments: DataFrame,
     conversations: DataFrame,
-    sources: DataFrame) {
+    sources: DataFrame,
+    // conversation membership junction (conversation_id, participant_id,
+    // role, joined_at) — the table the reference's own TODO wants
+    // exported (duckdb_text.go:135; OLTP schema store/messages.go:1552).
+    // Optional: stars built before r14 (and reference-built caches,
+    // which never export it) open without it, and every consumer falls
+    // back to the message-derived path.
+    conversationParticipants: Option[DataFrame] = None) {
 
   /** Attachment rollup pre-aggregated to message grain — joined *below*
     * aggregate joins to prevent fan-out double-count (reference
@@ -48,6 +55,8 @@ final case class MsgVault(
     attachments.createOrReplaceTempView("attachments")
     conversations.createOrReplaceTempView("conversations")
     sources.createOrReplaceTempView("sources")
+    conversationParticipants.foreach(
+      _.createOrReplaceTempView("conversation_participants"))
     MsgVault.convenienceViews.foreach(spark.sql(_))
   }
 }
@@ -76,7 +85,10 @@ object MsgVault {
       "conversation_type" -> lit(null).cast(StringType)),
     "sources" -> Seq(
       "source_type" -> lit(null).cast(StringType),
-      "display_name" -> lit(null).cast(StringType)))
+      "display_name" -> lit(null).cast(StringType)),
+    "conversation_participants" -> Seq(
+      "role" -> lit(null).cast(StringType),
+      "joined_at" -> lit(null).cast(TimestampType)))
 
   private def backfill(name: String, df: DataFrame): DataFrame =
     optionalColumns.getOrElse(name, Nil).foldLeft(df) {
@@ -123,7 +135,10 @@ object MsgVault {
       "title" -> StringType, "conversation_type" -> StringType),
     "sources" -> Seq(
       "id" -> LongType, "identifier" -> StringType,
-      "source_type" -> StringType, "display_name" -> StringType))
+      "source_type" -> StringType, "display_name" -> StringType),
+    "conversation_participants" -> Seq(
+      "conversation_id" -> LongType, "participant_id" -> LongType,
+      "role" -> StringType, "joined_at" -> TimestampType))
 
   /** Drift-cast defaults (views.go:181-196 COALESCE(TRY_CAST(..), d)). */
   private val castDefaults: Map[(String, String), Column] = Map(
@@ -163,6 +178,15 @@ object MsgVault {
     def readShards(name: String): DataFrame =
       canonicalize(name, backfill(name,
         spark.read.option("mergeSchema", "true").parquet(s"$dir/$name/*")))
+    // presence probe, not schema probe: a pre-r14 star simply has no
+    // conversation_participants directory — open it without the
+    // junction and let consumers fall back (the reference's own caches
+    // never export it, duckdb_text.go:135)
+    val cpPath = new org.apache.hadoop.fs.Path(
+      s"$dir/conversation_participants")
+    val hasCp = cpPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(cpPath)
     MsgVault(spark,
       messages = withYearMonth(read("messages")),
       recipients = readShards("message_recipients"),
@@ -171,14 +195,17 @@ object MsgVault {
       messageLabels = readShards("message_labels"),
       attachments = readShards("attachments"),
       conversations = read("conversations"),
-      sources = read("sources"))
+      sources = read("sources"),
+      conversationParticipants =
+        if (hasCp) Some(read("conversation_participants")) else None)
   }
 
   /** Build directly from in-memory frames (typed fixtures in tests). */
   def fromFrames(spark: SparkSession, messages: DataFrame, recipients: DataFrame,
       participants: DataFrame, labels: DataFrame, messageLabels: DataFrame,
       attachments: DataFrame, conversations: DataFrame,
-      sources: DataFrame): MsgVault =
+      sources: DataFrame,
+      conversationParticipants: Option[DataFrame] = None): MsgVault =
     MsgVault(spark,
       withYearMonth(canonicalize("messages", backfill("messages", messages))),
       canonicalize("message_recipients", recipients),
@@ -187,7 +214,10 @@ object MsgVault {
       canonicalize("message_labels", messageLabels),
       canonicalize("attachments", attachments),
       canonicalize("conversations", backfill("conversations", conversations)),
-      canonicalize("sources", backfill("sources", sources)))
+      canonicalize("sources", backfill("sources", sources)),
+      conversationParticipants.map(cp =>
+        canonicalize("conversation_participants",
+          backfill("conversation_participants", cp))))
 
   /** Derived year/month columns the ETL adds (build_cache.go:305-306). */
   private def withYearMonth(df: DataFrame): DataFrame = {

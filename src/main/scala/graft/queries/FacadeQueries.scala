@@ -120,8 +120,26 @@ object FacadeQueries {
       (0L, "a@gm.example", "gmail"), (1L, "b@im.example", "imap"),
       (2L, "c@mb.example", "mbox")).toDF("id", "identifier", "source_type")
 
+    // membership junction (10 conversations × 30 participants flattened
+    // from one range — no cross join): participant p belongs to
+    // conversation c iff p%10==c OR p%7==c. DISCRIMINATING from the
+    // sender-derived fallback by construction: the %7 members (e.g.
+    // p=8 in conversation 1) never send in that conversation (senders
+    // of conversation c are ⊆ {c, c+10, c+20}) yet must appear in
+    // member counts.
+    val convParticipants = s.range(300).select(
+      (col("id") / 30).cast("long").as("conversation_id"),
+      (col("id") % 30).as("participant_id"))
+      .filter(col("participant_id") % 10 === col("conversation_id") ||
+        col("participant_id") % 7 === col("conversation_id"))
+      .select(col("conversation_id"), col("participant_id"),
+        lit("member").as("role"),
+        timestamp_micros(lit(epochUs) +
+          col("participant_id") * lit(3600000000L)).as("joined_at"))
+
     MsgVault.fromFrames(s, messages, recipients, participants, labels,
-      messageLabels, attachments, conversations, sources)
+      messageLabels, attachments, conversations, sources,
+      conversationParticipants = Some(convParticipants))
   }
 
   /** One engine per (session, dir, corpus fingerprint) — facades like
@@ -378,15 +396,24 @@ object FacadeQueries {
   def textConversations(s: SparkSession, dir: String): DataFrame =
     engine(s, dir).listConversations(TextFilter())
 
+  // participant_count replays the fixture's MEMBERSHIP junction
+  // (p%10==c OR p%7==c over 10×30), not the sender-derived fallback —
+  // the %7 members never send in their conversation, so a sender-based
+  // count cannot reproduce these numbers (the leg is membership-
+  // discriminating by construction)
   val textConversationsSql: String =
     s"""$starCte,
        |chats AS (SELECT * FROM m
        |  WHERE NOT is_deleted AND message_type = 'sms'),
+       |members AS (
+       |  SELECT (t.id // 30) AS cid, CAST(COUNT(*) AS BIGINT) AS pc
+       |  FROM range(300) t(id)
+       |  WHERE (t.id % 30) % 10 = (t.id // 30)
+       |     OR (t.id % 30) % 7 = (t.id // 30)
+       |  GROUP BY 1),
        |stats AS (
        |  SELECT conversation_id,
        |         CAST(COUNT(*) AS BIGINT) AS message_count,
-       |         CAST(COUNT(DISTINCT COALESCE(sender_id, 0)) AS BIGINT)
-       |           AS participant_count,
        |         MAX(sent_at) AS last_message_at,
        |         arg_max(snippet, sent_at) AS last_preview,
        |         arg_min(source_id, id) AS src_id
@@ -395,9 +422,10 @@ object FacadeQueries {
        |       'conv-' || CAST(conversation_id AS VARCHAR) AS title,
        |       CASE src_id WHEN 0 THEN 'gmail' WHEN 1 THEN 'imap'
        |            ELSE 'mbox' END AS source_type,
-       |       message_count, participant_count, last_message_at,
-       |       last_preview
-       |FROM stats
+       |       message_count,
+       |       COALESCE(mem.pc, 0) AS participant_count,
+       |       last_message_at, last_preview
+       |FROM stats LEFT JOIN members mem ON mem.cid = stats.conversation_id
        |ORDER BY last_message_at DESC, conversation_id ASC
        |LIMIT 100""".stripMargin
 

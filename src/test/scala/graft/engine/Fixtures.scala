@@ -27,6 +27,9 @@ object Fixtures {
   case class ConvRow(id: Long, source_conversation_id: String,
       title: Option[String], conversation_type: Option[String])
   case class SrcRow(id: Long, identifier: String, source_type: Option[String])
+  case class CpRow(conversation_id: Long, participant_id: Long,
+      role: Option[String] = Some("member"),
+      joined_at: Option[Timestamp] = None)
 
   def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
@@ -48,11 +51,13 @@ object Fixtures {
       messageLabels: Seq[MlRow] = Nil,
       attachments: Seq[AttRow] = Nil,
       conversations: Seq[ConvRow] = Seq(ConvRow(1, "conv-1", None, None)),
-      sources: Seq[SrcRow] = Seq(SrcRow(1, "acct@example.com", Some("gmail")))): MsgVault = {
+      sources: Seq[SrcRow] = Seq(SrcRow(1, "acct@example.com", Some("gmail"))),
+      conversationParticipants: Option[Seq[CpRow]] = None): MsgVault = {
     import spark.implicits._
     MsgVault.fromFrames(spark,
       messages.toDF(), recipients.toDF(), participants.toDF(),
       labels.toDF("id", "name"), messageLabels.toDF(),
-      attachments.toDF(), conversations.toDF(), sources.toDF())
+      attachments.toDF(), conversations.toDF(), sources.toDF(),
+      conversationParticipants.map(_.toDF()))
   }
 }
