@@ -153,6 +153,18 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // noise block: how many cores THIS JVM averaged over the SERIAL
+    // timed section vs what the host loadavg claims was running —
+    // sampled BEFORE the throughput burst below (r14 review find: the
+    // burst's lagging 1-min EWMA would skew own-cores vs loadavg and
+    // mask or spuriously trip the external-load flag). ext_load > ~1.5
+    // (or a pre-loaded host) means the numbers above are
+    // co-tenant-contaminated.
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val load1 = loadAvg()
+    val cgSec = { val c = cgroupCpuSec(); if (c >= 0 && cg0 >= 0) c - cg0 else -1.0 }
+    val pcSec = { val p = procCpuSec(); if (p >= 0 && pc0 >= 0) p - pc0 else -1.0 }
+
     // Serving-shape throughput: the whole suite once more, N client
     // threads submitting concurrently through ONE session. The serial
     // numbers above pay Spark's fixed per-stage scheduler floor (60-250
@@ -160,9 +172,11 @@ object Bench {
     // query at a time; concurrent submission overlaps those floors,
     // which is the regime both a 1000-executor cluster and an embedded
     // engine behind a query API actually run. Reported as aggregate
-    // wall + qps alongside the serial per-query map. SPARK_GRAFT_TP=0
-    // skips (dev iteration).
+    // wall + qps alongside the serial per-query map; failures COUNT and
+    // exclude themselves from qps (a half-failed suite must not report
+    // a 2×-too-good rate). SPARK_GRAFT_TP=0 skips (dev iteration).
     val tpClients = sys.env.getOrElse("SPARK_GRAFT_TP", "8").toInt
+    val tpFailed = new java.util.concurrent.atomic.AtomicInteger(0)
     val tpWall: Double =
       if (tpClients <= 0) -1.0
       else {
@@ -173,7 +187,8 @@ object Bench {
           val t = new Thread(() => {
             var i = idx.getAndIncrement()
             while (i < tasks.length) {
-              try runOnce(tasks(i)._2) catch { case _: Throwable => () }
+              try runOnce(tasks(i)._2)
+              catch { case _: Throwable => tpFailed.incrementAndGet(); () }
               i = idx.getAndIncrement()
             }
           })
@@ -182,14 +197,6 @@ object Bench {
         threads.foreach(_.join())
         (System.nanoTime() - t0) / 1e9
       }
-
-    // noise block: how many cores THIS JVM averaged over the timed section
-    // vs what the host loadavg claims was running. ext_load > ~1.5 (or a
-    // pre-loaded host) means the numbers above are co-tenant-contaminated.
-    val wallSec = (System.nanoTime() - wall0) / 1e9
-    val load1 = loadAvg()
-    val cgSec = { val c = cgroupCpuSec(); if (c >= 0 && cg0 >= 0) c - cg0 else -1.0 }
-    val pcSec = { val p = procCpuSec(); if (p >= 0 && pc0 >= 0) p - pc0 else -1.0 }
     val ownCores = if (pcSec >= 0 && wallSec > 0) pcSec / wallSec else -1.0
     // ext_load needs BOTH readings: without ownCores the bench's own
     // multi-core load would count as "external" and flag every quiet
@@ -249,9 +256,13 @@ object Bench {
     // serving number (BASELINE "throughput mode")
     val tpStr =
       if (tpWall < 0) ""
-      else s""","throughput":{"clients":$tpClients,""" +
-        s""""wall_sec":${fmt(tpWall, 2)},"n":${bench.size},""" +
-        s""""qps":${fmt(bench.size / math.max(tpWall, 1e-9), 1)}}"""
+      else {
+        val served = bench.size - tpFailed.get()
+        s""","throughput":{"clients":$tpClients,""" +
+          s""""wall_sec":${fmt(tpWall, 2)},"n":${bench.size},""" +
+          s""""failed":${tpFailed.get()},""" +
+          s""""qps":${fmt(served / math.max(tpWall, 1e-9), 1)}}"""
+      }
     // companion sidecar carries the FULL 3-decimal per-query map — the
     // stdout line's adaptive truncation rolls sub-floor entries into
     // "other", which loses round-over-round per-query comparison

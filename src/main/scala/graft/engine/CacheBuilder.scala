@@ -506,6 +506,8 @@ object CacheBuilder {
         df.limit(0).write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$outDir/$n/batch_full")
       }
+      if (input.conversationParticipants.isEmpty)
+        deleteDir(spark, s"$outDir/conversation_participants")
       (Seq("participants" -> input.participants, "labels" -> input.labels,
         "conversations" -> input.conversations, "sources" -> input.sources) ++
         input.conversationParticipants
@@ -591,8 +593,12 @@ object CacheBuilder {
     // conversation_participants exports whenever the input carries it —
     // closing the reference's own TODO (duckdb_text.go:135: "use
     // conversation_participants table once exported to Parquet");
-    // conversation-grain, so it rewrites with the dims, and absence
-    // (legacy inputs) just leaves the membership fallback in place.
+    // conversation-grain, so it rewrites with the dims. A build from an
+    // input WITHOUT the junction must DELETE any prior export (r14
+    // review find): leaving it would make MsgVault.open's presence
+    // probe serve pre-rebuild membership forever.
+    if (input.conversationParticipants.isEmpty)
+      deleteDir(spark, s"$outDir/conversation_participants")
     (Seq("participants" -> input.participants, "labels" -> input.labels,
       "conversations" -> input.conversations, "sources" -> input.sources) ++
       input.conversationParticipants.map("conversation_participants" -> _))
@@ -661,6 +667,8 @@ object CacheBuilder {
           .option("compression", "zstd").saveAsTable(s"$db.$n")
       }
     } finally graft.queries.unpersistWithCheckpointLeaves(live)
+    if (input.conversationParticipants.isEmpty)
+      spark.sql(s"DROP TABLE IF EXISTS $db.conversation_participants")
     (Seq("participants" -> input.participants, "labels" -> input.labels,
       "conversations" -> input.conversations, "sources" -> input.sources) ++
       input.conversationParticipants.map("conversation_participants" -> _))

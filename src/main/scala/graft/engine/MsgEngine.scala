@@ -1313,8 +1313,14 @@ final class MsgEngine(val vault: MsgVault) {
           .agg(count(lit(1)).as("__member_count"))
         baseStats
           .join(members, col("conversation_id") === col("__cp_cid"), "left")
+          // per-CONVERSATION fallback (r14 review find): a junction-
+          // bearing star whose upstream synced no membership rows for
+          // SOME conversation (mixed-source archives) must not report
+          // 0 participants for a conversation that demonstrably has
+          // senders — fall back to the sender-derived count there,
+          // keeping the pre-junction floor of ≥1
           .withColumn("participant_count",
-            coalesce(col("__member_count"), lit(0L)))
+            coalesce(col("__member_count"), col("__sender_count")))
           .drop("__cp_cid", "__member_count", "__sender_count")
       case None =>
         baseStats.withColumnRenamed("__sender_count", "participant_count")

@@ -69,15 +69,20 @@ object StarSubset {
     require(!fs.exists(statePath),
       s"destination archive already exists: $outDir")
 
-    // most recent N fully-live messages (both delete classes hidden,
-    // live_messages.go:44) — recency DESC, id DESC (subset.go:236-239;
-    // the reference's COALESCE(sent_at, received_at, internal_date)
-    // collapses to sent_at in the star model). TakeOrdered: partial
-    // top-N per partition, one merge.
+    // most recent N fully-live DATED messages (both delete classes
+    // hidden, live_messages.go:44) — recency DESC, id DESC
+    // (subset.go:236-239; the reference's COALESCE(sent_at,
+    // received_at, internal_date) collapses to sent_at in the star
+    // model). Undated live rows are EXCLUDED up front (r14 review
+    // find): the star export drops them anyway (build_cache.go:308's
+    // WHERE), so selecting one would silently under-fill the subset
+    // while its dims had already been closured in. TakeOrdered:
+    // partial top-N per partition, one merge.
     val selected = src.messages
       .filter(col("deleted_at").isNull &&
-        col("deleted_from_source_at").isNull)
-      .orderBy(col("sent_at").desc_nulls_last, col("id").desc)
+        col("deleted_from_source_at").isNull &&
+        col("sent_at").isNotNull)
+      .orderBy(col("sent_at").desc, col("id").desc)
       .limit(rows)
       .localCheckpoint(true)
     val selIds = broadcast(selected.select(col("id").as("__sel_id")))
@@ -124,12 +129,23 @@ object StarSubset {
     require(violations.isEmpty,
       s"subset has dangling references: ${violations.mkString("; ")}")
 
-    Result(
-      messages = star.messages.count(),
-      conversations = star.conversations.count(),
-      participants = star.participants.count(),
-      labels = star.labels.count(),
-      sources = star.sources.count())
+    // one union job for the summary counts — five sequential driver
+    // .count() actions would pay a scheduler round-trip each (the same
+    // lesson the subset_star audit measured at ~10× latency)
+    def cnt(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(name).as("t"), col("n"))
+    val counts = Seq(
+      cnt("messages", star.messages),
+      cnt("conversations", star.conversations),
+      cnt("participants", star.participants),
+      cnt("labels", star.labels),
+      cnt("sources", star.sources)).reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Result(messages = counts("messages"),
+      conversations = counts("conversations"),
+      participants = counts("participants"),
+      labels = counts("labels"), sources = counts("sources"))
   }
 
   /** Dangling-reference audit over a star — every FK edge of the schema

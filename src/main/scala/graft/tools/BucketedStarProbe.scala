@@ -98,10 +98,11 @@ object BucketedStarProbe {
       }
       f -> times.toMap
     }
+    val (f0, base) = results.head
     for {
       (f, t) <- results.drop(1)
       (name, v) <- t.toSeq.sortBy(_._1)
-    } println(f"[bsp] growth $name ${f}x/1x = ${v / results.head._2(name)}%.2f")
+    } println(f"[bsp] growth $name ${f}x/${f0}x = ${v / base(name)}%.2f")
     spark.stop()
   }
 }

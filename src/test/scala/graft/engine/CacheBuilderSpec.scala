@@ -531,6 +531,43 @@ class CacheBuilderSpec extends SparkTestBase {
     val row2 = new MsgEngine(old).listConversations().collect().head
     assert(row2.getAs[Long]("participant_count") == 1L,
       "legacy star must keep the sender-derived count")
+
+    // a rebuild from a junction-LESS input must DELETE the prior
+    // export (r14 review find) — leaving it would serve pre-rebuild
+    // membership through the presence probe forever
+    CacheBuilder.build(spark,
+      texts.copy(conversationParticipants = None), out, forceFull = true)
+    assert(MsgVault.open(spark, out).conversationParticipants.isEmpty,
+      "stale conversation_participants must not survive a junction-less rebuild")
+
+    // per-CONVERSATION fallback (r14 review find): junction present but
+    // holding no rows for a conversation that has messages → the
+    // sender-derived count, not 0
+    val out3 = java.nio.file.Files.createTempDirectory("graft_cache_cp3").toString
+    val twoConvs = Fixtures.vault(spark,
+      messages = Seq(
+        msg(1L, "t1", "2024-01-10 10:00:00", msgType = Some("sms"),
+          convId = 1L, senderId = Some(1L)),
+        msg(2L, "t2", "2024-01-10 11:00:00", msgType = Some("sms"),
+          convId = 2L, senderId = Some(2L))),
+      recipients = (1 to 2).map(i => MrRow(i.toLong, 1L, "from", None)),
+      participants = Seq(
+        PRow(1, None, Some("A"), Some("+1"), None),
+        PRow(2, None, Some("B"), Some("+2"), None),
+        PRow(3, None, Some("C"), Some("+3"), None)),
+      conversations = Seq(ConvRow(1, "c1", Some("one"), Some("group")),
+        ConvRow(2, "c2", Some("two"), Some("direct"))),
+      // membership known only for conversation 1
+      conversationParticipants = Some(Seq(
+        CpRow(1L, 1L), CpRow(1L, 2L), CpRow(1L, 3L))))
+    CacheBuilder.build(spark, twoConvs, out3)
+    val rows3 = new MsgEngine(MsgVault.open(spark, out3))
+      .listConversations().collect()
+      .map(r => r.getAs[Long]("conversation_id") ->
+        r.getAs[Long]("participant_count")).toMap
+    assert(rows3(1L) == 3L, "junction-known conversation uses membership")
+    assert(rows3(2L) == 1L,
+      "junction-unknown conversation falls back to the sender count, not 0")
   }
 
   test("star subset (create-subset analogue): most-recent-N live, consistent, openable") {
