@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk batch-assembly step of an LLM
+  * pretraining pipeline: documents are concatenated in a deterministic
+  * global order and cut into fixed `seqLen`-token training sequences
+  * ("packs"). The operator computes each document's PLACEMENT: its
+  * global token offset, the pack that holds its first token, the pack
+  * that holds its last, and its start offset inside the first pack —
+  * everything a writer needs to emit packed examples (and a boundary
+  * mask) without ever materializing the concatenation.
+  *
+  * No reference analogue (the reference is a message archive, not a
+  * trainer); this belongs to the training-data operator family the
+  * engine serves at 100 TB (SURVEY §2.13 adjacents: token counting,
+  * mixing, splits).
+  *
+  * Scale design — the global prefix sum is the classic TWO-LEVEL scan,
+  * never a single-partition window:
+  *
+  *   1. range-partition on the order key (`doc_id`), so partition p
+  *      holds a contiguous key range below partition p+1;
+  *   2. per-partition local prefix sums (a window PARTITIONED on the
+  *      partition id — parallel, no global exchange);
+  *   3. the P per-partition totals (P = partition count, driver-bounded
+  *      by construction) collect to the driver, cumulative offsets are
+  *      computed over them, and re-join as a broadcast on partition id.
+  *
+  * The result is invariant to WHERE the range boundaries land (offsets
+  * derive from the total order, not the partitioning), so the sampled
+  * range partitioner costs no determinism. Placement columns are pure
+  * integer arithmetic over the offsets — bit-exact against any replay
+  * of the same order (the DuckDB oracle runs the same cumulative sum).
+  */
+object Packing {
+
+  /** Per-document placement under concat-and-chunk packing at `seqLen`
+    * tokens, documents ordered by `id` ascending. Zero-token documents
+    * occupy no slots: they sit AT their offset (start_in_pack =
+    * offset % seqLen, pack_last = pack_first) without advancing it.
+    *
+    * Output: (doc_id, n_tokens, tok_offset, pack_first, pack_last,
+    * start_in_pack).
+    */
+  def packPlacement(docs: DataFrame, id: Column, tokens: Column,
+      seqLen: Int, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val base = docs.select(id.as("doc_id"),
+      tokens.cast("long").as("n_tokens"))
+    // stage 1: contiguous key ranges; __pid captured AT this layout
+    val parted = base.repartitionByRange(n, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    // stage 2: local prefix within each partition id (parallel window)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // PINNED: the partial totals and the placement join both consume
+    // this frame; an unpinned re-derivation could re-sample the range
+    // boundaries and assign rows DIFFERENT partition ids than the ones
+    // the driver computed base offsets for — silently wrong offsets.
+    // The partials action below populates the cache; narrow projection
+    // (4 columns), spills to disk past memory.
+    val local = parted.withColumn("__before",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("__pid"), col("__before"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage 3: P partial totals -> driver -> cumulative base offsets
+    val partials = local.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = {
+      var acc = 0L
+      partials.map { case (pid, s) => val b = (pid, acc); acc += s; b }
+    }
+    val baseDf = broadcast(
+      spark.createDataFrame(bases.toSeq).toDF("__b_pid", "__poff"))
+    val offset = col("__poff") + col("__before")
+    // floor(double) division is exact below 2^53 — ~9e15 tokens, three
+    // orders past a 100 TB text corpus (~2.5e13 tokens)
+    local.join(baseDf, col("__pid") === col("__b_pid"))
+      .select(col("doc_id"), col("n_tokens"),
+        offset.as("tok_offset"),
+        floor(offset / seqLen).cast("long").as("pack_first"),
+        floor((offset + greatest(col("n_tokens"), lit(1L)) - 1) / seqLen)
+          .cast("long").as("pack_last"),
+        pmod(offset, lit(seqLen.toLong)).as("start_in_pack"))
+  }
+
+  /** Pack-level summary over a [[packPlacement]] result: documents per
+    * pack (counting every pack a document TOUCHES) and whether the pack
+    * contains a document boundary — the stats a packing-efficiency
+    * report reads. One explode of the per-doc pack range (bounded by
+    * each doc's span) + one hash aggregate on pack_id.
+    */
+  def packSummary(placement: DataFrame): DataFrame =
+    placement
+      .select(col("doc_id"),
+        explode(sequence(col("pack_first"), col("pack_last")))
+          .as("pack_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+}

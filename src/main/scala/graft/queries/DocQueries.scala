@@ -1203,7 +1203,70 @@ object DocQueries {
       |WHERE doc_id % 3 = 2
       |ORDER BY ${duckBucket("doc_id")}, doc_id ASC, frame_idx ASC""".stripMargin
 
+  /** Sequence packing placement ([[graft.operators.Packing]]): every
+    * document's global token offset and pack span under concat-and-
+    * chunk at 512 tokens, documents ordered by doc_id. The oracle
+    * replays the cumulative sum with a window — the two-level
+    * distributed scan must agree with the single-node prefix sum
+    * BIT-EXACTLY on every offset, which any partition-id/base-offset
+    * bug cannot fake.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    bucketOrdered(
+      graft.operators.Packing.packPlacement(
+        t(s, dir, "documents"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")), seqLen = 512),
+      col("doc_id"))
+
+  val packSequencesSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |           OVER (ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0) AS BIGINT) AS tok_offset
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, tok_offset,
+      |       CAST(tok_offset // 512 AS BIGINT) AS pack_first,
+      |       CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+      |         AS pack_last,
+      |       CAST(tok_offset % 512 AS BIGINT) AS start_in_pack
+      |FROM p ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
+
+  /** Pack-level rollup over the same placement (docs per pack, first /
+    * last doc) — the packing-efficiency report. */
+  def packSummary(s: SparkSession, dir: String): DataFrame =
+    bucketOrdered(
+      graft.operators.Packing.packSummary(
+        graft.operators.Packing.packPlacement(
+          t(s, dir, "documents"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), seqLen = 512)),
+      col("pack_id"))
+
+  val packSummarySql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |           OVER (ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0) AS tok_offset
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(CAST(tok_offset // 512 AS BIGINT),
+      |           CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // 512
+      |                AS BIGINT))) AS pack_id
+      |  FROM p)
+      |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM spans GROUP BY pack_id
+      |ORDER BY ${duckBucket("pack_id")}, pack_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "pack_sequences" -> (packSequences _, Some(packSequencesSql)),
+    "pack_summary" -> (packSummary _, Some(packSummarySql)),
     "multimodal_frames" -> (multimodalFrames _, Some(multimodalFramesSql)),
     "text_token_count" -> (textTokenCount _, Some(textTokenCountSql)),
     "text_token_count_bpe" -> (textTokenCountBpe _, Some(textTokenCountBpeSql)),

@@ -410,6 +410,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.groupBy(r => (r._1, r._3)).values.forall(_.length == 1))
   }
 
+  test("packPlacement: two-level scan equals the local prefix sum, any partitioning") {
+    val docs = Seq(
+      (1L, 100L), (2L, 0L), (3L, 250L), (4L, 512L), (5L, 7L),
+      (6L, 1024L), (7L, 1L), (8L, 511L), (9L, 2L), (10L, 300L))
+      .toDF("doc_id", "n")
+    // local replay: cumulative offsets in doc_id order
+    var acc = 0L
+    val expected = Seq((1L, 100L), (2L, 0L), (3L, 250L), (4L, 512L),
+      (5L, 7L), (6L, 1024L), (7L, 1L), (8L, 511L), (9L, 2L), (10L, 300L))
+      .map { case (id, n) =>
+        val off = acc; acc += n
+        val L = 64L
+        (id, n, off, off / L, (off + math.max(n, 1L) - 1) / L, off % L)
+      }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Packing.packPlacement(docs, col("doc_id"), col("n"),
+        seqLen = 64, partitions = parts)
+        .orderBy(col("doc_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got == expected, s"partitions=$parts")
+    }
+    // a zero-token doc occupies no slots but sits at its offset
+    val z = expected.find(_._1 == 2L).get
+    assert(z._3 == 100L && z._4 == z._5)
+    // summary: every touched pack counted once per doc
+    val sum4 = Packing.packSummary(Packing.packPlacement(docs,
+      col("doc_id"), col("n"), seqLen = 64, partitions = 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 6 spans 1024 tokens from offset 869: packs 13..29
+    (13L to 29L).foreach(p => assert(sum4.contains(p)))
+  }
+
   test("knnGraph salted pair stage (clusterHint) returns the unsalted graph exactly") {
     // the salt raises pair-stage parallelism when clusters < cores
     // (r14); it must be a pure physical rewrite — same pair set, each
