@@ -197,6 +197,11 @@ object Bench {
         threads.foreach(_.join())
         (System.nanoTime() - t0) / 1e9
       }
+    // the burst window gets its OWN load observation (r14 second
+    // review pass: moving the serial noise sample before the burst
+    // left tpWall unobserved — a co-tenant arriving during the burst
+    // would contaminate the headline throughput number with no flag)
+    val tpLoadAfter = if (tpWall < 0) -1.0 else loadAvg()
     val ownCores = if (pcSec >= 0 && wallSec > 0) pcSec / wallSec else -1.0
     // ext_load needs BOTH readings: without ownCores the bench's own
     // multi-core load would count as "external" and flag every quiet
@@ -258,9 +263,14 @@ object Bench {
       if (tpWall < 0) ""
       else {
         val served = bench.size - tpFailed.get()
+        // tp_load_after minus this JVM's own burst cores is not
+        // separable post-hoc; readers compare it against the client
+        // count — a value well above `clients` means co-tenant load
+        // rode the burst window
         s""","throughput":{"clients":$tpClients,""" +
           s""""wall_sec":${fmt(tpWall, 2)},"n":${bench.size},""" +
           s""""failed":${tpFailed.get()},""" +
+          s""""load_after":${fmt(tpLoadAfter, 2)},""" +
           s""""qps":${fmt(served / math.max(tpWall, 1e-9), 1)}}"""
       }
     // companion sidecar carries the FULL 3-decimal per-query map — the

@@ -59,16 +59,20 @@ object Packing {
     // stage 2: local prefix within each partition id (parallel window)
     val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // PINNED: the partial totals and the placement join both consume
-    // this frame; an unpinned re-derivation could re-sample the range
-    // boundaries and assign rows DIFFERENT partition ids than the ones
-    // the driver computed base offsets for — silently wrong offsets.
-    // The partials action below populates the cache; narrow projection
-    // (4 columns), spills to disk past memory.
-    val local = parted.withColumn("__before",
-      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("n_tokens"), col("__pid"), col("__before"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SNAPSHOTTED ([[graft.engine.Materialize.snapshot]] — the
+    // codebase's helper for exactly this hazard): the partial totals
+    // and the placement join both consume this frame, and an unpinned
+    // re-derivation could re-sample the range boundaries and assign
+    // rows DIFFERENT partition ids than the ones the driver computed
+    // base offsets for — silently wrong offsets. snapshot truncates
+    // lineage eagerly and self-cleans via the ContextCleaner (a bare
+    // persist would pin one cache entry per call for the session's
+    // lifetime — r14 review find). Narrow projection (4 columns).
+    val local = graft.engine.Materialize.snapshot(
+      parted.withColumn("__before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("__pid"),
+          col("__before")))
     // stage 3: P partial totals -> driver -> cumulative base offsets
     val partials = local.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__psum"))
@@ -92,18 +96,22 @@ object Packing {
   }
 
   /** Pack-level summary over a [[packPlacement]] result: documents per
-    * pack (counting every pack a document TOUCHES) and whether the pack
-    * contains a document boundary — the stats a packing-efficiency
-    * report reads. One explode of the per-doc pack range (bounded by
-    * each doc's span) + one hash aggregate on pack_id.
+    * pack (counting every pack a document TOUCHES), first/last doc, and
+    * `has_boundary` — whether a document STARTS strictly inside the
+    * pack (a mid-pack doc→doc transition, the positions a boundary/
+    * attention mask must mark; a doc starting exactly on the pack edge
+    * is no interior boundary). One explode of the per-doc pack range
+    * (bounded by each doc's span) + one hash aggregate on pack_id.
     */
   def packSummary(placement: DataFrame): DataFrame =
     placement
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pack_first"), col("start_in_pack"),
         explode(sequence(col("pack_first"), col("pack_last")))
           .as("pack_id"))
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+        max(col("doc_id")).as("last_doc"),
+        coalesce(max(col("pack_id") === col("pack_first") &&
+          col("start_in_pack") > 0), lit(false)).as("has_boundary"))
 }

@@ -1255,12 +1255,16 @@ object DocQueries {
       |  FROM documents),
       |spans AS (
       |  SELECT doc_id,
+      |         CAST(tok_offset // 512 AS BIGINT) AS pack_first,
+      |         CAST(tok_offset % 512 AS BIGINT) AS start_in_pack,
       |         unnest(generate_series(CAST(tok_offset // 512 AS BIGINT),
       |           CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // 512
       |                AS BIGINT))) AS pack_id
       |  FROM p)
       |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |       COALESCE(MAX(pack_id = pack_first AND start_in_pack > 0),
+      |                false) AS has_boundary
       |FROM spans GROUP BY pack_id
       |ORDER BY ${duckBucket("pack_id")}, pack_id ASC""".stripMargin
 

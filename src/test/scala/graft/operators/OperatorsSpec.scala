@@ -442,6 +442,18 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // doc 6 spans 1024 tokens from offset 869: packs 13..29
     (13L to 29L).foreach(p => assert(sum4.contains(p)))
+    // has_boundary: doc 6 STARTS mid-pack-13 (869 % 64 = 37 > 0) → its
+    // first pack carries a doc→doc transition; its continuation packs
+    // (sole occupant, no start) do not
+    val hb = Packing.packSummary(Packing.packPlacement(docs,
+      col("doc_id"), col("n"), seqLen = 64, partitions = 4))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(hb(13L))
+    // packs 14..28 hold only doc 6's continuation (no doc starts) —
+    // pack 29 is doc 6's LAST pack but docs 7 and 8 start mid-pack
+    // there (offsets 1893/1894), so its flag is true again
+    (14L to 28L).foreach(p => assert(!hb(p), s"pack $p"))
+    assert(hb(29L))
   }
 
   test("knnGraph salted pair stage (clusterHint) returns the unsalted graph exactly") {

@@ -56,7 +56,11 @@ def main(sf_dir, out_dir, threads=32, skip=()):
     clients = 8
     per_q = max(1, threads // clients)
     import threading
-    names = [n for n in sorted(oracle) if n not in skip and results.get(n) is not None]
+    # the FULL oracle set minus only the explicit skip list — mirroring
+    # the Spark bench's throughput block, which attempts every query and
+    # counts failures; excluding serially-errored oracles here would
+    # compare unequal workloads (r14 review find)
+    names = [n for n in sorted(oracle) if n not in skip]
     # cursors share the ONE warm in-memory database (same tables the
     # serial pass materialized) — DuckDB's documented multi-thread
     # pattern; per-query thread budget lowered so clients*threads≈cores
