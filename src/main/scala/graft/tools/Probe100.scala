@@ -93,7 +93,16 @@ object Probe100 {
         k = 4, w = 5, minShared = 2).count()),
       ("boilerplate_docfreq", d => Curation.ngramDocFreq(d, col("doc_id"),
         col("text"), n = 5, topK = 50).count()),
-      ("bigram_lm", bigramLm))
+      ("bigram_lm", bigramLm),
+      // two-level distributed scan (r14): forced through sum(pack_last)
+      // so the offset arithmetic actually evaluates (a bare count would
+      // let Catalyst prune the placement columns — the r13 probe lesson)
+      ("pack_placement", d => {
+        val row = graft.operators.Packing.packPlacement(d, col("doc_id"),
+          TextFunctions.tokenCount(col("text")), seqLen = 2048)
+          .agg(count(lit(1)).as("n"), sum(col("pack_last")).as("s")).head()
+        row.getLong(0)
+      }))
 
     val factors = Seq(1, 10, 100).filter(_ <= maxFactor)
     // warm once (codegen + catalog) on 1x
