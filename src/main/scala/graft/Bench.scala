@@ -176,27 +176,32 @@ object Bench {
     // exclude themselves from qps (a half-failed suite must not report
     // a 2×-too-good rate). SPARK_GRAFT_TP=0 skips (dev iteration).
     val tpClients = sys.env.getOrElse("SPARK_GRAFT_TP", "8").toInt
-    val tpFailed = new java.util.concurrent.atomic.AtomicInteger(0)
-    val tpWall: Double =
-      if (tpClients <= 0) -1.0
-      else {
-        val tasks = bench.toSeq.sortBy(_._1)
-        val idx = new java.util.concurrent.atomic.AtomicInteger(0)
-        val t0 = System.nanoTime()
-        val threads = (1 to tpClients).map { _ =>
-          val t = new Thread(() => {
-            var i = idx.getAndIncrement()
-            while (i < tasks.length) {
-              try runOnce(tasks(i)._2)
-              catch { case _: Throwable => tpFailed.incrementAndGet(); () }
-              i = idx.getAndIncrement()
-            }
-          })
-          t.start(); t
-        }
-        threads.foreach(_.join())
-        (System.nanoTime() - t0) / 1e9
+    def tpPass(): (Double, Int) = {
+      val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = bench.toSeq.sortBy(_._1)
+      val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0 = System.nanoTime()
+      val threads = (1 to tpClients).map { _ =>
+        val t = new Thread(() => {
+          var i = idx.getAndIncrement()
+          while (i < tasks.length) {
+            try runOnce(tasks(i)._2)
+            catch { case _: Throwable => failed.incrementAndGet(); () }
+            i = idx.getAndIncrement()
+          }
+        })
+        t.start(); t
       }
+      threads.foreach(_.join())
+      ((System.nanoTime() - t0) / 1e9, failed.get())
+    }
+    // best-of-2: burst scheduling gives the aggregate wall a ±20%
+    // run-to-run spread (r14: 16.3 vs 21.1 s on clean hosts) — the same
+    // steady-state-min estimator the serial loop uses, one extra pass.
+    // The reported failure count rides the quoted (min) pass.
+    val (tpWall, tpFailedN): (Double, Int) =
+      if (tpClients <= 0) (-1.0, 0)
+      else Seq(tpPass(), tpPass()).minBy(_._1)
     // the burst window gets its OWN load observation (r14 second
     // review pass: moving the serial noise sample before the burst
     // left tpWall unobserved — a co-tenant arriving during the burst
@@ -262,14 +267,14 @@ object Bench {
     val tpStr =
       if (tpWall < 0) ""
       else {
-        val served = bench.size - tpFailed.get()
+        val served = bench.size - tpFailedN
         // tp_load_after minus this JVM's own burst cores is not
         // separable post-hoc; readers compare it against the client
         // count — a value well above `clients` means co-tenant load
         // rode the burst window
         s""","throughput":{"clients":$tpClients,""" +
           s""""wall_sec":${fmt(tpWall, 2)},"n":${bench.size},""" +
-          s""""failed":${tpFailed.get()},""" +
+          s""""failed":$tpFailedN,""" +
           s""""load_after":${fmt(tpLoadAfter, 2)},""" +
           s""""qps":${fmt(served / math.max(tpWall, 1e-9), 1)}}"""
       }
