@@ -247,30 +247,43 @@ final class MsgEngine(val vault: MsgVault) {
     * fused with a 1-row × 1-row crossJoin (broadcast, no shuffle).
     */
   private[engine] def statsOf(msg: DataFrame): DataFrame = {
+    // FUSED single aggregate (same union construction as enrich /
+    // messageDetail): the label-name count used to be its own agg
+    // subtree crossJoined onto the rollup — one extra final-agg stage
+    // pair plus a nested-loop broadcast per stats call. The message
+    // rows (rollup-joined) and the match-scoped label rows union into
+    // one stream and aggregate ONCE; count/sum/countDistinct all skip
+    // nulls, so each column partitions back out by construction (label
+    // rows carry null size/source, message rows carry null label name).
     val att = vault.attachmentRollup
-    val main = msg.join(att, col("__att_mid") === msg("id"), "left")
-      .agg(
-        count(lit(1)).as("message_count"),
-        coalesce(sum(col("size_estimate")), lit(0L)).as("total_size"),
-        coalesce(sum(col("__att_size")), lit(0L)).cast("long").as("attachment_size"),
-        coalesce(sum(col("__att_cnt")), lit(0L)).cast("long").as("attachment_count"),
-        countDistinct(col("source_id")).as("distinct_sources"))
-    main.crossJoin(labelNameCount(msg))
-  }
-
-  /** COUNT(DISTINCT label name) over a message set — renamed projections
-    * throughout because the caller's set may already carry ml/lbl in its
-    * lineage (a label: term or Labels-view stats search), which would
-    * otherwise trip the ambiguous-self-join detector.
-    */
-  private[engine] def labelNameCount(msg: DataFrame): DataFrame = {
+    val mRows = msg.join(att, col("__att_mid") === msg("id"), "left")
+      .select(lit(1).as("__s_m"),
+        col("size_estimate").as("__s_size"),
+        col("__att_size").as("__s_asize"),
+        col("__att_cnt").as("__s_acnt"),
+        msg("source_id").as("__s_src"),
+        lit(null).cast("string").as("__s_lbl"))
     val ml = vault.messageLabels
       .select(col("message_id").as("__ml_mid"), col("label_id").as("__ml_lid"))
     val lbl = vault.labels
       .select(col("id").as("__lbl_id"), col("name").as("__lbl_name"))
-    ml.join(msg.select(msg("id").as("__sid")), col("__ml_mid") === col("__sid"), "left_semi")
+    val lRows = ml
+      .join(msg.select(msg("id").as("__sid")), col("__ml_mid") === col("__sid"),
+        "left_semi")
       .join(lbl, col("__lbl_id") === col("__ml_lid"))
-      .agg(countDistinct(col("__lbl_name")).as("label_count"))
+      .select(lit(null).cast("int").as("__s_m"),
+        lit(null).cast("long").as("__s_size"),
+        lit(null).cast("long").as("__s_asize"),
+        lit(null).cast("long").as("__s_acnt"),
+        lit(null).cast(msg.schema("source_id").dataType).as("__s_src"),
+        col("__lbl_name").as("__s_lbl"))
+    mRows.unionByName(lRows).agg(
+      count(col("__s_m")).as("message_count"),
+      coalesce(sum(col("__s_size")), lit(0L)).as("total_size"),
+      coalesce(sum(col("__s_asize")), lit(0L)).cast("long").as("attachment_size"),
+      coalesce(sum(col("__s_acnt")), lit(0L)).cast("long").as("attachment_count"),
+      countDistinct(col("__s_src")).as("distinct_sources"),
+      countDistinct(col("__s_lbl")).as("label_count"))
   }
 
   // ------------------------------------------------------------- listing
@@ -881,31 +894,64 @@ final class MsgEngine(val vault: MsgVault) {
       .withColumn("source_conversation_id",
         coalesce(col("source_conversation_id"), lit("")))
       .drop("__cv_id")
-    val parties = mr.filter(mr("message_id") === id)
+    // FUSED side aggregate (same construction as enrich's round-10
+    // fusion): parties, attachments and labels used to be three
+    // separately-aggregated subtrees — three shuffles and three joins
+    // per point lookup. The three id-filtered junction streams UNION
+    // into one superset-typed keyed stream and aggregate ONCE:
+    // collect_list skips nulls, so a conditional when(tag=…) collect
+    // partitions the rows back out without a pivot, and the aggregated
+    // side is ≤ one message's junction rows — broadcast by construction.
+    val partyT = "struct<email:string,name:string>"
+    val attT = "struct<id:bigint,filename:string,mime_type:string," +
+      "size:bigint,content_hash:string>"
+    val partyRows = mr.filter(mr("message_id") === id)
       .join(p, p("id") === mr("participant_id"))
-      .groupBy(mr("message_id").as("__d_mid"))
-      .pivot("recipient_type", Seq("from", "to", "cc", "bcc"))
-      .agg(array_sort(collect_list(struct(
-        coalesce(p("email_address"), lit("")).as("email"),
-        recipientName(mr("display_name"), p("display_name"),
-          p("phone_number"), p("email_address")).as("name")))))
-    val atts = vault.attachments.filter(col("message_id") === id)
-      .groupBy(col("message_id").as("__a_mid"))
-      .agg(array_sort(collect_list(struct(col("id"),
-        coalesce(col("filename"), lit("")).as("filename"),
-        coalesce(col("mime_type"), lit("")).as("mime_type"),
-        coalesce(col("size"), lit(0L)).as("size"),
-        coalesce(col("content_hash"), lit("")).as("content_hash"))))
-        .as("attachments"))
-    val lbls = vault.messageLabels.filter(col("message_id") === id)
+      .select(mr("message_id").as("__d_mid"),
+        mr("recipient_type").as("__d_tag"),
+        struct(
+          coalesce(p("email_address"), lit("")).as("email"),
+          recipientName(mr("display_name"), p("display_name"),
+            p("phone_number"), p("email_address")).as("name")).as("__d_party"),
+        lit(null).cast(attT).as("__d_att"),
+        lit(null).cast("string").as("__d_lbl"))
+    val attRows = vault.attachments.filter(col("message_id") === id)
+      .select(col("message_id").as("__d_mid"),
+        lit("att").as("__d_tag"),
+        lit(null).cast(partyT).as("__d_party"),
+        struct(col("id"),
+          coalesce(col("filename"), lit("")).as("filename"),
+          coalesce(col("mime_type"), lit("")).as("mime_type"),
+          coalesce(col("size"), lit(0L)).as("size"),
+          coalesce(col("content_hash"), lit("")).as("content_hash"))
+          .as("__d_att"),
+        lit(null).cast("string").as("__d_lbl"))
+    val lblRows = vault.messageLabels.filter(col("message_id") === id)
       .join(vault.labels, vault.labels("id") === vault.messageLabels("label_id"))
-      .groupBy(vault.messageLabels("message_id").as("__l_mid"))
-      .agg(array_sort(collect_list(col("name"))).as("labels"))
+      .select(vault.messageLabels("message_id").as("__d_mid"),
+        lit("lbl").as("__d_tag"),
+        lit(null).cast(partyT).as("__d_party"),
+        lit(null).cast(attT).as("__d_att"),
+        vault.labels("name").as("__d_lbl"))
+    def partyList(tag: String) =
+      array_sort(collect_list(when(col("__d_tag") === tag, col("__d_party"))))
+    val side = partyRows.unionByName(attRows).unionByName(lblRows)
+      .groupBy(col("__d_mid"))
+      .agg(partyList("from").as("from"), partyList("to").as("to"),
+        partyList("cc").as("cc"), partyList("bcc").as("bcc"),
+        array_sort(collect_list(col("__d_att"))).as("attachments"),
+        array_sort(collect_list(col("__d_lbl"))).as("labels"))
+    // empty→null preserves the pre-fusion shape exactly: the pivot/agg
+    // sides yielded NULL (not []) for a list with no rows, and callers'
+    // coalesce-to-[] sits on that contract
+    def nn(c: Column): Column = when(size(c) > 0, c)
     one
-      .join(parties, one("id") === col("__d_mid"), "left")
-      .join(atts, one("id") === col("__a_mid"), "left")
-      .join(lbls, one("id") === col("__l_mid"), "left")
-      .drop("__d_mid", "__a_mid", "__l_mid")
+      .join(broadcast(side), one("id") === col("__d_mid"), "left")
+      .select((one.columns.map(one(_)) ++ Seq(
+        nn(col("from")).as("from"), nn(col("to")).as("to"),
+        nn(col("cc")).as("cc"), nn(col("bcc")).as("bcc"),
+        nn(col("attachments")).as("attachments"),
+        nn(col("labels")).as("labels"))): _*)
   }
 
   /** Full detail INCLUDING body content (reference MessageDetail

@@ -166,7 +166,16 @@ object FacadeQueries {
     * already free to re-derive and exactly-sized for broadcast planning.
     */
   private[graft] def checkpointedEngine(v: MsgVault): MsgEngine = {
-    def ck(df: DataFrame) = df.localCheckpoint(true)
+    // The junctions are UNION-derived (recipients = 3 selects of the
+    // fact, messageLabels = 4), so they arrive at 3-4× the fact frame's
+    // partition count — and a localCheckpoint freezes that count into
+    // every downstream scan (a 50-row page paid 24+32 task launches per
+    // junction pass, pure local-mode overhead). Coalesce (narrow, no
+    // shuffle) back to the fact's own count before checkpointing; on a
+    // real cluster the star is parquet — maxPartitionBytes sizes those
+    // scans and this recipe never runs.
+    val n = math.max(1, v.messages.rdd.getNumPartitions)
+    def ck(df: DataFrame) = df.coalesce(n).localCheckpoint(true)
     new MsgEngine(v.copy(
       messages = ck(v.messages), recipients = ck(v.recipients),
       messageLabels = ck(v.messageLabels),
