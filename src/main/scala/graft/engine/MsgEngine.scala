@@ -214,11 +214,10 @@ final class MsgEngine(val vault: MsgVault) {
     totalStats(filter).as[TotalStats].head()
   }
 
-  /** Archive totals (reference GetTotalStats duckdb.go:1101-1179): one
-    * hash-agg pass over the filtered fact table + attachment rollup, plus
-    * a second small pass for the distinct-label-name count (the reference
-    * runs the same two queries — the label count is a different grain and
-    * folding it in would multiply the size sums).
+  /** Archive totals (reference GetTotalStats duckdb.go:1101-1179): the
+    * reference runs two queries (main rollup + distinct-label-name count
+    * — a different grain); here both grains ride ONE aggregate over a
+    * union of the two row streams — see [[statsOf]].
     */
   def totalStats(filter: MessageFilter = MessageFilter()): DataFrame =
     // email surface: the reference's GetTotalStats restricts to email
@@ -243,8 +242,8 @@ final class MsgEngine(val vault: MsgVault) {
     statsOf(msg)
   }
 
-  /** The shared stats aggregation: main rollup + distinct label names,
-    * fused with a 1-row × 1-row crossJoin (broadcast, no shuffle).
+  /** The shared stats aggregation: main rollup + distinct label names
+    * in ONE aggregate pass.
     */
   private[engine] def statsOf(msg: DataFrame): DataFrame = {
     // FUSED single aggregate (same union construction as enrich /
@@ -902,29 +901,34 @@ final class MsgEngine(val vault: MsgVault) {
     // collect_list skips nulls, so a conditional when(tag=…) collect
     // partitions the rows back out without a pivot, and the aggregated
     // side is ≤ one message's junction rows — broadcast by construction.
-    val partyT = "struct<email:string,name:string>"
-    val attT = "struct<id:bigint,filename:string,mime_type:string," +
-      "size:bigint,content_hash:string>"
-    val partyRows = mr.filter(mr("message_id") === id)
+    val mrOne = mr.filter(mr("message_id") === id)
       .join(p, p("id") === mr("participant_id"))
+    val partyStruct = struct(
+      coalesce(p("email_address"), lit("")).as("email"),
+      recipientName(mr("display_name"), p("display_name"),
+        p("phone_number"), p("email_address")).as("name"))
+    val attOne = vault.attachments.filter(col("message_id") === id)
+    val attStruct = struct(attOne("id"),
+      coalesce(attOne("filename"), lit("")).as("filename"),
+      coalesce(attOne("mime_type"), lit("")).as("mime_type"),
+      coalesce(attOne("size"), lit(0L)).as("size"),
+      coalesce(attOne("content_hash"), lit("")).as("content_hash"))
+    // null placeholders typed FROM the one real definition of each
+    // struct (a second hand-written DDL literal would have to track the
+    // canonical casts in lockstep and only fails at runtime analysis)
+    val partyT = mrOne.select(partyStruct).schema.head.dataType
+    val attT = attOne.select(attStruct).schema.head.dataType
+    val partyRows = mrOne
       .select(mr("message_id").as("__d_mid"),
         mr("recipient_type").as("__d_tag"),
-        struct(
-          coalesce(p("email_address"), lit("")).as("email"),
-          recipientName(mr("display_name"), p("display_name"),
-            p("phone_number"), p("email_address")).as("name")).as("__d_party"),
+        partyStruct.as("__d_party"),
         lit(null).cast(attT).as("__d_att"),
         lit(null).cast("string").as("__d_lbl"))
-    val attRows = vault.attachments.filter(col("message_id") === id)
-      .select(col("message_id").as("__d_mid"),
+    val attRows = attOne
+      .select(attOne("message_id").as("__d_mid"),
         lit("att").as("__d_tag"),
         lit(null).cast(partyT).as("__d_party"),
-        struct(col("id"),
-          coalesce(col("filename"), lit("")).as("filename"),
-          coalesce(col("mime_type"), lit("")).as("mime_type"),
-          coalesce(col("size"), lit(0L)).as("size"),
-          coalesce(col("content_hash"), lit("")).as("content_hash"))
-          .as("__d_att"),
+        attStruct.as("__d_att"),
         lit(null).cast("string").as("__d_lbl"))
     val lblRows = vault.messageLabels.filter(col("message_id") === id)
       .join(vault.labels, vault.labels("id") === vault.messageLabels("label_id"))
@@ -939,17 +943,23 @@ final class MsgEngine(val vault: MsgVault) {
       .groupBy(col("__d_mid"))
       .agg(partyList("from").as("from"), partyList("to").as("to"),
         partyList("cc").as("cc"), partyList("bcc").as("bcc"),
+        count(col("__d_party")).as("__d_nparty"),
         array_sort(collect_list(col("__d_att"))).as("attachments"),
         array_sort(collect_list(col("__d_lbl"))).as("labels"))
-    // empty→null preserves the pre-fusion shape exactly: the pivot/agg
-    // sides yielded NULL (not []) for a list with no rows, and callers'
-    // coalesce-to-[] sits on that contract
+    // Pre-fusion list shapes, exactly: the parties PIVOT emitted a row
+    // iff the message had ≥1 recipient row of ANY type — each type then
+    // read [] when its slot was empty — and NULL for all four types only
+    // when no recipient row existed at all; the attachments/labels
+    // subtrees (groupBy over their own rows) were NULL-or-non-empty,
+    // never []. The fused agg produces one row if ANY junction row
+    // exists, so the party count and empty→null restore each shape.
     def nn(c: Column): Column = when(size(c) > 0, c)
+    def partyShape(c: Column): Column = when(col("__d_nparty") > 0, c)
     one
       .join(broadcast(side), one("id") === col("__d_mid"), "left")
       .select((one.columns.map(one(_)) ++ Seq(
-        nn(col("from")).as("from"), nn(col("to")).as("to"),
-        nn(col("cc")).as("cc"), nn(col("bcc")).as("bcc"),
+        partyShape(col("from")).as("from"), partyShape(col("to")).as("to"),
+        partyShape(col("cc")).as("cc"), partyShape(col("bcc")).as("bcc"),
         nn(col("attachments")).as("attachments"),
         nn(col("labels")).as("labels"))): _*)
   }

@@ -663,6 +663,42 @@ class MsgEngineSpec extends SparkTestBase {
     assert(d2.getAs[String]("source_conversation_id") == "")
   }
 
+  test("messageDetail list-shape contract: absent side lists are NULL, not []") {
+    import spark.implicits._
+    // a message with labels but NO recipients/attachments: the fused
+    // side aggregate produces a row for it (the label stream), so the
+    // party/attachment lists must still come back NULL — the pre-fusion
+    // pivot yielded NULL for a list with no rows, and callers'
+    // coalesce-to-[] sits on that contract
+    val vv = MsgVault.fromFrames(spark,
+      Seq(msg(1, "labels only", "2024-01-01 10:00:00")).toDF(),
+      Seq.empty[MrRow].toDF(),
+      Seq.empty[PRow].toDF(),
+      Seq((1L, "INBOX")).toDF("id", "name"),
+      Seq(MlRow(1, 1)).toDF(),
+      Seq.empty[AttRow].toDF(),
+      Seq.empty[ConvRow].toDF(),
+      Seq(SrcRow(1, "a@x.com", Some("gmail"))).toDF())
+    val d = new MsgEngine(vv).messageDetail(1L).collect()(0)
+    assert(d.getAs[scala.collection.Seq[String]]("labels").toSeq == Seq("INBOX"))
+    Seq("from", "to", "cc", "bcc", "attachments").foreach { c =>
+      assert(d.isNullAt(d.fieldIndex(c)), s"$c must be NULL when absent")
+    }
+    // …but a message with ≥1 recipient row of ANY type reads [] (not
+    // NULL) for the other recipient types — the pivot's cell shape
+    // (shared fixture msg 5: one from row, no labels, no attachments)
+    val d2 = engine.messageDetail(5L).collect()(0)
+    assert(!d2.isNullAt(d2.fieldIndex("from")))
+    Seq("to", "cc", "bcc").foreach { c =>
+      assert(!d2.isNullAt(d2.fieldIndex(c)), s"$c must be [] with a from row")
+      assert(d2.getAs[scala.collection.Seq[_]](c).isEmpty)
+    }
+    // attachments/labels subtrees aggregate their own rows: msg 5 has
+    // neither → NULL, never []
+    assert(d2.isNullAt(d2.fieldIndex("attachments")))
+    assert(d2.isNullAt(d2.fieldIndex("labels")))
+  }
+
   test("listAccounts: '' display-name fallback, identifier order (sqlite.go:853-858)") {
     val accts = rows(engine.listAccounts())
     assert(accts.length == 1)
