@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity}
+import graft.operators.{BpeVocab, Dedup, IvfIndex, Multimodal, Similarity}
 import graft.search.SearchParser
 import graft.streaming.EventsStreaming
 
@@ -1121,6 +1121,86 @@ object DocQueries {
       |HAVING COUNT(*) >= 2
       |ORDER BY doc_freq DESC, ngram ASC LIMIT 50""".stripMargin
 
+  // --- BPE vocabulary induction (tokenizer training) ------------------------
+
+  private val BpeIters = 6
+
+  /** Learned merge table over the documents corpus
+    * ([[graft.operators.BpeVocab.learnMerges]]): 6 iterations of
+    * frequency-weighted pair-merge. The oracle replays the ENTIRE
+    * training loop in SQL — word dictionary, per-iteration pair count,
+    * (cnt DESC, pair ASC) argmax, double-delimiter literal rewrite —
+    * so the gate certifies the algorithm, not just the output shape.
+    */
+  def vocabBpeMerges(s: SparkSession, dir: String): DataFrame =
+    BpeVocab.learnMerges(t(s, dir, "documents"), col("text"), BpeIters)
+      .orderBy(col("iteration").asc)
+
+  /** One d(i-1) → (pair count → argmax → rewrite) → d(i) round per
+    * iteration; the Spark side's driver-literal chain replays as chained
+    * CTEs with scalar subqueries.
+    */
+  private def bpeCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (
+        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents) s
+        |  WHERE w <> '' GROUP BY w),
+        |d0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq,
+        |              freq FROM words)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT s.syms[u.i] || ' ' || s.syms[u.i+1] AS pair,
+        |         CAST(SUM(s.freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), '  ') AS syms, freq
+        |        FROM d${i - 1}) s,
+        |       UNNEST(generate_series(1, len(s.syms)-1)) AS u(i)
+        |  GROUP BY 1),
+        |t$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |d$i AS (
+        |  SELECT replace(seq,
+        |           ' ' || replace((SELECT pair FROM t$i), ' ', '  ') || ' ',
+        |           ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ')
+        |         AS seq, freq FROM d${i - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val vocabBpeMergesSql: String =
+    bpeCtes(BpeIters) + "\n" +
+      (1 to BpeIters).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS iteration, pair, cnt FROM t$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY iteration ASC")
+
+  /** The APPLY side ([[graft.operators.BpeVocab.applyMerges]]): tokenize
+    * the full corpus with the learned merges, top-50 subwords by
+    * occurrence. The Spark side deliberately rewrites per word
+    * OCCURRENCE (the corpus-scale path); the oracle rewrites the word
+    * DICTIONARY and weights by frequency — the gate proves the two
+    * formulations agree, which is exactly the train-on-dict /
+    * apply-to-corpus contract.
+    */
+  def vocabBpeSubwords(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = BpeVocab.learnMerges(docs, col("text"), BpeIters)
+      .orderBy(col("iteration").asc)
+      .collect().map(_.getString(1)).toSeq
+    BpeVocab.applyMerges(docs, col("doc_id"), col("text"), merges)
+      .groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("subword").asc)
+      .limit(50)
+  }
+
+  val vocabBpeSubwordsSql: String =
+    bpeCtes(BpeIters) + s""",
+      |sw AS (SELECT unnest(string_split(trim(seq), '  ')) AS subword, freq
+      |       FROM d$BpeIters)
+      |SELECT subword, CAST(SUM(freq) AS BIGINT) AS cnt FROM sw
+      |GROUP BY subword ORDER BY cnt DESC, subword ASC LIMIT 50""".stripMargin
+
   // --- multimodal plumbing -------------------------------------------------
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -1310,5 +1390,7 @@ object DocQueries {
     "multimodal_features" -> (multimodalFeatures _, Some(multimodalFeaturesSql)),
     "vector_quantize_int8" -> (vectorQuantizeInt8 _, Some(vectorQuantizeInt8Sql)),
     "ngram_docfreq" -> (ngramDocfreq _, Some(ngramDocfreqSql)),
+    "vocab_bpe_merges" -> (vocabBpeMerges _, Some(vocabBpeMergesSql)),
+    "vocab_bpe_subwords" -> (vocabBpeSubwords _, Some(vocabBpeSubwordsSql)),
     "text_bigram_lm" -> (textBigramLm _, Some(textBigramLmSql)))
 }
