@@ -1125,6 +1125,19 @@ object DocQueries {
 
   private val BpeIters = 6
 
+  /** The learned merge table is an INDEX artifact (train once, apply
+    * everywhere — the same contract as `semdedup_assign_16` and the
+    * int8 codes), memoized per (session, dir, corpus fingerprint): both
+    * vocab queries and any future apply path share one training run.
+    */
+  private def learnedMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, Long)] =
+    memoizedIndex(s, dir, s"bpe_merges_$BpeIters") {
+      BpeVocab.learnMerges(t(s, dir, "documents"), col("text"), BpeIters)
+        .orderBy(col("iteration").asc)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    }
+
   /** Learned merge table over the documents corpus
     * ([[graft.operators.BpeVocab.learnMerges]]): 6 iterations of
     * frequency-weighted pair-merge. The oracle replays the ENTIRE
@@ -1132,9 +1145,11 @@ object DocQueries {
     * (cnt DESC, pair ASC) argmax, double-delimiter literal rewrite —
     * so the gate certifies the algorithm, not just the output shape.
     */
-  def vocabBpeMerges(s: SparkSession, dir: String): DataFrame =
-    BpeVocab.learnMerges(t(s, dir, "documents"), col("text"), BpeIters)
+  def vocabBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnedMerges(s, dir).toDF("iteration", "pair", "cnt")
       .orderBy(col("iteration").asc)
+  }
 
   /** One d(i-1) → (pair count → argmax → rewrite) → d(i) round per
     * iteration; the Spark side's driver-literal chain replays as chained
@@ -1185,9 +1200,7 @@ object DocQueries {
     */
   def vocabBpeSubwords(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = BpeVocab.learnMerges(docs, col("text"), BpeIters)
-      .orderBy(col("iteration").asc)
-      .collect().map(_.getString(1)).toSeq
+    val merges = learnedMerges(s, dir).map(_._2)
     BpeVocab.applyMerges(docs, col("doc_id"), col("text"), merges)
       .groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("subword").asc)
