@@ -23,7 +23,9 @@ import graft.sources.Tables
   * tokens, which blew winnow pairs from 280 to 45.7M at 10× in this
   * probe's first run.
   *
-  * Usage: runMain graft.tools.Probe100 [sfDir] [maxFactor]
+  * Usage: runMain graft.tools.Probe100 [sfDir] [maxFactor] [op,op,…]
+  * (third arg filters to the named legs — a new operator's leg runs
+  * alone without re-paying the multi-minute dedup family).
   * Prints one line per (op, factor) plus per-decade growth ratios.
   */
 object Probe100 {
@@ -102,11 +104,27 @@ object Probe100 {
           TextFunctions.tokenCount(col("text")), seqLen = 2048)
           .agg(count(lit(1)).as("n"), sum(col("pack_last")).as("s")).head()
         row.getLong(0)
+      }),
+      // BPE training (r14): the x<i> copy suffix carries DIGITS, which
+      // the [a-z]+ word tokenizer would split off — collapsing every
+      // copy's vocabulary onto one "wordx" form and flattening the
+      // growth axis. Translating digits to letters makes the renaming
+      // bijective for THIS tokenizer too: the word dictionary grows
+      // ×factor, which is exactly the claim under test (one linear
+      // corpus pass builds the dict; the 6 merge iterations touch only
+      // the |vocab|-bounded dict).
+      ("bpe_learn", d => {
+        val dd = d.select(col("doc_id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        graft.operators.BpeVocab.learnMerges(dd, col("text"), 6).count()
       }))
+
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(ops)(names => ops.filter(o => names(o._1)))
 
     val factors = Seq(1, 10, 100).filter(_ <= maxFactor)
     // warm once (codegen + catalog) on 1x
-    ops.foreach { case (_, f) => f(docs1) }
+    selected.foreach { case (_, f) => f(docs1) }
 
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
     factors.foreach { factor =>
@@ -114,14 +132,14 @@ object Probe100 {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = d.count()
       println(s"[probe100] factor=$factor rows=$n")
-      ops.foreach { case (name, f) =>
+      selected.foreach { case (name, f) =>
         val (sec, rows) = time(f(d))
         results((name, factor)) = sec
         println(f"[probe100] $name%-22s ${factor}%4dx ${sec}%8.2f s  (rows=$rows)")
       }
       if (factor > 1) d.unpersist()
     }
-    ops.foreach { case (name, _) =>
+    selected.foreach { case (name, _) =>
       val decades = factors.sliding(2).collect {
         case Seq(a, b) if results.contains((name, b)) =>
           f"${b}x/${a}x=${results((name, b)) / results((name, a))}%.1f"
