@@ -1163,7 +1163,8 @@ object DocQueries {
         |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |    FROM documents) s
         |  WHERE w <> '' GROUP BY w),
-        |d0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq,
+        |d0 AS (SELECT word,
+        |              '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq,
         |              freq FROM words)""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(s""",
@@ -1176,7 +1177,7 @@ object DocQueries {
         |  GROUP BY 1),
         |t$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
         |d$i AS (
-        |  SELECT replace(seq,
+        |  SELECT word, replace(seq,
         |           ' ' || replace((SELECT pair FROM t$i), ' ', '  ') || ' ',
         |           ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ')
         |         AS seq, freq FROM d${i - 1})""".stripMargin)
@@ -1213,6 +1214,76 @@ object DocQueries {
       |       FROM d$BpeIters)
       |SELECT subword, CAST(SUM(freq) AS BIGINT) AS cnt FROM sw
       |GROUP BY subword ORDER BY cnt DESC, subword ASC LIMIT 50""".stripMargin
+
+  /** The end-to-end training-data pipeline as ONE declarative gated
+    * plan: quality gate → subword-tokenize with the LEARNED vocabulary
+    * (the memoized merge artifact) → concat-and-chunk packing at 512
+    * subword tokens → pack-level rollup. Every stage is individually
+    * oracled elsewhere (`text_quality_score`, `vocab_bpe_*`,
+    * `pack_summary`); this entry gates their COMPOSITION — the quality
+    * predicate applies pre-tokenize (both engines on the raw unrounded
+    * score), subword counts come per word OCCURRENCE on the Spark side
+    * vs frequency-dictionary lookup in the oracle, and the pack offsets
+    * ride the two-level distributed scan vs the oracle's single window.
+    */
+  def pipelineTokenizePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = learnedMerges(s, dir).map(_._2)
+    val kept = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+    val counts = BpeVocab.applyMerges(kept, col("doc_id"), col("text"), merges)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sub"))
+    bucketOrdered(
+      graft.operators.Packing.packSummary(
+        graft.operators.Packing.packPlacement(
+          counts, col("doc_id"), col("n_sub"), seqLen = 512)),
+      col("pack_id"))
+  }
+
+  val pipelineTokenizePackSql: String =
+    bpeCtes(BpeIters) + raw""",
+      |wc AS (SELECT word,
+      |              CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+      |                AS n_sub
+      |       FROM d$BpeIters),
+      |kept AS (
+      |  SELECT doc_id, text FROM documents WHERE (
+      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) +
+      |    least(CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
+      |    (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
+      |  ) / 4.0 >= 0.5),
+      |docw AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM kept) s WHERE w <> ''),
+      |cnt AS (
+      |  SELECT doc_id, CAST(SUM(wc.n_sub) AS BIGINT) AS n_sub
+      |  FROM docw JOIN wc ON wc.word = docw.w GROUP BY doc_id),
+      |p AS (
+      |  SELECT doc_id, n_sub,
+      |         COALESCE(SUM(n_sub)
+      |           OVER (ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0) AS tok_offset
+      |  FROM cnt),
+      |spans AS (
+      |  SELECT doc_id,
+      |         CAST(tok_offset // 512 AS BIGINT) AS pack_first,
+      |         CAST(tok_offset % 512 AS BIGINT) AS start_in_pack,
+      |         unnest(generate_series(CAST(tok_offset // 512 AS BIGINT),
+      |           CAST((tok_offset + GREATEST(n_sub, 1) - 1) // 512
+      |                AS BIGINT))) AS pack_id
+      |  FROM p)
+      |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |       COALESCE(MAX(pack_id = pack_first AND start_in_pack > 0),
+      |                false) AS has_boundary
+      |FROM spans GROUP BY pack_id
+      |ORDER BY ${duckBucket("pack_id")}, pack_id ASC""".stripMargin
 
   // --- multimodal plumbing -------------------------------------------------
 
@@ -1405,5 +1476,7 @@ object DocQueries {
     "ngram_docfreq" -> (ngramDocfreq _, Some(ngramDocfreqSql)),
     "vocab_bpe_merges" -> (vocabBpeMerges _, Some(vocabBpeMergesSql)),
     "vocab_bpe_subwords" -> (vocabBpeSubwords _, Some(vocabBpeSubwordsSql)),
+    "pipeline_tokenize_pack" ->
+      (pipelineTokenizePack _, Some(pipelineTokenizePackSql)),
     "text_bigram_lm" -> (textBigramLm _, Some(textBigramLmSql)))
 }
