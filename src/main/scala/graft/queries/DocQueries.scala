@@ -848,16 +848,7 @@ object DocQueries {
       col("doc_id"))
 
   val textQualityScoreSql: String =
-    raw"""SELECT doc_id, round((
-      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
-      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |    CAST(len(string_split(text, ' ')) AS DOUBLE) +
-      |  least(CAST(len(list_filter(string_split(text, ' '),
-      |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
-      |  (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
-      |    / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
-      |) / 4.0, 6) AS quality
+    s"""SELECT doc_id, $duckQualityScore AS quality
       |FROM documents ORDER BY ${duckBucket("doc_id")}, doc_id ASC""".stripMargin
 
   /** Classifier-based quality filter (the fastText-style companion to the
@@ -1147,8 +1138,10 @@ object DocQueries {
     */
   def vocabBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    learnedMerges(s, dir).toDF("iteration", "pair", "cnt")
-      .orderBy(col("iteration").asc)
+    // the memoized Seq is already iteration-ordered (collected under an
+    // orderBy) and a LocalRelation preserves it — a plan-level orderBy
+    // here would be the bare-unlimited-sort the package doc bans
+    learnedMerges(s, dir).sortBy(_._1).toDF("iteration", "pair", "cnt")
   }
 
   /** One d(i-1) → (pair count → argmax → rewrite) → d(i) round per
@@ -1166,6 +1159,16 @@ object DocQueries {
         |d0 AS (SELECT word,
         |              '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq,
         |              freq FROM words)""".stripMargin)
+    // t/d MATERIALIZED: DuckDB inlines a CTE per reference, and d(i)
+    // references t(i) twice and d(i-1) once — unmaterialized, the chain
+    // expands exponentially in the iteration count (the unguarded first
+    // cut planned fine at 2^k subtrees; one more t(i) reference tipped a
+    // 2-row corpus into minutes of planning). Materializing pins each
+    // level to one evaluation. Exhaustion guard: when t(i) is empty the
+    // scalar subquery is NULL and replace(seq, NULL, NULL) would NULL
+    // every seq — COALESCE to a chr(1) sentinel no [a-z ] sequence can
+    // contain, making the rewrite a no-op, which is exactly the Spark
+    // side's honest-prefix behavior.
     for (i <- 1 to iters) {
       sb.append(s""",
         |p$i AS (
@@ -1175,12 +1178,13 @@ object DocQueries {
         |        FROM d${i - 1}) s,
         |       UNNEST(generate_series(1, len(s.syms)-1)) AS u(i)
         |  GROUP BY 1),
-        |t$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
-        |d$i AS (
+        |t$i AS MATERIALIZED (
+        |  SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |d$i AS MATERIALIZED (
         |  SELECT word, replace(seq,
-        |           ' ' || replace((SELECT pair FROM t$i), ' ', '  ') || ' ',
-        |           ' ' || replace((SELECT pair FROM t$i), ' ', '') || ' ')
-        |         AS seq, freq FROM d${i - 1})""".stripMargin)
+        |    ' ' || replace(COALESCE((SELECT pair FROM t$i), chr(1)), ' ', '  ') || ' ',
+        |    ' ' || replace(COALESCE((SELECT pair FROM t$i), chr(1)), ' ', '') || ' ')
+        |  AS seq, freq FROM d${i - 1})""".stripMargin)
     }
     sb.toString
   }
@@ -1221,8 +1225,10 @@ object DocQueries {
     * subword tokens → pack-level rollup. Every stage is individually
     * oracled elsewhere (`text_quality_score`, `vocab_bpe_*`,
     * `pack_summary`); this entry gates their COMPOSITION — the quality
-    * predicate applies pre-tokenize (both engines on the raw unrounded
-    * score), subword counts come per word OCCURRENCE on the Spark side
+    * predicate applies pre-tokenize (both engines on the 6-dp ROUNDED
+    * score `TextFunctions.qualityScore` produces — the round is part of
+    * the contract, see [[duckQualityScore]]),
+    * subword counts come per word OCCURRENCE on the Spark side
     * vs frequency-dictionary lookup in the oracle, and the pack offsets
     * ride the two-level distributed scan vs the oracle's single window.
     */
@@ -1246,16 +1252,8 @@ object DocQueries {
       |                AS n_sub
       |       FROM d$BpeIters),
       |kept AS (
-      |  SELECT doc_id, text FROM documents WHERE (
-      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |      CAST(len(string_split(text, ' ')) AS DOUBLE) +
-      |    least(CAST(len(list_filter(string_split(text, ' '),
-      |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
-      |    (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
-      |      / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
-      |  ) / 4.0 >= 0.5),
+      |  SELECT doc_id, text FROM documents
+      |  WHERE $duckQualityScore >= 0.5),
       |docw AS (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

@@ -123,17 +123,7 @@ object PipelineQueries {
       col("cluster_id").asc)
   }
 
-  private val qualityScoreSql: String =
-    """round((
-      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
-      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-      |    CAST(len(string_split(text, ' ')) AS DOUBLE) +
-      |  least(CAST(len(list_filter(string_split(text, ' '),
-      |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
-      |  (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
-      |    / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
-      |) / 4.0, 6)""".stripMargin
+  private val qualityScoreSql: String = duckQualityScore
 
   val dedupClusterSurvivorSql: String =
     s"""$clusterLabelCte,

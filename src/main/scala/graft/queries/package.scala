@@ -121,6 +121,27 @@ package object queries {
   private[graft] def duckBucket(id: String): String =
     s"${duckDraw(id)} % $OrderBuckets"
 
+  /** THE quality-score formula, DuckDB side (Spark side:
+    * [[graft.functions.TextFunctions.qualityScore]], which rounds to
+    * 6 dp — the round is part of the contract and must ride along into
+    * any predicate built on the score). ONE definition composed by
+    * every oracle that scores or gates on quality; an inline copy is
+    * the drift mode that already bit once (a copy in a new pipeline
+    * oracle silently dropped the round, shifting a boundary doc's
+    * keep/drop verdict between engines).
+    */
+  private[queries] val duckQualityScore: String =
+    """round((
+      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) +
+      |  least(CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) +
+      |  (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\p{P}', '', 'g')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) * 4.0, 1.0))
+      |) / 4.0, 6)""".stripMargin
+
   /** Total order for a small result ABOVE a shuffle (agg/join/window):
     * coalesce the reduce side to one task and sort in place — no extra
     * exchange at all. Only for results small enough that a single-task
