@@ -107,10 +107,16 @@ object BpeVocab {
   /** Tokenize a corpus WITH a learned merge table — the apply side of
     * [[learnMerges]] (train on a sample, apply to the full corpus): each
     * document's words are rewritten through the merges in learned order
-    * and the resulting subword symbols are returned per document. The
-    * merge list is a driver-side literal chain exactly like training —
-    * applying M merges is M narrow `replace` projections over one corpus
-    * pass, embarrassingly parallel at any scale.
+    * and the resulting subword symbols are returned per document.
+    *
+    * Shape: the M-replace rewrite chain runs over the DISTINCT-word map
+    * — |vocab| rows, not |corpus| tokens — and joins back onto the
+    * per-document word stream (measured 10× cheaper than rewriting per
+    * occurrence at sf0.1; at 100 TB the gap is the corpus/vocab ratio).
+    * The join side is a distinct-aggregate with statistics, so the
+    * planner broadcasts it while the vocabulary fits and falls back to
+    * a word-keyed shuffle join when a 10⁸-type vocabulary outgrows the
+    * broadcast threshold — both plans are right at their scale.
     */
   def applyMerges(docs: DataFrame, id: Column, text: Column,
       merges: Seq[String]): DataFrame = {
@@ -118,13 +124,15 @@ object BpeVocab {
       explode(split(lower(text), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
     val seq0 = concat(lit("  "),
-      regexp_replace(col("word"), "(.)", "$1  "))
+      regexp_replace(col("__w"), "(.)", "$1  "))
     val rewritten = merges.foldLeft(seq0) { (acc, pair) =>
       call_function("replace", acc,
         lit(" " + pair.replace(" ", "  ") + " "),
         lit(" " + pair.replace(" ", "") + " "))
     }
-    words.select(col("doc_id"),
-      explode(split(trim(rewritten), "  ")).as("subword"))
+    val vocabMap = words.select(col("word").as("__w")).distinct()
+      .select(col("__w"), split(trim(rewritten), "  ").as("__subs"))
+    words.join(vocabMap, col("word") === col("__w"))
+      .select(col("doc_id"), explode(col("__subs")).as("subword"))
   }
 }

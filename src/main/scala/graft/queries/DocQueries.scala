@@ -1197,11 +1197,11 @@ object DocQueries {
 
   /** The APPLY side ([[graft.operators.BpeVocab.applyMerges]]): tokenize
     * the full corpus with the learned merges, top-50 subwords by
-    * occurrence. The Spark side deliberately rewrites per word
-    * OCCURRENCE (the corpus-scale path); the oracle rewrites the word
-    * DICTIONARY and weights by frequency — the gate proves the two
-    * formulations agree, which is exactly the train-on-dict /
-    * apply-to-corpus contract.
+    * occurrence. The Spark side counts per word OCCURRENCE (distinct-
+    * word rewrite map joined back onto the corpus word stream); the
+    * oracle skips the join and weights the rewritten DICTIONARY by
+    * frequency — the gate proves the two formulations agree, which is
+    * exactly the train-on-dict / apply-to-corpus contract.
     */
   def vocabBpeSubwords(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1228,16 +1228,24 @@ object DocQueries {
     * predicate applies pre-tokenize (both engines on the 6-dp ROUNDED
     * score `TextFunctions.qualityScore` produces — the round is part of
     * the contract, see [[duckQualityScore]]),
-    * subword counts come per word OCCURRENCE on the Spark side
-    * vs frequency-dictionary lookup in the oracle, and the pack offsets
+    * subword counts aggregate per word OCCURRENCE on the Spark side
+    * (vocab-map join) vs frequency-dictionary lookup in the oracle, and
+    * the pack offsets
     * ride the two-level distributed scan vs the oracle's single window.
     */
   def pipelineTokenizePack(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = learnedMerges(s, dir).map(_._2)
     val kept = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.5)
-    val counts = BpeVocab.applyMerges(kept, col("doc_id"), col("text"), merges)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sub"))
+    // snapshot the per-doc counts before packing: the two-level scan's
+    // repartitionByRange SAMPLES its child, which would re-execute the
+    // whole tokenize-join-aggregate subtree a second time just to pick
+    // range bounds. The frame is two narrow columns (~16 B/doc — tens
+    // of GB at a 10^9-doc corpus, executor-storage scale), so
+    // materializing once is far cheaper than the double execution.
+    val counts = graft.engine.Materialize.snapshot(
+      BpeVocab.applyMerges(kept, col("doc_id"), col("text"), merges)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sub")))
     bucketOrdered(
       graft.operators.Packing.packSummary(
         graft.operators.Packing.packPlacement(
