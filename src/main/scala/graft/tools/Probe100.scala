@@ -117,6 +117,24 @@ object Probe100 {
         val dd = d.select(col("doc_id"),
           translate(col("text"), "0123456789", "abcdefghij").as("text"))
         graft.operators.BpeVocab.learnMerges(dd, col("text"), 6).count()
+      }),
+      // full composed pipeline (quality gate → vocab-map tokenize with
+      // freshly learned merges → packing rollup) — certifies the
+      // composition's growth, not just each stage's: the vocab map
+      // grows ×factor (alphabetic renaming), the corpus word stream
+      // ×factor, and the two-level pack scan stays two shuffles.
+      ("pipeline_pack", d => {
+        import graft.operators.{BpeVocab, Packing}
+        val dd = d.select(col("doc_id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        val merges = BpeVocab.learnMerges(dd, col("text"), 6)
+          .orderBy(col("iteration")).collect().map(_.getString(1)).toSeq
+        val kept = dd.filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        val counts = BpeVocab.applyMerges(kept, col("doc_id"), col("text"), merges)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sub"))
+          .localCheckpoint(true)
+        Packing.packSummary(Packing.packPlacement(
+          counts, col("doc_id"), col("n_sub"), seqLen = 2048)).count()
       }))
 
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
