@@ -120,9 +120,17 @@ object BpeVocab {
     */
   def applyMerges(docs: DataFrame, id: Column, text: Column,
       merges: Seq[String]): DataFrame = {
-    val words = docs.select(id.as("doc_id"),
-      explode(split(lower(text), "[^a-z]+")).as("word"))
-      .filter(col("word") =!= "")
+    // snapshot the word stream ONCE: it feeds BOTH the distinct vocab
+    // map and the join's probe side, which are separate physical
+    // subtrees — without this the upstream corpus lineage (a caller's
+    // quality gate + the tokenize explode) executes twice per call.
+    // The frame is two narrow columns; the materialization strategy is
+    // conf-selectable (graft.engine.Materialize — localCheckpoint
+    // default, persist/checkpoint for recompute-on-loss clusters).
+    val words = graft.engine.Materialize.snapshot(
+      docs.select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("word"))
+        .filter(col("word") =!= ""))
     val seq0 = concat(lit("  "),
       regexp_replace(col("__w"), "(.)", "$1  "))
     val rewritten = merges.foldLeft(seq0) { (acc, pair) =>

@@ -1156,9 +1156,10 @@ object DocQueries {
         |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |    FROM documents) s
         |  WHERE w <> '' GROUP BY w),
-        |d0 AS (SELECT word,
-        |              '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq,
-        |              freq FROM words)""".stripMargin)
+        |d0 AS MATERIALIZED (
+        |  SELECT word,
+        |         '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq,
+        |         freq FROM words)""".stripMargin)
     // t/d MATERIALIZED: DuckDB inlines a CTE per reference, and d(i)
     // references t(i) twice and d(i-1) once — unmaterialized, the chain
     // expands exponentially in the iteration count (the unguarded first

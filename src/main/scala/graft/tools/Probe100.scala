@@ -139,6 +139,9 @@ object Probe100 {
 
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(ops)(names => ops.filter(o => names(o._1)))
+    require(selected.nonEmpty,
+      s"no matching legs in '${args.lift(2).getOrElse("")}' — valid: " +
+        ops.map(_._1).mkString(", "))
 
     val factors = Seq(1, 10, 100).filter(_ <= maxFactor)
     // warm once (codegen + catalog) on 1x
