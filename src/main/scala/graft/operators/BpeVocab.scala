@@ -39,14 +39,40 @@ import org.apache.spark.sql.functions._
   * Scale shape: everything after step 1 operates on the |vocab|-bounded
   * dictionary, never the corpus — at 100 TB the dictionary is the
   * 10⁷-10⁸-row word-type table, not the 10¹¹-row token stream. Per
-  * iteration: one narrow shuffle (pair count over exploded adjacent
-  * pairs, map-side combined) plus a 1-row driver collect (the argmax —
-  * the same bounded scalar-per-step contract as the k-means centroid
-  * draws, Similarity.scala). The iteration chain adds one literal
-  * `replace` projection per step on the PERSISTED dictionary — narrow,
-  * codegen'd, no lineage blow-up (the driver-side literal breaks the
-  * top-1 subtree out of the next iteration's plan; an in-plan crossJoin
-  * would double the lineage per step).
+  * ROUND: one narrow shuffle (pair count over exploded adjacent pairs,
+  * map-side combined) plus one bounded driver collect (the top-`batchK`
+  * candidate pairs — the same bounded scalar-per-step contract as the
+  * k-means centroid draws, Similarity.scala). Two mechanisms keep a
+  * production-size vocabulary (10³-10⁵ merges) tractable where the
+  * naive loop is not:
+  *
+  *   - '''batched rounds''' (`batchK`): each round greedily accepts up
+  *     to `batchK` pairs from the round's ranking in rank order,
+  *     SKIPPING any candidate that conflicts with an earlier acceptance
+  *     — (c, d) is compatible only while neither c nor d equals any
+  *     accepted pair's left, right, or minted symbol. Compatibility
+  *     makes every accepted pair's round-start count EXACT at its own
+  *     apply time (an earlier batch merge can only destroy an
+  *     occurrence of (c, d) by sharing a symbol, and can only create
+  *     one through its minted symbol — both excluded). Divergences from
+  *     strict sequential BPE are the standard frequency-batched ones: a
+  *     skipped (conflicting) pair is deferred to the next round's
+  *     recount while lower-ranked compatible pairs land first, and a
+  *     pair CREATED mid-round (involving a freshly minted symbol) can
+  *     out-count a later batch member unseen. The round's top-1 is
+  *     always compatible (the used-set starts empty), so every round
+  *     makes progress. `batchK = 1` (the default, and what every
+  *     oracle entry runs) is EXACTLY strict sequential.
+  *   - '''bounded plan depth''': each accepted merge appends one literal
+  *     `replace` projection to the dictionary plan; after
+  *     [[SnapshotEvery]] accumulated replaces the dictionary is
+  *     re-materialized ([[graft.engine.Materialize.snapshot]]) and the
+  *     chain resets. Plan depth and per-round recompute are both bounded
+  *     by [[SnapshotEvery]] narrow projections over the vocab-bounded
+  *     dictionary — without this, iteration k replays all k-1 prior
+  *     replaces from d0 (O(k²) total projection work) and a 10³-deep
+  *     expression chain blows codegen/analysis budgets (the failure
+  *     class TopCentroids hit at nList=160).
   *
   * Degenerate corpora: when no adjacent pair remains (every word fully
   * merged), iteration stops early and the merge table is short —
@@ -54,6 +80,14 @@ import org.apache.spark.sql.functions._
   * honest prefix.
   */
 object BpeVocab {
+
+  /** Replace-projection chain length at which [[learnMerges]] re-snapshots
+    * the working dictionary. 24 keeps analysis/codegen comfortably inside
+    * budget (each link is one three-literal `replace` call) while paying
+    * one localCheckpoint per ~24 merges — at 32k merges that is ~1.3k
+    * snapshots of a vocab-bounded two-column frame.
+    */
+  private[operators] val SnapshotEvery = 24
 
   /** Word-frequency dictionary: lowercased [a-z]+ word types with corpus
     * frequencies. One corpus pass, one hash shuffle.
@@ -67,9 +101,18 @@ object BpeVocab {
     * (iteration, pair, cnt): 1-based iteration, the merged pair as
     * "a b", and its frequency-weighted adjacent-pair count at merge
     * time.
+    *
+    * `batchK` > 1 accepts up to that many symbol-compatible merges per
+    * counting round (see class doc for the exactness contract); the
+    * default 1 is strict sequential BPE and is what the DuckDB oracles
+    * replay. Driver round-trips shrink from `iterations` to
+    * ~`iterations / batchK` — the lever that takes a 32k-merge
+    * production vocabulary from 32k sequential Spark jobs to ~500.
     */
-  def learnMerges(docs: DataFrame, text: Column, iterations: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, text: Column, iterations: Int,
+      batchK: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val spark = docs.sparkSession
     import spark.implicits._
     // '  l  o  w  ': char → "c  " via regexp_replace, double-space prefix
@@ -78,30 +121,96 @@ object BpeVocab {
         regexp_replace(col("word"), "(.)", "$1  ")).as("seq"), col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var d = d0
+      var d: DataFrame = d0
+      var chainLen = 0 // replace projections since the last materialization
       val merges = Seq.newBuilder[(Long, String, Long)]
+      var done = 0
       var exhausted = false
-      for (i <- 1 to iterations if !exhausted) {
+      while (done < iterations && !exhausted) {
         val syms = split(trim(col("seq")), "  ")
         val pairs = zip_with(
           slice(syms, lit(1), size(syms) - 1),
           slice(syms, lit(2), size(syms) - 1),
           (a, b) => concat(a, lit(" "), b))
+        val want = math.min(batchK, iterations - done)
+        // bounded collect: 4× headroom over `want` so skipped
+        // (conflicting) candidates don't starve the batch — still
+        // O(batchK) rows, never the pair table
         val top = d.select(explode(pairs).as("pair"), col("freq"))
           .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair").asc)
-          .limit(1).collect()
+          .limit(if (want == 1) 1 else want * 4).collect()
         if (top.isEmpty) exhausted = true
         else {
-          val pair = top(0).getString(0)
-          merges += ((i.toLong, pair, top(0).getLong(1)))
-          d = d.withColumn("seq", call_function("replace", col("seq"),
-            lit(" " + pair.replace(" ", "  ") + " "),
-            lit(" " + pair.replace(" ", "") + " ")))
+          // greedy compatible set in rank order: skip any candidate
+          // sharing a symbol with (or equal to the mint of) an earlier
+          // acceptance — its round-start count is already invalidated;
+          // it gets recounted next round
+          val used = scala.collection.mutable.HashSet.empty[String]
+          val accepted = top.iterator.map { r =>
+            (r.getString(0), r.getLong(1))
+          }.filter { case (pair, _) =>
+            val Array(a, b) = pair.split(" ", 2)
+            val ok = !used(a) && !used(b)
+            if (ok) { used += a; used += b; used += (a + b) }
+            ok
+          }.take(want).toSeq
+          for ((pair, cnt) <- accepted) {
+            done += 1
+            merges += ((done.toLong, pair, cnt))
+            d = d.withColumn("seq", call_function("replace", col("seq"),
+              lit(" " + pair.replace(" ", "  ") + " "),
+              lit(" " + pair.replace(" ", "") + " ")))
+          }
+          chainLen += accepted.size
+          if (chainLen >= SnapshotEvery && done < iterations) {
+            d = graft.engine.Materialize.snapshot(d)
+            chainLen = 0
+          }
         }
       }
       merges.result().toDF("iteration", "pair", "cnt")
     } finally { d0.unpersist(); () }
+  }
+
+  /** Exact per-word replay of the learned replace chain, as ONE compiled
+    * pass instead of `merges.size` stacked `replace` projections: for
+    * each merge (a, b) in learned order, IF both symbols are present in
+    * the word's current symbol set, run one left-to-right
+    * non-overlapping merge pass — bit-identical to the double-delimiter
+    * literal `replace` (the LTR scan never re-examines replaced output),
+    * and a skipped merge is exactly the replace chain's no-op. Cost per
+    * word: two O(1) set probes per SKIPPED merge and one O(len) pass +
+    * set rebuild per APPLIED merge (applied merges per word are bounded
+    * by its length), so a 32k-entry merge table costs ~64k hash probes
+    * per word TYPE — flat in table size where the expression chain was
+    * linear in plan depth and blew codegen far earlier.
+    */
+  private[operators] def tokenizeWord(w: String,
+      merges: Array[(String, String)]): Seq[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    val present = scala.collection.mutable.HashSet.empty[String]
+    present ++= syms
+    var m = 0
+    while (m < merges.length && syms.length > 1) {
+      val (a, b) = merges(m)
+      if (present(a) && present(b)) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        var applied = false
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); applied = true; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        if (applied) {
+          syms = out.toArray
+          present.clear(); present ++= syms
+        }
+      }
+      m += 1
+    }
+    syms.toIndexedSeq
   }
 
   /** Tokenize a corpus WITH a learned merge table — the apply side of
@@ -109,17 +218,22 @@ object BpeVocab {
     * document's words are rewritten through the merges in learned order
     * and the resulting subword symbols are returned per document.
     *
-    * Shape: the M-replace rewrite chain runs over the DISTINCT-word map
-    * — |vocab| rows, not |corpus| tokens — and joins back onto the
-    * per-document word stream (measured 10× cheaper than rewriting per
-    * occurrence at sf0.1; at 100 TB the gap is the corpus/vocab ratio).
-    * The join side is a distinct-aggregate with statistics, so the
-    * planner broadcasts it while the vocabulary fits and falls back to
-    * a word-keyed shuffle join when a 10⁸-type vocabulary outgrows the
+    * Shape: the rewrite runs over the DISTINCT-word map — |vocab| rows,
+    * not |corpus| tokens — via ONE `mapPartitions` pass carrying the
+    * broadcast merge table ([[tokenizeWord]]; measured 10× cheaper than
+    * rewriting per occurrence at sf0.1, and flat in merge-table size
+    * where the former per-merge `replace` projection chain was linear in
+    * plan depth and hit codegen/analysis budgets near ~10² merges). The
+    * map joins back onto the per-document word stream; the join side is
+    * a distinct aggregate, so the planner (or AQE, from runtime sizes)
+    * broadcasts it while the vocabulary fits and falls back to a
+    * word-keyed shuffle join when a 10⁸-type vocabulary outgrows the
     * broadcast threshold — both plans are right at their scale.
     */
   def applyMerges(docs: DataFrame, id: Column, text: Column,
       merges: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // snapshot the word stream ONCE: it feeds BOTH the distinct vocab
     // map and the join's probe side, which are separate physical
     // subtrees — without this the upstream corpus lineage (a caller's
@@ -131,15 +245,15 @@ object BpeVocab {
       docs.select(id.as("doc_id"),
         explode(split(lower(text), "[^a-z]+")).as("word"))
         .filter(col("word") =!= ""))
-    val seq0 = concat(lit("  "),
-      regexp_replace(col("__w"), "(.)", "$1  "))
-    val rewritten = merges.foldLeft(seq0) { (acc, pair) =>
-      call_function("replace", acc,
-        lit(" " + pair.replace(" ", "  ") + " "),
-        lit(" " + pair.replace(" ", "") + " "))
-    }
-    val vocabMap = words.select(col("word").as("__w")).distinct()
-      .select(col("__w"), split(trim(rewritten), "  ").as("__subs"))
+    val table = merges.map { p =>
+      val Array(a, b) = p.split(" ", 2); (a, b)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(table)
+    val vocabMap = words.select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map(w => (w, tokenizeWord(w, ms)))
+      }.toDF("__w", "__subs")
     words.join(vocabMap, col("word") === col("__w"))
       .select(col("doc_id"), explode(col("__subs")).as("subword"))
   }
