@@ -95,6 +95,60 @@ object Packing {
         pmod(offset, lit(seqLen.toLong)).as("start_in_pack"))
   }
 
+  /** EMIT the packed examples a trainer consumes — the write side of
+    * [[packPlacement]] (which computes placement without materializing
+    * the concatenation; this materializes it, sharded). Each output row
+    * is one `seqLen`-token training sequence:
+    *
+    *   - `pack_id`    — the pack's index in the global concat order;
+    *   - `n_tokens`   — `seqLen` everywhere except the final partial pack;
+    *   - `tokens`     — the pack's token slice, in concat order;
+    *   - `boundary_pos` — ascending in-pack offsets where a NEW document's
+    *     first token sits strictly inside the pack (offset > 0) — the
+    *     positions an attention/loss boundary mask must mark, matching
+    *     [[packSummary]]'s `has_boundary` semantics (a doc starting on
+    *     the pack edge is no interior boundary; an empty-token doc emits
+    *     no tokens and hence no mask position).
+    *
+    * Shape: one placement computation (the two-level scan), one
+    * doc_id-keyed join of offsets back onto the token arrays (the input
+    * is snapshotted so the corpus lineage runs once, not once per
+    * subtree), one posexplode (the corpus pass), and ONE shuffle keyed
+    * on pack_id — groups are seqLen-bounded by construction, so the
+    * aggregate is skew-free at any corpus size. Shards ride the same
+    * bucket-ordered writer contract as the mbox export
+    * ([[Export.writeMbox]]): `buckets` parallel writer tasks, file set
+    * concatenates in bucket order, and a reader bounds memory by
+    * packs/buckets.
+    */
+  def writePacks(docs: DataFrame, id: Column, tokens: Column, seqLen: Int,
+      outDir: String, buckets: Int = 32): Unit = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = graft.engine.Materialize.snapshot(
+      docs.select(id.as("doc_id"), tokens.as("__toks")))
+    val placement = packPlacement(base, col("doc_id"), size(col("__toks")),
+      seqLen)
+    val gpos = col("tok_offset") + col("pos")
+    val off = pmod(gpos, lit(seqLen.toLong))
+    val cells = base
+      .join(placement.select(col("doc_id"), col("tok_offset")), "doc_id")
+      .select(col("tok_offset"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .select(
+        floor(gpos / seqLen).cast("long").as("pack_id"),
+        off.as("off"), col("tok"),
+        (col("pos") === 0 && off > 0).as("is_bound"))
+    val packs = cells.groupBy(col("pack_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      transform(array_sort(collect_list(struct(col("off"), col("tok")))),
+        x => x.getField("tok")).as("tokens"),
+      // collect_list drops nulls: only boundary offsets survive the when
+      array_sort(collect_list(when(col("is_bound"), col("off"))))
+        .as("boundary_pos"))
+    graft.queries.bucketOrderedN(packs, col("pack_id"), buckets)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Pack-level summary over a [[packPlacement]] result: documents per
     * pack (counting every pack a document TOUCHES), first/last doc, and
     * `has_boundary` — whether a document STARTS strictly inside the

@@ -1439,9 +1439,65 @@ object DocQueries {
       |FROM spans GROUP BY pack_id
       |ORDER BY ${duckBucket("pack_id")}, pack_id ASC""".stripMargin
 
+  /** The WRITE side of packing ([[graft.operators.Packing.writePacks]]):
+    * materialize the packed sequences + boundary masks through the
+    * bucket-ordered sharded sink, read the shards back, and reduce each
+    * pack to scalars the oracle can recompute from the source corpus —
+    * token count, boundary-mask positions, and an md5 over the pack's
+    * token stream in concat order. A placement bug, a mis-sorted pack, a
+    * dropped/duplicated token at a shard edge, or a wrong mask position
+    * all surface as value mismatches on the read-back, the same
+    * write-then-prove contract as `export_roundtrip`.
+    */
+  def packWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = CoreQueries.etlTmpPath(s, dir, "graft_packs")
+    graft.operators.Packing.writePacks(t(s, dir, "documents"),
+      col("doc_id"), split(col("text"), " "), seqLen = 512, out)
+    val back = s.read.parquet(out)
+    bucketOrdered(
+      back.select(col("pack_id"), col("n_tokens"),
+        size(col("boundary_pos")).cast("long").as("n_bounds"),
+        array_join(col("boundary_pos"), ",").as("bound_csv"),
+        md5(concat_ws(" ", col("tokens"))).as("tok_md5")),
+      col("pack_id"))
+  }
+
+  val packWriteRoundtripSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |           OVER (ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0) AS BIGINT) AS tok_offset
+      |  FROM documents),
+      |g AS (
+      |  SELECT CAST((tok_offset + u.i - 1) // 512 AS BIGINT) AS pack_id,
+      |         CAST((tok_offset + u.i - 1) % 512 AS BIGINT) AS off,
+      |         toks[u.i] AS tok
+      |  FROM p, UNNEST(generate_series(1, len(toks))) AS u(i)),
+      |tk AS (
+      |  SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |         md5(array_to_string(list(tok ORDER BY off), ' ')) AS tok_md5
+      |  FROM g GROUP BY pack_id),
+      |bl AS (
+      |  SELECT CAST(tok_offset // 512 AS BIGINT) AS pack_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_bounds,
+      |         array_to_string(list(tok_offset % 512
+      |           ORDER BY tok_offset % 512), ',') AS bound_csv
+      |  FROM p WHERE len(toks) > 0 AND tok_offset % 512 > 0
+      |  GROUP BY 1)
+      |SELECT tk.pack_id, tk.n_tokens,
+      |       COALESCE(bl.n_bounds, 0) AS n_bounds,
+      |       COALESCE(bl.bound_csv, '') AS bound_csv,
+      |       tk.tok_md5
+      |FROM tk LEFT JOIN bl ON bl.pack_id = tk.pack_id
+      |ORDER BY ${duckBucket("tk.pack_id")}, tk.pack_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "pack_sequences" -> (packSequences _, Some(packSequencesSql)),
     "pack_summary" -> (packSummary _, Some(packSummarySql)),
+    "pack_write_roundtrip" ->
+      (packWriteRoundtrip _, Some(packWriteRoundtripSql)),
     "multimodal_frames" -> (multimodalFrames _, Some(multimodalFramesSql)),
     "text_token_count" -> (textTokenCount _, Some(textTokenCountSql)),
     "text_token_count_bpe" -> (textTokenCountBpe _, Some(textTokenCountBpeSql)),

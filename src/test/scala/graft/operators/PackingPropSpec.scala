@@ -46,6 +46,55 @@ class PackingPropSpec extends SparkTestBase {
     })
   }
 
+  test("property: written packs == local concat-and-chunk replay") {
+    // the WRITE side: tokens materialized through the sharded sink must
+    // reproduce the exact global concatenation — slices, in-pack order,
+    // and interior-boundary mask positions
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      ids <- Gen.listOfN(n, Gen.choose(-50L, 50L)).map(_.distinct)
+      lens <- Gen.listOfN(ids.length, Gen.choose(0, 23))
+    } yield ids.zip(lens)
+    check(Prop.forAll(gen, Gen.choose(1, 17)) { (docs, seqLen) =>
+      val df = docs.map { case (id, len) =>
+        (id, (0 until len).map(i => s"t${id}_$i"))
+      }.toDF("doc_id", "toks")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_packs_spec").toString
+      try {
+        Packing.writePacks(df, col("doc_id"), col("toks"), seqLen, out)
+        val got = spark.read.parquet(out).collect().map { r =>
+          r.getLong(0) -> ((r.getLong(1),
+            r.getSeq[String](2).toList,
+            r.getSeq[Long](3).toList))
+        }.toMap
+        // local replay
+        val stream = scala.collection.mutable.ArrayBuffer.empty[String]
+        val bounds = scala.collection.mutable.Map.empty[Long, List[Long]]
+          .withDefaultValue(Nil)
+        docs.sortBy(_._1).foreach { case (id, len) =>
+          val off = stream.length.toLong
+          if (len > 0 && off % seqLen > 0)
+            bounds(off / seqLen) = bounds(off / seqLen) :+ (off % seqLen)
+          stream ++= (0 until len).map(i => s"t${id}_$i")
+        }
+        val want = stream.grouped(seqLen).zipWithIndex.map {
+          case (slice, i) =>
+            i.toLong -> ((slice.length.toLong, slice.toList,
+              bounds(i.toLong)))
+        }.toMap
+        got == want
+      } finally {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      }
+    }, min = 12)
+  }
+
   test("property: pack ids cover 0..ceil(total/L)-1 with no gaps") {
     check(Prop.forAll(docsGen, Gen.choose(1, 129)) { (docs, seqLen) =>
       val total = docs.map(_._2).sum
