@@ -63,6 +63,31 @@ object Bench {
       }
     } catch { case _: Throwable => -1.0 }
 
+  /** Per-query quiet band: the committed per-query map of a judged-quiet
+    * run (`bench_quiet_band.json`, same format as the sidecar). Returns
+    * (sfDir the band was recorded at, name → quiet seconds); empty when
+    * the file is absent/unparseable — the band check is then skipped,
+    * never failed (telemetry must not fail the bench).
+    */
+  private def loadBand(path: String): (String, Map[String, Double]) =
+    try {
+      val txt = {
+        val src = scala.io.Source.fromFile(path)
+        try src.mkString finally src.close()
+      }
+      val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+      val i = txt.indexOf("\"queries\":{")
+      if (i < 0) ("", Map.empty)
+      else {
+        val body = txt.substring(i + 11, txt.indexOf('}', i))
+        val m = "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+          .map(g => g.group(1) -> g.group(2).toDouble)
+          .filter(kv => kv._2 > 0 && kv._1 != "other").toMap
+        (sf, m)
+      }
+    } catch { case _: Throwable => ("", Map.empty) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -147,9 +172,39 @@ object Bench {
       try { runOnce(fn); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = Seq.fill(4)(timedRun(fn)).filter(_ >= 0)
       name -> (if (runs.isEmpty) -1.0 else runs.min)
+    }
+
+    // Per-query quiet-band check (the canary logic the judge applied by
+    // hand in r13/r14): any query reading above max(1.4× its committed
+    // quiet value, quiet + 50 ms) is presumed noise-hit and re-timed once
+    // IMMEDIATELY — a transient co-tenant burst between the whole-run
+    // load samples is exactly what a per-query recheck catches and the
+    // run-level ext_load threshold (which let a 48 s contaminated run
+    // self-report clean in r14) cannot. The reported value is the min
+    // (the same steady-state estimator as best-of-4); queries still out
+    // of band after the rerun raise the `band` flag and are listed for
+    // adjudication. Band entries only apply at the SF they were recorded
+    // at, and the check silently skips when no band file exists.
+    val bandPath = sys.env.getOrElse("SPARK_GRAFT_BAND", "bench_quiet_band.json")
+    val (bandSf, band0) = loadBand(bandPath)
+    val band = if (bandSf == sfDir) band0 else Map.empty[String, Double]
+    def bandCap(name: String): Double =
+      band.get(name).map(b => math.max(b * 1.4, b + 0.05))
+        .getOrElse(Double.MaxValue)
+    val bandRerun = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val results = firstPass.map { case (name, first) =>
+      if (first >= 0 && first > bandCap(name)) {
+        val second = timedRun(bench(name))
+        val best = if (second >= 0) math.min(first, second) else first
+        bandRerun(name) = (first, second)
+        name -> best
+      } else name -> first
+    }
+    val bandViolations = results.collect {
+      case (name, v) if v >= 0 && v > bandCap(name) => name -> v
     }
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -176,32 +231,50 @@ object Bench {
     // exclude themselves from qps (a half-failed suite must not report
     // a 2×-too-good rate). SPARK_GRAFT_TP=0 skips (dev iteration).
     val tpClients = sys.env.getOrElse("SPARK_GRAFT_TP", "8").toInt
+    // FIXED per-client schedule instead of the r14 work-stealing burst:
+    // stealing made the assignment depend on run-time interleaving, which
+    // alone gave the aggregate wall a ±20-50% spread (16.3/17.5/21.1/25.3 s
+    // across four runs of near-identical code). LPT over THIS run's own
+    // serial per-query times (longest query first onto the least-loaded
+    // client) pins the assignment: every pass runs the same queries on the
+    // same client, so pass-to-pass spread measures the host, not the
+    // scheduler's dice. Failed serial queries cost ~0 in the plan and
+    // still run (their failure is counted).
+    val tpSchedule: IndexedSeq[Seq[String]] =
+      if (tpClients <= 0) IndexedSeq.empty
+      else {
+        val loads = Array.fill(tpClients)(0.0)
+        val assigned = Array.fill(tpClients)(List.empty[String])
+        results.sortBy { case (_, v) => -math.max(v, 0.0) }
+          .foreach { case (name, v) =>
+            val c = loads.indices.minBy(loads(_))
+            loads(c) += math.max(v, 0.0)
+            assigned(c) = name :: assigned(c)
+          }
+        assigned.toIndexedSeq.map(_.reverse)
+      }
     def tpPass(): (Double, Int) = {
       val failed = new java.util.concurrent.atomic.AtomicInteger(0)
-      val tasks = bench.toSeq.sortBy(_._1)
-      val idx = new java.util.concurrent.atomic.AtomicInteger(0)
       val t0 = System.nanoTime()
-      val threads = (1 to tpClients).map { _ =>
-        val t = new Thread(() => {
-          var i = idx.getAndIncrement()
-          while (i < tasks.length) {
-            try runOnce(tasks(i)._2)
-            catch { case _: Throwable => failed.incrementAndGet(); () }
-            i = idx.getAndIncrement()
-          }
+      val threads = tpSchedule.map { names =>
+        val t = new Thread(() => names.foreach { n =>
+          try runOnce(bench(n))
+          catch { case _: Throwable => failed.incrementAndGet(); () }
         })
         t.start(); t
       }
       threads.foreach(_.join())
       ((System.nanoTime() - t0) / 1e9, failed.get())
     }
-    // best-of-2: burst scheduling gives the aggregate wall a ±20%
-    // run-to-run spread (r14: 16.3 vs 21.1 s on clean hosts) — the same
-    // steady-state-min estimator the serial loop uses, one extra pass.
-    // The reported failure count rides the quoted (min) pass.
+    // three passes: the min is the quoted steady-state wall (same
+    // estimator as the serial best-of-4) and the pass spread is REPORTED
+    // — three consecutive quiet readings within ±10% is the r15
+    // tightness contract, and a wider spread tells the reader the burst
+    // window itself was disturbed. Failure count rides the min pass.
+    val tpPasses: Seq[(Double, Int)] =
+      if (tpClients <= 0) Nil else Seq(tpPass(), tpPass(), tpPass())
     val (tpWall, tpFailedN): (Double, Int) =
-      if (tpClients <= 0) (-1.0, 0)
-      else Seq(tpPass(), tpPass()).minBy(_._1)
+      if (tpPasses.isEmpty) (-1.0, 0) else tpPasses.minBy(_._1)
     // the burst window gets its OWN load observation (r14 second
     // review pass: moving the serial noise sample before the burst
     // left tpWall unobserved — a co-tenant arriving during the burst
@@ -220,7 +293,8 @@ object Bench {
     // pre-existing-load check was the trigger
     val flagReasons =
       (if (load0 > 1.0) Seq("pre_load") else Nil) ++
-        (if (extLoad > 1.5) Seq("ext_load") else Nil)
+        (if (extLoad > 1.5) Seq("ext_load") else Nil) ++
+        (if (bandViolations.nonEmpty) Seq("band") else Nil)
     val flagged = flagReasons.nonEmpty
 
     // when flagged, re-time the 3 slowest queries once each so the artifact
@@ -255,12 +329,27 @@ object Bench {
       val fr =
         if (flagReasons.isEmpty) ""
         else flagReasons.mkString(",\"flag_reason\":\"", "+", "\"")
+      // band summary: how many queries had a band, how many tripped it
+      // and were re-timed, and the worst ≤5 still-out-of-band readings
+      // (value vs quiet) for the adjudicating reader
+      val bd =
+        if (band.isEmpty) ",\"band\":\"absent\""
+        else {
+          val viol = bandViolations
+            .sortBy { case (n, v) => -(v / band(n)) }.take(5)
+            .map { case (n, v) =>
+              "\"" + n + "\":{\"sec\":" + fmt(v, 2) +
+                ",\"quiet\":" + fmt(band(n), 2) + "}"
+            }.mkString("{", ",", "}")
+          s""","band":{"n":${band.size},"retimed":${bandRerun.size},""" +
+            s""""viol":${bandViolations.size},"violations":$viol}"""
+        }
       s""","noise":{"load_at_launch":${fmt(loadAtLaunch, 2)},""" +
         s""""cooldown_sec":${fmt(cooldownSec, 0)},""" +
         s""""load_before":${fmt(load0, 2)},"load_after":${fmt(load1, 2)},""" +
         s""""own_cores":${fmt(ownCores, 2)},"cgroup_cpu_sec":${fmt(cgSec, 1)},""" +
         s""""wall_sec":${fmt(wallSec, 1)},"ext_load":${fmt(extLoad, 2)},""" +
-        s""""flagged":$flagged$fr$rr}"""
+        s""""flagged":$flagged$fr$bd$rr}"""
     }
     // aggregate wall under concurrent submission — the floor-amortized
     // serving number (BASELINE "throughput mode")
@@ -272,8 +361,12 @@ object Bench {
         // separable post-hoc; readers compare it against the client
         // count — a value well above `clients` means co-tenant load
         // rode the burst window
+        val walls = tpPasses.map(p => fmt(p._1, 2)).mkString("[", ",", "]")
+        val spreadPct =
+          (tpPasses.map(_._1).max - tpWall) / math.max(tpWall, 1e-9) * 100
         s""","throughput":{"clients":$tpClients,""" +
-          s""""wall_sec":${fmt(tpWall, 2)},"n":${bench.size},""" +
+          s""""wall_sec":${fmt(tpWall, 2)},"walls":$walls,""" +
+          s""""spread_pct":${fmt(spreadPct, 1)},"n":${bench.size},""" +
           s""""failed":$tpFailedN,""" +
           s""""load_after":${fmt(tpLoadAfter, 2)},""" +
           s""""qps":${fmt(served / math.max(tpWall, 1e-9), 1)}}"""
