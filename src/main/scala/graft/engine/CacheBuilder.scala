@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ETL: normalized input → denormalized Parquet analytics star — the Spark
@@ -182,6 +182,60 @@ object CacheBuilder {
         s"""{"covered_to":${st.lastMessageId}}""".getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     restored
+  }
+
+  /** Opt-in CONTENT-compare leg — the bounded stand-in for the
+    * reference's `sync_runs.messages_updated` signal (tui.go:319-349),
+    * the one freshness direction the star model otherwise only
+    * documents as a caveat: an upstream re-sync that rewrites an
+    * EXISTING id's content (same id, same deletion state) serves stale
+    * from the star until any other signal fires, because rows carry no
+    * content-version stamp the gate could compare.
+    *
+    * This probes it directly, [[boundedRestoreCheck]]-style: fingerprint
+    * `(subject, size_estimate)` — the fields every detail/list surface
+    * serves verbatim and any real content rewrite moves — per live dated
+    * id in the recent window `(lastMessageId - recentWindow,
+    * lastMessageId]`, inner-join input vs star on id (absent rows are
+    * the restore check's job), count fingerprint mismatches. Both sides
+    * prune to the id range, so on Parquet the scan is a min/max
+    * row-group skip — O(window), not O(corpus). Fingerprints are
+    * null-safe (a rewrite to/from NULL still trips).
+    *
+    * Honesty bound, same shape as the restore check's: a rewrite at or
+    * below the window floor is INVISIBLE to this probe;
+    * `recentWindow <= 0` buys the exhaustive compare at full-corpus
+    * price (one narrow two-column join — the deepRestoreCheck price
+    * class). Returns the count of content-diverged rows
+    * (> 0 ⇒ force a full rebuild).
+    */
+  def boundedContentCheck(spark: SparkSession, input: MsgVault,
+      outDir: String, recentWindow: Long = 0L): Long = {
+    val st = readState(outDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sync state at $outDir — build before checking"))
+    val floor =
+      if (recentWindow <= 0) Long.MinValue
+      else if (st.lastMessageId < Long.MinValue + recentWindow) Long.MinValue
+      else st.lastMessageId - recentWindow
+    // "\\u0000" null marker + "\\u0001" field separator: distinguishes NULL
+    // from empty string and ("ab", c) from ("a", bc)
+    def fp(cols: Column*): Column =
+      md5(concat_ws("\u0001",
+        cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+    val probe = input.messages
+      .filter(col("deleted_at").isNull &&
+        col("deleted_from_source_at").isNull &&
+        col("sent_at").isNotNull &&
+        col("id") > floor && col("id") <= st.lastMessageId)
+      .select(col("id"),
+        fp(col("subject"), col("size_estimate")).as("__in_fp"))
+    val star = spark.read.parquet(s"$outDir/messages")
+      .filter(col("id") > floor && col("id") <= st.lastMessageId)
+      .select(col("id"),
+        fp(col("subject"), col("size_estimate")).as("__st_fp"))
+    probe.join(star, Seq("id"))
+      .filter(col("__in_fp") =!= col("__st_fp")).count()
   }
 
   private def nowSec(): Long = System.currentTimeMillis() / 1000L

@@ -773,6 +773,69 @@ class CacheBuilderSpec extends SparkTestBase {
     assert(mixed.filter(col("doc_id") === 9 && col("text") === "ok").count() == 1)
   }
 
+  test("boundedContentCheck: an in-place subject rewrite trips the gate") {
+    // the reference's sync_runs.messages_updated direction (tui.go:319-349)
+    // as a bounded probe: same id, same deletion state, CONTENT rewritten
+    val out = java.nio.file.Files.createTempDirectory("graft_content").toString
+    CacheBuilder.build(spark, sourceVault(6), out)
+
+    def edited(editId: Long, newSubject: String, newSize: Long) =
+      Fixtures.vault(spark,
+        messages = (1 to 6).map { i =>
+          if (i.toLong == editId)
+            msg(i.toLong, newSubject, f"2024-${i % 12 + 1}%02d-10 10:00:00",
+              size = newSize,
+              msgType = if (i % 3 == 0) Some("imessage") else Some("email"),
+              senderId = if (i % 3 == 0) Some(1L) else None)
+          else
+            msg(i.toLong, s"subject $i", f"2024-${i % 12 + 1}%02d-10 10:00:00",
+              size = 100L * i,
+              msgType = if (i % 3 == 0) Some("imessage") else Some("email"),
+              senderId = if (i % 3 == 0) Some(1L) else None)
+        },
+        recipients = (1 to 6).flatMap(i => Seq(
+          MrRow(i.toLong, (i % 2 + 1).toLong, "from", None),
+          MrRow(i.toLong, 3L, "to", None))),
+        participants = Seq(
+          PRow(1, Some("a@x.com"), Some("A"), None, Some("x.com")),
+          PRow(2, Some("b@y.org"), Some("B"), None, Some("y.org")),
+          PRow(3, Some("c@z.net"), Some("C"), None, Some("z.net"))),
+        labels = Seq(LblRow(1, "INBOX")),
+        messageLabels = (1 to 6).map(i => MlRow(i.toLong, 1L)),
+        attachments =
+          Seq(AttRow(1, 1, "f.bin", "application/octet-stream", 10, "h")),
+        sources = Seq(SrcRow(1, "acct@x.com", Some("gmail"))))
+
+    // clean source: no divergence at any window
+    assert(CacheBuilder.boundedContentCheck(spark, sourceVault(6), out,
+      recentWindow = 3) == 0)
+    assert(CacheBuilder.boundedContentCheck(spark, sourceVault(6), out) == 0)
+
+    // subject rewrite inside the recent window trips the bounded probe —
+    // while the timestamp-free staleness gate (by design, the documented
+    // divergence this leg closes) sees nothing
+    val subjEdit = edited(5L, "subject 5 REWRITTEN", 500L)
+    assert(!CacheBuilder.staleness(spark, subjEdit, out).needsBuild)
+    assert(CacheBuilder.boundedContentCheck(spark, subjEdit, out,
+      recentWindow = 3) == 1)
+
+    // size_estimate rewrite trips too (second fingerprint field)
+    val sizeEdit = edited(6L, "subject 6", 999999L)
+    assert(CacheBuilder.boundedContentCheck(spark, sizeEdit, out,
+      recentWindow = 3) == 1)
+
+    // honesty bound: a rewrite BELOW the window floor is invisible to the
+    // bounded probe; the exhaustive form (recentWindow <= 0) sees it
+    val oldEdit = edited(1L, "subject 1 REWRITTEN", 100L)
+    assert(CacheBuilder.boundedContentCheck(spark, oldEdit, out,
+      recentWindow = 3) == 0)
+    assert(CacheBuilder.boundedContentCheck(spark, oldEdit, out) == 1)
+
+    // a rebuild clears the divergence
+    CacheBuilder.build(spark, subjEdit, out, forceFull = true)
+    assert(CacheBuilder.boundedContentCheck(spark, subjEdit, out) == 0)
+  }
+
   test("aggregateTextSources / aggregateTextTime: chat-only buckets") {
     val engine = new MsgEngine(sourceVault(9))
     // TextViewSources keys by source TYPE, not account identifier
