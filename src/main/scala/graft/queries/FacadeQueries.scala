@@ -173,7 +173,11 @@ object FacadeQueries {
     // junction pass, pure local-mode overhead). Coalesce (narrow, no
     // shuffle) back to the fact's own count before checkpointing; on a
     // real cluster the star is parquet — maxPartitionBytes sizes those
-    // scans and this recipe never runs.
+    // scans and this recipe never runs. coalesce is REDUCE-only by
+    // contract: a frame already below n partitions (a small dim) passes
+    // through unchanged, which is the desired behavior here. Reading
+    // the count via .rdd forces one plan-to-RDD conversion up front —
+    // acceptable: this runs once per engine construction, not per query.
     val n = math.max(1, v.messages.rdd.getNumPartitions)
     def ck(df: DataFrame) = df.coalesce(n).localCheckpoint(true)
     new MsgEngine(v.copy(
@@ -793,6 +797,53 @@ object FacadeQueries {
        |LEFT JOIN lbl ON lbl.message_id = sel.id
        |ORDER BY sel.size_estimate DESC, sel.id DESC""".stripMargin
 
+  // --- ListMessages, keyset twin (the documented 100 TB paging path) --------
+
+  /** The same list surface through the KEYSET cursor path
+    * ([[graft.engine.MsgEngine.listMessagesAfter]] — SURVEY "What's
+    * hard" #4): the cursor (sent_at, id) of the previous page's last row
+    * becomes a range predicate that prunes partitions/row groups BEFORE
+    * any sort, where OFFSET must sort-and-skip `offset + limit` rows per
+    * page at any depth. This entry gates the cursor predicate's exact
+    * semantics (strict (ts, id) descent + the null-timestamp tail rule)
+    * against the oracle's replay; the DEPTH economics are certified by
+    * the BucketedStarProbe deep-page leg (offset page-1000 vs this twin
+    * on the bucketed disk star).
+    */
+  def listMessagesKeyset(s: SparkSession, dir: String): DataFrame =
+    engine(s, dir)
+      .listMessagesAfter(MessageFilter(label = "personal"),
+        // = (sent_at of id 150, 150): epoch 1700000000000000 µs + 150 min
+        cursor = Some((new java.sql.Timestamp(1700009000000L), 150L)),
+        limit = 30)
+      .select(col("id"), col("subject"), col("from_email"), col("from_name"),
+        col("sent_at"), col("size_estimate"),
+        array_join(col("labels"), ",").as("labels"),
+        col("conversation_title"))
+
+  val listMessagesKeysetSql: String =
+    s"""$starCte,
+       |lbl AS (
+       |  SELECT message_id, string_agg(name, ',' ORDER BY name) AS lbls
+       |  FROM ml GROUP BY message_id),
+       |sel AS (
+       |  SELECT * FROM m
+       |  WHERE NOT is_deleted
+       |    AND id IN (SELECT message_id FROM ml WHERE name = 'personal')
+       |    AND (sent_at < make_timestamp(1700009000000000)
+       |         OR (sent_at = make_timestamp(1700009000000000) AND id < 150)
+       |         OR sent_at IS NULL)
+       |  ORDER BY sent_at DESC NULLS LAST, id DESC LIMIT 30)
+       |SELECT sel.id, sel.subject, p.email AS from_email,
+       |       p.pname AS from_name, sel.sent_at, sel.size_estimate,
+       |       COALESCE(lbl.lbls, '') AS labels,
+       |       'conv-' || CAST(sel.conversation_id AS VARCHAR)
+       |         AS conversation_title
+       |FROM sel
+       |JOIN p ON p.pid = (sel.id * 7) % 30
+       |LEFT JOIN lbl ON lbl.message_id = sel.id
+       |ORDER BY sel.sent_at DESC NULLS LAST, sel.id DESC""".stripMargin
+
   // --- GetMessageSummariesByIDs (order-preserving bulk hydration) -----------
 
   /** Rank-order preservation under the hash gate (reference
@@ -1038,6 +1089,8 @@ object FacadeQueries {
         (aggTextSourcesSearch _, Some(aggTextSourcesSearchSql)),
       "agg_text_time" -> (aggTextTime _, Some(aggTextTimeSql)),
       "list_messages" -> (listMessages _, Some(listMessagesSql)),
+      "list_messages_keyset" ->
+        (listMessagesKeyset _, Some(listMessagesKeysetSql)),
       "message_summaries_by_ids" ->
         (messageSummaries _, Some(messageSummariesSql)),
       "message_detail" -> (messageDetail _, Some(messageDetailSql)))

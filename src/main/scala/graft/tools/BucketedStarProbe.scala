@@ -96,7 +96,32 @@ object BucketedStarProbe {
         println(f"[bsp] ${f}x $name%-20s $best%7.3f s")
         name -> best
       }
-      f -> times.toMap
+
+      // DEEP paging (r14 verdict ask #7): page 1000 of the default list
+      // order through OFFSET vs the keyset twin. OFFSET must
+      // sort-and-skip offset+limit rows per page at any corpus size;
+      // the (sent_at, id) cursor is a range predicate the bucketed
+      // parquet star prunes BEFORE sorting, so the keyset page should
+      // stay flat across the decades while offset grows.
+      val pageSize = 30
+      val deepPage = 1000
+      val curRow = e.listMessages(MessageFilter(pagination =
+          Pagination(limit = 1, offset = deepPage * pageSize - 1)))
+        .select(col("sent_at"), col("id")).head()
+      val cursor = Some((curRow.getTimestamp(0), curRow.getLong(1)))
+      val deep: Seq[(String, () => DataFrame)] = Seq(
+        ("page1000_offset", () => e.listMessages(MessageFilter(pagination =
+          Pagination(limit = pageSize, offset = deepPage * pageSize)))),
+        ("page1000_keyset", () =>
+          e.listMessagesAfter(MessageFilter(), cursor, limit = pageSize)))
+      val deepTimes = deep.map { case (name, q) =>
+        q().write.format("noop").mode("overwrite").save() // warm
+        val best = Seq.fill(3)(
+          time(q().write.format("noop").mode("overwrite").save())._1).min
+        println(f"[bsp] ${f}x $name%-20s $best%7.3f s")
+        name -> best
+      }
+      f -> (times ++ deepTimes).toMap
     }
     val (f0, base) = results.head
     for {
