@@ -104,16 +104,24 @@ object BucketedStarProbe {
       // parquet star prunes BEFORE sorting, so the keyset page should
       // stay flat across the decades while offset grows.
       val pageSize = 30
-      val deepPage = 1000
-      val curRow = e.listMessages(MessageFilter(pagination =
-          Pagination(limit = 1, offset = deepPage * pageSize - 1)))
-        .select(col("sent_at"), col("id")).head()
-      val cursor = Some((curRow.getTimestamp(0), curRow.getLong(1)))
-      val deep: Seq[(String, () => DataFrame)] = Seq(
-        ("page1000_offset", () => e.listMessages(MessageFilter(pagination =
-          Pagination(limit = pageSize, offset = deepPage * pageSize)))),
-        ("page1000_keyset", () =>
-          e.listMessagesAfter(MessageFilter(), cursor, limit = pageSize)))
+      // depth sweep, corpus-capped (1×'s ~5k msgs top out near page 162):
+      // OFFSET must sort-and-skip depth×pageSize rows, so its wall should
+      // grow with DEPTH at fixed corpus; the keyset twin at the SAME
+      // depth should stay flat in both depth and corpus size.
+      val maxPage = ((nMsg - 2L * pageSize) / pageSize).max(1L)
+      val depths = Seq(10L, 100L, 1000L).map(_.min(maxPage)).distinct
+      val deep: Seq[(String, () => DataFrame)] = depths.flatMap { pg =>
+        val curRow = e.listMessages(MessageFilter(pagination =
+            Pagination(limit = 1, offset = (pg * pageSize - 1).toInt)))
+          .select(col("sent_at"), col("id")).head()
+        val cursor = Some((curRow.getTimestamp(0), curRow.getLong(1)))
+        Seq(
+          (s"page${pg}_offset",
+            () => e.listMessages(MessageFilter(pagination = Pagination(
+              limit = pageSize, offset = (pg * pageSize).toInt)))),
+          (s"page${pg}_keyset", () =>
+            e.listMessagesAfter(MessageFilter(), cursor, limit = pageSize)))
+      }
       val deepTimes = deep.map { case (name, q) =>
         q().write.format("noop").mode("overwrite").save() // warm
         val best = Seq.fill(3)(

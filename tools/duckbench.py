@@ -18,6 +18,31 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Ratio-hygiene buckets (r15, BASELINE "bucketed head-to-head"): the 2x
+# gate is quoted on the COMPUTE bucket only.
+#  - io_roundtrip: the Spark query performs real file/staging IO (write +
+#    read-back) its oracle replays as pure SQL, or vice versa — wall-clock
+#    there measures storage, not the engine.
+#  - neardup_quadratic: only expressible in DuckDB as O(n^2) all-pairs
+#    (Spark runs LSH/band blocking) — the historical tractable-cut skip.
+BUCKETS = {
+    "io_roundtrip": {
+        "etl_sink_roundtrip", "etl_jsonl_roundtrip", "export_roundtrip",
+        "deletion_staging", "stream_compacted_read", "pack_write_roundtrip",
+    },
+    "neardup_quadratic": {
+        "dedup_clusters", "dedup_cluster_survivor", "dedup_minhash",
+        "dedup_incremental",
+    },
+}
+
+
+def bucket_of(name):
+    for b, names in BUCKETS.items():
+        if name in names:
+            return b
+    return "compute"
+
 
 def main(sf_dir, out_dir, threads=32, skip=()):
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
@@ -89,9 +114,14 @@ def main(sf_dir, out_dir, threads=32, skip=()):
         th.join()
     tp_wall = time.time() - t0
 
+    buckets = {}
+    for name, v in results.items():
+        if v is not None:
+            b = bucket_of(name)
+            buckets[b] = round(buckets.get(b, 0.0) + v, 3)
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
                       "unit": "sec", "queries": results, "sf": sf_dir,
-                      "threads": threads,
+                      "threads": threads, "buckets": buckets,
                       "throughput": {"clients": clients,
                                      "per_query_threads": per_q,
                                      "wall_sec": round(tp_wall, 2),
