@@ -338,7 +338,13 @@ object Bench {
           val viol = bandViolations
             .sortBy { case (n, v) => -(v / band(n)) }.take(5)
             .map { case (n, v) =>
-              "\"" + n + "\":{\"sec\":" + fmt(v, 2) +
+              // both adjudication readings ride along: sec is the kept
+              // min, first/rerun show whether the re-time confirmed the
+              // elevation (both high) or the min itself is the burst
+              val fr = bandRerun.get(n).fold("") { case (first, second) =>
+                ",\"first\":" + fmt(first, 2) + ",\"rerun\":" + fmt(second, 2)
+              }
+              "\"" + n + "\":{\"sec\":" + fmt(v, 2) + fr +
                 ",\"quiet\":" + fmt(band(n), 2) + "}"
             }.mkString("{", ",", "}")
           s""","band":{"n":${band.size},"retimed":${bandRerun.size},""" +

@@ -161,11 +161,15 @@ object BpeVocab {
             d = d.withColumn("seq", call_function("replace", col("seq"),
               lit(" " + pair.replace(" ", "  ") + " "),
               lit(" " + pair.replace(" ", "") + " ")))
-          }
-          chainLen += accepted.size
-          if (chainLen >= SnapshotEvery && done < iterations) {
-            d = graft.engine.Materialize.snapshot(d)
-            chainLen = 0
+            // checked PER MERGE, not per round: a batchK above
+            // SnapshotEvery would otherwise stack a batchK-deep replace
+            // chain before the round boundary — the exact blow-up the
+            // bound exists to prevent
+            chainLen += 1
+            if (chainLen >= SnapshotEvery && done < iterations) {
+              d = graft.engine.Materialize.snapshot(d)
+              chainLen = 0
+            }
           }
         }
       }

@@ -89,13 +89,17 @@ object BucketedStarProbe {
       println(s"[bsp] ${f}x bucket-join exchanges on scan sides: " +
         s"$exchanges (bucketed scan feeds SMJ directly when 0/1)")
 
-      val times = headline.map { case (name, q) =>
-        q(e).write.format("noop").mode("overwrite").save() // warm
+      // ONE measurement recipe for headline and deep-page legs — a
+      // protocol change (pass count, warm policy) applied to a single
+      // copy cannot desynchronize the numbers the growth report compares
+      def bench(name: String, q: () => DataFrame): (String, Double) = {
+        q().write.format("noop").mode("overwrite").save() // warm
         val best = Seq.fill(3)(
-          time(q(e).write.format("noop").mode("overwrite").save())._1).min
+          time(q().write.format("noop").mode("overwrite").save())._1).min
         println(f"[bsp] ${f}x $name%-20s $best%7.3f s")
         name -> best
       }
+      val times = headline.map { case (name, q) => bench(name, () => q(e)) }
 
       // DEEP paging (r14 verdict ask #7): page 1000 of the default list
       // order through OFFSET vs the keyset twin. OFFSET must
@@ -122,19 +126,15 @@ object BucketedStarProbe {
           (s"page${pg}_keyset", () =>
             e.listMessagesAfter(MessageFilter(), cursor, limit = pageSize)))
       }
-      val deepTimes = deep.map { case (name, q) =>
-        q().write.format("noop").mode("overwrite").save() // warm
-        val best = Seq.fill(3)(
-          time(q().write.format("noop").mode("overwrite").save())._1).min
-        println(f"[bsp] ${f}x $name%-20s $best%7.3f s")
-        name -> best
-      }
+      val deepTimes = deep.map { case (name, q) => bench(name, q) }
       f -> (times ++ deepTimes).toMap
     }
     val (f0, base) = results.head
+    // deep-page keys are corpus-capped per factor (page162_* at 1×,
+    // page1000_* at 100×) — growth only prints for keys BOTH factors ran
     for {
       (f, t) <- results.drop(1)
-      (name, v) <- t.toSeq.sortBy(_._1)
+      (name, v) <- t.toSeq.sortBy(_._1) if base.contains(name)
     } println(f"[bsp] growth $name ${f}x/${f0}x = ${v / base(name)}%.2f")
     spark.stop()
   }
