@@ -122,7 +122,16 @@ object Packing {
     * packs/buckets.
     */
   def writePacks(docs: DataFrame, id: Column, tokens: Column, seqLen: Int,
-      outDir: String, buckets: Int = 32): Unit = {
+      outDir: String, buckets: Int = 32): Unit =
+    graft.queries.bucketOrderedN(
+      packFrame(docs, id, tokens, seqLen), col("pack_id"), buckets)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** The pack-assembly frame [[writePacks]] materializes — package-
+    * visible so PlanAuditSpec can pin its exchange profile (corpus
+    * shuffles only on the doc_id join key and pack_id). */
+  private[graft] def packFrame(docs: DataFrame, id: Column, tokens: Column,
+      seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val base = graft.engine.Materialize.snapshot(
       docs.select(id.as("doc_id"), tokens.as("__toks")))
@@ -138,15 +147,13 @@ object Packing {
         floor(gpos / seqLen).cast("long").as("pack_id"),
         off.as("off"), col("tok"),
         (col("pos") === 0 && off > 0).as("is_bound"))
-    val packs = cells.groupBy(col("pack_id")).agg(
+    cells.groupBy(col("pack_id")).agg(
       count(lit(1)).as("n_tokens"),
       transform(array_sort(collect_list(struct(col("off"), col("tok")))),
         x => x.getField("tok")).as("tokens"),
       // collect_list drops nulls: only boundary offsets survive the when
       array_sort(collect_list(when(col("is_bound"), col("off"))))
         .as("boundary_pos"))
-    graft.queries.bucketOrderedN(packs, col("pack_id"), buckets)
-      .write.mode("overwrite").parquet(outDir)
   }
 
   /** Pack-level summary over a [[packPlacement]] result: documents per

@@ -579,4 +579,42 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected exactly the per-name window shuffle, got $shuffles:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"), s"single-task stage:\n$plan")
   }
+
+  test("pack assembly: corpus shuffles only on the doc_id join and pack_id") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.operators.Packing.packFrame(docs, col("doc_id"),
+      split(col("text"), " "), seqLen = 512)
+    val plan = executed(df).toString
+    // the placement's internal range partition sits BEHIND its snapshot
+    // (LogicalRDD) — the assembly itself must add no global-order stage
+    // and no single-task funnel at any corpus size
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"range exchange in pack assembly:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-task stage in pack assembly:\n$plan")
+    val keys = "Exchange hashpartitioning\\(([^,#]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("doc_id", "pack_id")),
+      s"unexpected shuffle keys $keys:\n$plan")
+    assert(keys.contains("pack_id"),
+      s"pack aggregate did not shuffle on pack_id: $keys\n$plan")
+  }
+
+  test("BPE apply: rewrite rides the distinct vocab, no range/single-task stage") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.operators.BpeVocab.applyMerges(docs, col("doc_id"),
+      col("text"), Seq("e s", "t h"))
+    val plan = executed(df).toString
+    // corpus-wide exchanges key on the word join / distinct only — a
+    // range exchange or single-partition stage would mean a global sort
+    // or driver funnel crept into the apply path
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"range exchange in BPE apply:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-task stage in BPE apply:\n$plan")
+    val keys = "Exchange hashpartitioning\\(([^,#]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.forall(k => k == "word" || k == "__w"),
+      s"unexpected shuffle keys $keys:\n$plan")
+  }
 }
