@@ -1493,11 +1493,78 @@ object DocQueries {
       |FROM tk LEFT JOIN bl ON bl.pack_id = tk.pack_id
       |ORDER BY ${duckBucket("tk.pack_id")}, tk.pack_id ASC""".stripMargin
 
+  /** Streaming INCREMENTAL packing ([[graft.streaming.StreamPacking]]):
+    * four contiguous doc_id-range shards delivered as four micro-batches
+    * (mtime-ordered file stream, one file per trigger — the
+    * `stream_compacted_read` fixture pattern), each placed at the
+    * stream's running offset ledger. Because deliveries are contiguous
+    * ascending ranges, the incremental placement must be BIT-IDENTICAL
+    * to the batch operator over the whole corpus — the oracle is the
+    * plain batch cumsum (`pack_sequences`' SQL verbatim), so any ledger
+    * drift, base-offset bug, or replay double-count shows as a value
+    * mismatch. The stream run is a built artifact (memoized like every
+    * index); the query under measurement is the placement read-back.
+    */
+  def streamPackPlacement(s: SparkSession, dir: String): DataFrame = {
+    val sink = memoizedIndex[String](s, dir, "stream_pack_sink") {
+      buildStreamPackSink(s, dir)
+    }
+    bucketOrdered(
+      s.read.parquet(sink).select(col("doc_id"), col("n_tokens"),
+        col("tok_offset"), col("pack_first"), col("pack_last"),
+        col("start_in_pack")),
+      col("doc_id"))
+  }
+
+  private def buildStreamPackSink(s: SparkSession, dir: String): String = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_spack")
+    sys.addShutdownHook {
+      try {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val drop = root.resolve("drop"); Files.createDirectories(drop)
+    val sinkDir = root.resolve("sink").toString
+    // four CONTIGUOUS ascending id ranges (ntile over doc_id), delivered
+    // with strictly ascending mtimes so micro-batch k = range k — the
+    // arrival order under which incremental == batch placement
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("__q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    val base = System.currentTimeMillis() - 60000
+    (1 to 4).foreach { k =>
+      val tmp = root.resolve(s"shard$k")
+      docs.filter(col("__q") === k).drop("__q")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = Files.list(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally l.close()
+      }
+      val dst = drop.resolve(s"shard-$k.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(base + k * 1000L)
+    }
+    graft.streaming.StreamPacking.runPackAvailableNow(s, drop.toString,
+      sinkDir, root.resolve("ckpt").toString, seqLen = 512,
+      id = "doc_id", tokens = TextFunctions.tokenCount(col("text")))
+    sinkDir
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "pack_sequences" -> (packSequences _, Some(packSequencesSql)),
     "pack_summary" -> (packSummary _, Some(packSummarySql)),
     "pack_write_roundtrip" ->
       (packWriteRoundtrip _, Some(packWriteRoundtripSql)),
+    "stream_pack_placement" ->
+      (streamPackPlacement _, Some(packSequencesSql)),
     "multimodal_frames" -> (multimodalFrames _, Some(multimodalFramesSql)),
     "text_token_count" -> (textTokenCount _, Some(textTokenCountSql)),
     "text_token_count_bpe" -> (textTokenCountBpe _, Some(textTokenCountBpeSql)),
