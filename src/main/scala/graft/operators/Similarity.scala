@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision (sequential fold ⇒ deterministic). */
+  /** dot(a, b) in double precision (sequential fold ⇒ deterministic).
+    * Codegen'd single-loop expression ([[org.apache.spark.sql.graft.DotProduct]]);
+    * bit-identical to the HOF form `aggregate(zip_with(a,b,_*_),0.0,_+_)`
+    * (same index-order fold, same null propagation) but a primitive loop
+    * inside WholeStageCodegen instead of per-element lambda dispatch —
+    * the signature paths evaluate one dot per hyperplane per row.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.DotProduct(a, b)
 
   /** Driver-side twin of [[dot]] — the SAME index-order double fold, so
     * local signature/probe arithmetic agrees bitwise with the column
@@ -537,18 +542,45 @@ object Similarity {
     RoutedStructure(cents, coarse, coarseIdx, members.map(_.toArray))
   }
 
+  /** `embedding` row + its precomputed norm `__vn = sqrt(dot(v,v))` —
+    * the per-vector half of the hoisted pair cosine ([[pairCosine]]).
+    * One single-accumulator pass per ASSIGNMENT row (n·p rows), vs the
+    * fused [[cosine]] re-deriving both norms per PAIR (quadratic).
+    */
+  private def withVecNorm(assigned: DataFrame): DataFrame =
+    assigned.withColumn("__vn", sqrt(org.apache.spark.sql.graft.DotProduct(
+      col("embedding"), col("embedding"))))
+
+  /** Pair score over (`__ea`,`__na`,`__eb`,`__nb`): bit-identical to
+    * `cosine(__ea,__eb)` — the same index-order dot fold, the same
+    * `sqrt(dot(v,v))` (hoisted), the same multiply-then-divide sequence,
+    * and the same null rule (zero-norm → null via the explicit `when`;
+    * null input / null element / length mismatch make the dot — and so
+    * the quotient — null, exactly the fused expression's propagation).
+    */
+  private def pairCosine: Column =
+    when(col("__na") === 0.0 || col("__nb") === 0.0,
+      lit(null).cast("double"))
+      .otherwise(org.apache.spark.sql.graft.DotProduct(col("__ea"), col("__eb")) /
+        (col("__na") * col("__nb")))
+
   /** The recurring half of [[semanticDedup]]: within-cluster ε-ball pair
     * report over an assignment relation (fresh or reopened/persisted).
     */
   def semanticDupes(assigned: DataFrame, eps: Double): DataFrame = {
-    val keep = assigned.select(col("cluster"), col("vec_id").as("kept_id"),
-      col("embedding").as("__ea"))
-    val dup = assigned.select(col("cluster"), col("vec_id").as("dup_id"),
-      col("embedding").as("__eb"))
+    // per-vector norms hoisted out of the pair loop ([[pairCosine]]):
+    // the fused cosine recomputes both norms per PAIR — three
+    // accumulators over dim; dot/(na·nb) with norms precomputed per
+    // assignment row is the same arithmetic at a third of the pair work
+    val withNorm = withVecNorm(assigned)
+    val keep = withNorm.select(col("cluster"), col("vec_id").as("kept_id"),
+      col("embedding").as("__ea"), col("__vn").as("__na"))
+    val dup = withNorm.select(col("cluster"), col("vec_id").as("dup_id"),
+      col("embedding").as("__eb"), col("__vn").as("__nb"))
     keep.join(dup, "cluster")
       .filter(col("kept_id") < col("dup_id"))
       .select(col("dup_id"), col("cluster"), col("kept_id"),
-        cosine(col("__ea"), col("__eb")).as("cosine"))
+        pairCosine.as("cosine"))
       .filter(col("cosine") > eps)
       .groupBy(col("dup_id"))
       .agg(min(col("cluster")).cast("long").as("cluster"),
@@ -578,10 +610,11 @@ object Similarity {
   def knnGraph(assigned: DataFrame, k: Int,
       dedupCandidates: Boolean = false, clusterHint: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = assigned.select(col("cluster"), col("vec_id"),
-      col("embedding").as("__ea"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("__eb"))
+    val withNorm = withVecNorm(assigned)
+    val a = withNorm.select(col("cluster"), col("vec_id"),
+      col("embedding").as("__ea"), col("__vn").as("__na"))
+    val b = withNorm.select(col("cluster"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("__eb"), col("__vn").as("__nb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     // The pair-generation exchange hashes on `cluster` alone, so its
@@ -624,8 +657,7 @@ object Similarity {
       }
     val pairs = pairsRaw
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("__ea"), col("__eb")).as("cosine"))
+      .select(col("vec_id"), col("neighbor_id"), pairCosine.as("cosine"))
     // a multi-assigned relation ([[semanticAssignMulti]]) generates the
     // same pair once per shared list — without the dedup a neighbor
     // would occupy several of the k rank slots. The explicit

@@ -12,8 +12,15 @@ import org.apache.spark.sql.graft.CosineSimilarity
 class CosineSimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
+  // the TRUE higher-order-function formulation, spelled inline: it is the
+  // reference this spec certifies against, and Similarity.dot itself is
+  // the codegen'd DotProduct since r15 (comparing that would be circular)
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
   private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b))
+    hofDot(a, b) / (sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
 
   test("bit-identical to the HOF fold on random float vectors") {
     val rng = new scala.util.Random(7)
@@ -37,8 +44,7 @@ class CosineSimilaritySpec extends SparkTestBase {
     def check(codesCol: org.apache.spark.sql.Column): Unit = {
       val bad = df.select(
         CosineSimilarity(codesCol, col("q")).as("fast"),
-        (Similarity.dot(codesCol, col("q")) /
-          (Similarity.norm(codesCol) * Similarity.norm(col("q")))).as("hof"))
+        hofCosine(codesCol, col("q")).as("hof"))
         .filter(col("fast") =!= col("hof")).count()
       assert(bad == 0, s"$bad rows differ from the HOF fold")
     }
