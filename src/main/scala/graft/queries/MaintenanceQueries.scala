@@ -230,8 +230,14 @@ object MaintenanceQueries {
       val opened = graft.engine.MsgVault.open(s, out)
       // the subset is ≤500 rows per table by construction — pin the
       // frames so the audit's ~30 union legs read cached partitions
-      // instead of re-opening the parquet footers every run
-      def ck(df: DataFrame) = df.localCheckpoint(true)
+      // instead of re-opening the parquet footers every run. coalesce(1)
+      // first: the parquet reads inherit multi-partition layouts, and a
+      // ≤500-row frame fanned over several partitions charges every
+      // audit leg a task launch per partition (measured: 381 tasks/run
+      // across the union's ~30 legs; ~0.65 s wall at local[32] —
+      // ExecDecompose r15). One partition per table is the right layout
+      // at ANY scale: the subset is operator-bounded to `rows` rows.
+      def ck(df: DataFrame) = df.coalesce(1).localCheckpoint(true)
       opened.copy(
         messages = ck(opened.messages),
         recipients = ck(opened.recipients),
@@ -264,8 +270,12 @@ object MaintenanceQueries {
       .agg(coalesce(sum(when(col("n") > 0, 1L).otherwise(0L)), lit(0L))
         .as("n"))
       .select(lit("dangling_edges").as("table_name"), col("n"))
-    tableCounts.unionByName(danglingRow)
-      .orderBy(col("table_name").asc)
+    // orderedAtTail, not orderBy: a bare orderBy is a range exchange
+    // whose partitioner SAMPLING job re-executes the child — here that
+    // child is the whole ~40-leg count/audit union, i.e. the query would
+    // run twice to sort ELEVEN rows (package.scala result-edge rule)
+    orderedAtTail(tableCounts.unionByName(danglingRow),
+      col("table_name").asc)
   }
 
   // the facade star's residue rules, replayed over the live top-500
