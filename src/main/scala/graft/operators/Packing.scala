@@ -129,30 +129,59 @@ object Packing {
 
   /** The pack-assembly frame [[writePacks]] materializes — package-
     * visible so PlanAuditSpec can pin its exchange profile (corpus
-    * shuffles only on the doc_id join key and pack_id). */
+    * shuffles only on the doc_id join key and pack_id).
+    *
+    * Assembly moves array SLICES, not token rows (r15): the original
+    * posexplode emitted one row PER TOKEN into the pack aggregate —
+    * Σtokens rows of per-row hash-agg bookkeeping plus an
+    * array_sort over seqLen (off, tok) structs per pack. A document
+    * touches pack_first..pack_last, so exploding the per-doc PACK SPAN
+    * instead yields Σspans ≈ |docs| + |packs| rows, each carrying its
+    * doc's token slice for that pack; the per-pack aggregate sorts a
+    * handful of disjoint pieces by start offset and flattens. Same
+    * bytes through the shuffle, ~seqLen× fewer rows through explode +
+    * aggregate. Bit-equivalence with the per-token form is pinned by
+    * PackingPropSpec (tokens in offset order, boundary semantics,
+    * empty-doc and pack-edge cases).
+    */
   private[graft] def packFrame(docs: DataFrame, id: Column, tokens: Column,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val sl = seqLen.toLong
     val base = graft.engine.Materialize.snapshot(
       docs.select(id.as("doc_id"), tokens.as("__toks")))
     val placement = packPlacement(base, col("doc_id"), size(col("__toks")),
       seqLen)
-    val gpos = col("tok_offset") + col("pos")
-    val off = pmod(gpos, lit(seqLen.toLong))
-    val cells = base
-      .join(placement.select(col("doc_id"), col("tok_offset")), "doc_id")
-      .select(col("tok_offset"),
-        posexplode(col("__toks")).as(Seq("pos", "tok")))
-      .select(
-        floor(gpos / seqLen).cast("long").as("pack_id"),
-        off.as("off"), col("tok"),
-        (col("pos") === 0 && off > 0).as("is_bound"))
-    cells.groupBy(col("pack_id")).agg(
-      count(lit(1)).as("n_tokens"),
-      transform(array_sort(collect_list(struct(col("off"), col("tok")))),
-        x => x.getField("tok")).as("tokens"),
+    // span row = (doc, one pack it touches); empty docs occupy no slots
+    // (the per-token form emitted no rows for them either)
+    val spans = base
+      .join(placement, "doc_id")
+      .filter(col("n_tokens") > 0)
+      .select(col("tok_offset"), col("__toks"), col("n_tokens"),
+        col("pack_first"), col("start_in_pack"),
+        explode(sequence(col("pack_first"), col("pack_last"))).as("pack_id"))
+    // the doc's token range clipped to this pack: global [__s, __e)
+    val s0 = greatest(col("pack_id") * sl, col("tok_offset"))
+    val e0 = least((col("pack_id") + 1) * sl,
+      col("tok_offset") + col("n_tokens"))
+    val pieces = spans.select(col("pack_id"),
+      pmod(s0, lit(sl)).as("off0"),
+      slice(col("__toks"), (s0 - col("tok_offset") + 1).cast("int"),
+        (e0 - s0).cast("int")).as("piece"),
+      // boundary: the doc's FIRST token sits strictly inside this pack —
+      // same predicate as the per-token form's (pos == 0 && off > 0)
+      (col("pack_id") === col("pack_first") && col("start_in_pack") > 0)
+        .as("is_bound"))
+    // off0 is unique within a pack (pieces are disjoint intervals), so
+    // the struct sort is total; flatten concatenates pieces in offset
+    // order — exactly the per-token sort's token sequence
+    pieces.groupBy(col("pack_id")).agg(
+      sum(size(col("piece"))).cast("long").as("n_tokens"),
+      flatten(transform(
+        array_sort(collect_list(struct(col("off0"), col("piece")))),
+        x => x.getField("piece"))).as("tokens"),
       // collect_list drops nulls: only boundary offsets survive the when
-      array_sort(collect_list(when(col("is_bound"), col("off"))))
+      array_sort(collect_list(when(col("is_bound"), col("off0"))))
         .as("boundary_pos"))
   }
 
