@@ -209,8 +209,15 @@ object DocQueries {
     */
   private[queries] def boundedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val mod = math.max(1L,
-      math.ceil(docs.count() / 500.0).toLong)
+    // the modulus is corpus-stable — memoize it per (session, dir,
+    // fingerprint) like every derived artifact: the count() is cheap on
+    // the cached table but costs a JOB SUBMISSION per run of every
+    // near-dup query that opens the bounded draw (minhash, clusters,
+    // survivor, incremental — 4 queries × a scheduler round-trip each)
+    val mod = memoizedIndex[java.lang.Long](s, dir, "bounded_docs_mod") {
+      java.lang.Long.valueOf(math.max(1L,
+        math.ceil(docs.count() / 500.0).toLong))
+    }.longValue
     if (mod <= 1L) docs
     else docs.filter(
       graft.operators.Sampling.hashBucket(col("doc_id"), mod) === 0)

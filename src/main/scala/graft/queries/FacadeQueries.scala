@@ -94,7 +94,14 @@ object FacadeQueries {
     val pid = col("id")
     val domain = when(pid % 3 === 0, lit("alpha.com"))
       .when(pid % 3 === 1, lit("beta.org")).otherwise(lit("gamma.net"))
-    val participants = s.range(30).select(
+    // single-slice ranges for the tiny dims: a bare s.range(n) splits
+    // into defaultParallelism partitions, so every broadcast-exchange
+    // build of a 30-row dim ran a 32-task scan job PER QUERY RUN
+    // (StageDecompose r15: recurring 32-task near-empty stages on every
+    // enriched facade query). One slice is the right layout for a
+    // fixture dim at any corpus size — real deployments read dims from
+    // parquet, where maxPartitionBytes sizes the scan.
+    val participants = s.range(0, 30, 1, 1).select(
       pid.as("id"),
       concat(lit("p"), pid.cast("string"), lit("@"), domain)
         .as("email_address"),
@@ -114,7 +121,7 @@ object FacadeQueries {
       (d % 500 + 10).as("size"),
       concat(lit("h"), ds).as("content_hash"))
 
-    val conversations = s.range(10).select(col("id"),
+    val conversations = s.range(0, 10, 1, 1).select(col("id"),
       concat(lit("conv-"), col("id").cast("string")).as("title"))
     val sources = Seq(
       (0L, "a@gm.example", "gmail"), (1L, "b@im.example", "imap"),
@@ -127,7 +134,7 @@ object FacadeQueries {
     // p=8 in conversation 1) never send in that conversation (senders
     // of conversation c are ⊆ {c, c+10, c+20}) yet must appear in
     // member counts.
-    val convParticipants = s.range(300).select(
+    val convParticipants = s.range(0, 300, 1, 1).select(
       (col("id") / 30).cast("long").as("conversation_id"),
       (col("id") % 30).as("participant_id"))
       .filter(col("participant_id") % 10 === col("conversation_id") ||
