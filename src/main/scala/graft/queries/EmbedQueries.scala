@@ -90,7 +90,7 @@ object EmbedQueries {
     * per-label top-3 is a bounded window — corpus shuffled once, by label.
     */
   def embedOutliers(s: SparkSession, dir: String): DataFrame =
-    orderedAtTail(
+    orderedAtTailExchanged(
       Similarity.labelOutliers(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"), col("label"), k = 3),
       col("label").asc, col("rnk").asc)
@@ -134,7 +134,7 @@ object EmbedQueries {
     * is what the gate proves.
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
-    orderedAtTail(
+    orderedAtTailExchanged(
       Similarity.knnGraph(DocQueries.semdedupAssigned(s, dir), k = 5,
         clusterHint = 16),
       col("vec_id").asc, col("rnk").asc)
@@ -183,7 +183,7 @@ object EmbedQueries {
     }
 
   def knnGraphRouted(s: SparkSession, dir: String): DataFrame =
-    orderedAtTail(
+    orderedAtTailExchanged(
       Similarity.knnGraph(routedAssigned(s, dir),
         k = 5, dedupCandidates = true, clusterHint = 16),
       col("vec_id").asc, col("rnk").asc)

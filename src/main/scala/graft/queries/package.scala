@@ -150,6 +150,23 @@ package object queries {
   private[queries] def orderedAtTail(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
 
+  /** [[orderedAtTail]] for results whose PRE-tail stage does real work —
+    * a rank window or dedup aggregate over a large intermediate.
+    * `coalesce(1)` is NARROW: it does not just single-task the final
+    * sort, it collapses the ENTIRE post-shuffle stage (everything since
+    * the last exchange) into one task — knn_graph_routed's pair-dedup +
+    * rank-window stage ran 1.31 s on a single task under it (r15
+    * StageDecompose). An explicit single-partition exchange here keeps
+    * that stage at shuffle parallelism and moves only the BOUNDED
+    * result (top-k / per-group rows) into the one sort task — the same
+    * single sink any engine pays for a declared total order. Use when
+    * the tail's input stage is heavy; [[orderedAtTail]] stays right for
+    * plain aggregate tails, where the extra exchange is pure overhead.
+    */
+  private[queries] def orderedAtTailExchanged(df: DataFrame,
+      cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Scaffolding shared by the synthetic message stars
     * (MessageDedupQueries.star, FacadeQueries.star): the sent_at epoch
     * and the residue→label membership recipe. ONE definition — each
