@@ -49,10 +49,20 @@ object Packing {
       seqLen: Int, partitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val spark = docs.sparkSession
-    val n = if (partitions > 0) partitions
-      else spark.sparkContext.defaultParallelism
     val base = docs.select(id.as("doc_id"),
       tokens.cast("long").as("n_tokens"))
+    // Range-partition count follows the INPUT's layout, not the core
+    // count: the input's partitioning is already size-derived (parquet
+    // maxPartitionBytes, shuffle partitions, snapshot inheritance), so
+    // a small counts frame stops fanning out over defaultParallelism
+    // near-empty ranges (r15 ExecDecompose: pack_summary ran 144
+    // tasks/run over an 8-partition snapshot; the window/scan stages
+    // were 32-wide for hundreds of rows each). At corpus scale the
+    // input arrives with proportionally many partitions and the scan
+    // keeps its parallelism — the partials collect stays P rows either
+    // way. Callers needing explicit control pass `partitions`.
+    val n = if (partitions > 0) partitions
+      else math.max(1, base.rdd.getNumPartitions)
     // stage 1: contiguous key ranges; __pid captured AT this layout
     val parted = base.repartitionByRange(n, col("doc_id"))
       .withColumn("__pid", spark_partition_id())

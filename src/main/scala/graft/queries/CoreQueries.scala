@@ -282,7 +282,7 @@ object CoreQueries {
   def windowRowNumber(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    orderedAtTail(
+    orderedAtTailExchanged(
       t(s, dir, "orders")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -499,7 +499,12 @@ object CoreQueries {
         max(col("ts")).cast("date").as("last_day"),
         max_by(col("event_type"),
           struct(col("ts_ns"), col("event_id"))).as("last_type"))
-      .coalesce(1)
+      // exchanged tail, not coalesce(1): the cached events table is
+      // already clustered on user_id, so the aggregate is EXCHANGE-FREE
+      // — a narrow coalesce(1) here collapsed scan+aggregate+sort into
+      // ONE task (r15 ExecDecompose: 1 job / 1 stage / 1 task / 0.36 s).
+      // repartition(1) moves only the |users| result rows to the sort.
+      .repartition(1)
       .sortWithinPartitions(col("user_id").asc)
   }
 
@@ -657,7 +662,11 @@ object CoreQueries {
         (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
           .as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
-      .coalesce(1)
+      // exchanged tail (see aggGroupStats): coalesce(1) would run the
+      // final distinct-count aggregate over the expanded (cohort,
+      // offset, user) stream on one task; only |weeks|^2 result rows
+      // need the single sort partition
+      .repartition(1)
       .sortWithinPartitions(col("cohort_week").asc, col("week_offset").asc)
   }
 

@@ -168,7 +168,7 @@ object DocQueries {
   // output columns stay hashable downstream; reference serializes lists the
   // same way, duckdb.go:1897)
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    orderedAtTail(
+    orderedAtTailExchanged(
       Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
         .withColumn("member_ids", array_join(col("member_ids"), ",")),
       col("content_hash").asc)
@@ -798,7 +798,7 @@ object DocQueries {
     */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc)
-    orderedAtTail(
+    orderedAtTailExchanged(
       t(s, dir, "events")
         .withColumn("__prev_ns", lag(col("ts_ns"), 1).over(w))
         .withColumn("__new_session",
@@ -1067,7 +1067,7 @@ object DocQueries {
     }
     val p = bg.join(lm, Seq("bg"))
       .select(col("doc_id"), col("pos"), col("p"))
-    orderedAtTail(
+    orderedAtTailExchanged(
       p.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           (aggregate(

@@ -255,7 +255,7 @@ object PipelineQueries {
       r.count()
       r
     }
-    orderedAtTail(
+    orderedAtTailExchanged(
       Sampling.qualityWeightedSample(
         Sampling.scoreWithRatios(tok, ratio), col("doc_id"),
         col("importance")),
