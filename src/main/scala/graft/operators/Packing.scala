@@ -132,10 +132,28 @@ object Packing {
     * packs/buckets.
     */
   def writePacks(docs: DataFrame, id: Column, tokens: Column, seqLen: Int,
-      outDir: String, buckets: Int = 32): Unit =
-    graft.queries.bucketOrderedN(
-      packFrame(docs, id, tokens, seqLen), col("pack_id"), buckets)
+      outDir: String, buckets: Int = 0): Unit = {
+    val (frame, base) = packFrameWithBase(docs, id, tokens, seqLen)
+    // Default shard count follows the CORPUS TOKEN VOLUME, not a core
+    // count: each writer task pays a fixed write-closure cost (~175 ms
+    // of task deserialize measured, r15 StageDecompose — 32 tasks to
+    // emit a few hundred packs), and each shard costs its readers a
+    // reader-init. ~4M tokens per shard keeps one bucket inside a
+    // reader task's memory (the scaladoc contract) while a 100 TB
+    // corpus (~2.5e13 tokens) still fans out over ~6M shards-worth of
+    // parallel writers, capped per call by the explicit knob. The token
+    // total is one tiny aggregate over the already-snapshotted input —
+    // no corpus re-derivation.
+    val n =
+      if (buckets > 0) buckets
+      else {
+        val total = base.agg(coalesce(sum(size(col("__toks"))), lit(0L)))
+          .head().getLong(0)
+        math.max(1L, math.min(4096L, total / 4000000L + 1L)).toInt
+      }
+    graft.queries.bucketOrderedN(frame, col("pack_id"), n)
       .write.mode("overwrite").parquet(outDir)
+  }
 
   /** The pack-assembly frame [[writePacks]] materializes — package-
     * visible so PlanAuditSpec can pin its exchange profile (corpus
@@ -155,7 +173,15 @@ object Packing {
     * empty-doc and pack-edge cases).
     */
   private[graft] def packFrame(docs: DataFrame, id: Column, tokens: Column,
-      seqLen: Int): DataFrame = {
+      seqLen: Int): DataFrame =
+    packFrameWithBase(docs, id, tokens, seqLen)._1
+
+  /** [[packFrame]] plus the snapshotted (doc_id, __toks) base it was
+    * built from — [[writePacks]] reuses the snapshot for its one-row
+    * token-total aggregate instead of re-deriving the corpus.
+    */
+  private def packFrameWithBase(docs: DataFrame, id: Column, tokens: Column,
+      seqLen: Int): (DataFrame, DataFrame) = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val sl = seqLen.toLong
     val base = graft.engine.Materialize.snapshot(
@@ -185,14 +211,14 @@ object Packing {
     // off0 is unique within a pack (pieces are disjoint intervals), so
     // the struct sort is total; flatten concatenates pieces in offset
     // order — exactly the per-token sort's token sequence
-    pieces.groupBy(col("pack_id")).agg(
+    (pieces.groupBy(col("pack_id")).agg(
       sum(size(col("piece"))).cast("long").as("n_tokens"),
       flatten(transform(
         array_sort(collect_list(struct(col("off0"), col("piece")))),
         x => x.getField("piece"))).as("tokens"),
       // collect_list drops nulls: only boundary offsets survive the when
       array_sort(collect_list(when(col("is_bound"), col("off0"))))
-        .as("boundary_pos"))
+        .as("boundary_pos")), base)
   }
 
   /** Pack-level summary over a [[packPlacement]] result: documents per
