@@ -65,11 +65,14 @@ object Bench {
 
   /** Per-query quiet band: the committed per-query map of a judged-quiet
     * run (`bench_quiet_band.json`, same format as the sidecar). Returns
-    * (sfDir the band was recorded at, name → quiet seconds); empty when
-    * the file is absent/unparseable — the band check is then skipped,
-    * never failed (telemetry must not fail the bench).
+    * (sfDir the band was recorded at, cpus it was recorded at — "" for
+    * a pre-cpus-field band, treated as matching nothing so a lower-core
+    * scaling run never false-flags against a 32-core map — and
+    * name → quiet seconds); empty when the file is absent/unparseable —
+    * the band check is then skipped, never failed (telemetry must not
+    * fail the bench).
     */
-  private def loadBand(path: String): (String, Map[String, Double]) =
+  private def loadBand(path: String): (String, String, Map[String, Double]) =
     try {
       val txt = {
         val src = scala.io.Source.fromFile(path)
@@ -77,16 +80,18 @@ object Bench {
       }
       val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse("")
+      val cp = "\"cpus\":([0-9]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
       val i = txt.indexOf("\"queries\":{")
-      if (i < 0) ("", Map.empty)
+      if (i < 0) ("", "", Map.empty)
       else {
         val body = txt.substring(i + 11, txt.indexOf('}', i))
         val m = "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
           .map(g => g.group(1) -> g.group(2).toDouble)
           .filter(kv => kv._2 > 0 && kv._1 != "other").toMap
-        (sf, m)
+        (sf, cp, m)
       }
-    } catch { case _: Throwable => ("", Map.empty) }
+    } catch { case _: Throwable => ("", "", Map.empty) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,8 +194,13 @@ object Bench {
     // adjudication. Band entries only apply at the SF they were recorded
     // at, and the check silently skips when no band file exists.
     val bandPath = sys.env.getOrElse("SPARK_GRAFT_BAND", "bench_quiet_band.json")
-    val (bandSf, band0) = loadBand(bandPath)
-    val band = if (bandSf == sfDir) band0 else Map.empty[String, Double]
+    val (bandSf, bandCpus, band0) = loadBand(bandPath)
+    // band applies only at its own SF AND core count: quiet per-query
+    // values at 32 cores are naturally >1.4× the band on a lower-core
+    // scaling run (the driver benches both), which would false-flag
+    // every parallel query and drown the real-contamination signal
+    val band = if (bandSf == sfDir && bandCpus == cpus) band0
+      else Map.empty[String, Double]
     def bandCap(name: String): Double =
       band.get(name).map(b => math.max(b * 1.4, b + 0.05))
         .getOrElse(Double.MaxValue)
@@ -385,7 +395,7 @@ object Bench {
       val entries = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) } ++
         (if (other > 0) Seq("\"other\":" + fmt(other, dec)) else Nil)
       val m = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$m$tpStr$noiseStr,"sidecar":"$sidecarPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$m$tpStr$noiseStr,"sidecar":"$sidecarPath","cpus":$cpus,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val out = {
