@@ -610,26 +610,31 @@ object Similarity {
   def knnGraph(assigned: DataFrame, k: Int,
       dedupCandidates: Boolean = false, clusterHint: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withNorm = withVecNorm(assigned)
-    val a = withNorm.select(col("cluster"), col("vec_id"),
-      col("embedding").as("__ea"), col("__vn").as("__na"))
-    val b = withNorm.select(col("cluster"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("__eb"), col("__vn").as("__nb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    // The pair-generation exchange hashes on `cluster` alone, so its
-    // parallelism is bounded by the cluster count — with nList below
-    // the core count (small corpora, or a bench at local[32]) the whole
-    // quadratic cosine stage lands on a handful of tasks, which is both
-    // slow and high-variance (r13: knn_graph_routed 1.37-1.87 s on ≤5
-    // busy tasks). When the caller tells us the cluster count is below
-    // ~2 tasks/core, SALT the join: the a-side key gains
-    // hash(vec_id) % S, the b-side replicates each row S times — the
-    // standard skew treatment, trading an S× replication of one side's
-    // narrow shuffle for S× stage parallelism. At real scale nList
-    // grows with the corpus (√n rule) past the core count and S
-    // computes to 1 — the salt self-disables and the plan is the
-    // original single exchange.
+    // The within-cluster pair scan used to be a self-JOIN on `cluster`:
+    // every directed pair became a join row (~members² rows per cluster)
+    // whose cost was row machinery — shuffle/join bookkeeping around a
+    // dim-wide dot product (r15 measured 4.3 s summed taskRun at sf0.1;
+    // halving the arithmetic via symmetric pairs LOST because row
+    // materialization dominates). Instead, collect each cluster's
+    // members once (ONE exchange of n·p assignment rows — the same
+    // bytes the join shuffled, minus the pair fan-out) and run the
+    // quadratic scan inside [[org.apache.spark.sql.graft.ClusterTopK]]:
+    // a compiled primitive loop emitting only each member's top-k
+    // candidate rows, ranked by exactly the downstream window's order.
+    // Results are bit-identical, not approximate — the global top-k is
+    // contained in the union of per-cluster top-k cuts (see the
+    // expression's containment proof), and the pair arithmetic is the
+    // same hoisted-norm index-order fold as the old pairCosine.
+    //
+    // The SALT is the same parallelism lever as the old salted join:
+    // with nList below ~2 tasks/core (small corpora, local bench) each
+    // cluster's group is exploded S ways — every group holds the full
+    // member list but scores only sources with floorMod(id, S) == salt,
+    // so the union over salts is the unsalted output by construction.
+    // At real scale nList grows past the core count, S computes to 1,
+    // and the plan is a single ungrouped aggregate.
     val salt =
       if (clusterHint <= 0) 1
       else {
@@ -637,51 +642,40 @@ object Similarity {
         math.max(1, math.min(32,
           math.ceil(2.0 * cores / clusterHint).toInt))
       }
-    val pairsRaw =
-      if (salt <= 1) a.join(b, Seq("cluster"))
-      else {
-        // explicit partition COUNT too: the join would otherwise plan
-        // its exchange at spark.sql.shuffle.partitions, which a bench
-        // or small job may hold well under the core count — the salt
-        // raises key cardinality but the partition count caps the
-        // parallelism it buys. Pre-partitioning both sides identically
-        // means the join adds no exchange of its own.
-        val n = assigned.sparkSession.sparkContext.defaultParallelism
-        val aS = a.withColumn("__salt",
-          pmod(hash(col("vec_id")), lit(salt)))
-          .repartition(n, col("cluster"), col("__salt"))
-        val bS = b.withColumn("__salt",
+    // inner-join semantics of the old pair stage: a NULL cluster
+    // matches nothing, so it must not form a collect group either
+    val base = assigned.filter(col("cluster").isNotNull)
+      .select(col("cluster"),
+        struct(col("vec_id"), col("embedding")).as("__m"))
+    val grouped =
+      if (salt <= 1)
+        base.groupBy(col("cluster"))
+          .agg(collect_list(col("__m")).as("__members"))
+          .select(col("__members"), lit(0).as("__salt"))
+      else
+        base.withColumn("__salt",
           explode(array((0 until salt).map(lit): _*)))
-          .repartition(n, col("cluster"), col("__salt"))
-        aS.join(bS, Seq("cluster", "__salt"))
-      }
-    val pairs = pairsRaw
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), pairCosine.as("cosine"))
-    // a multi-assigned relation ([[semanticAssignMulti]]) generates the
-    // same pair once per shared list — without the dedup a neighbor
-    // would occupy several of the k rank slots. The explicit
-    // repartition(vec_id) makes the dedup and the rank window share ONE
-    // exchange: hashpartitioning(vec_id) satisfies both the aggregate's
-    // clustering on (vec_id, neighbor_id) — a superset of the hash keys —
-    // and the window's on (vec_id). Letting the aggregate pick its own
-    // hashpartitioning(vec_id, neighbor_id) would NOT satisfy the window
-    // (no prefix property) and the pair stream would shuffle twice.
+          .groupBy(col("cluster"), col("__salt"))
+          .agg(collect_list(col("__m")).as("__members"))
+    val cand = grouped.select(explode(org.apache.spark.sql.graft.ClusterTopK(
+        col("__members"), col("__salt"), k, salt)).as("__c"))
+      .select(col("__c.vec_id").as("vec_id"),
+        col("__c.neighbor_id").as("neighbor_id"),
+        col("__c.cosine").as("cosine"))
+    // a multi-assigned relation ([[semanticAssignMulti]]) emits a shared
+    // neighbor once per shared list (identical cosine — same embeddings,
+    // same fold) — without the dedup it would occupy several of the k
+    // rank slots. The explicit repartition(vec_id) makes the dedup and
+    // the rank window share ONE exchange: hashpartitioning(vec_id)
+    // satisfies both the aggregate's clustering on (vec_id, neighbor_id)
+    // and the window's on (vec_id). The candidate stream is ≤ n·p·k
+    // rows, never the quadratic pair stream.
     val uniq =
-      if (dedupCandidates) {
-        // when the salt path raised the pair stage's parallelism, keep
-        // the dedup/window exchange at the same width — defaulting to
-        // spark.sql.shuffle.partitions here would funnel the full pair
-        // stream back into a handful of sort tasks
-        val byVec =
-          if (salt <= 1) pairs.repartition(col("vec_id"))
-          else pairs.repartition(
-            assigned.sparkSession.sparkContext.defaultParallelism,
-            col("vec_id"))
-        byVec
+      if (dedupCandidates)
+        cand.repartition(col("vec_id"))
           .groupBy(col("vec_id"), col("neighbor_id"))
           .agg(max(col("cosine")).as("cosine"))
-      } else pairs
+      else cand
     uniq
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
