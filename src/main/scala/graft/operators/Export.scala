@@ -68,18 +68,33 @@ object Export {
     *
     * Size `shards` for the READER: [[readMbox]]'s fast path holds one
     * whole shard per task, and even its split-safe path wants shards
-    * that parallelize well. The default matches the local rig; a 100 TB
-    * export wants tens of thousands — up to [[MaxShards]], which the
-    * fixed-width [[normalizeShardNames]] pass (not Spark's own
-    * `part-%05d`, whose lexicographic order breaks past 100k) makes
-    * safely concatenable.
+    * that parallelize well — up to [[MaxShards]], which the fixed-width
+    * [[normalizeShardNames]] pass (not Spark's own `part-%05d`, whose
+    * lexicographic order breaks past 100k) makes safely concatenable.
+    *
+    * `shards = 0` (the default) derives the count from the export's row
+    * volume — `rows / `[[DefaultRowsPerShard]]` + 1`, clamped to
+    * [1, MaxShards] — so file layout follows data size at every scale
+    * (a 330-message test export is one file, a 10^9-message archive is
+    * ~20k shards) instead of a fixed 32-file layout that is both too
+    * many files for a small export and too few for a large one. The
+    * count is a cheap count() over the unframed input (column-pruned —
+    * the MIME framing expression does not execute); deliberately NOT
+    * capped at defaultParallelism: shard count is a file-size/reader
+    * knob, not a parallelism knob, and the bucket exchange parallelizes
+    * by partition count regardless. Callers with a target layout pass
+    * an explicit count, which is honored verbatim.
     */
   def writeMbox(messages: DataFrame, id: Column, record: Column,
-      outDir: String, shards: Int = graft.queries.OrderBuckets): Unit = {
-    require(shards >= 1 && shards <= MaxShards,
-      s"shards must be in [1, $MaxShards], got $shards")
+      outDir: String, shards: Int = 0): Unit = {
+    require(shards >= 0 && shards <= MaxShards,
+      s"shards must be in [0, $MaxShards], got $shards")
+    val n =
+      if (shards >= 1) shards
+      else math.max(1L, math.min(MaxShards.toLong,
+        messages.count() / DefaultRowsPerShard + 1L)).toInt
     graft.queries.bucketOrderedN(
-      messages.select(id.as("__id"), record.as("value")), col("__id"), shards)
+      messages.select(id.as("__id"), record.as("value")), col("__id"), n)
       // a null record (null id or null/corrupt mime) would abort the
       // whole write task inside the text sink — skip such rows; callers
       // account for corrupt blobs explicitly via ArchiveVerify.auditRaw
@@ -89,6 +104,12 @@ object Export {
       .write.mode("overwrite").text(outDir)
     normalizeShardNames(messages.sparkSession, outDir)
   }
+
+  /** Default mbox sizing: ~50k messages per shard (a few hundred MB of
+    * typical MIME) — inside the 128 MB-1 GB output-file band without
+    * overflowing [[readMbox]]'s one-shard-per-task fast path.
+    */
+  val DefaultRowsPerShard: Long = 50000L
 
   /** [[normalizeShardNames]]'s `shard-%09d` naming is good to 10^9. */
   val MaxShards: Int = 999999999

@@ -292,7 +292,8 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, id: Column, vec: Column,
       nList: Int, eps: Double, hashStride: Boolean = true): DataFrame =
-    semanticDupes(semanticAssign(emb, id, vec, nList, hashStride), eps)
+    semanticDupes(semanticAssign(emb, id, vec, nList, hashStride), eps,
+      clusterHint = nList)
 
   /** The build-once half of [[semanticDedup]]: centroid pick + cluster
     * assignment → a (cluster, vec_id, embedding) relation. This is the
@@ -542,46 +543,78 @@ object Similarity {
     RoutedStructure(cents, coarse, coarseIdx, members.map(_.toArray))
   }
 
-  /** `embedding` row + its precomputed norm `__vn = sqrt(dot(v,v))` —
-    * the per-vector half of the hoisted pair cosine ([[pairCosine]]).
-    * One single-accumulator pass per ASSIGNMENT row (n·p rows), vs the
-    * fused [[cosine]] re-deriving both norms per PAIR (quadratic).
+  /** The within-cluster collect shared by every compiled cluster-scan
+    * consumer ([[knnGraph]], [[semanticDupes]]): members gathered once
+    * per (cluster, salt) group — ONE exchange of n·p assignment rows,
+    * where the old self-join materialized the quadratic pair stream as
+    * rows. `clusterHint` drives the same salt lever the salted join
+    * used: below ~2 clusters/core each cluster's group is exploded S
+    * ways (every group holds the full member list; the expression
+    * splits the scanned side by floorMod(id, S), so the union over
+    * salts is the unsalted output by construction). At real scale
+    * nList grows past the core count, S computes to 1, and the plan is
+    * a single ungrouped aggregate. Inner-join semantics are preserved:
+    * a NULL cluster matches nothing, so it forms no group either.
     */
-  private def withVecNorm(assigned: DataFrame): DataFrame =
-    assigned.withColumn("__vn", sqrt(org.apache.spark.sql.graft.DotProduct(
-      col("embedding"), col("embedding"))))
-
-  /** Pair score over (`__ea`,`__na`,`__eb`,`__nb`): bit-identical to
-    * `cosine(__ea,__eb)` — the same index-order dot fold, the same
-    * `sqrt(dot(v,v))` (hoisted), the same multiply-then-divide sequence,
-    * and the same null rule (zero-norm → null via the explicit `when`;
-    * null input / null element / length mismatch make the dot — and so
-    * the quotient — null, exactly the fused expression's propagation).
-    */
-  private def pairCosine: Column =
-    when(col("__na") === 0.0 || col("__nb") === 0.0,
-      lit(null).cast("double"))
-      .otherwise(org.apache.spark.sql.graft.DotProduct(col("__ea"), col("__eb")) /
-        (col("__na") * col("__nb")))
+  private def clusterGroups(assigned: DataFrame,
+      clusterHint: Int): (DataFrame, Int) = {
+    val salt =
+      if (clusterHint <= 0) 1
+      else {
+        val cores = assigned.sparkSession.sparkContext.defaultParallelism
+        math.max(1, math.min(32,
+          math.ceil(2.0 * cores / clusterHint).toInt))
+      }
+    val base = assigned.filter(col("cluster").isNotNull)
+      .select(col("cluster"),
+        struct(col("vec_id"), col("embedding")).as("__m"))
+    val grouped =
+      if (salt <= 1)
+        base.groupBy(col("cluster"))
+          .agg(collect_list(col("__m")).as("__members"))
+          .withColumn("__salt", lit(0))
+      else {
+        // the salt exists because clusters < ~2/core — an explicit
+        // partition COUNT must ride along (the old salted join did the
+        // same): the aggregate would otherwise plan its exchange at
+        // spark.sql.shuffle.partitions, which a bench or small job may
+        // hold well under the core count, capping the very parallelism
+        // the salt buys (measured: 64 salted groups on 8 shuffle
+        // partitions ran the quadratic scan 8-wide on 32 cores). The
+        // repartition's hashpartitioning(cluster, __salt) satisfies the
+        // aggregate's clustering, so this is one exchange, not two.
+        val n = assigned.sparkSession.sparkContext.defaultParallelism
+        base.withColumn("__salt",
+          explode(array((0 until salt).map(lit): _*)))
+          .repartition(n, col("cluster"), col("__salt"))
+          .groupBy(col("cluster"), col("__salt"))
+          .agg(collect_list(col("__m")).as("__members"))
+      }
+    (grouped, salt)
+  }
 
   /** The recurring half of [[semanticDedup]]: within-cluster ε-ball pair
     * report over an assignment relation (fresh or reopened/persisted).
+    *
+    * Pair stage: [[org.apache.spark.sql.graft.ClusterEpsAgg]] — one
+    * compiled scan per (cluster, salt) group emitting each dup's
+    * per-cluster partial (min qualifying kept_id, max qualifying
+    * cosine), bounded by the member count instead of the quadratic pair
+    * stream the old self-join materialized as rows. The final aggregate
+    * is unchanged and bit-identical (min/max decompose; a pair's cosine
+    * is identical in every shared cluster): min cluster over clusters
+    * with a qualifying pair, min kept_id / max cosine over all
+    * qualifying pairs. `clusterHint` = expected cluster count, the
+    * parallelism lever ([[clusterGroups]]).
     */
-  def semanticDupes(assigned: DataFrame, eps: Double): DataFrame = {
-    // per-vector norms hoisted out of the pair loop ([[pairCosine]]):
-    // the fused cosine recomputes both norms per PAIR — three
-    // accumulators over dim; dot/(na·nb) with norms precomputed per
-    // assignment row is the same arithmetic at a third of the pair work
-    val withNorm = withVecNorm(assigned)
-    val keep = withNorm.select(col("cluster"), col("vec_id").as("kept_id"),
-      col("embedding").as("__ea"), col("__vn").as("__na"))
-    val dup = withNorm.select(col("cluster"), col("vec_id").as("dup_id"),
-      col("embedding").as("__eb"), col("__vn").as("__nb"))
-    keep.join(dup, "cluster")
-      .filter(col("kept_id") < col("dup_id"))
-      .select(col("dup_id"), col("cluster"), col("kept_id"),
-        pairCosine.as("cosine"))
-      .filter(col("cosine") > eps)
+  def semanticDupes(assigned: DataFrame, eps: Double,
+      clusterHint: Int = 0): DataFrame = {
+    val (grouped, salt) = clusterGroups(assigned, clusterHint)
+    grouped.select(col("cluster"),
+        explode(org.apache.spark.sql.graft.ClusterEpsAgg(
+          col("__members"), col("__salt"), eps, salt)).as("__c"))
+      .select(col("__c.dup_id").as("dup_id"), col("cluster"),
+        col("__c.kept_id").as("kept_id"), col("__c.cosine").as("cosine"))
       .groupBy(col("dup_id"))
       .agg(min(col("cluster")).cast("long").as("cluster"),
         min(col("kept_id")).as("kept_id"),
@@ -628,35 +661,11 @@ object Similarity {
     // expression's containment proof), and the pair arithmetic is the
     // same hoisted-norm index-order fold as the old pairCosine.
     //
-    // The SALT is the same parallelism lever as the old salted join:
-    // with nList below ~2 tasks/core (small corpora, local bench) each
-    // cluster's group is exploded S ways — every group holds the full
-    // member list but scores only sources with floorMod(id, S) == salt,
-    // so the union over salts is the unsalted output by construction.
-    // At real scale nList grows past the core count, S computes to 1,
-    // and the plan is a single ungrouped aggregate.
-    val salt =
-      if (clusterHint <= 0) 1
-      else {
-        val cores = assigned.sparkSession.sparkContext.defaultParallelism
-        math.max(1, math.min(32,
-          math.ceil(2.0 * cores / clusterHint).toInt))
-      }
-    // inner-join semantics of the old pair stage: a NULL cluster
-    // matches nothing, so it must not form a collect group either
-    val base = assigned.filter(col("cluster").isNotNull)
-      .select(col("cluster"),
-        struct(col("vec_id"), col("embedding")).as("__m"))
-    val grouped =
-      if (salt <= 1)
-        base.groupBy(col("cluster"))
-          .agg(collect_list(col("__m")).as("__members"))
-          .select(col("__members"), lit(0).as("__salt"))
-      else
-        base.withColumn("__salt",
-          explode(array((0 until salt).map(lit): _*)))
-          .groupBy(col("cluster"), col("__salt"))
-          .agg(collect_list(col("__m")).as("__members"))
+    // The SALT ([[clusterGroups]]) is the same parallelism lever as the
+    // old salted join: every group holds the full member list but
+    // scores only sources with floorMod(id, S) == salt, so the union
+    // over salts is the unsalted output by construction.
+    val (grouped, salt) = clusterGroups(assigned, clusterHint)
     val cand = grouped.select(explode(org.apache.spark.sql.graft.ClusterTopK(
         col("__members"), col("__salt"), k, salt)).as("__c"))
       .select(col("__c.vec_id").as("vec_id"),

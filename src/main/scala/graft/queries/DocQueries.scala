@@ -694,7 +694,8 @@ object DocQueries {
 
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     bucketOrdered(
-      Similarity.semanticDupes(semdedupAssigned(s, dir), eps = 0.33),
+      Similarity.semanticDupes(semdedupAssigned(s, dir), eps = 0.33,
+        clusterHint = 16),
       col("dup_id"))
 
   val dedupSemanticSql: String =
@@ -729,7 +730,7 @@ object DocQueries {
       Similarity.semanticDupes(
         Similarity.assignRouted(base,
           Similarity.strideCentroids(base, 16), rProbe = 2),
-        eps = 0.33),
+        eps = 0.33, clusterHint = 16),
       col("dup_id"))
   }
 

@@ -123,24 +123,32 @@ object ClusterTopK {
 
   /** Spark's nan-safe double comparison (NaN > everything incl. +Inf,
     * NaN == NaN, -0.0 == 0.0) — the ordering `desc` applies to non-null
-    * cosines; replicated so ranks cannot drift from the downstream window.
+    * cosines AND the semantics of the `>` binary comparison (verified:
+    * `double('NaN') > 0.5` is TRUE in Spark SQL); replicated so ranks
+    * and threshold cuts cannot drift from the built-in operators.
     */
-  private def nanSafeCompare(x: Double, y: Double): Int = {
+  private[graft] def nanSafeCompare(x: Double, y: Double): Int = {
     val xN = java.lang.Double.isNaN(x); val yN = java.lang.Double.isNaN(y)
     if (x < y || (yN && !xN)) -1
     else if (x > y || (xN && !yN)) 1
     else 0
   }
 
-  /** One (cluster, salt) group's scan. Everything inside is plain
-    * JIT-compiled primitive loops over pre-decoded members; called once
-    * per group from generated code (or interpreted eval).
+  /** One cluster's decoded members: ids, per-member double vectors,
+    * norm = sqrt(dot(v,v)), and the two null classes the pair cosine
+    * distinguishes (null id; null embedding / null element). Shared by
+    * every within-cluster scan expression ([[ClusterTopK]],
+    * [[ClusterEpsAgg]]) so the pair-cosine edge semantics have ONE
+    * decode.
     */
-  def topKNeighbors(members: ArrayData, salt: Int, k: Int, nSalt: Int,
-      isFloat: Boolean): ArrayData = {
+  private[graft] final class Decoded(val ids: Array[Long],
+      val idNull: Array[Boolean], val vecs: Array[Array[Double]],
+      val dotNull: Array[Boolean], val norm: Array[Double]) {
+    def size: Int = ids.length
+  }
+
+  private[graft] def decode(members: ArrayData, isFloat: Boolean): Decoded = {
     val m = members.numElements()
-    // decode once: ids, per-member double vectors, norm = sqrt(dot(v,v)),
-    // and the two null classes the pair cosine distinguishes
     val ids = new Array[Long](m)
     val idNull = new Array[Boolean](m)
     val vecs = new Array[Array[Double]](m)
@@ -170,6 +178,19 @@ object ClusterTopK {
       }
       i += 1
     }
+    new Decoded(ids, idNull, vecs, dotNull, norm)
+  }
+
+  /** One (cluster, salt) group's scan. Everything inside is plain
+    * JIT-compiled primitive loops over pre-decoded members; called once
+    * per group from generated code (or interpreted eval).
+    */
+  def topKNeighbors(members: ArrayData, salt: Int, k: Int, nSalt: Int,
+      isFloat: Boolean): ArrayData = {
+    val d = decode(members, isFloat)
+    val m = d.size
+    val ids = d.ids; val idNull = d.idNull; val vecs = d.vecs
+    val dotNull = d.dotNull; val norm = d.norm
     val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
     // per-source top-k slots, reused across sources
     val bestNull = new Array[Boolean](k)
@@ -196,19 +217,25 @@ object ClusterTopK {
               while (j < dims) { dot += xs(j) * ys(j); j += 1 }
               cos = dot / (norm(s0) * norm(c))
             }
-            // insertion rank: (null last, cosine desc nan-first, id asc);
-            // candidate LOSES to slot j (keep scanning) while slot j is
-            // strictly better
+            // slot j strictly better than the candidate ⇔ candidate
+            // keeps scanning past it: (null last, cosine desc
+            // nan-first, id asc)
+            @inline def slotBeats(j: Int): Boolean =
+              if (bestNull(j) != isNull) !bestNull(j) // non-null side wins
+              else if (!isNull) {
+                val cmpS = nanSafeCompare(bestS(j), cos)
+                cmpS > 0 || (cmpS == 0 && bestId(j) < ids(c))
+              } else bestId(j) < ids(c)
+            // quick reject: with the slots full, almost every candidate
+            // loses to the CURRENT WORST slot — one compare instead of
+            // a k-deep insertion scan (top-5 of a 2500-member cluster
+            // rejects ~99.8% of candidates here)
+            if (filled == k && slotBeats(k - 1)) { /* rejected */ }
+            else {
             var j = 0
             var stop = false
             while (j < filled && !stop) {
-              val worse =
-                if (bestNull(j) != isNull) !bestNull(j) // non-null side wins
-                else if (!isNull) {
-                  val cmpS = nanSafeCompare(bestS(j), cos)
-                  cmpS > 0 || (cmpS == 0 && bestId(j) < ids(c))
-                } else bestId(j) < ids(c)
-              if (worse) j += 1 else stop = true
+              if (slotBeats(j)) j += 1 else stop = true
             }
             if (j < k) {
               var t = math.min(filled, k - 1)
@@ -218,6 +245,7 @@ object ClusterTopK {
               }
               bestNull(j) = isNull; bestS(j) = cos; bestId(j) = ids(c)
               if (filled < k) filled += 1
+            }
             }
           }
           c += 1

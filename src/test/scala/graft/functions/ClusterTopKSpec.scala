@@ -121,6 +121,72 @@ class ClusterTopKSpec extends SparkTestBase {
     assert(salted == unsalted)
   }
 
+  /** The r15 semanticDupes pair pipeline [[ClusterEpsAgg]] replaces —
+    * the executable spec for the ε-ball rewrite (same hoisted-norm
+    * cosine, `cosine > eps` with Spark's nan-safe `>`, the original
+    * three-way aggregate).
+    */
+  private def legacyDupes(assigned: DataFrame, eps: Double): DataFrame = {
+    val withNorm = assigned.withColumn("__vn",
+      sqrt(DotProduct(col("embedding"), col("embedding"))))
+    val keep = withNorm.select(col("cluster"), col("vec_id").as("kept_id"),
+      col("embedding").as("__ea"), col("__vn").as("__na"))
+    val dup = withNorm.select(col("cluster"), col("vec_id").as("dup_id"),
+      col("embedding").as("__eb"), col("__vn").as("__nb"))
+    val pc = when(col("__na") === 0.0 || col("__nb") === 0.0,
+      lit(null).cast("double"))
+      .otherwise(DotProduct(col("__ea"), col("__eb")) /
+        (col("__na") * col("__nb")))
+    keep.join(dup, "cluster")
+      .filter(col("kept_id") < col("dup_id"))
+      .select(col("dup_id"), col("cluster"), col("kept_id"),
+        pc.as("cosine"))
+      .filter(col("cosine") > eps)
+      .groupBy(col("dup_id"))
+      .agg(min(col("cluster")).cast("long").as("cluster"),
+        min(col("kept_id")).as("kept_id"),
+        max(col("cosine")).as("max_cosine"))
+  }
+
+  private def dupesKeyed(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }.toSet
+
+  test("semanticDupes over ClusterEpsAgg bit-matches the legacy pair join on every edge class") {
+    // low eps so qualifying pairs are plentiful; the edge rows (zero
+    // norm, null embedding/element, length mismatch) must qualify in
+    // NEITHER pipeline, and the NaN row must qualify in BOTH (Spark's
+    // `>` is nan-safe) and win its max
+    val assigned = edgeFixture.withColumn("cluster",
+      col("cluster").cast("int"))
+    for (eps <- Seq(-0.5, 0.2, 0.95)) {
+      val got = dupesKeyed(Similarity.semanticDupes(assigned, eps))
+      val want = dupesKeyed(legacyDupes(assigned, eps))
+      assert(got == want, s"eps=$eps: diff ${(got -- want) ++ (want -- got)}")
+      if (eps == -0.5) {
+        val nanDups = dupesKeyed(Similarity.semanticDupes(assigned, eps))
+          .filter(t => java.lang.Double.longBitsToDouble(t._4).isNaN)
+        assert(nanDups.nonEmpty, "fixture must exercise the NaN-qualifies rule")
+      }
+    }
+    // multi-assignment: dup both clusters — partials aggregate across
+    val multi = assigned.union(assigned.withColumn("cluster",
+      col("cluster") + lit(10)))
+    val got = dupesKeyed(Similarity.semanticDupes(multi, 0.2))
+    val want = dupesKeyed(legacyDupes(multi, 0.2))
+    assert(got == want, s"multi: diff ${(got -- want) ++ (want -- got)}")
+  }
+
+  test("semanticDupes salted groups reproduce the unsalted output exactly") {
+    val assigned = edgeFixture
+    val unsalted = dupesKeyed(Similarity.semanticDupes(assigned, 0.2))
+    val salted = dupesKeyed(Similarity.semanticDupes(assigned, 0.2,
+      clusterHint = 1))
+    assert(salted == unsalted)
+  }
+
   test("expression-level ordering: NaN first, nulls trail by neighbor_id, k cuts") {
     val rows = Seq(
       (1L, Seq(1.0f, 0.0f)), // source
