@@ -445,7 +445,7 @@ object DocQueries {
     * every pair, so the gate proves the bucket-local plan loses nothing.
     */
   def dedupWinnow(s: SparkSession, dir: String): DataFrame =
-    orderedAtTail(
+    orderedAtTailExchanged(
       Dedup.winnowPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         k = 4, w = 5, minShared = 2),
       col("id_a").asc, col("id_b").asc)
