@@ -84,15 +84,36 @@ object Tables {
     if (!cached.containsKey(key)) {
       val raw = load(spark, sfDir, n)
       val par = spark.sparkContext.defaultParallelism
+      // Work-proportional sizing for the tables whose rows are HEAVY to
+      // process, with a rows-per-partition target floored at the old
+      // constant and capped at the core count: at 32 cores the counts
+      // are EXACTLY the pre-r16 constants for every driver SF
+      // (sf0.001-0.1), so bench comparability holds; on a larger corpus
+      // the count follows data size (measured at 10x: the 20k-row
+      // embeddings table landed on ONE partition, serializing the
+      // posexplode centroid pass — embed_outliers 1.04→0.57,
+      // vector_quantize_int8 0.88→0.34; documents at 8 partitions
+      // underfed the tokenize/shingle pipelines — quality_classifier
+      // 0.84→0.54, ngram_docfreq 0.81→0.49). lineitem/orders/events
+      // deliberately KEEP the core-derived constant: a 10x A/B showed
+      // more map partitions LOSES on the aggregate-dominated fact
+      // queries (each extra partition is another partial-aggregate
+      // state for the reduce to merge — agg_quantiles' single
+      // QuantileSummaries merge task went 0.72→1.88 s at 32 partials)
+      // and washes on events.
+      def sized(rowsPerPart: Long, floor: Int): Int =
+        math.max(1, math.max(floor,
+          math.min(par, (raw.count() / rowsPerPart).toInt)))
       val parts =
-        if (n == "documents") math.max(1, par / 4)
+        if (n == "documents") sized(600L, par / 4)
         else if (n == "lineitem" || n == "orders") math.max(1, par / 4)
         // events feeds per-row-heavy work (get_json_object, per-user
         // windows, funnel/retention sequence logic) like documents does —
-        // the rows/75k sizing puts its ~45k sf0.1 rows on ONE partition
-        // and serializes every events query onto a single core (measured:
-        // scalar_json = one 0.23 s task; 8-way it's ~0.07 s wall)
+        // a plain rows/75k sizing put its ~45k sf0.1 rows on ONE
+        // partition and serialized every events query onto a single core
+        // (measured: scalar_json = one 0.23 s task; 8-way it's ~0.07 s)
         else if (n == "events") math.max(1, par / 4)
+        else if (n == "embeddings") sized(5000L, 1)
         else math.max(1, math.min(par / 2, (raw.count() / 75000L).toInt))
       val df = clusterKey.get(n) match {
         case Some(k) =>
